@@ -1,0 +1,109 @@
+"""Distributed linear-algebra primitives (Arrow-batched partial aggregation).
+
+This is the treeAggregate pattern MLlib uses for its GLM cost aggregators:
+each partition reduces its rows to one small partial vector with vectorized
+NumPy over Arrow batches (``mapInArrow`` — no per-row Python), the driver
+sums the <= #partitions partials. Nothing n-sized ever reaches the driver.
+
+At 100 TB the per-evaluation cost is one scan of the cached feature
+DataFrame; the partial result is O(p*m) per partition. For very large p,
+switch ``payload`` to upper-triangular Gram packing — noted inline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _list_col_to_2d(col, width: int) -> np.ndarray:
+    """Arrow ListArray / FixedSizeListArray of uniform-length lists -> (n, width)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.FixedSizeListArray):
+        vals = col.values.to_numpy(zero_copy_only=False)
+        return vals.reshape(len(col), width)
+    offsets = col.offsets.to_numpy()
+    vals = col.values.to_numpy(zero_copy_only=False)
+    start, end = int(offsets[0]), int(offsets[-1])
+    return np.asarray(vals[start:end], dtype=np.float64).reshape(len(col), width)
+
+
+def _batch_xy(batch, x_name: str, y_name: str | None, p: int, m: int):
+    """Extract (X, Y) NumPy arrays from one Arrow RecordBatch."""
+    X = _list_col_to_2d(batch.column(batch.schema.get_field_index(x_name)), p)
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    Y = None
+    if y_name is not None:
+        ycol = batch.column(batch.schema.get_field_index(y_name))
+        if m > 1:
+            Y = _list_col_to_2d(ycol, m)
+        else:
+            Y = ycol.to_numpy(zero_copy_only=False).astype(np.float64)[:, np.newaxis]
+    return X, Y
+
+
+def partial_aggregate(df, out_len: int, make_partial):
+    """Run ``make_partial(batch) -> 1-D ndarray (out_len)`` over every Arrow
+    batch, sum per task, then sum the collected per-task partials on the
+    driver. Returns the global sum as a 1-D ndarray."""
+    import pyarrow as pa
+
+    def fn(batches):
+        acc = np.zeros(out_len, dtype=np.float64)
+        seen = False
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            acc += make_partial(b)
+            seen = True
+        if seen:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([acc.tolist()], type=pa.list_(pa.float64()))],
+                names=["partial"],
+            )
+
+    rows = df.mapInArrow(fn, "partial array<double>").collect()
+    total = np.zeros(out_len, dtype=np.float64)
+    for r in rows:
+        total += np.asarray(r["partial"], dtype=np.float64)
+    return total
+
+
+def gram_xty_pass(df, x_col: str, y_col: str, p: int, m: int = 1):
+    """Single distributed pass producing the gaussian sufficient statistics
+    (X^T X, X^T y, y^T y, n). Mirrors the reference's one-time Gram
+    factorization setup (``src/owl.cpp:178-203`` in jolars/prague) — after
+    this pass the whole gaussian path is driver-side.
+
+    Payload per partition: p^2 + p*m + m + 1 doubles (use triangular packing
+    for p over ~5k)."""
+    out_len = p * p + p * m + 1 + 1
+
+    def make_partial(batch):
+        X, Y = _batch_xy(batch, x_col, y_col, p, m)
+        part = np.empty(out_len, dtype=np.float64)
+        part[: p * p] = (X.T @ X).ravel()
+        part[p * p : p * p + p * m] = (X.T @ Y).ravel(order="F")
+        part[-2] = float(np.sum(Y * Y))
+        part[-1] = float(X.shape[0])
+        return part
+
+    tot = partial_aggregate(df.select(x_col, y_col), out_len, make_partial)
+    gram = tot[: p * p].reshape(p, p)
+    xty = tot[p * p : p * p + p * m].reshape((p, m), order="F")
+    yty = float(tot[-2])
+    n = int(round(tot[-1]))
+    return gram, (xty.ravel() if m == 1 else xty), yty, n
+
+
+def xtv_pass(df, x_col: str, v_col: str, p: int, m: int = 1):
+    """Distributed ``X^T v`` (used for lambda_max, ``src/lambdaMax.h:8-60``)."""
+
+    def make_partial(batch):
+        X, V = _batch_xy(batch, x_col, v_col, p, m)
+        return (X.T @ V).ravel(order="F")
+
+    out = partial_aggregate(df.select(x_col, v_col), p * m, make_partial)
+    return out if m == 1 else out.reshape((p, m), order="F")
