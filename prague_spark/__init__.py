@@ -1,0 +1,32 @@
+"""prague_spark — a PySpark-native SLOPE (sorted-L1 regularized GLM) engine
+with the query and data-processing capabilities of jolars/prague (the
+``owl`` R package), rebuilt Spark-first, plus large-scale data-pipeline
+operators (dedup, similarity search, text analysis, multimodal columns).
+
+Layering:
+- ``prague_spark.core``     driver-side NumPy math (p-sized objects only)
+- ``prague_spark.design``   distributed/in-core design-matrix backends
+- ``prague_spark.ops``      DataFrame operators (SQL-verifiable)
+- ``prague_spark.pipeline`` LLM-data-pipeline operators
+- ``prague_spark.fit``      the path-fitting orchestration
+"""
+
+from .fit import fit
+from .model import SlopeModel
+from .ops.cv import cv_fit
+from .ops.predict import predict
+from .ops.score import auc, score, score_path
+from .session import get_spark
+
+__all__ = [
+    "fit",
+    "SlopeModel",
+    "cv_fit",
+    "predict",
+    "score",
+    "score_path",
+    "auc",
+    "get_spark",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,364 @@
+"""SLOPE path fitting: Spark data plane + driver control plane.
+
+This is the Spark-first re-expression of the reference's fit lifecycle
+(``src/owl.cpp:40-395`` in jolars/prague):
+
+1. response preprocessing + standardization: DataFrame aggregations and
+   projections (no shuffle of data rows);
+2. penalty machinery: one distributed cross-product ``X^T y~`` feeds the
+   driver-side lambda/sigma grids;
+3. the path loop runs on the driver; every data-sized evaluation goes
+   through a Design (see ``prague_spark.design``):
+   - gaussian: Gram sufficient statistics from ONE distributed pass, then
+     the whole path (ADMM + screening + KKT) is driver-side — no further
+     passes. This is the 100 TB architecture for least squares.
+   - other families: per-iteration fused Arrow scans (MLlib cost-aggregator
+     shape) over the cached standardized DataFrame, with an automatic
+     in-core fast path when the standardized design is small enough to
+     collect (the reference's own regime).
+4. strong-rule screening + KKT repair prune the *columns* the distributed
+   aggregation touches — the Spark analogue of the reference's subset fits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .core.families import setup_family
+from .core.lambdas import lambda_sequence, sigma_grid
+from .core.screening import kkt_check, strong_rule_active_set
+from .core.solver import FitResult, admm_gaussian, admm_rho, fista
+from .design import GramData, GramGaussianDesign, LocalDesign, SparkGlmDesign
+from .design.linalg import gram_xty_pass, xtv_pass
+from .model import SlopeModel
+from .ops.features import assemble_features
+from .ops.response import Y_COL, preprocess_response
+from .ops.standardize import fit_standardizer
+
+X_COL = "_x_features"
+
+# collect-to-driver threshold for the in-core fast path (bytes of the dense
+# standardized design). Above this the iterative families run distributed.
+DEFAULT_INCORE_LIMIT = 512 * 1024 * 1024
+
+
+def _collect_xy(sdf: DataFrame, p: int, m: int):
+    pdf = sdf.select(X_COL, Y_COL).toPandas()
+    X = np.asarray(np.vstack(pdf[X_COL].to_numpy()), dtype=np.float64)
+    if m > 1:
+        Y = np.asarray(np.vstack(pdf[Y_COL].to_numpy()), dtype=np.float64)
+    else:
+        Y = pdf[Y_COL].to_numpy(dtype=np.float64)[:, np.newaxis]
+    return X, Y
+
+
+def _lambda_max(sdf, family, rinfo, p_total, m, intercept, xty_gaussian=None):
+    """Distributed |X^T y~| (``src/lambdaMax.h:8-60``), intercept row shed."""
+    if family == "gaussian":
+        lm = np.asarray(xty_gaussian, dtype=np.float64).reshape(p_total, 1)
+    elif family == "binomial":
+        mean01 = float(
+            sdf.agg(F.avg((F.col(Y_COL) + 1.0) / 2.0)).first()[0]
+        )
+        tmp = sdf.withColumn("_v", (F.col(Y_COL) + 1.0) / 2.0 - F.lit(mean01))
+        lm = xtv_pass(tmp, X_COL, "_v", p_total).reshape(p_total, 1)
+    elif family == "poisson":
+        tmp = sdf.withColumn("_v", 1.0 - F.col(Y_COL))
+        lm = xtv_pass(tmp, X_COL, "_v", p_total).reshape(p_total, 1)
+    elif family == "multinomial":
+        stats = sdf.agg(
+            *[F.avg(F.col(Y_COL)[k]).alias(f"m{k}") for k in range(m)],
+            *[F.stddev_pop(F.col(Y_COL)[k]).alias(f"s{k}") for k in range(m)],
+        ).first()
+        means = np.array([stats[f"m{k}"] for k in range(m)])
+        stds = np.array([stats[f"s{k}"] for k in range(m)])
+        tmp = sdf.withColumn(
+            "_v",
+            F.array(
+                *[
+                    (F.col(Y_COL)[k] - F.lit(float(means[k]))) / F.lit(float(stds[k]))
+                    for k in range(m)
+                ]
+            ),
+        )
+        lm = xtv_pass(tmp, X_COL, "_v", p_total, m)
+        lm = lm * stds[np.newaxis, :]
+    else:
+        raise ValueError(family)
+    if intercept:
+        lm = lm[1:]
+    return np.abs(lm.ravel(order="F"))
+
+
+def fit(
+    df: DataFrame,
+    features: list[str],
+    label: str,
+    family: str = "gaussian",
+    *,
+    intercept: bool = True,
+    center: bool = True,
+    scale: str = "l2",
+    lambda_type: str = "gaussian",
+    q: float = 0.2,
+    n_sigma: int = 100,
+    sigma=None,
+    user_lambda=None,
+    lambda_min_ratio: float | None = None,
+    screening: bool = True,
+    solver: str = "auto",  # auto | gram | incore | spark
+    incore_limit: int = DEFAULT_INCORE_LIMIT,
+    max_passes: int = 10**6,
+    tol_rel_gap: float = 1e-5,
+    tol_infeas: float = 1e-3,
+    tol_abs: float = 1e-5,
+    tol_rel: float = 1e-4,
+    tol_dev_change: float = 1e-5,
+    tol_dev_ratio: float = 0.995,
+    max_variables: int | None = None,
+    diagnostics: bool = False,
+) -> SlopeModel:
+    fam = setup_family(family)
+
+    # ---- response + features + standardization (DataFrame plane) ----
+    df2, rinfo = preprocess_response(df, label, family)
+    m = rinfo.n_targets
+    std = fit_standardizer(df2, list(features), center=center, scale=scale)
+    df3 = std.transform(df2)
+    df3 = assemble_features(df3, list(features), out=X_COL, intercept=intercept)
+    sdf = df3.select(X_COL, Y_COL).persist(StorageLevel.MEMORY_AND_DISK)
+    n = sdf.count()  # materializes the cache
+    p_total = len(features) + (1 if intercept else 0)
+    n_unpen = 1 if intercept else 0
+    p_pen = p_total - n_unpen
+
+    x_center = np.array([std.center.get(c, 0.0) for c in features]) if center else np.zeros(len(features))
+    x_scale = (
+        np.array([std.scale.get(c, 1.0) for c in features])
+        if scale != "none"
+        else np.ones(len(features))
+    )
+
+    # ---- choose the design ----
+    est_bytes = n * p_total * 8 * max(m, 1)
+    xty_gaussian = None
+    if family == "gaussian" and solver in ("auto", "gram"):
+        gram, xty, yty, n_seen = gram_xty_pass(sdf, X_COL, Y_COL, p_total)
+        design = GramGaussianDesign(GramData(gram=gram, xty=xty, yty=yty, n=n))
+        xty_gaussian = xty
+        use_admm = True
+    elif solver == "incore" or (solver == "auto" and est_bytes <= incore_limit):
+        X, Y = _collect_xy(sdf, p_total, m)
+        design = LocalDesign(X, Y, fam)
+        use_admm = family == "gaussian"
+    else:
+        design = SparkGlmDesign(sdf, X_COL, Y_COL, fam, p_total, m, n=n)
+        use_admm = False
+    if family == "gaussian" and solver == "incore":
+        # in-core gaussian still goes through Gram/ADMM like the reference
+        use_admm = True
+
+    # ---- penalty machinery (driver plane fed by one distributed agg) ----
+    if family == "gaussian" and xty_gaussian is None and isinstance(design, LocalDesign):
+        xty_gaussian = (design.X.T @ design.Y).ravel()
+    lambda_max = _lambda_max(sdf, family, rinfo, p_total, m, intercept, xty_gaussian)
+
+    lam = lambda_sequence(p_pen * m, n, lambda_type, q, user_lambda)
+    sigma_is_auto = sigma is None
+    if sigma_is_auto:
+        sig, sigma_max = sigma_grid(
+            lambda_max, lam, n_sigma, lambda_min_ratio, n=n, p=len(features)
+        )
+    else:
+        sig = np.atleast_1d(np.asarray(sigma, dtype=np.float64))
+        lm_sorted = np.sort(np.abs(lambda_max))[::-1]
+        sigma_max = float(np.max(np.cumsum(lm_sorted) / np.cumsum(lam)))
+    n_sig = len(sig)
+    if max_variables is None:
+        max_variables = n * m
+
+    # ---- path loop (driver control plane, ``src/owl.cpp:146-364``) ----
+    null_deviance = 2.0 * design.primal(np.zeros((p_total, m)))
+
+    betas = np.zeros((n_sig, p_total, m))
+    beta = np.zeros((p_total, m))
+    beta_prev = np.zeros((p_total, m))
+    z = np.zeros(p_total)
+    u = np.zeros(p_total)
+
+    deviances: list[float] = []
+    deviance_ratios: list[float] = []
+    passes = np.zeros(n_sig, dtype=int)
+    n_unique = np.zeros(n_sig, dtype=int)
+    active_sets: list[np.ndarray] = []
+    diag: dict = {"primals": [], "duals": [], "time": [], "violations": []}
+
+    ever_active = (
+        np.array([0], dtype=np.intp) if intercept else np.array([], dtype=np.intp)
+    )
+    all_idx = np.arange(p_total, dtype=np.intp)
+    screening_on = bool(screening)
+    deviance_change = 0.0
+
+    def fit_on(design_sub, beta_init, lam_scaled, z_s, u_s):
+        if use_admm:
+            gd = design_sub.g if isinstance(design_sub, GramGaussianDesign) else design_sub.gram()
+            w, _ = gd.eigh()
+            rho = admm_rho(float(w.max()), float(lam_scaled.max()) if lam_scaled.size else 1.0)
+            res, z_out, u_out = admm_gaussian(
+                gd, beta_init.ravel(), z_s, u_s, lam_scaled, rho,
+                max_passes=max_passes, tol_abs=tol_abs, tol_rel=tol_rel,
+                diagnostics=diagnostics,
+            )
+            return res, z_out, u_out
+        res = fista(
+            design_sub, beta_init, lam_scaled, n_unpenalized=0 if lam_scaled.size == design_sub.p * m else n_unpen,
+            max_passes=max_passes, tol_rel_gap=tol_rel_gap,
+            tol_infeas=tol_infeas, diagnostics=diagnostics,
+        )
+        return res, z_s, u_s
+
+    k = 0
+    while k < n_sig:
+        violations: list[int] = []
+        strong_set = all_idx
+        active_set = all_idx
+
+        if screening_on:
+            gradient_prev = design.full_gradient(beta_prev)
+            g_pen = gradient_prev[n_unpen:]
+            sigma_prev = sigma_max if k == 0 else sig[k - 1]
+            strong_set = strong_rule_active_set(
+                g_pen, lam * sig[k], lam * sigma_prev, intercept
+            )
+            prev_active = np.flatnonzero(np.any(beta_prev != 0, axis=1))
+            ever_active = np.union1d(ever_active, prev_active).astype(np.intp)
+            active_set = ever_active
+
+        if len(active_set) == p_total or not screening_on:
+            screening_on = False
+            active_set = all_idx
+            res, z, u = fit_on(design, beta, lam * sig[k], z, u)
+            beta = res.beta.reshape(p_total, m)
+            passes[k] = res.passes
+        else:
+            while True:
+                if len(active_set) == 0:
+                    beta = np.zeros((p_total, m))
+                    passes[k] = 0
+                    res = FitResult(beta=beta, passes=0,
+                                    deviance=null_deviance)
+                else:
+                    design_sub = design.subset(active_set)
+                    n_active_pen = (len(active_set) - n_unpen) * m
+                    lam_sub = lam[:n_active_pen] * sig[k]
+                    res, z_s, u_s = fit_on(
+                        design_sub, beta[active_set], lam_sub,
+                        z[active_set], u[active_set],
+                    )
+                    if use_admm:
+                        z[active_set] = z_s
+                        u[active_set] = u_s
+                    beta[active_set] = res.beta.reshape(len(active_set), m)
+                    passes[k] = res.passes
+
+                gradient_full = design.full_gradient(beta)
+                possible = kkt_check(
+                    gradient_full, beta, lam * sig[k], tol_infeas, intercept
+                )
+                strong_failures = np.intersect1d(possible, strong_set)
+                check_failures = np.setdiff1d(strong_failures, active_set)
+                kkt_violation = len(check_failures) > 0
+                violations.append(len(check_failures))
+                if not kkt_violation:
+                    check_failures = np.setdiff1d(possible, active_set)
+                    kkt_violation = len(check_failures) > 0
+                    violations.append(len(check_failures))
+                active_set = np.union1d(check_failures, active_set).astype(np.intp)
+                if not kkt_violation:
+                    break
+
+        if diagnostics:
+            diag["primals"].append(res.primals)
+            diag["duals"].append(res.duals)
+            diag["time"].append(res.time)
+            diag["violations"].append(violations)
+
+        deviance = res.deviance
+        dev_ratio = 1.0 - deviance / null_deviance
+        deviances.append(deviance)
+        deviance_ratios.append(dev_ratio)
+        if k > 0:
+            prev = deviances[k - 1]
+            deviance_change = abs((prev - deviance) / prev) if prev != 0 else 0.0
+
+        betas[k] = beta
+        beta_prev = beta.copy()
+        active_sets.append(np.asarray(active_set).copy())
+        n_coefs = int(np.count_nonzero(np.any(beta != 0, axis=1)))
+        n_unique[k] = len(np.unique(np.abs(beta[beta != 0])))
+
+        if n_coefs > 0 and k > 0 and sigma_is_auto:
+            if deviance_change < tol_dev_change or dev_ratio > tol_dev_ratio:
+                k += 1
+                break
+        if n_unique[k] > max_variables:
+            break
+        k += 1
+
+    sdf.unpersist()
+
+    # truncate to the realized path and rescale to original units.
+    # Deviances were computed on the internally scaled response; convert
+    # back to response units (primal scales with y_scale^2).
+    dev_scale = float(np.prod(np.asarray(rinfo.y_scale) ** 2))
+    null_deviance *= dev_scale
+    deviances = [d * dev_scale for d in deviances]
+    betas = betas[:k]
+    sig = sig[:k]
+    out = _rescale(
+        betas, x_center, x_scale, rinfo.y_center, rinfo.y_scale, intercept
+    )
+
+    return SlopeModel(
+        family=family,
+        feature_names=list(features),
+        intercept=intercept,
+        betas=out,
+        sigma=sig,
+        lam=lam / n,
+        null_deviance=null_deviance,
+        deviances=np.array(deviances[:k]),
+        deviance_ratios=np.array(deviance_ratios[:k]),
+        passes=passes[:k],
+        active_sets=active_sets[:k],
+        n_unique=n_unique[:k],
+        class_names=rinfo.class_names,
+        n_targets=m,
+        x_center=x_center,
+        x_scale=x_scale,
+        y_center=rinfo.y_center,
+        y_scale=rinfo.y_scale,
+        diagnostics=diag if diagnostics else None,
+    )
+
+
+def _rescale(betas, x_center, x_scale, y_center, y_scale, intercept):
+    """Back-transform coefficients to the original data scale
+    (``src/rescale.h:8-31``)."""
+    out = betas.copy()
+    n_path, p_total, m = out.shape
+    start = 1 if intercept else 0
+    for kk in range(m):
+        x_bar_beta_sum = np.zeros(n_path)
+        for j in range(start, p_total):
+            jj = j - start
+            out[:, j, kk] *= y_scale[kk] / x_scale[jj]
+            x_bar_beta_sum += x_center[jj] * out[:, j, kk]
+        if intercept:
+            out[:, 0, kk] = (
+                out[:, 0, kk] * y_scale[kk] + y_center[kk] - x_bar_beta_sum
+            )
+    return out

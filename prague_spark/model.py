@@ -1,0 +1,85 @@
+"""Fitted SLOPE model container (the reference's ``Owl`` S3 object,
+``R/owl.R:471-486`` in jolars/prague, as a Python dataclass).
+
+Coefficients live on the driver as a small (n_path, p, m) cube; the
+``coef_df`` helper explodes them to a tidy DataFrame so downstream SQL can
+join/broadcast them (the SQL-verifiable surface).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .core.interpolate import interpolate_coefficients
+
+
+@dataclass
+class SlopeModel:
+    family: str
+    feature_names: list[str]  # excludes the intercept row
+    intercept: bool
+    betas: np.ndarray  # (n_path, p_total, m), original data scale; row 0 = intercept
+    sigma: np.ndarray
+    lam: np.ndarray  # lambda / n (reference normalization, src/owl.cpp:380)
+    null_deviance: float
+    deviances: np.ndarray
+    deviance_ratios: np.ndarray
+    passes: np.ndarray
+    active_sets: list[np.ndarray]
+    n_unique: np.ndarray
+    class_names: list[str] = field(default_factory=list)
+    n_targets: int = 1
+    x_center: np.ndarray | None = None
+    x_scale: np.ndarray | None = None
+    y_center: np.ndarray | None = None
+    y_scale: np.ndarray | None = None
+    diagnostics: dict | None = None
+
+    @property
+    def n_path(self) -> int:
+        return self.betas.shape[0]
+
+    def coef(self, sigma=None) -> np.ndarray:
+        """Coefficient cube, linearly interpolated for off-grid sigma
+        (``R/coef.R:23-54``)."""
+        if sigma is None:
+            return self.betas
+        return interpolate_coefficients(self.betas, self.sigma, np.atleast_1d(sigma))
+
+    def nonzeros(self) -> np.ndarray:
+        """Count of nonzero (non-intercept) coefficients per path point."""
+        start = 1 if self.intercept else 0
+        return np.count_nonzero(np.any(self.betas[:, start:, :] != 0, axis=2), axis=1)
+
+    def path_summary(self):
+        """print.Owl table: (path_idx, sigma, deviance_ratio, n_nonzero)
+        (``R/print.R:14-31``)."""
+        nz = self.nonzeros()
+        return [
+            {
+                "path_idx": int(i),
+                "sigma": float(self.sigma[i]),
+                "deviance_ratio": float(self.deviance_ratios[i]),
+                "n_nonzero": int(nz[i]),
+            }
+            for i in range(self.n_path)
+        ]
+
+    def coef_df(self, spark):
+        """Tidy coefficient DataFrame (path_idx, target, feature, coef) —
+        the broadcastable form predictions join against."""
+        names = (["(Intercept)"] if self.intercept else []) + list(self.feature_names)
+        rows = []
+        for i in range(self.n_path):
+            for j, name in enumerate(names):
+                for k in range(self.betas.shape[2]):
+                    rows.append((int(i), int(k), name, float(self.betas[i, j, k])))
+        return spark.createDataFrame(
+            rows, "path_idx int, target int, feature string, coef double"
+        )
+
+    def deviance(self) -> np.ndarray:
+        """(1 - deviance_ratio) * null_deviance (``R/deviance.R:13-18``)."""
+        return (1.0 - self.deviance_ratios) * self.null_deviance

@@ -1,0 +1,101 @@
+"""Prediction operators: linear predictor + per-family links, as pure
+column expressions (no UDF, no shuffle — whole-stage codegen all the way).
+
+Re-expresses ``R/predict.R:32-197`` (jolars/prague). Coefficients are a
+small driver-side cube, so each path slice becomes literal expressions
+folded into the projection — the Spark plan is a scan + project regardless
+of data size (the "broadcast the coefficients" strategy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..model import SlopeModel
+
+
+def linear_predictor_expr(
+    model: SlopeModel, path_idx: int, target: int = 0, features: list[str] | None = None
+) -> Column:
+    """``intercept + sum_j beta_j * x_j`` for one path slice as a Column."""
+    features = features or model.feature_names
+    b = model.betas[path_idx, :, target]
+    start = 1 if model.intercept else 0
+    expr = F.lit(float(b[0])) if model.intercept else F.lit(0.0)
+    for j, c in enumerate(features):
+        coef = float(b[start + j])
+        if coef != 0.0:
+            expr = expr + F.lit(coef) * F.col(c).cast("double")
+    return expr
+
+
+def predict(
+    df: DataFrame,
+    model: SlopeModel,
+    path_idx: int | None = None,
+    sigma: float | None = None,
+    type: str = "link",
+    out: str = "pred",
+) -> DataFrame:
+    """Add a prediction column for one path slice.
+
+    ``type``: "link" (linear predictor), "response" (family inverse link),
+    "class" (binomial threshold at lp > 0 / multinomial argmax) —
+    ``R/predict.R:73-197``.
+    """
+    if path_idx is None:
+        if sigma is not None:
+            # interpolate off-grid sigma into a temporary one-slice model
+            from ..core.interpolate import interpolate_coefficients
+
+            betas = interpolate_coefficients(model.betas, model.sigma, [sigma])
+            tmp = SlopeModel(**{**model.__dict__, "betas": betas})
+            return predict(df, tmp, path_idx=0, type=type, out=out)
+        path_idx = model.n_path - 1
+
+    fam = model.family
+    m = model.n_targets
+
+    if fam in ("gaussian", "binomial", "poisson"):
+        lp = linear_predictor_expr(model, path_idx)
+        if type == "link" or (type == "response" and fam == "gaussian"):
+            return df.withColumn(out, lp)
+        if fam == "binomial":
+            if type == "response":
+                return df.withColumn(out, F.lit(1.0) / (F.lit(1.0) + F.exp(-lp)))
+            if type == "class":
+                c1, c2 = model.class_names
+                return df.withColumn(
+                    out, F.when(lp > 0, F.lit(c2)).otherwise(F.lit(c1))
+                )
+        if fam == "poisson" and type == "response":
+            return df.withColumn(out, F.exp(lp))
+        raise ValueError(f"type {type!r} not supported for family {fam!r}")
+
+    # multinomial: m-1 linear predictors + implicit 0 for the last class
+    lps = [linear_predictor_expr(model, path_idx, target=t) for t in range(m)]
+    lps_full = lps + [F.lit(0.0)]
+    if type == "link":
+        return df.withColumn(out, F.array(*lps))
+    # stabilized softmax over all classes
+    mx = F.greatest(*lps_full)
+    exps = [F.exp(e - mx) for e in lps_full]
+    denom = exps[0]
+    for e in exps[1:]:
+        denom = denom + e
+    probs = F.array(*[e / denom for e in exps])
+    if type == "response":
+        return df.withColumn(out, probs)
+    if type == "class":
+        classes = model.class_names
+        tmp = "_probs_tmp"
+        out_df = df.withColumn(tmp, probs)
+        pos = F.expr(f"array_position({tmp}, array_max({tmp}))")
+        col = F.lit(classes[0])
+        chain = None
+        for i, cls in enumerate(classes):
+            cond = pos == F.lit(i + 1)
+            chain = F.when(cond, F.lit(cls)) if chain is None else chain.when(cond, F.lit(cls))
+        return out_df.withColumn(out, chain).drop(tmp)
+    raise ValueError(f"type {type!r} not supported for multinomial")

@@ -1,0 +1,123 @@
+"""Per-family response validation and encoding.
+
+DataFrame re-expression of the reference's ``preprocessResponse``
+(``R/preProcessResponse.R:1-104`` in jolars/prague):
+
+- gaussian: numeric response, mean-centered; center recorded.
+- binomial: exactly two classes (each with > 1 observation), encoded to
+  {-1, +1} by sorted class order (first class -> -1).
+- multinomial: > 2 classes, one-hot n x (m-1) with the last class dropped.
+- poisson: non-negative numeric response, passed through.
+
+Class discovery is a ``groupBy(label).count()`` over a low-cardinality
+column — a tiny map-side-combined aggregation at any scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+Y_COL = "_y_internal"
+
+
+@dataclass
+class ResponseInfo:
+    family: str
+    y_center: np.ndarray
+    y_scale: np.ndarray
+    n_classes: int
+    n_targets: int
+    class_names: list[str] = field(default_factory=list)
+
+
+def preprocess_response(
+    df: DataFrame, label: str, family: str
+) -> tuple[DataFrame, ResponseInfo]:
+    if family == "gaussian":
+        row = df.agg(
+            F.avg(F.col(label).cast("double")).alias("m"),
+            F.stddev_samp(F.col(label).cast("double")).alias("s"),
+        ).first()
+        y_center = float(row["m"])
+        # Internal unit-variance scaling (the glmnet convention). The
+        # reference keeps y_scale = 1 but its rescale step supports any
+        # y_scale (src/rescale.h:8-31); unit scale keeps the ADMM/FISTA
+        # absolute stopping tolerances meaningful on raw-unit responses.
+        y_scale = float(row["s"]) if row["s"] and float(row["s"]) > 0 else 1.0
+        out = df.withColumn(
+            Y_COL, (F.col(label).cast("double") - F.lit(y_center)) / F.lit(y_scale)
+        )
+        return out, ResponseInfo(
+            family, np.array([y_center]), np.array([y_scale]), 1, 1
+        )
+
+    if family == "binomial":
+        counts = (
+            df.groupBy(F.col(label).cast("string").alias("cls"))
+            .count()
+            .collect()
+        )
+        classes = sorted(r["cls"] for r in counts)
+        if len(classes) > 2:
+            raise ValueError("more than two classes in response")
+        if len(classes) < 2:
+            raise ValueError("only one class in response.")
+        by = {r["cls"]: r["count"] for r in counts}
+        min_class = min(by.values())
+        if min_class <= 1:
+            raise ValueError(f"one class only has {min_class} observations.")
+        out = df.withColumn(
+            Y_COL,
+            F.when(F.col(label).cast("string") == F.lit(classes[0]), -1.0).otherwise(1.0),
+        )
+        return out, ResponseInfo(
+            family, np.array([0.0]), np.array([1.0]), 1, 1, classes
+        )
+
+    if family == "multinomial":
+        counts = (
+            df.groupBy(F.col(label).cast("string").alias("cls")).count().collect()
+        )
+        classes = sorted(r["cls"] for r in counts)
+        n_classes = len(classes)
+        if n_classes == 2:
+            raise ValueError(
+                "only two classes in response. Are you looking for family='binomial'?"
+            )
+        if n_classes < 2:
+            raise ValueError("only one class in response")
+        by = {r["cls"]: r["count"] for r in counts}
+        if min(by.values()) <= 1:
+            raise ValueError(f"one class only has {min(by.values())} observations.")
+        n_targets = n_classes - 1
+        out = df.withColumn(
+            Y_COL,
+            F.array(
+                *[
+                    F.when(
+                        F.col(label).cast("string") == F.lit(classes[k]), 1.0
+                    ).otherwise(0.0)
+                    for k in range(n_targets)
+                ]
+            ),
+        )
+        return out, ResponseInfo(
+            family,
+            np.zeros(n_targets),
+            np.ones(n_targets),
+            n_classes,
+            n_targets,
+            classes,
+        )
+
+    if family == "poisson":
+        ymin = df.agg(F.min(F.col(label).cast("double"))).first()[0]
+        if ymin is not None and ymin < 0:
+            raise ValueError("cannot have negative responses in poisson model")
+        out = df.withColumn(Y_COL, F.col(label).cast("double"))
+        return out, ResponseInfo(family, np.array([0.0]), np.array([1.0]), 1, 1)
+
+    raise ValueError(f"unknown family {family!r}")

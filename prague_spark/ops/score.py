@@ -1,0 +1,216 @@
+"""Model scoring metrics as DataFrame aggregations.
+
+Re-expresses ``R/score.R`` (jolars/prague): mse/mae for gaussian and
+poisson, mse/mae/deviance/misclass/auc for binomial, mse/mae/deviance for
+multinomial.
+
+AUC uses the Mann–Whitney average-rank statistic (``R/score.R:146-151``)
+but computed *without a global row sort*: probabilities are first reduced
+with ``groupBy(prob)`` (map-side combine), the cumulative negative counts
+run over the much smaller distinct-value table, so at 100 TB the only
+wide operation is an aggregation keyed by probability value.
+
+All metrics are also exposed as in-core NumPy (``score_path``) so CV can
+score an entire path from one collected test fold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..core.families import setup_family
+from ..model import SlopeModel
+from .predict import predict
+
+PROB_MIN = 1e-5  # clipping, R/score.R:57-58
+PROB_MAX = 1 - PROB_MIN
+
+
+def score(
+    df: DataFrame,
+    model: SlopeModel,
+    label: str,
+    measure: str,
+    path_idx: int | None = None,
+) -> float:
+    """Score one path slice on ``df`` (test data) — distributed aggregation."""
+    if path_idx is None:
+        path_idx = model.n_path - 1
+    fam = model.family
+
+    if fam in ("gaussian", "poisson"):
+        pred = predict(df, model, path_idx, type="response", out="_pred")
+        err = F.col("_pred") - F.col(label).cast("double")
+        if measure == "mse":
+            return float(pred.agg(F.avg(err * err)).first()[0])
+        if measure == "mae":
+            return float(pred.agg(F.avg(F.abs(err))).first()[0])
+        raise ValueError(f"measure {measure!r} invalid for {fam}")
+
+    if fam == "binomial":
+        c1, c2 = model.class_names
+        pred = predict(df, model, path_idx, type="response", out="_prob")
+        y2 = F.when(F.col(label).cast("string") == F.lit(c2), 1.0).otherwise(0.0)
+        y1 = F.lit(1.0) - y2
+        ph = F.col("_prob")
+        if measure == "mse":
+            return float(
+                pred.agg(F.avg((ph + y1 - 1.0) ** 2 + (ph - y2) ** 2)).first()[0]
+            )
+        if measure == "mae":
+            return float(
+                pred.agg(F.avg(F.abs(ph + y1 - 1.0) + F.abs(ph - y2))).first()[0]
+            )
+        if measure == "deviance":
+            phc = F.least(F.greatest(ph, F.lit(PROB_MIN)), F.lit(PROB_MAX))
+            lp = y1 * F.log(1.0 - phc) + y2 * F.log(phc)
+            return float(pred.agg(F.avg(-2.0 * lp)).first()[0])
+        if measure == "misclass":
+            err = y1 * F.when(ph > 0.5, 1.0).otherwise(0.0) + y2 * F.when(
+                ph <= 0.5, 1.0
+            ).otherwise(0.0)
+            return float(pred.agg(F.avg(err)).first()[0])
+        if measure == "auc":
+            return auc(pred, "_prob", y2)
+        raise ValueError(f"measure {measure!r} invalid for binomial")
+
+    if fam == "multinomial":
+        classes = model.class_names
+        pred = predict(df, model, path_idx, type="response", out="_probs")
+        per_class = []
+        for i, cls in enumerate(classes):
+            yk = F.when(F.col(label).cast("string") == F.lit(cls), 1.0).otherwise(0.0)
+            pk = F.col("_probs")[i]
+            if measure == "mse":
+                per_class.append((yk - pk) ** 2)
+            elif measure == "mae":
+                per_class.append(F.abs(yk - pk))
+            elif measure == "deviance":
+                pkc = F.least(F.greatest(pk, F.lit(PROB_MIN)), F.lit(PROB_MAX))
+                per_class.append(-2.0 * yk * F.log(pkc))
+            else:
+                raise ValueError(f"measure {measure!r} invalid for multinomial")
+        total = per_class[0]
+        for e in per_class[1:]:
+            total = total + e
+        if measure in ("mse", "mae"):
+            total = total / float(len(classes))
+        return float(pred.agg(F.avg(total)).first()[0])
+
+    raise ValueError(fam)
+
+
+def auc(df: DataFrame, prob_col: str, pos_indicator) -> float:
+    """Rank-based AUC with average-rank tie handling.
+
+    AUC = sum_over_distinct_p( n1_p * (cum_n0_below + n0_p / 2) ) / (n1 * n0),
+    algebraically identical to the reference's
+    ``(sum rank(prob)[y==1] - n1(n1+1)/2) / (n1 n0)`` with R average ranks.
+    """
+    grouped = (
+        df.select(F.col(prob_col).alias("p"), pos_indicator.alias("y2"))
+        .groupBy("p")
+        .agg(
+            F.sum("y2").alias("n1_g"),
+            F.sum(F.lit(1.0) - F.col("y2")).alias("n0_g"),
+        )
+    )
+    w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    scored = grouped.withColumn(
+        "cum_n0_below", F.coalesce(F.sum("n0_g").over(w), F.lit(0.0))
+    )
+    row = scored.agg(
+        F.sum(F.col("n1_g") * (F.col("cum_n0_below") + F.col("n0_g") / 2.0)).alias("u"),
+        F.sum("n1_g").alias("n1"),
+        F.sum("n0_g").alias("n0"),
+    ).first()
+    return float(row["u"] / (row["n1"] * row["n0"]))
+
+
+# ---------------------------------------------------------------------------
+# in-core path scoring (CV fast path): all sigmas at once from NumPy arrays
+# ---------------------------------------------------------------------------
+
+def score_path(
+    model: SlopeModel, X: np.ndarray, y, measure: str
+) -> np.ndarray:
+    """Score every path slice in one shot. ``X`` is the ORIGINAL-scale
+    feature matrix (n, p) without the ones column; ``y`` the raw response."""
+    fam = model.family
+    n_path = model.n_path
+    out = np.empty(n_path)
+    start = 1 if model.intercept else 0
+
+    for i in range(n_path):
+        B = model.betas[i]  # (p_total, m)
+        lp = X @ B[start:, :]
+        if model.intercept:
+            lp = lp + B[0, :][np.newaxis, :]
+        out[i] = _score_slice(fam, model.class_names, lp, y, measure)
+    return out
+
+
+def _score_slice(fam, class_names, lp, y, measure):
+    if fam in ("gaussian", "poisson"):
+        pred = lp[:, 0] if fam == "gaussian" else np.exp(lp[:, 0])
+        yv = np.asarray(y, dtype=np.float64)
+        if measure == "mse":
+            return float(np.mean((pred - yv) ** 2))
+        if measure == "mae":
+            return float(np.mean(np.abs(pred - yv)))
+        raise ValueError(measure)
+    if fam == "binomial":
+        c2 = class_names[1]
+        y2 = (np.asarray(y).astype(str) == str(c2)).astype(float)
+        y1 = 1.0 - y2
+        prob = 1.0 / (1.0 + np.exp(-lp[:, 0]))
+        if measure == "mse":
+            return float(np.mean((prob + y1 - 1.0) ** 2 + (prob - y2) ** 2))
+        if measure == "mae":
+            return float(np.mean(np.abs(prob + y1 - 1.0) + np.abs(prob - y2)))
+        if measure == "deviance":
+            p = np.clip(prob, PROB_MIN, PROB_MAX)
+            return float(np.mean(-2.0 * (y1 * np.log(1.0 - p) + y2 * np.log(p))))
+        if measure == "misclass":
+            return float(np.mean(y1 * (prob > 0.5) + y2 * (prob <= 0.5)))
+        if measure == "auc":
+            return _auc_numpy(y2, prob)
+        raise ValueError(measure)
+    if fam == "multinomial":
+        fam_obj = setup_family("multinomial")
+        probs = fam_obj.link_inverse(lp)  # (n, n_classes)
+        ys = np.asarray(y).astype(str)
+        Y = np.stack(
+            [(ys == str(c)).astype(float) for c in class_names], axis=1
+        )
+        if measure == "mse":
+            return float(np.mean((Y - probs) ** 2))
+        if measure == "mae":
+            return float(np.mean(np.abs(Y - probs)))
+        if measure == "deviance":
+            p = np.clip(probs, PROB_MIN, PROB_MAX)
+            return float(np.mean(np.sum(-2.0 * Y * np.log(p), axis=1)))
+        raise ValueError(measure)
+    raise ValueError(fam)
+
+
+def _auc_numpy(y2: np.ndarray, prob: np.ndarray) -> float:
+    """Average-rank Mann–Whitney AUC (matches R ``rank`` semantics)."""
+    order = np.argsort(prob, kind="stable")
+    sorted_p = prob[order]
+    ranks = np.empty_like(prob)
+    # average ranks over ties
+    i = 0
+    n = len(prob)
+    while i < n:
+        j = i
+        while j + 1 < n and sorted_p[j + 1] == sorted_p[i]:
+            j += 1
+        avg = (i + j) / 2.0 + 1.0
+        ranks[order[i : j + 1]] = avg
+        i = j + 1
+    n1 = float(np.sum(y2))
+    n0 = float(len(y2) - n1)
+    u = float(np.sum(ranks[y2 == 1.0])) - n1 * (n1 + 1.0) / 2.0
+    return u / (n1 * n0)

@@ -1,0 +1,253 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Greenfield additions beyond the reference surface (SURVEY.md §7.9):
+
+- exact dedup (content-hash groupBy) — one shuffle on a short hash key;
+- word-shingle Jaccard pairs — inverted-index self-join with a
+  document-frequency cap so hot shingles can't produce quadratic blowup;
+- MinHash + LSH banding — signatures via a single groupBy over exploded
+  (token, seed) pairs, candidate pairs via band-key join: the standard
+  sub-quadratic near-dup pipeline at 100 TB;
+- SimHash — 64-bit signature computed with 64 conditional-sum aggregates
+  in ONE groupBy pass (no 64x row blowup), near-dups = small Hamming
+  distance within LSH buckets of the signature's 4 16-bit chunks.
+
+Hash portability: token hashes derive from md5 (identical across engines)
+rather than Spark's private hash(), so every operator has a DuckDB-SQL
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import tokens_expr
+
+# Mersenne prime modulus for the universal hash family h_i(x) = (a_i x + b_i) mod P
+MERSENNE = (1 << 61) - 1
+
+
+def _token_int_expr(tok):
+    """Portable token -> 61-bit integer via the first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("decimal(38,0)") % MERSENNE
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact text content.
+
+    Shuffle is keyed on md5(text) — 32-byte keys, perfectly spreadable;
+    at 100 TB this is the cheapest possible full dedup (one hash agg)."""
+    return (
+        df.withColumn("_h", F.md5(F.col(text_col)))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .drop("_h")
+    )
+
+
+def shingles_expr(text, n: int = 3):
+    """Distinct word n-gram shingles of the lowercased text."""
+    toks = tokens_expr(text)
+    if n == 1:
+        return F.array_distinct(toks)
+    # sliding window via transform over indices
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard >= threshold.
+
+    Inverted-index plan: explode distinct shingles -> self-join on shingle
+    (id_a < id_b) -> count common shingles per pair -> Jaccard from
+    |A| + |B| - |A∩B|. ``max_df`` drops shingles occurring in more than
+    that many documents (stopword-shingle blowup guard — at 100 TB this cap
+    is what keeps the join sub-quadratic)."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"),
+        )
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("set_size"))
+    if max_df is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_df)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def _minhash_params(num_hashes: int, seed: int = 42):
+    """Deterministic (a, b) pairs for the universal hash family."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE - 1, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, MERSENNE - 1, size=num_hashes, dtype=np.int64)
+    return a.tolist(), b.tolist()
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, array<bigint> signature): sig_i = min over shingles of
+    (a_i * h(shingle) + b_i) mod P.
+
+    Plan: explode distinct shingles (one row per (doc, shingle)), compute
+    all ``num_hashes`` hashes as column expressions, one groupBy(doc) with
+    ``num_hashes`` min() aggregates — a single shuffle whose width is the
+    signature, independent of document length."""
+    a, b = _minhash_params(num_hashes, seed)
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("shingle"),
+    ).withColumn("x", _token_int_expr(F.col("shingle")))
+    aggs = [
+        F.min((F.lit(a[i]) * F.col("x") + F.lit(b[i])) % MERSENNE).cast("long").alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc").agg(*aggs)
+    return sig.select(
+        F.col("doc").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: documents sharing >= 1 LSH band.
+
+    Band key = md5 of the band's signature slice; join is on (band_idx,
+    band_key) so only same-band collisions shuffle together."""
+    banded = signatures.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", bi * rows_per_band + ri + 1)
+                                    for ri in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(signatures: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of equal signature
+    slots (verification step of the MinHash pipeline)."""
+    s1 = signatures.select(F.col(signatures.columns[0]).alias("id_a"), F.col("signature").alias("sig_a"))
+    s2 = signatures.select(F.col(signatures.columns[0]).alias("id_b"), F.col("signature").alias("sig_b"))
+    return (
+        pairs.join(s1, "id_a")
+        .join(s2, "id_b")
+        .withColumn(
+            "jaccard_est",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ).cast("double")
+            / F.size("sig_a"),
+        )
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash of the token bag (default 32 bits, packed into a long).
+
+    Per token a portable md5-derived integer supplies the bit pattern; for
+    each bit position the groupBy sums +1/-1; the signature packs the sign
+    bits. ONE groupBy(doc) with ``bits`` conditional sums — no row blowup,
+    single shuffle of width ``bits``. Near-dup search = small Hamming
+    distance, bucketable by signature chunks (same LSH trick as MinHash).
+    """
+    if bits > 61:
+        raise ValueError("bits must be <= 61 (signature packs into a long)")
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens_expr(F.col(text_col))).alias("tok"),
+    ).withColumn("x", _token_int_expr(F.col("tok")).cast("long"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    summed = toks.groupBy("doc").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(int(2**i)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return summed.select(F.col("doc").alias(id_col), sig.alias("simhash"))
+
+
+def hamming_distance(col_a, col_b, bits: int = 32):
+    """Hamming distance between two packed simhash longs (bit_count of xor)."""
+    return F.bit_count(col_a.bitwiseXOR(col_b))

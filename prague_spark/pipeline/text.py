@@ -1,0 +1,130 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Greenfield additions beyond the reference surface (SURVEY.md §2.8 / §7.9):
+language ID (marker-token heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting. Everything is
+built from JVM-side ``pyspark.sql.functions`` expressions — no Python UDFs
+— so the operators stay inside whole-stage codegen and scale linearly:
+per-row projections with no shuffle (the only aggregations are the ones a
+caller adds on top).
+
+Portability note: fingerprints use md5 (identical across Spark / DuckDB /
+every engine) rather than engine-private hash functions, so results are
+verifiable cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# A tiny per-language marker lexicon for the n-gram/stopword language-ID
+# heuristic. Markers chosen to be language-distinctive function words.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "que"],
+    "es": ["el", "la", "los", "las", "es", "una", "que", "por"],
+    "it": ["il", "la", "che", "di", "e", "per", "una", "sono"],
+}
+
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "this", "be", "are",
+]
+
+# BPE-ish token pattern: word pieces, numbers, or single non-space symbols
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokens of the lowercased text (empty strings removed)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(df: DataFrame, text_col: str, out: str = "n_tokens") -> DataFrame:
+    """Whitespace token count plus a BPE-ish regex token count."""
+    toks = tokens_expr(F.col(text_col))
+    bpe = F.filter(F.split(F.col(text_col), rf"({BPE_REGEX})|\s+"), lambda t: t != "")
+    # regexp-extract-all is the robust way to count regex tokens
+    bpe_count = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), 0))
+    return df.withColumn(out, F.size(toks)).withColumn(out + "_bpe", bpe_count)
+
+
+def quality_score(df: DataFrame, text_col: str, prefix: str = "q_") -> DataFrame:
+    """Heuristic quality features: length, word stats, punctuation /
+    digit / uppercase / stopword ratios, and a composite [0, 1] score."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = tokens_expr(t)
+    n_words = F.size(toks)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_digit = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    n_upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    n_stop = F.size(
+        F.filter(toks, lambda w: w.isin([F.lit(s) for s in EN_STOPWORDS]))
+    )
+
+    df = (
+        df.withColumn(prefix + "n_chars", n_chars.cast("long"))
+        .withColumn(prefix + "n_words", n_words.cast("long"))
+        .withColumn(
+            prefix + "avg_word_len",
+            F.when(n_words > 0, n_chars.cast("double") / n_words).otherwise(0.0),
+        )
+        .withColumn(
+            prefix + "punct_ratio",
+            F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0),
+        )
+        .withColumn(
+            prefix + "digit_ratio",
+            F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(0.0),
+        )
+        .withColumn(
+            prefix + "upper_ratio",
+            F.when(n_chars > 0, n_upper.cast("double") / n_chars).otherwise(0.0),
+        )
+        .withColumn(
+            prefix + "stopword_ratio",
+            F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(0.0),
+        )
+    )
+    # composite: long enough, not punctuation/digit soup, some stopwords
+    score = (
+        F.least(F.col(prefix + "n_words").cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(F.col(prefix + "punct_ratio") * 4.0, F.lit(1.0))) * 0.3
+        + (1.0 - F.least(F.col(prefix + "digit_ratio") * 4.0, F.lit(1.0))) * 0.2
+        + F.least(F.col(prefix + "stopword_ratio") * 5.0, F.lit(1.0)) * 0.1
+    )
+    return df.withColumn(prefix + "score", score)
+
+
+def lang_id(df: DataFrame, text_col: str, out: str = "lang_pred") -> DataFrame:
+    """Marker-word language ID: count per-language marker hits in the
+    token bag; argmax wins, 'und' (undetermined) when no marker hits.
+
+    Deterministic tie-break: language list order (en first)."""
+    toks = tokens_expr(F.col(text_col))
+    langs = list(LANG_MARKERS)
+    hit_cols = []
+    for lg in langs:
+        markers = [F.lit(m) for m in LANG_MARKERS[lg]]
+        hits = F.size(F.filter(toks, lambda w: w.isin(markers)))
+        hit_cols.append(hits)
+    best = F.greatest(*hit_cols)
+    chain = F.when(best <= 0, F.lit("und"))
+    for lg, hits in zip(langs, hit_cols):
+        chain = chain.when(hits == best, F.lit(lg))
+    return df.withColumn(out, chain)
+
+
+def fingerprint(df: DataFrame, text_col: str, out: str = "fingerprint") -> DataFrame:
+    """OpenRefine-style collision fingerprint: md5 of the space-joined,
+    sorted, distinct, lowercased tokens. Identical content up to token
+    order/multiplicity collides — the standard near-canonicalization key."""
+    toks = F.array_sort(F.array_distinct(tokens_expr(F.col(text_col))))
+    return df.withColumn(out, F.md5(F.concat_ws(" ", toks)))
+
+
+def content_hash(df: DataFrame, text_col: str, out: str = "content_md5") -> DataFrame:
+    """Exact-content key (md5 of the raw text)."""
+    return df.withColumn(out, F.md5(F.col(text_col)))

@@ -1,0 +1,142 @@
+"""End-to-end fit tests on the driver testdata (Spark required).
+
+Oracle strategy mirrors the reference's test suite (SURVEY.md §5):
+- unregularized (tiny sigma) fits must match the closed-form / iterated
+  NumPy solution (the glm/lm equivalence pattern);
+- the distributed designs must agree with the in-core design (the
+  sparse==dense invariance pattern, re-targeted at our two backends);
+- screening on == screening off.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import prague_spark as ps
+
+FEATURES = ["l_quantity", "l_discount", "l_tax"]
+LABEL = "l_extendedprice"
+
+
+@pytest.fixture(scope="module")
+def li(lineitem):
+    return lineitem.limit(2000).cache()
+
+
+def _collect_xy(df, features, label):
+    pdf = df.select(*features, label).toPandas()
+    return pdf[features].to_numpy(float), pdf[label].to_numpy(float)
+
+
+def test_gaussian_unregularized_matches_ols(li):
+    model = ps.fit(
+        li, FEATURES, LABEL, "gaussian",
+        sigma=[1e-8], screening=False, solver="gram",
+        tol_abs=1e-9, tol_rel=1e-8,
+    )
+    X, y = _collect_xy(li, FEATURES, LABEL)
+    Xi = np.column_stack([np.ones(len(X)), X])
+    ols = np.linalg.lstsq(Xi, y, rcond=None)[0]
+    np.testing.assert_allclose(model.betas[0, :, 0], ols, rtol=1e-4, atol=1e-4)
+
+
+def test_gaussian_path_monotone_deviance(li):
+    model = ps.fit(li, FEATURES, LABEL, "gaussian", n_sigma=20)
+    assert model.n_path >= 2
+    # deviance must be non-increasing along a decreasing-sigma path
+    assert np.all(np.diff(model.deviances) <= 1e-6 * model.null_deviance)
+    assert np.all(model.deviance_ratios >= -1e-12)
+
+
+def test_gaussian_screening_invariance(li):
+    # tight solver tolerances so both runs approach the same optimum
+    kw = dict(n_sigma=10, solver="gram", tol_abs=1e-9, tol_rel=1e-8)
+    m_on = ps.fit(li, FEATURES, LABEL, "gaussian", screening=True, **kw)
+    m_off = ps.fit(li, FEATURES, LABEL, "gaussian", screening=False, **kw)
+    k = min(m_on.n_path, m_off.n_path)
+    scale = np.max(np.abs(m_off.betas[:k]))
+    np.testing.assert_allclose(
+        m_on.betas[:k] / scale, m_off.betas[:k] / scale, atol=1e-5
+    )
+
+
+def test_binomial_incore_fit_and_predict(li):
+    df = li.withColumn("high", F.when(F.col("l_discount") > 0.05, "hi").otherwise("lo"))
+    model = ps.fit(
+        df, FEATURES, "high", "binomial",
+        n_sigma=5, solver="incore", lambda_min_ratio=1e-1,
+    )
+    assert model.class_names == ["hi", "lo"]
+    pred = ps.predict(df, model, type="class", out="cls")
+    vals = {r["cls"] for r in pred.select("cls").distinct().collect()}
+    assert vals <= {"hi", "lo"}
+    accuracy = 1.0 - ps.score(df, model, "high", "misclass")
+    assert accuracy > 0.9  # the planted rule is exactly recoverable
+
+
+def test_binomial_spark_design_matches_incore(li):
+    df = li.limit(500).withColumn(
+        "high", F.when(F.col("l_discount") > 0.05, "hi").otherwise("lo")
+    ).cache()
+    kw = dict(n_sigma=3, lambda_min_ratio=0.5, max_passes=300, screening=False)
+    m_local = ps.fit(df, FEATURES, "high", "binomial", solver="incore", **kw)
+    m_spark = ps.fit(df, FEATURES, "high", "binomial", solver="spark", **kw)
+    np.testing.assert_allclose(
+        m_local.betas, m_spark.betas, rtol=1e-6, atol=1e-8
+    )
+
+
+def test_poisson_fit(li):
+    df = li.withColumn("cnt", F.round(F.col("l_quantity")).cast("double"))
+    model = ps.fit(
+        df, ["l_discount", "l_tax"], "cnt", "poisson",
+        n_sigma=3, lambda_min_ratio=0.1, solver="incore",
+    )
+    mse = ps.score(df, model, "cnt", "mse", path_idx=model.n_path - 1)
+    assert np.isfinite(mse)
+
+
+def test_multinomial_fit_and_class_predict(li):
+    model = ps.fit(
+        li, ["l_quantity", "l_extendedprice"], "l_returnflag", "multinomial",
+        n_sigma=4, lambda_min_ratio=0.1, solver="incore", max_passes=500,
+    )
+    assert model.n_targets == 2 and len(model.class_names) == 3
+    pred = ps.predict(li, model, type="response", out="probs")
+    row = pred.select(
+        F.aggregate("probs", F.lit(0.0), lambda a, b: a + b).alias("s")
+    ).agg(F.min("s"), F.max("s")).first()
+    assert abs(row[0] - 1.0) < 1e-9 and abs(row[1] - 1.0) < 1e-9
+    dev = ps.score(li, model, "l_returnflag", "deviance")
+    assert np.isfinite(dev)
+
+
+def test_auc_distributed_matches_numpy(li):
+    df = li.withColumn("pos", F.when(F.col("l_discount") > 0.05, 1.0).otherwise(0.0))
+    df = df.withColumn("prob_fake", F.col("l_quantity") / 60.0)
+    from prague_spark.ops.score import _auc_numpy
+
+    a_spark = ps.auc(df, "prob_fake", F.col("pos"))
+    pdf = df.select("prob_fake", "pos").toPandas()
+    a_np = _auc_numpy(pdf["pos"].to_numpy(float), pdf["prob_fake"].to_numpy(float))
+    assert abs(a_spark - a_np) < 1e-10
+
+
+def test_cv_gaussian(li):
+    res = ps.cv_fit(
+        li.limit(800), FEATURES, LABEL, "gaussian",
+        n_folds=3, measures=["mse", "mae"], n_sigma=5,
+        lambda_min_ratio=0.01, solver="incore",
+    )
+    assert res.optima and len(res.measures) == 2
+    assert all(np.isfinite(r["mean"]) for r in res.summary)
+    opt = {r["measure"]: r for r in res.optima}
+    assert set(opt) == {"mse", "mae"}
+
+
+def test_coef_df_and_path_summary(li, spark):
+    model = ps.fit(li, FEATURES, LABEL, "gaussian", n_sigma=8)
+    cdf = model.coef_df(spark)
+    assert cdf.count() == model.n_path * (len(FEATURES) + 1)
+    summ = model.path_summary()
+    assert summ[0]["n_nonzero"] <= len(FEATURES)
