@@ -23,13 +23,22 @@ from pyspark.sql import DataFrame, functions as F
 
 from .text import tokens_expr
 
-# Mersenne prime modulus for the universal hash family h_i(x) = (a_i x + b_i) mod P
-MERSENNE = (1 << 61) - 1
+# Mersenne prime modulus for the universal hash family h_i(x) = (a_i x + b_i) mod P.
+# 31-bit on purpose: a*x + b then stays < 2^62, so the arithmetic is exact
+# int64 in Spark AND in any SQL oracle engine (no decimal widening games).
+MERSENNE = (1 << 31) - 1
 
 
 def _token_int_expr(tok):
-    """Portable token -> 61-bit integer via the first 15 hex chars of md5."""
-    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("decimal(38,0)") % MERSENNE
+    """Portable token -> 28-bit integer via the first 7 hex chars of md5
+    (md5 is identical across engines; 7 hex chars < 2^28 < MERSENNE)."""
+    return F.conv(F.substring(F.md5(tok), 1, 7), 16, 10).cast("long")
+
+
+def _token_int32_expr(tok):
+    """Portable token -> 32-bit integer (first 8 hex chars of md5), used as
+    the SimHash bit pattern."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -111,7 +120,7 @@ def _minhash_params(num_hashes: int, seed: int = 42):
     rng = np.random.default_rng(seed)
     a = rng.integers(1, MERSENNE - 1, size=num_hashes, dtype=np.int64)
     b = rng.integers(0, MERSENNE - 1, size=num_hashes, dtype=np.int64)
-    return a.tolist(), b.tolist()
+    return [int(x) for x in a], [int(x) for x in b]
 
 
 def minhash_signatures(
@@ -135,7 +144,9 @@ def minhash_signatures(
         F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("shingle"),
     ).withColumn("x", _token_int_expr(F.col("shingle")))
     aggs = [
-        F.min((F.lit(a[i]) * F.col("x") + F.lit(b[i])) % MERSENNE).cast("long").alias(f"h{i}")
+        F.min((F.lit(int(a[i])) * F.col("x") + F.lit(int(b[i]))) % MERSENNE)
+        .cast("long")
+        .alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy("doc").agg(*aggs)
@@ -227,12 +238,12 @@ def simhash(
     single shuffle of width ``bits``. Near-dup search = small Hamming
     distance, bucketable by signature chunks (same LSH trick as MinHash).
     """
-    if bits > 61:
-        raise ValueError("bits must be <= 61 (signature packs into a long)")
+    if bits > 32:
+        raise ValueError("bits must be <= 32 (md5-derived 32-bit pattern)")
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens_expr(F.col(text_col))).alias("tok"),
-    ).withColumn("x", _token_int_expr(F.col("tok")).cast("long"))
+    ).withColumn("x", _token_int32_expr(F.col("tok")))
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -1,0 +1,165 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a metadata
+struct; decode / feature-extraction run as Arrow-batched functions over
+``mapInPandas`` so each task processes whole record batches. The actual
+media decoding is STUBBED (the image/audio libraries are not in this
+runtime) behind ``decoder=`` hooks with a deterministic fake for tests —
+the Spark-side contract (schema, batch shape, partitioning) is real.
+
+Design for 100 TB: payloads stay columnar in parquet; metadata-only
+queries never touch the binary column (Parquet column pruning); the
+decode stage is a per-partition map with no shuffle, so it scales with
+executor count; downstream feature columns are small and aggregable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("format", T.StringType()),  # png, wav, mp4, ...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def attach_media_metadata(
+    df: DataFrame,
+    payload_col: str,
+    media_type: str,
+    fmt: str,
+    out: str = "media_meta",
+) -> DataFrame:
+    """Wrap a binary payload with a typed metadata struct (sizes unknown
+    until decode are left null)."""
+    return df.withColumn(
+        out,
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+
+
+def default_image_decoder(payload: bytes) -> np.ndarray:
+    """STUB — real decode needs an image library not present in this
+    runtime. Raise so callers must opt into the fake."""
+    raise NotImplementedError(
+        "image decoding requires an image library (e.g. Pillow); "
+        "pass decoder=fake_image_decoder for deterministic test output"
+    )
+
+
+def fake_image_decoder(payload: bytes) -> np.ndarray:
+    """Deterministic fake: a 4x4x3 'image' derived from the payload bytes
+    (so tests can assert exact feature values without a media library)."""
+    h = np.frombuffer(
+        (payload * (48 // max(len(payload), 1) + 1))[:48], dtype=np.uint8
+    )
+    return h.reshape(4, 4, 3).astype(np.float64)
+
+
+def extract_image_features(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    decoder: Callable[[bytes], np.ndarray] = default_image_decoder,
+) -> DataFrame:
+    """Decode + per-image features via mapInPandas (Arrow batches).
+
+    Output: (id, width, height, n_channels, mean_intensity, std_intensity).
+    The decoder runs once per row inside a batch loop — swap in a real
+    decoder when the runtime has one."""
+    out_schema = (
+        f"{id_col} long, width int, height int, n_channels int, "
+        "mean_intensity double, std_intensity double"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                arr = decoder(bytes(row[payload_col]))
+                rows.append(
+                    (
+                        int(row[id_col]),
+                        int(arr.shape[1]),
+                        int(arr.shape[0]),
+                        int(arr.shape[2]) if arr.ndim == 3 else 1,
+                        float(arr.mean()),
+                        float(arr.std()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "n_channels",
+                    "mean_intensity", "std_intensity",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, out_schema)
+
+
+def fake_audio_decoder(payload: bytes) -> np.ndarray:
+    """Deterministic fake waveform (float64 in [-1, 1]) from payload bytes."""
+    raw = np.frombuffer((payload * 8)[:256], dtype=np.uint8).astype(np.float64)
+    return (raw - 127.5) / 127.5
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    decoder: Callable[[bytes], np.ndarray] = fake_audio_decoder,
+) -> DataFrame:
+    """(id, n_samples, rms, peak) per audio payload via mapInPandas."""
+    out_schema = f"{id_col} long, n_samples int, rms double, peak double"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                wav = decoder(bytes(row[payload_col]))
+                rows.append(
+                    (
+                        int(row[id_col]),
+                        int(len(wav)),
+                        float(np.sqrt(np.mean(wav**2))),
+                        float(np.max(np.abs(wav))),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "n_samples", "rms", "peak"])
+
+    return df.select(id_col, payload_col).mapInPandas(fn, out_schema)
+
+
+def frame_sample_plan(
+    df: DataFrame, id_col: str, n_frames: int = 4, duration_col: str | None = None
+) -> DataFrame:
+    """Video frame-sampling *plan*: emits (id, frame_idx, ts_ms) rows for a
+    uniform sample — the decode itself is a downstream mapInPandas stage.
+    Pure explode, no shuffle."""
+    dur = F.col(duration_col) if duration_col else F.lit(1000 * n_frames)
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx"),
+    ).withColumn(
+        "ts_ms", (F.col("frame_idx") * dur / F.lit(n_frames)).cast("long")
+    )

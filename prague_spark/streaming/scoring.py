@@ -1,0 +1,48 @@
+"""Streaming model scoring: apply a fitted SlopeModel to a stream.
+
+The prediction operators in ``prague_spark.ops.predict`` are pure
+projections (literal-coefficient expressions), so they apply unchanged to
+streaming DataFrames — stateless, watermark-free, scales with source
+parallelism. A windowed-aggregation scorer is included for monitoring
+(e.g. rolling MSE over event-time windows with late-data watermarks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..model import SlopeModel
+from ..ops.predict import predict
+
+
+def score_stream(
+    stream_df: DataFrame,
+    model: SlopeModel,
+    type: str = "response",
+    out: str = "pred",
+) -> DataFrame:
+    """Attach model predictions to a streaming DataFrame (stateless map)."""
+    return predict(stream_df, model, type=type, out=out)
+
+
+def rolling_metric_stream(
+    stream_df: DataFrame,
+    model: SlopeModel,
+    label: str,
+    ts_col: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Rolling mean-squared-error per event-time window with a watermark
+    for late data — the Structured Streaming idiom for model monitoring."""
+    pred = predict(stream_df, model, type="response", out="_pred")
+    err = F.col("_pred") - F.col(label).cast("double")
+    return (
+        pred.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.avg(err * err).alias("mse"),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("w.start").alias("window_start"), "mse", "n")
+    )

@@ -1,0 +1,176 @@
+"""Pipeline-operator tests on the documents/embeddings testdata, with
+DuckDB cross-checks where the operator is SQL-expressible."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from prague_spark.pipeline import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(docs, sf_dir):
+    out = dedup.exact_dedup(docs, "text", "doc_id")
+    n_all = docs.count()
+    n_distinct_duck = duckdb.sql(
+        f"SELECT count(DISTINCT text) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert out.count() == n_distinct_duck <= n_all
+
+
+def test_fingerprint_matches_duckdb(docs, sf_dir):
+    out = text.fingerprint(docs, "text").select("doc_id", "fingerprint")
+    spark_rows = {r["doc_id"]: r["fingerprint"] for r in out.collect()}
+    duck = duckdb.sql(f"""
+        SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+            list_filter(string_split_regex(lower(text), '\\s+'), t -> t != ''))), ' '))
+        FROM '{sf_dir}/documents.parquet'
+    """).fetchall()
+    for doc_id, fp in duck:
+        assert spark_rows[doc_id] == fp
+
+
+def test_quality_and_token_count(docs):
+    out = text.quality_score(text.token_count(docs, "text"), "text")
+    row = out.select(
+        F.min("q_n_words"), F.max("q_score"), F.min("q_score"), F.max("n_tokens")
+    ).first()
+    assert row[0] > 0 and 0.0 <= row[2] <= row[1] <= 1.0
+
+
+def test_lang_id_runs(docs):
+    out = text.lang_id(docs, "text")
+    langs = {r["lang_pred"] for r in out.select("lang_pred").distinct().collect()}
+    assert langs <= set(text.LANG_MARKERS) | {"und"}
+
+
+def test_ngram_jaccard_self_similarity(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words entirely here now"),
+        ],
+        "id long, body string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, "id", "body", n=2, threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["id_a"] == 1 and pairs[0]["id_b"] == 2
+    assert pairs[0]["jaccard"] == pytest.approx(1.0)
+
+
+def test_minhash_pipeline_finds_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base), (2, base + " lambda"), (3, "totally unrelated content words here")]
+    df = spark.createDataFrame(rows, "id long, body string")
+    sigs = dedup.minhash_signatures(df, "id", "body", num_hashes=32, shingle_n=1)
+    cands = dedup.minhash_lsh_candidates(sigs, "id", bands=8, rows_per_band=4)
+    est = dedup.minhash_jaccard_estimate(sigs, cands).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in est}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_similar_texts_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark query engine with columnar storage and vectorized execution"),
+            (2, "spark query engine with columnar storage and vectorized executor"),
+            (3, "bananas oranges apples pears grapes melons kiwis plums"),
+        ],
+        "id long, body string",
+    )
+    out = dedup.simhash(df, "id", "body").collect()
+    sigs = {r["id"]: r["simhash"] for r in out}
+    d12 = bin(sigs[1] ^ sigs[2]).count("1")
+    d13 = bin(sigs[1] ^ sigs[3]).count("1")
+    assert d12 < d13
+
+
+def test_cosine_topk_matches_duckdb(emb, sf_dir):
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    out = similarity.cosine_topk(emb, "vec_id", "embedding", [(0, qvec)], k=5)
+    got = [(r["vec_id"], r["cosine"]) for r in out.orderBy("rank").collect()]
+    duck = duckdb.sql(f"""
+        SELECT vec_id, list_cosine_similarity(embedding,
+            (SELECT embedding FROM '{sf_dir}/embeddings.parquet' WHERE vec_id=0)) c
+        FROM '{sf_dir}/embeddings.parquet' ORDER BY c DESC, vec_id LIMIT 5
+    """).fetchall()
+    assert [g[0] for g in got] == [d[0] for d in duck]
+    for g, d in zip(got, duck):
+        assert g[1] == pytest.approx(d[1], abs=1e-6)
+    assert got[0][0] == 0 and got[0][1] == pytest.approx(1.0)
+
+
+def test_ivf_topk_recall(emb):
+    qrow = emb.filter(F.col("vec_id") == 7).first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    C = similarity.train_ivf_centroids(emb, "embedding", n_centroids=8, iters=5)
+    with_cells = similarity.assign_ivf_cells(emb, "embedding", C).cache()
+    exact = {
+        r["vec_id"]
+        for r in similarity.cosine_topk(emb, "vec_id", "embedding", [(7, qvec)], k=5).collect()
+    }
+    approx = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            with_cells, "vec_id", "embedding", C, [(7, qvec)], k=5, nprobe=4
+        ).collect()
+    }
+    # probing half the cells must recover most of the exact top-5
+    assert len(exact & approx) >= 3
+    assert 7 in approx
+
+
+def test_hyperplane_lsh_buckets(emb):
+    out = similarity.hyperplane_lsh_buckets(emb, "embedding", n_planes=8)
+    n_buckets = out.select("lsh_bucket").distinct().count()
+    assert 1 < n_buckets <= 256
+
+
+def test_multimodal_image_features(spark):
+    from prague_spark.pipeline import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdef")), (2, bytearray(b"zyxwvu"))], "id long, payload binary"
+    )
+    out = mm.extract_image_features(
+        df, "id", "payload", decoder=mm.fake_image_decoder
+    ).collect()
+    rows = {r["id"]: r for r in out}
+    assert rows[1]["width"] == 4 and rows[1]["n_channels"] == 3
+    # deterministic fake: same payload -> same features
+    out2 = mm.extract_image_features(
+        df, "id", "payload", decoder=mm.fake_image_decoder
+    ).collect()
+    assert {r["id"]: r["mean_intensity"] for r in out2} == {
+        r["id"]: r["mean_intensity"] for r in out
+    }
+
+
+def test_multimodal_default_decoder_is_stub(spark):
+    from prague_spark.pipeline import multimodal as mm
+
+    df = spark.createDataFrame([(1, bytearray(b"xx"))], "id long, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|image decoding"):
+        mm.extract_image_features(df, "id", "payload").collect()
+
+
+def test_frame_sample_plan(spark):
+    from prague_spark.pipeline import multimodal as mm
+
+    df = spark.createDataFrame([(1,), (2,)], "vid long")
+    out = mm.frame_sample_plan(df, "vid", n_frames=4).collect()
+    assert len(out) == 8
+    assert {r["frame_idx"] for r in out} == {0, 1, 2, 3}
