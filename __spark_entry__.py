@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2 plus the
+pipeline extensions (prague_spark.queries registry).
+``oracle_sql()`` — DuckDB-equivalent SQL for each SQL-expressible query;
+solver/k-means/stub-decoder queries are rows-only by design.
 """
 
 from __future__ import annotations
@@ -13,26 +13,40 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from prague_spark import queries as _Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full gaussian SLOPE path fit on sf0.001 lineitem
+    (one distributed Gram pass + driver-side path), returning the
+    path summary table (print.Owl analogue)."""
+    import prague_spark as ps
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    model = ps.fit(
+        li,
+        ["l_quantity", "l_discount", "l_tax"],
+        "l_extendedprice",
+        "gaussian",
+        n_sigma=20,
+    )
+    return spark.createDataFrame(
+        [
+            (
+                r["path_idx"],
+                float(r["sigma"]),
+                float(r["deviance_ratio"]),
+                r["n_nonzero"],
+            )
+            for r in model.path_summary()
+        ],
+        "path_idx int, sigma double, deviance_ratio double, n_nonzero int",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_Q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_Q.ORACLES)

@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline engine operations at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import prague_spark as ps
+    from prague_spark.pipeline import dedup, similarity, text as text_ops
+
+    spark = ps.get_spark("prague_spark_bench", cpus=CPUS)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    # warm up the JVM / Arrow paths so timings measure the engine, not init
+    li.count(), docs.count(), emb.count()
+
+    timings: dict[str, float] = {}
+
+    def bench(name):
+        def deco(fn):
+            t0 = time.monotonic()
+            fn()
+            timings[name] = round(time.monotonic() - t0, 3)
+        return deco
+
+    FEATURES = ["l_quantity", "l_discount", "l_tax"]
+    LABEL = "l_extendedprice"
+
+    @bench("standardize")
+    def _():
+        from prague_spark.ops.standardize import fit_standardizer
+
+        std = fit_standardizer(li, FEATURES + [LABEL])
+        out = std.transform(li, suffix="_z")
+        out.agg(F.sum(LABEL + "_z")).collect()
+
+    model_holder = {}
+
+    @bench("fit_gaussian_path")
+    def _():
+        model_holder["g"] = ps.fit(li, FEATURES, LABEL, "gaussian", n_sigma=20)
+
+    @bench("fit_binomial")
+    def _():
+        df = li.withColumn(
+            "flag", F.when(F.col("l_returnflag") == "R", "ret").otherwise("ok")
+        )
+        model_holder["b"] = ps.fit(
+            df, FEATURES, "flag", "binomial", n_sigma=5, lambda_min_ratio=0.1
+        )
+
+    @bench("predict_score")
+    def _():
+        m = model_holder["g"]
+        ps.score(li, m, LABEL, "mse")
+
+    @bench("score_auc")
+    def _():
+        df = li.withColumn(
+            "flag", F.when(F.col("l_returnflag") == "R", "ret").otherwise("ok")
+        )
+        ps.score(df, model_holder["b"], "flag", "auc")
+
+    @bench("cv_gaussian")
+    def _():
+        ps.cv_fit(
+            li, FEATURES, LABEL, "gaussian",
+            n_folds=3, measures=["mse"], n_sigma=5, lambda_min_ratio=0.01,
+        )
+
+    @bench("dedup_exact")
+    def _():
+        dedup.exact_dedup(docs, "text", "doc_id").count()
+
+    @bench("dedup_minhash")
+    def _():
+        sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=32)
+        cands = dedup.minhash_lsh_candidates(sigs, "doc_id", bands=8, rows_per_band=4)
+        cands.count()
+
+    @bench("dedup_simhash")
+    def _():
+        dedup.simhash(docs, "doc_id", "text").agg(F.sum("simhash")).collect()
+
+    @bench("sim_cosine_topk")
+    def _():
+        qrows = emb.limit(3).select("vec_id", "vec").collect()
+        queries = [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in qrows]
+        similarity.cosine_topk(emb, "vec_id", "vec", queries, k=10).count()
+
+    @bench("text_quality")
+    def _():
+        out = text_ops.quality_score(docs, "text")
+        out.agg(F.avg("q_score")).collect()
+
+    @bench("text_fingerprint")
+    def _():
+        text_ops.fingerprint(docs, "text").select(
+            F.count(F.col("fingerprint"))
+        ).collect()
+
+    sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "prague_spark_headline_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -83,3 +83,27 @@ class SlopeModel:
     def deviance(self) -> np.ndarray:
         """(1 - deviance_ratio) * null_deviance (``R/deviance.R:13-18``)."""
         return (1.0 - self.deviance_ratios) * self.null_deviance
+
+    def diagnostics_df(self, spark):
+        """Tidy per-iteration diagnostics (path_idx, iteration, primal,
+        dual, time_s) — the ``plotDiagnostics`` data output
+        (``R/setupDiagnostics.R:9-25``, ``R/plotDiagnostics.R:22-73``).
+        Requires the fit to have run with ``diagnostics=True``."""
+        if not self.diagnostics:
+            raise ValueError("fit was run without diagnostics=True")
+        rows = []
+        for pi, (prim, dual, tim) in enumerate(
+            zip(
+                self.diagnostics["primals"],
+                self.diagnostics["duals"],
+                self.diagnostics["time"],
+            )
+        ):
+            for it in range(len(prim)):
+                rows.append(
+                    (pi, it, float(prim[it]), float(dual[it]), float(tim[it]))
+                )
+        return spark.createDataFrame(
+            rows,
+            "path_idx int, iteration int, primal double, dual double, time_s double",
+        )

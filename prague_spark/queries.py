@@ -1,0 +1,1156 @@
+"""Driver-contract query registry: one entry per implemented operator
+(SURVEY.md §2 + the pipeline extensions), each with a DuckDB-SQL oracle
+where the semantics are SQL-expressible.
+
+Conventions that make cross-engine hash comparison robust:
+- every float column is ROUND()ed identically on both sides (4-6 dp
+  depending on how much aggregation/transcendental error can accumulate);
+- counts are cast to BIGINT on both sides;
+- hashes derive from md5 (portable), never engine-private hash();
+- any constant that both sides need (coefficients, t-quantiles, minhash
+  (a, b) params) is computed once here and embedded as literals in BOTH
+  the Spark plan and the SQL string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .core.stats import t_ppf
+from .ops.features import one_hot
+from .ops.response import Y_COL, preprocess_response
+from .ops.standardize import fit_standardizer
+from .pipeline import dedup, similarity, text
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark needs the legacy
+        # long read + an explicit micros conversion.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared fixtures: standardized lineitem columns + fixed coefficient slice
+# ---------------------------------------------------------------------------
+
+ZCOLS = ["l_quantity", "l_extendedprice", "l_discount"]
+# fixed coefficients for the prediction/scoring oracle queries
+B0, BQ, BP, BD = 0.1, 0.8, 0.3, -0.5
+# second multinomial target
+C0, CQ, CP, CD = -0.02, -0.3, 0.6, 0.2
+T_MULT_5 = t_ppf(0.975, 4)  # 5 folds -> df=4, embedded in both sides
+
+_Z_SQL = """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           (l_quantity      - avg(l_quantity)      OVER ()) / stddev_samp(l_quantity)      OVER () AS zq,
+           (l_extendedprice - avg(l_extendedprice) OVER ()) / stddev_samp(l_extendedprice) OVER () AS zp,
+           (l_discount      - avg(l_discount)      OVER ()) / stddev_samp(l_discount)      OVER () AS zd
+    FROM lineitem
+"""
+
+
+def _zdf(spark, sf_dir) -> DataFrame:
+    """Engine-side z-scores: fit_standardizer (distributed agg) + transform."""
+    li = load(spark, sf_dir, "lineitem")
+    std = fit_standardizer(li, ZCOLS, center=True, scale="sd")
+    out = std.transform(li, suffix="_z")
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.col("l_quantity_z").alias("zq"),
+        F.col("l_extendedprice_z").alias("zp"),
+        F.col("l_discount_z").alias("zd"),
+    )
+
+
+def _lp_expr():
+    return (
+        F.lit(B0)
+        + F.lit(BQ) * F.col("zq")
+        + F.lit(BP) * F.col("zp")
+        + F.lit(BD) * F.col("zd")
+    )
+
+
+_LP_SQL = f"({B0!r} + {BQ!r}*zq + {BP!r}*zp + {BD!r}*zd)"
+_LP2_SQL = f"({C0!r} + {CQ!r}*zq + {CP!r}*zp + {CD!r}*zd)"
+
+
+def _lp2_expr():
+    return (
+        F.lit(C0)
+        + F.lit(CQ) * F.col("zq")
+        + F.lit(CP) * F.col("zp")
+        + F.lit(CD) * F.col("zd")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 preprocessing operators
+# ---------------------------------------------------------------------------
+
+def q_p1_response_gaussian(spark, sf_dir):
+    """Gaussian response preprocessing: center + unit-variance scale
+    (R/preProcessResponse.R:10-13 + engine's glmnet-style scaling)."""
+    li = load(spark, sf_dir, "lineitem")
+    out, info = preprocess_response(li, "l_extendedprice", "gaussian")
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round(F.col(Y_COL), 4).alias("y_std")
+    )
+
+
+SQL_P1_GAUSSIAN = """
+    SELECT l_orderkey, l_linenumber,
+           round((l_extendedprice - avg(l_extendedprice) OVER ())
+                 / stddev_samp(l_extendedprice) OVER (), 4) AS y_std
+    FROM lineitem
+"""
+
+
+def q_p1_response_binomial(spark, sf_dir):
+    """Binomial encoding to {-1,+1} by sorted class order
+    (R/preProcessResponse.R:42)."""
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "flag", F.when(F.col("l_returnflag") == "R", "ret").otherwise("ok")
+    )
+    out, info = preprocess_response(li, "flag", "binomial")
+    return out.select(
+        "l_orderkey", "l_linenumber", F.col(Y_COL).alias("y_enc")
+    )
+
+
+SQL_P1_BINOMIAL = """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN (CASE WHEN l_returnflag = 'R' THEN 'ret' ELSE 'ok' END) = 'ok'
+                THEN -1.0 ELSE 1.0 END AS y_enc
+    FROM lineitem
+"""
+
+
+def q_p1_response_multinomial(spark, sf_dir):
+    """Multinomial one-hot with last class dropped
+    (R/preProcessResponse.R:62-68); classes of l_returnflag sorted (A,N,R)."""
+    li = load(spark, sf_dir, "lineitem")
+    out, info = preprocess_response(li, "l_returnflag", "multinomial")
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.col(Y_COL)[0].alias("y0"),
+        F.col(Y_COL)[1].alias("y1"),
+    )
+
+
+SQL_P1_MULTINOMIAL = """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END AS y0,
+           CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS y1
+    FROM lineitem
+"""
+
+
+def q_p2_standardize(spark, sf_dir):
+    """Per-column center/scale standardization (src/standardize.h:8-40)."""
+    z = _zdf(spark, sf_dir)
+    return z.select(
+        "l_orderkey", "l_linenumber",
+        F.round("zq", 4).alias("zq"),
+        F.round("zp", 4).alias("zp"),
+        F.round("zd", 4).alias("zd"),
+    )
+
+
+SQL_P2_STANDARDIZE = f"""
+    SELECT l_orderkey, l_linenumber,
+           round(zq, 4) AS zq, round(zp, 4) AS zp, round(zd, 4) AS zd
+    FROM ({_Z_SQL})
+"""
+
+
+def q_p2_standardize_scales(spark, sf_dir):
+    """All four scale norms (l1/l2/sd/max) of the centered columns
+    (src/standardize.h:17-39) — one row per feature column."""
+    li = load(spark, sf_dir, "lineitem")
+    rows = []
+    for scale in ("l1", "l2", "sd", "max"):
+        m = fit_standardizer(li, ZCOLS, center=True, scale=scale)
+        for c in ZCOLS:
+            rows.append((scale, c, float(m.scale[c])))
+    return spark.createDataFrame(
+        rows, "scale_type string, feature string, value double"
+    ).select("scale_type", "feature", F.round("value", 2).alias("value"))
+
+
+SQL_P2_SCALES = """
+    WITH c AS (
+        SELECT l_quantity      - avg(l_quantity)      OVER () AS cq,
+               l_extendedprice - avg(l_extendedprice) OVER () AS cp,
+               l_discount      - avg(l_discount)      OVER () AS cd
+        FROM lineitem
+    ), longf AS (
+        SELECT 'l_quantity' AS feature, cq AS v FROM c
+        UNION ALL SELECT 'l_extendedprice', cp FROM c
+        UNION ALL SELECT 'l_discount', cd FROM c
+    )
+    SELECT scale_type, feature, round(value, 2) AS value FROM (
+        SELECT 'l1' AS scale_type, feature, sum(abs(v)) AS value FROM longf GROUP BY feature
+        UNION ALL SELECT 'l2', feature, sqrt(sum(v*v)) FROM longf GROUP BY feature
+        UNION ALL SELECT 'sd', feature, stddev_samp(v) FROM longf GROUP BY feature
+        UNION ALL SELECT 'max', feature, max(v) FROM longf GROUP BY feature
+    )
+"""
+
+
+def q_p5_dummy_code(spark, sf_dir):
+    """One-hot dummy coding with reference level dropped
+    (data-raw/datasets.R:51; StringIndexer+OneHotEncoder(dropLast) analogue)."""
+    li = load(spark, sf_dir, "lineitem")
+    out, cols = one_hot(li, "l_returnflag", prefix="flag", drop_last=True)
+    return out.select("l_orderkey", "l_linenumber", *cols)
+
+
+SQL_P5_DUMMY = """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END AS flag_A,
+           CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS flag_N
+    FROM lineitem
+"""
+
+
+def q_r5_lambda_max(spark, sf_dir):
+    """|X^T y| penalty scale per standardized feature vs the standardized
+    response (src/lambdaMax.h:8-60, gaussian branch)."""
+    z = _zdf(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    resp, _ = preprocess_response(li, "l_extendedprice", "gaussian")
+    joined = z.join(
+        resp.select("l_orderkey", "l_linenumber", Y_COL),
+        ["l_orderkey", "l_linenumber"],
+    )
+    rows = []
+    for name, col in [("l_quantity", "zq"), ("l_extendedprice", "zp"), ("l_discount", "zd")]:
+        rows.append((name, F.abs(F.sum(F.col(col) * F.col(Y_COL)))))
+    agg = joined.agg(*[e.alias(n) for n, e in rows])
+    stacked = None
+    for name, _ in rows:
+        one = agg.select(F.lit(name).alias("feature"), F.round(F.col(name), 2).alias("lambda_max"))
+        stacked = one if stacked is None else stacked.unionByName(one)
+    return stacked
+
+
+SQL_R5_LAMBDA_MAX = f"""
+    WITH z AS ({_Z_SQL}),
+    y AS (
+        SELECT l_orderkey, l_linenumber,
+               (l_extendedprice - avg(l_extendedprice) OVER ())
+               / stddev_samp(l_extendedprice) OVER () AS ys
+        FROM lineitem
+    ), j AS (
+        SELECT z.zq, z.zp, z.zd, y.ys FROM z
+        JOIN y ON z.l_orderkey = y.l_orderkey AND z.l_linenumber = y.l_linenumber
+    )
+    SELECT 'l_quantity' AS feature, round(abs(sum(zq*ys)), 2) AS lambda_max FROM j
+    UNION ALL SELECT 'l_extendedprice', round(abs(sum(zp*ys)), 2) FROM j
+    UNION ALL SELECT 'l_discount', round(abs(sum(zd*ys)), 2) FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 prediction + scoring with fixed coefficients
+# ---------------------------------------------------------------------------
+
+def q_q1_predict_link(spark, sf_dir):
+    """Linear predictor x'beta for a fixed coefficient slice (R/predict.R:32-69)."""
+    z = _zdf(spark, sf_dir)
+    return z.select(
+        "l_orderkey", "l_linenumber", F.round(_lp_expr(), 4).alias("lp")
+    )
+
+
+SQL_Q1_LINK = f"""
+    SELECT l_orderkey, l_linenumber, round({_LP_SQL}, 4) AS lp
+    FROM ({_Z_SQL})
+"""
+
+
+def q_q3_predict_binomial(spark, sf_dir):
+    """Sigmoid response + thresholded class (R/predict.R:91-121)."""
+    z = _zdf(spark, sf_dir)
+    lp = _lp_expr()
+    return z.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-lp)), 4).alias("prob"),
+        F.when(lp > 0, "ret").otherwise("ok").alias("pred_class"),
+    )
+
+
+SQL_Q3_BINOMIAL = f"""
+    SELECT l_orderkey, l_linenumber,
+           round(1.0 / (1.0 + exp(-{_LP_SQL})), 4) AS prob,
+           CASE WHEN {_LP_SQL} > 0 THEN 'ret' ELSE 'ok' END AS pred_class
+    FROM ({_Z_SQL})
+"""
+
+
+def q_q4_predict_poisson(spark, sf_dir):
+    """exp-link response (R/predict.R:125-147)."""
+    z = _zdf(spark, sf_dir)
+    return z.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.exp(_lp_expr()), 4).alias("mu"),
+    )
+
+
+SQL_Q4_POISSON = f"""
+    SELECT l_orderkey, l_linenumber, round(exp({_LP_SQL}), 4) AS mu
+    FROM ({_Z_SQL})
+"""
+
+
+def q_q5_predict_multinomial(spark, sf_dir):
+    """Stabilized softmax over (m-1) targets + implicit last class, and
+    argmax class (R/predict.R:151-197)."""
+    z = _zdf(spark, sf_dir)
+    lp1, lp2 = _lp_expr(), _lp2_expr()
+    mx = F.greatest(lp1, lp2, F.lit(0.0))
+    e1, e2, e3 = F.exp(lp1 - mx), F.exp(lp2 - mx), F.exp(F.lit(0.0) - mx)
+    den = e1 + e2 + e3
+    p1, p2, p3 = e1 / den, e2 / den, e3 / den
+    cls = (
+        F.when((p1 >= p2) & (p1 >= p3), "A")
+        .when(p2 >= p3, "N")
+        .otherwise("R")
+    )
+    return z.select(
+        "l_orderkey", "l_linenumber",
+        F.round(p1, 4).alias("p_a"),
+        F.round(p2, 4).alias("p_n"),
+        F.round(p3, 4).alias("p_r"),
+        cls.alias("pred_class"),
+    )
+
+
+SQL_Q5_MULTINOMIAL = f"""
+    WITH z AS ({_Z_SQL}), lp AS (
+        SELECT l_orderkey, l_linenumber,
+               {_LP_SQL} AS lp1, {_LP2_SQL} AS lp2,
+               greatest({_LP_SQL}, {_LP2_SQL}, 0.0) AS mx
+        FROM z
+    ), e AS (
+        SELECT l_orderkey, l_linenumber,
+               exp(lp1 - mx) AS e1, exp(lp2 - mx) AS e2, exp(0.0 - mx) AS e3
+        FROM lp
+    )
+    SELECT l_orderkey, l_linenumber,
+           round(e1/(e1+e2+e3), 4) AS p_a,
+           round(e2/(e1+e2+e3), 4) AS p_n,
+           round(e3/(e1+e2+e3), 4) AS p_r,
+           CASE WHEN e1 >= e2 AND e1 >= e3 THEN 'A'
+                WHEN e2 >= e3 THEN 'N'
+                ELSE 'R' END AS pred_class
+    FROM e
+"""
+
+
+def q_q8_score_mse_mae(spark, sf_dir):
+    """MSE / MAE of the fixed-coefficient prediction vs the standardized
+    response (R/score.R:29-41)."""
+    z = _zdf(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    resp, _ = preprocess_response(li, "l_extendedprice", "gaussian")
+    joined = z.join(
+        resp.select("l_orderkey", "l_linenumber", Y_COL),
+        ["l_orderkey", "l_linenumber"],
+    )
+    err = _lp_expr() - F.col(Y_COL)
+    return joined.agg(
+        F.round(F.avg(err * err), 4).alias("mse"),
+        F.round(F.avg(F.abs(err)), 4).alias("mae"),
+    )
+
+
+SQL_Q8_MSE_MAE = f"""
+    WITH z AS ({_Z_SQL}),
+    y AS (
+        SELECT l_orderkey, l_linenumber,
+               (l_extendedprice - avg(l_extendedprice) OVER ())
+               / stddev_samp(l_extendedprice) OVER () AS ys
+        FROM lineitem
+    ), j AS (
+        SELECT {_LP_SQL} - y.ys AS err FROM z
+        JOIN y ON z.l_orderkey = y.l_orderkey AND z.l_linenumber = y.l_linenumber
+    )
+    SELECT round(avg(err*err), 4) AS mse, round(avg(abs(err)), 4) AS mae FROM j
+"""
+
+
+def q_q9_score_binomial(spark, sf_dir):
+    """Clipped binomial deviance + misclassification (R/score.R:45-78)."""
+    z = _zdf(spark, sf_dir)
+    lp = _lp_expr()
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-lp))
+    probc = F.least(F.greatest(prob, F.lit(1e-5)), F.lit(1.0 - 1e-5))
+    y2 = F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+    y1 = F.lit(1.0) - y2
+    dev = -2.0 * (y1 * F.log(1.0 - probc) + y2 * F.log(probc))
+    mis = y1 * F.when(prob > 0.5, 1.0).otherwise(0.0) + y2 * F.when(
+        prob <= 0.5, 1.0
+    ).otherwise(0.0)
+    return z.agg(
+        F.round(F.avg(dev), 4).alias("deviance"),
+        F.round(F.avg(mis), 4).alias("misclass"),
+    )
+
+
+SQL_Q9_BINOMIAL = f"""
+    WITH z AS ({_Z_SQL}), s AS (
+        SELECT 1.0/(1.0 + exp(-{_LP_SQL})) AS prob,
+               CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y2
+        FROM z
+    ), c AS (
+        SELECT least(greatest(prob, 1e-5), 1.0 - 1e-5) AS probc, prob, y2, 1.0 - y2 AS y1
+        FROM s
+    )
+    SELECT round(avg(-2.0*(y1*ln(1.0-probc) + y2*ln(probc))), 4) AS deviance,
+           round(avg(y1*(CASE WHEN prob > 0.5 THEN 1.0 ELSE 0.0 END)
+                   + y2*(CASE WHEN prob <= 0.5 THEN 1.0 ELSE 0.0 END)), 4) AS misclass
+    FROM c
+"""
+
+
+def q_q10_score_auc(spark, sf_dir):
+    """Rank-based AUC with average-rank ties (R/score.R:137-166), computed
+    via the grouped cumulative form (no global row sort — see ops.score.auc).
+    Probabilities are rounded to 6 dp BEFORE grouping on both sides so the
+    tie structure is engine-independent."""
+    z = _zdf(spark, sf_dir)
+    lp = _lp_expr()
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-lp)), 6)
+    y2 = F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+    from .ops.score import auc as auc_fn
+
+    val = auc_fn(z.select(prob.alias("p"), y2.alias("y2")), "p", F.col("y2"))
+    return spark.createDataFrame([(round(val, 6),)], "auc double")
+
+
+SQL_Q10_AUC = f"""
+    WITH z AS ({_Z_SQL}), s AS (
+        SELECT round(1.0/(1.0 + exp(-{_LP_SQL})), 6) AS p,
+               CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y2
+        FROM z
+    ), g AS (
+        SELECT p, sum(y2) AS n1_g, sum(1.0 - y2) AS n0_g FROM s GROUP BY p
+    ), cum AS (
+        SELECT n1_g, n0_g,
+               coalesce(sum(n0_g) OVER (ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS below
+        FROM g
+    )
+    SELECT round(sum(n1_g*(below + n0_g/2.0)) / (sum(n1_g)*sum(n0_g)), 6) AS auc
+    FROM cum
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6 CV aggregation operators (deterministic key-mod folds)
+# ---------------------------------------------------------------------------
+
+def q_c1_cv_folds(spark, sf_dir):
+    """Per-fold MSE of the fixed prediction, folds = l_orderkey % 5
+    (the trainOwl worker loop's score step, R/trainOwl.R:102-123)."""
+    z = _zdf(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    resp, _ = preprocess_response(li, "l_extendedprice", "gaussian")
+    joined = z.join(
+        resp.select("l_orderkey", "l_linenumber", Y_COL),
+        ["l_orderkey", "l_linenumber"],
+    )
+    err = _lp_expr() - F.col(Y_COL)
+    return (
+        joined.withColumn("fold", F.col("l_orderkey") % 5)
+        .groupBy("fold")
+        .agg(
+            F.round(F.avg(err * err), 4).alias("mse"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+
+
+SQL_C1_FOLDS = f"""
+    WITH z AS ({_Z_SQL}),
+    y AS (
+        SELECT l_orderkey, l_linenumber,
+               (l_extendedprice - avg(l_extendedprice) OVER ())
+               / stddev_samp(l_extendedprice) OVER () AS ys
+        FROM lineitem
+    ), j AS (
+        SELECT z.l_orderkey % 5 AS fold, {_LP_SQL} - y.ys AS err FROM z
+        JOIN y ON z.l_orderkey = y.l_orderkey AND z.l_linenumber = y.l_linenumber
+    )
+    SELECT fold, round(avg(err*err), 4) AS mse, count(*)::BIGINT AS n
+    FROM j GROUP BY fold
+"""
+
+
+def q_c1_cv_summary(spark, sf_dir):
+    """CV aggregation: mean / se / 95% t-CI over folds
+    (R/trainOwl.R:146-161); the t quantile is an embedded constant."""
+    folds = q_c1_cv_folds(spark, sf_dir)
+    return folds.agg(
+        F.round(F.avg("mse"), 4).alias("mean"),
+        F.round(F.stddev_samp("mse") / F.sqrt(F.count("*")), 4).alias("se"),
+        F.round(
+            F.avg("mse") - F.lit(T_MULT_5) * F.stddev_samp("mse") / F.sqrt(F.count("*")), 4
+        ).alias("lo"),
+        F.round(
+            F.avg("mse") + F.lit(T_MULT_5) * F.stddev_samp("mse") / F.sqrt(F.count("*")), 4
+        ).alias("hi"),
+    )
+
+
+SQL_C1_SUMMARY = f"""
+    WITH f AS ({SQL_C1_FOLDS})
+    SELECT round(avg(mse), 4) AS mean,
+           round(stddev_samp(mse)/sqrt(count(*)), 4) AS se,
+           round(avg(mse) - {T_MULT_5!r}*stddev_samp(mse)/sqrt(count(*)), 4) AS lo,
+           round(avg(mse) + {T_MULT_5!r}*stddev_samp(mse)/sqrt(count(*)), 4) AS hi
+    FROM f
+"""
+
+
+def q_c1_cv_optima(spark, sf_dir):
+    """Per-measure optimum via window argmin (R/trainOwl.R:163-166):
+    three scaled coefficient slices act as the sigma grid; the argmin row
+    per measure (mse, mae) is returned."""
+    z = _zdf(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    resp, _ = preprocess_response(li, "l_extendedprice", "gaussian")
+    joined = z.join(
+        resp.select("l_orderkey", "l_linenumber", Y_COL),
+        ["l_orderkey", "l_linenumber"],
+    )
+    slices = None
+    for sidx, scale in [(0, 0.25), (1, 1.0), (2, 4.0)]:
+        err = F.lit(scale) * _lp_expr() - F.col(Y_COL)
+        one = joined.agg(
+            F.avg(err * err).alias("mse"), F.avg(F.abs(err)).alias("mae")
+        ).select(F.lit(sidx).alias("sigma_idx"), "mse", "mae")
+        slices = one if slices is None else slices.unionByName(one)
+    longf = slices.selectExpr(
+        "sigma_idx", "stack(2, 'mse', mse, 'mae', mae) as (measure, mean)"
+    )
+    w = Window.partitionBy("measure").orderBy("mean", "sigma_idx")
+    return (
+        longf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("measure", F.col("sigma_idx").cast("int").alias("sigma_idx"),
+                F.round("mean", 4).alias("mean"))
+    )
+
+
+SQL_C1_OPTIMA = f"""
+    WITH z AS ({_Z_SQL}),
+    y AS (
+        SELECT l_orderkey, l_linenumber,
+               (l_extendedprice - avg(l_extendedprice) OVER ())
+               / stddev_samp(l_extendedprice) OVER () AS ys
+        FROM lineitem
+    ), j AS (
+        SELECT {_LP_SQL} AS lp, y.ys FROM z
+        JOIN y ON z.l_orderkey = y.l_orderkey AND z.l_linenumber = y.l_linenumber
+    ), grid AS (
+        SELECT 0 AS sigma_idx, 0.25 AS s UNION ALL
+        SELECT 1, 1.0 UNION ALL SELECT 2, 4.0
+    ), scored AS (
+        SELECT g.sigma_idx,
+               avg((g.s*j.lp - j.ys)*(g.s*j.lp - j.ys)) AS mse,
+               avg(abs(g.s*j.lp - j.ys)) AS mae
+        FROM grid g CROSS JOIN j GROUP BY g.sigma_idx
+    ), longf AS (
+        SELECT sigma_idx, 'mse' AS measure, mse AS mean FROM scored
+        UNION ALL SELECT sigma_idx, 'mae', mae FROM scored
+    ), ranked AS (
+        SELECT measure, sigma_idx, mean,
+               row_number() OVER (PARTITION BY measure ORDER BY mean, sigma_idx) AS rn
+        FROM longf
+    )
+    SELECT measure, sigma_idx::INTEGER AS sigma_idx, round(mean, 4) AS mean
+    FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 path summary over a literal coefficient cube (Q12)
+# ---------------------------------------------------------------------------
+
+_COEF_ROWS = [
+    # (path_idx, feature, coef)
+    (0, "(Intercept)", 0.10), (0, "l_quantity", 0.0), (0, "l_extendedprice", 0.0), (0, "l_discount", 0.0),
+    (1, "(Intercept)", 0.12), (1, "l_quantity", 0.5), (1, "l_extendedprice", 0.0), (1, "l_discount", -0.2),
+    (2, "(Intercept)", 0.13), (2, "l_quantity", 0.8), (2, "l_extendedprice", 0.3), (2, "l_discount", -0.5),
+]
+
+
+def q_q12_path_summary(spark, sf_dir):
+    """print.Owl path table: nonzero count + max |coef| per path point
+    (R/print.R:14-31) over a literal coefficient table."""
+    cdf = spark.createDataFrame(_COEF_ROWS, "path_idx int, feature string, coef double")
+    return (
+        cdf.filter(F.col("feature") != "(Intercept)")
+        .groupBy("path_idx")
+        .agg(
+            F.sum(F.when(F.col("coef") != 0.0, 1).otherwise(0)).cast("bigint").alias("n_nonzero"),
+            F.round(F.max(F.abs("coef")), 6).alias("max_abs_coef"),
+        )
+    )
+
+
+SQL_Q12_PATH = (
+    "WITH coefs(path_idx, feature, coef) AS (VALUES "
+    + ", ".join(f"({p}, '{f}', {c!r})" for p, f, c in _COEF_ROWS)
+    + """)
+    SELECT path_idx::INTEGER AS path_idx,
+           sum(CASE WHEN coef != 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_nonzero,
+           round(max(abs(coef)), 6) AS max_abs_coef
+    FROM coefs WHERE feature != '(Intercept)' GROUP BY path_idx
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# pipeline extensions: dedup / similarity / text
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "text", "doc_id").select(
+        "doc_id", F.col("n_copies").cast("bigint").alias("n_copies")
+    )
+
+
+SQL_DEDUP_EXACT = """
+    SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
+    FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_token_jaccard(spark, sf_dir):
+    """Unigram-token Jaccard pairs >= 0.5 (the n-gram Jaccard operator at
+    n=1, where the SQL oracle is exact)."""
+    docs = load(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_DEDUP_JACCARD = """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, t.tok FROM documents,
+        LATERAL unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x != '')) AS t(tok)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS set_size FROM toks GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(i::DOUBLE / (sa.set_size + sb.set_size - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i::DOUBLE / (sa.set_size + sb.set_size - i) >= 0.5
+"""
+
+
+_MH_N = 4
+_MH_A, _MH_B = dedup._minhash_params(_MH_N, seed=42)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash signatures (4 hashes, unigram shingles) with the universal
+    hash family h_i(x) = (a_i x + b_i) mod (2^31 - 1), x = md5-derived."""
+    docs = load(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=_MH_N, shingle_n=1)
+    return sig.select(
+        "doc_id", *[F.col("signature")[i].alias(f"h{i}") for i in range(_MH_N)]
+    )
+
+
+SQL_DEDUP_MINHASH = (
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, t.tok FROM documents,
+        LATERAL unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x != '')) AS t(tok)
+    ), hx AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS x FROM toks
+    )
+    SELECT doc_id, """
+    + ", ".join(
+        f"min(({_MH_A[i]}*x + {_MH_B[i]}) % 2147483647)::BIGINT AS h{i}"
+        for i in range(_MH_N)
+    )
+    + " FROM hx GROUP BY doc_id"
+)
+
+
+_SH_BITS = 16
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash signature (16 bits for the oracle variant) of the token bag."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text", bits=_SH_BITS)
+
+
+SQL_DEDUP_SIMHASH = (
+    """
+    WITH toks AS (
+        SELECT doc_id, t.tok FROM documents,
+        LATERAL unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x != '')) AS t(tok)
+    ), hx AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS x FROM toks
+    ), bits AS (
+        SELECT doc_id, """
+    + ", ".join(
+        f"sum(CASE WHEN (x >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(_SH_BITS)
+    )
+    + """
+        FROM hx GROUP BY doc_id
+    )
+    SELECT doc_id, ("""
+    + " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(_SH_BITS)
+    )
+    + ")::BIGINT AS simhash FROM bits"
+)
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for three query vectors taken from the
+    corpus itself (vec_id 0, 1, 2)."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qrows = emb.filter(F.col("vec_id").isin([0, 1, 2])).select("vec_id", "vec").collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in qrows]
+    out = similarity.cosine_topk(emb, "vec_id", "vec", queries, k=5)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SQL_SIM_TOPK = """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine
+        FROM q CROSS JOIN embeddings e
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
+           round(cosine, 4) AS cosine, rank::INTEGER AS rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
+def q_text_token_count(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    out = text.token_count(docs, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_tokens_bpe").cast("bigint").alias("n_tokens_bpe"),
+    )
+
+
+SQL_TEXT_TOKENS = """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != ''))::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens_bpe
+    FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    out = text.quality_score(docs, "text")
+    return out.select(
+        "doc_id",
+        F.col("q_n_chars").alias("n_chars"),
+        F.col("q_n_words").alias("n_words"),
+        F.round("q_avg_word_len", 4).alias("avg_word_len"),
+        F.round("q_punct_ratio", 4).alias("punct_ratio"),
+        F.round("q_digit_ratio", 4).alias("digit_ratio"),
+        F.round("q_stopword_ratio", 4).alias("stopword_ratio"),
+    )
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in text.EN_STOPWORDS)
+
+SQL_TEXT_QUALITY = f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               length(text) AS n_chars,
+               list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           n_chars::BIGINT AS n_chars,
+           len(toks)::BIGINT AS n_words,
+           round(CASE WHEN len(toks) > 0 THEN n_chars::DOUBLE/len(toks) ELSE 0.0 END, 4) AS avg_word_len,
+           round(CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE/n_chars ELSE 0.0 END, 4) AS punct_ratio,
+           round(CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE/n_chars ELSE 0.0 END, 4) AS digit_ratio,
+           round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> t IN ({_STOP_SQL})))::DOUBLE/len(toks) ELSE 0.0 END, 4) AS stopword_ratio
+    FROM base
+"""
+
+
+def q_text_langid(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return text.lang_id(docs, "text").select("doc_id", "lang_pred")
+
+
+def _langid_sql() -> str:
+    hits = []
+    for lg, markers in text.LANG_MARKERS.items():
+        mlist = ", ".join(f"'{m}'" for m in markers)
+        hits.append(f"len(list_filter(toks, t -> t IN ({mlist}))) AS hit_{lg}")
+    langs = list(text.LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"hit_{lg}" for lg in langs) + ")"
+    chain = "CASE WHEN " + greatest + " <= 0 THEN 'und' "
+    for lg in langs:
+        chain += f"WHEN hit_{lg} = {greatest} THEN '{lg}' "
+    chain += "END"
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+            FROM documents
+        ), h AS (
+            SELECT doc_id, {", ".join(hits)} FROM base
+        )
+        SELECT doc_id, {chain} AS lang_pred FROM h
+    """
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+SQL_TEXT_FINGERPRINT = """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split_regex(lower(text), '\\s+'), t -> t != ''))), ' ')) AS fingerprint
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# solver queries (rows-only checks: genuinely non-SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def q_f11_gaussian_path(spark, sf_dir):
+    """Full gaussian SLOPE path fit (FISTA/ADMM + screening + KKT) —
+    tidy coefficient output."""
+    from .fit import fit as _fit
+
+    li = load(spark, sf_dir, "lineitem")
+    model = _fit(
+        li, ["l_quantity", "l_discount", "l_tax"], "l_extendedprice",
+        "gaussian", n_sigma=10,
+    )
+    return model.coef_df(spark)
+
+
+def q_f2_binomial_fit(spark, sf_dir):
+    from .fit import fit as _fit
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "flag", F.when(F.col("l_returnflag") == "R", "ret").otherwise("ok")
+    )
+    model = _fit(
+        li, ["l_quantity", "l_discount", "l_tax"], "flag", "binomial",
+        n_sigma=5, lambda_min_ratio=0.1,
+    )
+    return model.coef_df(spark)
+
+
+def q_f6_poisson_fit(spark, sf_dir):
+    from .fit import fit as _fit
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "cnt", F.round("l_quantity").cast("double")
+    )
+    model = _fit(
+        li, ["l_discount", "l_tax"], "cnt", "poisson",
+        n_sigma=4, lambda_min_ratio=0.1,
+    )
+    return model.coef_df(spark)
+
+
+def q_f7_multinomial_fit(spark, sf_dir):
+    from .fit import fit as _fit
+
+    li = load(spark, sf_dir, "lineitem")
+    model = _fit(
+        li, ["l_quantity", "l_extendedprice"], "l_returnflag", "multinomial",
+        n_sigma=4, lambda_min_ratio=0.1, max_passes=500,
+    )
+    return model.coef_df(spark)
+
+
+def q_q6_coef_interpolation(spark, sf_dir):
+    """Off-grid sigma coefficient interpolation (R/coef.R +
+    R/interpolatePenalty.R) — rows-only check."""
+    from .fit import fit as _fit
+
+    li = load(spark, sf_dir, "lineitem")
+    model = _fit(
+        li, ["l_quantity", "l_discount"], "l_extendedprice", "gaussian", n_sigma=8
+    )
+    import numpy as np
+
+    mids = np.sqrt(model.sigma[:-1] * model.sigma[1:]) if model.n_path > 1 else model.sigma
+    cube = model.coef(mids)
+    names = ["(Intercept)"] + model.feature_names
+    rows = [
+        (int(i), names[j], float(cube[i, j, 0]))
+        for i in range(cube.shape[0])
+        for j in range(cube.shape[1])
+    ]
+    return spark.createDataFrame(rows, "interp_idx int, feature string, coef double")
+
+
+def q_c1_cv_fit(spark, sf_dir):
+    """Real repeated-CV run (trainOwl) — rows-only check (fits are
+    solver-dependent)."""
+    from .ops.cv import cv_fit
+
+    li = load(spark, sf_dir, "lineitem").limit(2000)
+    res = cv_fit(
+        li, ["l_quantity", "l_discount"], "l_extendedprice", "gaussian",
+        n_folds=3, measures=["mse"], n_sigma=4, lambda_min_ratio=0.01,
+        fold_col="l_orderkey",
+    )
+    return res.summary_df(spark)
+
+
+def q_sim_ivf_cells(spark, sf_dir):
+    """IVF cell assignment histogram — rows-only (centroids are a
+    driver-side k-means artifact)."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    C = similarity.train_ivf_centroids(emb, "vec", n_centroids=8, iters=5)
+    cells = similarity.assign_ivf_cells(emb, "vec", C)
+    return cells.groupBy("cell").agg(F.count("*").cast("bigint").alias("n")).orderBy("cell")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary payloads (from document text bytes) ->
+    Arrow-batched feature extraction — rows-only (decoder is the
+    deterministic stub)."""
+    from .pipeline import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.substring("text", 1, 32), "utf-8")
+    )
+    return mm.extract_image_features(docs, "doc_id", "payload", decoder=mm.fake_image_decoder)
+
+
+def q_events_windowed_agg(spark, sf_dir):
+    """Event-time windowed aggregation (streaming-compatible: the same
+    ``F.window`` expression runs under readStream with a watermark —
+    see prague_spark.streaming). Batch oracle: date_trunc."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "avg_value"
+        )
+    )
+
+
+SQL_EVENTS_WINDOW = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*)::BIGINT AS n, round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_sparse_ingest(spark, sf_dir):
+    """Sparse long-format ingest + scale-only standardization
+    (src/standardize.h:42-71: no centering for sparse) + densification.
+    Triplets derived deterministically from events."""
+    from .ops.sparse import long_to_features, sparse_scales
+
+    ev = load(spark, sf_dir, "events")
+    trip = ev.select(
+        F.col("event_id").alias("row_id"),
+        (F.col("event_id") % 3).cast("int").alias("col_id"),
+        F.col("value").alias("value"),
+    )
+    n_rows = ev.count()
+    scales = sparse_scales(trip, n_rows, scale="l2")
+    dense = long_to_features(trip, 3, scales=scales)
+    return dense.select(
+        "row_id",
+        F.round(F.col("features")[0], 6).alias("x0"),
+        F.round(F.col("features")[1], 6).alias("x1"),
+        F.round(F.col("features")[2], 6).alias("x2"),
+    )
+
+
+SQL_SPARSE_INGEST = """
+    WITH trip AS (
+        SELECT event_id AS row_id, (event_id % 3)::INTEGER AS col_id, value
+        FROM events
+    ), s AS (
+        SELECT col_id, sqrt(sum(value*value)) AS sc FROM trip GROUP BY col_id
+    ), scaled AS (
+        SELECT t.row_id, t.col_id,
+               t.value / (CASE WHEN s.sc = 0 OR s.sc IS NULL THEN 1.0 ELSE s.sc END) AS v
+        FROM trip t JOIN s USING (col_id)
+    )
+    SELECT row_id,
+           round(coalesce(max(CASE WHEN col_id = 0 THEN v END), 0.0), 6) AS x0,
+           round(coalesce(max(CASE WHEN col_id = 1 THEN v END), 0.0), 6) AS x1,
+           round(coalesce(max(CASE WHEN col_id = 2 THEN v END), 0.0), 6) AS x2
+    FROM scaled GROUP BY row_id
+"""
+
+
+def q_s4_random_problem(spark, sf_dir):
+    """Synthetic problem generator (randomProblem, R/utils.R:15-76) —
+    rows-only (rand streams are engine-specific)."""
+    from .ops.synth import random_problem
+
+    df, beta = random_problem(spark, n=500, p=5, family="gaussian", seed=7)
+    return df.select(
+        "row_id", *[F.round(f"x{j}", 6).alias(f"x{j}") for j in range(1, 6)],
+        F.round("y", 6).alias("y"),
+    )
+
+
+def q_f13_diagnostics(spark, sf_dir):
+    """Per-iteration solver diagnostics capture (src/families/family.h:119-130,
+    R/setupDiagnostics.R) — rows-only."""
+    from .fit import fit as _fit
+
+    li = load(spark, sf_dir, "lineitem")
+    model = _fit(
+        li, ["l_quantity", "l_discount"], "l_extendedprice", "gaussian",
+        n_sigma=5, diagnostics=True,
+    )
+    return model.diagnostics_df(spark)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    # §2.2 preprocessing
+    "p1_response_gaussian": q_p1_response_gaussian,
+    "p1_response_binomial": q_p1_response_binomial,
+    "p1_response_multinomial": q_p1_response_multinomial,
+    "p2_standardize": q_p2_standardize,
+    "p2_standardize_scales": q_p2_standardize_scales,
+    "p5_dummy_code": q_p5_dummy_code,
+    "r5_lambda_max": q_r5_lambda_max,
+    # §2.5 predict / score
+    "q1_predict_link": q_q1_predict_link,
+    "q3_predict_binomial": q_q3_predict_binomial,
+    "q4_predict_poisson": q_q4_predict_poisson,
+    "q5_predict_multinomial": q_q5_predict_multinomial,
+    "q8_score_mse_mae": q_q8_score_mse_mae,
+    "q9_score_binomial": q_q9_score_binomial,
+    "q10_score_auc": q_q10_score_auc,
+    "q12_path_summary": q_q12_path_summary,
+    # §2.6 CV
+    "c1_cv_folds": q_c1_cv_folds,
+    "c1_cv_summary": q_c1_cv_summary,
+    "c1_cv_optima": q_c1_cv_optima,
+    # pipeline extensions
+    "dedup_exact": q_dedup_exact,
+    "dedup_token_jaccard": q_dedup_token_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    # solver surface (rows-only)
+    "f11_gaussian_path": q_f11_gaussian_path,
+    "f2_binomial_fit": q_f2_binomial_fit,
+    "f6_poisson_fit": q_f6_poisson_fit,
+    "f7_multinomial_fit": q_f7_multinomial_fit,
+    "q6_coef_interpolation": q_q6_coef_interpolation,
+    "c1_cv_fit": q_c1_cv_fit,
+    "sim_ivf_cells": q_sim_ivf_cells,
+    "multimodal_features": q_multimodal_features,
+    # sources / streaming-compatible / synthetic
+    "events_windowed_agg": q_events_windowed_agg,
+    "sparse_ingest": q_sparse_ingest,
+    "s4_random_problem": q_s4_random_problem,
+    "f13_diagnostics": q_f13_diagnostics,
+}
+
+ORACLES = {
+    "p1_response_gaussian": SQL_P1_GAUSSIAN,
+    "p1_response_binomial": SQL_P1_BINOMIAL,
+    "p1_response_multinomial": SQL_P1_MULTINOMIAL,
+    "p2_standardize": SQL_P2_STANDARDIZE,
+    "p2_standardize_scales": SQL_P2_SCALES,
+    "p5_dummy_code": SQL_P5_DUMMY,
+    "r5_lambda_max": SQL_R5_LAMBDA_MAX,
+    "q1_predict_link": SQL_Q1_LINK,
+    "q3_predict_binomial": SQL_Q3_BINOMIAL,
+    "q4_predict_poisson": SQL_Q4_POISSON,
+    "q5_predict_multinomial": SQL_Q5_MULTINOMIAL,
+    "q8_score_mse_mae": SQL_Q8_MSE_MAE,
+    "q9_score_binomial": SQL_Q9_BINOMIAL,
+    "q10_score_auc": SQL_Q10_AUC,
+    "q12_path_summary": SQL_Q12_PATH,
+    "c1_cv_folds": SQL_C1_FOLDS,
+    "c1_cv_summary": SQL_C1_SUMMARY,
+    "c1_cv_optima": SQL_C1_OPTIMA,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_token_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "sim_cosine_topk": SQL_SIM_TOPK,
+    "text_token_count": SQL_TEXT_TOKENS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_langid": _langid_sql(),
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "events_windowed_agg": SQL_EVENTS_WINDOW,
+    "sparse_ingest": SQL_SPARSE_INGEST,
+}
