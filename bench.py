@@ -26,10 +26,12 @@ def main() -> None:
     from prague_spark.pipeline import dedup, similarity, text as text_ops
 
     spark = ps.get_spark("prague_spark_bench", cpus=CPUS)
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
-        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").cache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .withColumn("vec", F.transform("embedding", lambda x: x.cast("double")))
+        .cache()
     )
     # warm up the JVM / Arrow paths so timings measure the engine, not init
     li.count(), docs.count(), emb.count()

@@ -98,6 +98,19 @@ def gram_xty_pass(df, x_col: str, y_col: str, p: int, m: int = 1):
     return gram, (xty.ravel() if m == 1 else xty), yty, n
 
 
+def xtx_pass(df, x_col: str, p: int):
+    """Distributed ``X^T X`` only (used for the Lipschitz step bound of the
+    fixed-step FISTA variant — one extra pass at setup, then every solver
+    iteration saves its line-search probe pass)."""
+
+    def make_partial(batch):
+        X, _ = _batch_xy(batch, x_col, None, p, 1)
+        return (X.T @ X).ravel()
+
+    tot = partial_aggregate(df.select(x_col), p * p, make_partial)
+    return tot.reshape(p, p)
+
+
 def xtv_pass(df, x_col: str, v_col: str, p: int, m: int = 1):
     """Distributed ``X^T v`` (used for lambda_max, ``src/lambdaMax.h:8-60``)."""
 

@@ -31,7 +31,7 @@ from .core.lambdas import lambda_sequence, sigma_grid
 from .core.screening import kkt_check, strong_rule_active_set
 from .core.solver import FitResult, admm_gaussian, admm_rho, fista
 from .design import GramData, GramGaussianDesign, LocalDesign, SparkGlmDesign
-from .design.linalg import gram_xty_pass, xtv_pass
+from .design.linalg import gram_xty_pass, xtv_pass, xtx_pass
 from .model import SlopeModel
 from .ops.features import assemble_features
 from .ops.response import Y_COL, preprocess_response
@@ -160,6 +160,19 @@ def fit(
         # in-core gaussian still goes through Gram/ADMM like the reference
         use_admm = True
 
+    # Fixed Lipschitz step for the families with a provable global bound:
+    # binomial L <= eigmax(X'X)/4, multinomial L <= eigmax(X'X)/2.
+    # Used only on the distributed design, where each line-search probe is
+    # a full data pass — one extra setup pass buys zero probes per
+    # iteration. In-core keeps backtracking: its adaptive step is larger
+    # than 1/L in flat regions and probes cost microseconds there.
+    lipschitz_lr = None
+    if family in ("binomial", "multinomial") and isinstance(design, SparkGlmDesign):
+        xtx = xtx_pass(sdf, X_COL, p_total)
+        eigmax = float(np.linalg.eigvalsh(xtx).max())
+        if eigmax > 0:
+            lipschitz_lr = (4.0 if family == "binomial" else 2.0) / eigmax
+
     # ---- penalty machinery (driver plane fed by one distributed agg) ----
     if family == "gaussian" and xty_gaussian is None and isinstance(design, LocalDesign):
         xty_gaussian = (design.X.T @ design.Y).ravel()
@@ -217,6 +230,7 @@ def fit(
             design_sub, beta_init, lam_scaled, n_unpenalized=0 if lam_scaled.size == design_sub.p * m else n_unpen,
             max_passes=max_passes, tol_rel_gap=tol_rel_gap,
             tol_infeas=tol_infeas, diagnostics=diagnostics,
+            fixed_learning_rate=lipschitz_lr,
         )
         return res, z_s, u_s
 

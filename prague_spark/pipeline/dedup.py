@@ -89,6 +89,7 @@ def ngram_jaccard_pairs(
             F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"),
         )
     )
+    sh = sh.persist()  # consumed by sizes + both sides of the self-join
     sizes = sh.groupBy("doc").agg(F.count("*").alias("set_size"))
     if max_df is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_df)
@@ -165,7 +166,10 @@ def minhash_lsh_candidates(
     """Candidate near-duplicate pairs: documents sharing >= 1 LSH band.
 
     Band key = md5 of the band's signature slice; join is on (band_idx,
-    band_key) so only same-band collisions shuffle together."""
+    band_key) so only same-band collisions shuffle together. The banded
+    table is persisted so the self-join doesn't recompute the signature
+    pipeline on both sides."""
+    signatures = signatures.persist()
     banded = signatures.select(
         F.col(id_col).alias("doc"),
         F.explode(
