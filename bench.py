@@ -104,6 +104,12 @@ def main() -> None:
     def _():
         dedup.simhash(docs, "doc_id", "text").agg(F.sum("simhash")).collect()
 
+    @bench("dedup_embedding_lsh")
+    def _():
+        dedup.embedding_cosine_pairs(
+            emb, "vec_id", "vec", threshold=0.3, n_planes=8
+        ).count()
+
     @bench("sim_cosine_topk")
     def _():
         qrows = emb.limit(3).select("vec_id", "vec").collect()

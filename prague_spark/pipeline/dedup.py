@@ -266,3 +266,57 @@ def simhash(
 def hamming_distance(col_a, col_b, bits: int = 32):
     """Hamming distance between two packed simhash longs (bit_count of xor)."""
     return F.bit_count(col_a.bitwiseXOR(col_b))
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    n_planes: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine >= threshold).
+
+    ``n_planes=None`` — exact all-pairs (nested-loop self-join with the
+    cosine as a JVM-side higher-order-function expression). Quadratic: the
+    oracle-verifiable baseline, fine up to ~10^4 vectors.
+
+    ``n_planes=k`` — random-hyperplane LSH blocking: both sides get a
+    k-bit bucket signature, the self-join is an equi-join on the bucket,
+    and only within-bucket pairs pay the exact cosine. Sub-quadratic with
+    recall < 1 — the 100 TB scale path (same design as MinHash banding)."""
+    from .similarity import cosine_expr, hyperplane_lsh_buckets
+
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn(
+        "_n",
+        F.sqrt(
+            F.aggregate(
+                F.transform("_v", lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+            )
+        ),
+    )
+    if n_planes is not None:
+        base = hyperplane_lsh_buckets(base, "_v", n_planes=n_planes, seed=seed, out="_bkt")
+    base = base.persist()
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    if n_planes is not None:
+        cond = (F.col("a._bkt") == F.col("b._bkt")) & cond
+    dot = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, cond)
+        .withColumn("cosine", dot / (F.col("a._n") * F.col("b._n")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            "cosine",
+        )
+    )

@@ -867,6 +867,270 @@ SQL_TEXT_FINGERPRINT = """
 """
 
 
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH banding candidate pairs (2 bands x 2 rows over the
+    4-hash unigram signature): documents sharing >= 1 band key."""
+    docs = load(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=_MH_N, shingle_n=1)
+    out = dedup.minhash_lsh_candidates(sig, "doc_id", bands=2, rows_per_band=2)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+    )
+
+
+_MH_SIG_SQL = (
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, t.tok FROM documents,
+        LATERAL unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x != '')) AS t(tok)
+    ), hx AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS x FROM toks
+    ), sig AS (
+        SELECT doc_id, """
+    + ", ".join(
+        f"min(({_MH_A[i]}*x + {_MH_B[i]}) % 2147483647)::BIGINT AS h{i}"
+        for i in range(_MH_N)
+    )
+    + " FROM hx GROUP BY doc_id)"
+)
+
+SQL_DEDUP_MINHASH_LSH = (
+    _MH_SIG_SQL
+    + """, banded AS (
+        SELECT doc_id, 0 AS band, md5(h0::VARCHAR || ',' || h1::VARCHAR) AS key FROM sig
+        UNION ALL
+        SELECT doc_id, 1, md5(h2::VARCHAR || ',' || h3::VARCHAR) FROM sig
+    )
+    SELECT DISTINCT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+)
+
+
+def q_dedup_minhash_est(spark, sf_dir):
+    """Estimated Jaccard (fraction of equal signature slots) for the LSH
+    candidate pairs — the verify step of the MinHash pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=_MH_N, shingle_n=1)
+    pairs = dedup.minhash_lsh_candidates(sig, "doc_id", bands=2, rows_per_band=2)
+    out = dedup.minhash_jaccard_estimate(sig, pairs)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+    )
+
+
+SQL_DEDUP_MINHASH_EST = (
+    _MH_SIG_SQL
+    + """, banded AS (
+        SELECT doc_id, 0 AS band, md5(h0::VARCHAR || ',' || h1::VARCHAR) AS key FROM sig
+        UNION ALL
+        SELECT doc_id, 1, md5(h2::VARCHAR || ',' || h3::VARCHAR) FROM sig
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a::BIGINT AS id_a, p.id_b::BIGINT AS id_b,
+           round(((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END))::DOUBLE / 4.0, 6)
+           AS jaccard_est
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+"""
+)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline,
+    threshold 0.4). The sub-quadratic scale path is the LSH-blocked
+    variant (dedup_embedding_lsh, rows-only)."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = dedup.embedding_cosine_pairs(emb, "vec_id", "vec", threshold=0.4)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
+SQL_DEDUP_EMBEDDING = """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+"""
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """LSH-blocked embedding near-dup (8 hyperplanes -> bucket equi-join ->
+    exact cosine within buckets) — rows-only: recall < 1 by design, so no
+    exact SQL oracle; this is the plan shape that survives 100 TB."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = dedup.embedding_cosine_pairs(
+        emb, "vec_id", "vec", threshold=0.3, n_planes=8
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# §2.5 remaining predict/score surface (Q2, Q7, Q11)
+# ---------------------------------------------------------------------------
+
+def q_q2_predict_gaussian(spark, sf_dir):
+    """Gaussian response prediction = identity link (R/predict.R:73-87)."""
+    z = _zdf(spark, sf_dir)
+    return z.select(
+        "l_orderkey", "l_linenumber", F.round(_lp_expr(), 4).alias("response")
+    )
+
+
+SQL_Q2_GAUSSIAN = f"""
+    SELECT l_orderkey, l_linenumber, round({_LP_SQL}, 4) AS response
+    FROM ({_Z_SQL})
+"""
+
+
+_DEV_ROWS = [(0, 0.0), (1, 0.35), (2, 0.62), (3, 0.81)]
+_NULL_DEV = 1234.5
+
+
+def q_q7_deviance(spark, sf_dir):
+    """deviance = (1 - deviance_ratio) * null_deviance (R/deviance.R:13-18)
+    over a literal path table."""
+    cdf = spark.createDataFrame(_DEV_ROWS, "path_idx int, dev_ratio double")
+    return cdf.select(
+        "path_idx",
+        F.round((F.lit(1.0) - F.col("dev_ratio")) * F.lit(_NULL_DEV), 6).alias("deviance"),
+    )
+
+
+SQL_Q7_DEVIANCE = (
+    "WITH p(path_idx, dev_ratio) AS (VALUES "
+    + ", ".join(f"({i}, {d!r})" for i, d in _DEV_ROWS)
+    + f""")
+    SELECT path_idx::INTEGER AS path_idx,
+           round((1.0 - dev_ratio) * {_NULL_DEV!r}, 6) AS deviance
+    FROM p
+"""
+)
+
+
+def q_q11_score_multinomial(spark, sf_dir):
+    """Multinomial deviance / mse / mae (R/score.R:82-118): clipped
+    per-class log-loss and elementwise errors of the softmax probabilities
+    against the one-hot truth."""
+    z = _zdf(spark, sf_dir)
+    lp1, lp2 = _lp_expr(), _lp2_expr()
+    mx = F.greatest(lp1, lp2, F.lit(0.0))
+    e1, e2, e3 = F.exp(lp1 - mx), F.exp(lp2 - mx), F.exp(F.lit(0.0) - mx)
+    den = e1 + e2 + e3
+    probs = [e1 / den, e2 / den, e3 / den]
+    ys = [
+        F.when(F.col("l_returnflag") == c, 1.0).otherwise(0.0)
+        for c in ("A", "N", "R")
+    ]
+    clip = lambda p: F.least(F.greatest(p, F.lit(1e-5)), F.lit(1.0 - 1e-5))
+    dev = sum(
+        (-2.0) * y * F.log(clip(p)) for y, p in zip(ys, probs)
+    )
+    mse = sum((p - y) * (p - y) for y, p in zip(ys, probs)) / 3.0
+    mae = sum(F.abs(p - y) for y, p in zip(ys, probs)) / 3.0
+    return z.agg(
+        F.round(F.avg(dev), 4).alias("deviance"),
+        F.round(F.avg(mse), 4).alias("mse"),
+        F.round(F.avg(mae), 4).alias("mae"),
+    )
+
+
+SQL_Q11_MULTINOMIAL = f"""
+    WITH z AS ({_Z_SQL}), lp AS (
+        SELECT l_returnflag, {_LP_SQL} AS lp1, {_LP2_SQL} AS lp2,
+               greatest({_LP_SQL}, {_LP2_SQL}, 0.0) AS mx
+        FROM z
+    ), e AS (
+        SELECT l_returnflag,
+               exp(lp1 - mx) AS e1, exp(lp2 - mx) AS e2, exp(0.0 - mx) AS e3
+        FROM lp
+    ), p AS (
+        SELECT e1/(e1+e2+e3) AS p1, e2/(e1+e2+e3) AS p2, e3/(e1+e2+e3) AS p3,
+               CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END AS y1,
+               CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS y2,
+               CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y3
+        FROM e
+    ), c AS (
+        SELECT y1, y2, y3, p1, p2, p3,
+               least(greatest(p1, 1e-5), 1.0 - 1e-5) AS c1,
+               least(greatest(p2, 1e-5), 1.0 - 1e-5) AS c2,
+               least(greatest(p3, 1e-5), 1.0 - 1e-5) AS c3
+        FROM p
+    )
+    SELECT round(avg(-2.0*(y1*ln(c1) + y2*ln(c2) + y3*ln(c3))), 4) AS deviance,
+           round(avg(((p1-y1)*(p1-y1) + (p2-y2)*(p2-y2) + (p3-y3)*(p3-y3))/3.0), 4) AS mse,
+           round(avg((abs(p1-y1) + abs(p2-y2) + abs(p3-y3))/3.0), 4) AS mae
+    FROM c
+"""
+
+
+def q_multimodal_audio(spark, sf_dir):
+    """Audio feature plumbing: binary payloads -> Arrow-batched waveform
+    stats — rows-only (decoder is the deterministic stub)."""
+    from .pipeline import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.substring("text", 1, 32), "utf-8")
+    )
+    return mm.extract_audio_features(docs, "doc_id", "payload", decoder=mm.fake_audio_decoder)
+
+
+def q_multimodal_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan: uniform (doc_id, frame_idx, ts_ms) rows
+    (pure explode, no shuffle); decode is a downstream mapInPandas stage."""
+    from .pipeline import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    out = mm.frame_sample_plan(docs, "doc_id", n_frames=4)
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("ts_ms").cast("bigint").alias("ts_ms"),
+    )
+
+
+SQL_MM_FRAME_PLAN = """
+    SELECT doc_id, f.frame_idx::INTEGER AS frame_idx,
+           (f.frame_idx * 4000 / 4)::BIGINT AS ts_ms
+    FROM documents, LATERAL (SELECT unnest(range(4)) AS frame_idx) f
+"""
+
+
+def q_r_lambda_sequences(spark, sf_dir):
+    """The three named lambda sequences (bh / gaussian / oscar;
+    src/regularizationPath.h:28-50) for p=20, q=0.2, n=1000 — rows-only
+    (the BH sequence needs the normal quantile, which ANSI SQL lacks)."""
+    from .core.lambdas import lambda_sequence
+
+    rows = []
+    for seq in ("bh", "gaussian", "oscar"):
+        lam = lambda_sequence(20, 1000, seq, 0.2)
+        rows += [(seq, i, float(v)) for i, v in enumerate(lam)]
+    return spark.createDataFrame(rows, "seq_type string, idx int, lam double")
+
+
 # ---------------------------------------------------------------------------
 # solver queries (rows-only checks: genuinely non-SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -1089,9 +1353,12 @@ QUERIES = {
     "q3_predict_binomial": q_q3_predict_binomial,
     "q4_predict_poisson": q_q4_predict_poisson,
     "q5_predict_multinomial": q_q5_predict_multinomial,
+    "q2_predict_gaussian": q_q2_predict_gaussian,
+    "q7_deviance": q_q7_deviance,
     "q8_score_mse_mae": q_q8_score_mse_mae,
     "q9_score_binomial": q_q9_score_binomial,
     "q10_score_auc": q_q10_score_auc,
+    "q11_score_multinomial": q_q11_score_multinomial,
     "q12_path_summary": q_q12_path_summary,
     # §2.6 CV
     "c1_cv_folds": q_c1_cv_folds,
@@ -1101,7 +1368,11 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_token_jaccard": q_dedup_token_jaccard,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_est": q_dedup_minhash_est,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "sim_cosine_topk": q_sim_cosine_topk,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
@@ -1116,6 +1387,9 @@ QUERIES = {
     "c1_cv_fit": q_c1_cv_fit,
     "sim_ivf_cells": q_sim_ivf_cells,
     "multimodal_features": q_multimodal_features,
+    "multimodal_audio": q_multimodal_audio,
+    "multimodal_frame_plan": q_multimodal_frame_plan,
+    "r_lambda_sequences": q_r_lambda_sequences,
     # sources / streaming-compatible / synthetic
     "events_windowed_agg": q_events_windowed_agg,
     "sparse_ingest": q_sparse_ingest,
@@ -1135,9 +1409,12 @@ ORACLES = {
     "q3_predict_binomial": SQL_Q3_BINOMIAL,
     "q4_predict_poisson": SQL_Q4_POISSON,
     "q5_predict_multinomial": SQL_Q5_MULTINOMIAL,
+    "q2_predict_gaussian": SQL_Q2_GAUSSIAN,
+    "q7_deviance": SQL_Q7_DEVIANCE,
     "q8_score_mse_mae": SQL_Q8_MSE_MAE,
     "q9_score_binomial": SQL_Q9_BINOMIAL,
     "q10_score_auc": SQL_Q10_AUC,
+    "q11_score_multinomial": SQL_Q11_MULTINOMIAL,
     "q12_path_summary": SQL_Q12_PATH,
     "c1_cv_folds": SQL_C1_FOLDS,
     "c1_cv_summary": SQL_C1_SUMMARY,
@@ -1145,7 +1422,10 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_token_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_minhash_est": SQL_DEDUP_MINHASH_EST,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "sim_cosine_topk": SQL_SIM_TOPK,
     "text_token_count": SQL_TEXT_TOKENS,
     "text_quality": SQL_TEXT_QUALITY,
@@ -1153,4 +1433,5 @@ ORACLES = {
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "events_windowed_agg": SQL_EVENTS_WINDOW,
     "sparse_ingest": SQL_SPARSE_INGEST,
+    "multimodal_frame_plan": SQL_MM_FRAME_PLAN,
 }

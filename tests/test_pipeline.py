@@ -174,3 +174,38 @@ def test_frame_sample_plan(spark):
     out = mm.frame_sample_plan(df, "vid", n_frames=4).collect()
     assert len(out) == 8
     assert {r["frame_idx"] for r in out} == {0, 1, 2, 3}
+
+
+def test_embedding_cosine_pairs_exact_matches_duckdb(emb, sf_dir):
+    vec = emb.withColumn("vec", F.transform("embedding", lambda x: x.cast("double")))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(vec, "vec_id", "vec", 0.4).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        (a, b)
+        for a, b in con.execute(f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] v
+                       FROM '{sf_dir}/embeddings.parquet')
+            SELECT a.vec_id, b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        """).fetchall()
+    }
+    assert got == want
+
+
+def test_embedding_cosine_pairs_lsh_subset_of_exact(emb):
+    vec = emb.withColumn("vec", F.transform("embedding", lambda x: x.cast("double")))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(vec, "vec_id", "vec", 0.3).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(
+            vec, "vec_id", "vec", 0.3, n_planes=8
+        ).collect()
+    }
+    assert lsh <= exact
+    assert len(lsh) > 0  # 8 planes at threshold 0.3 keeps useful recall
