@@ -1,0 +1,84 @@
+"""Sparse == dense invariance (the reference's test-sparsity.R pattern):
+the same design fed as long-format triplets (scale-only standardization)
+or as dense columns must give identical fits; plus a hypothesis property
+test of the sorted-L1 prox (exact minimizer of its objective)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+import prague_spark as ps
+from prague_spark.core.prox import sorted_l1_norm, sorted_l1_prox
+from prague_spark.ops.sparse import long_to_features, sparse_scales
+
+
+def test_sparse_long_format_fit_matches_dense(spark, lineitem):
+    li = lineitem.limit(2000).select(
+        F.monotonically_increasing_id().alias("rid"),
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice",
+    ).cache()
+    cols = ["l_quantity", "l_discount", "l_tax"]
+
+    # long-format triplets (drop exact zeros: they're implicit)
+    trip = None
+    for j, c in enumerate(cols):
+        one = li.select(
+            F.col("rid").alias("row_id"),
+            F.lit(j).alias("col_id"),
+            F.col(c).cast("double").alias("value"),
+        ).filter(F.col("value") != 0.0)
+        trip = one if trip is None else trip.unionByName(one)
+    n = li.count()
+    scales = sparse_scales(trip, n, scale="l2")
+    dense_from_sparse = long_to_features(
+        trip, 3, rows=li.select(F.col("rid").alias("row_id")), scales=scales
+    ).join(li.select(F.col("rid").alias("row_id"), "l_extendedprice"), "row_id")
+    wide = dense_from_sparse.select(
+        "row_id",
+        *[F.col("features")[j].alias(cols[j]) for j in range(3)],
+        "l_extendedprice",
+    )
+    # sparse path: scale-only (center=False, pre-scaled -> scale='none')
+    m_sparse = ps.fit(
+        wide, cols, "l_extendedprice", "gaussian",
+        center=False, scale="none", n_sigma=5,
+    )
+    # dense path: same semantics via the engine's own l2 scaling
+    m_dense = ps.fit(
+        li, cols, "l_extendedprice", "gaussian",
+        center=False, scale="l2", n_sigma=5,
+    )
+    assert m_sparse.n_path == m_dense.n_path
+    # dense fit rescales coefs back to original units; sparse fit's coefs are in
+    # scaled units -> compare after undoing the scale division.
+    sc = np.array([scales[j] for j in range(3)])
+    for k in range(m_sparse.n_path):
+        np.testing.assert_allclose(
+            m_sparse.betas[k, 1:, 0] / sc,
+            m_dense.betas[k, 1:, 0],
+            rtol=1e-6, atol=1e-8,
+        )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.floats(-50, 50, allow_nan=False), min_size=1, max_size=12),
+    st.integers(0, 10**6),
+)
+def test_prox_is_exact_minimizer_property(vlist, seed):
+    rng = np.random.default_rng(seed)
+    v = np.asarray(vlist)
+    lam = np.sort(rng.uniform(0, 10, size=len(v)))[::-1]
+    x = sorted_l1_prox(v, lam)
+
+    def obj(z):
+        return 0.5 * np.sum((z - v) ** 2) + sorted_l1_norm(z, lam)
+
+    fx = obj(x)
+    # prox output must beat random perturbations and the trivial candidates
+    for cand in (v, np.zeros_like(v)):
+        assert fx <= obj(cand) + 1e-9
+    for _ in range(20):
+        z = x + rng.normal(scale=0.1, size=len(v))
+        assert fx <= obj(z) + 1e-9
