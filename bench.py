@@ -43,6 +43,7 @@ def main() -> None:
             t0 = time.monotonic()
             fn()
             timings[name] = round(time.monotonic() - t0, 3)
+            print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
         return deco
 
     FEATURES = ["l_quantity", "l_discount", "l_tax"]

