@@ -84,6 +84,70 @@ class SlopeModel:
         """(1 - deviance_ratio) * null_deviance (``R/deviance.R:13-18``)."""
         return (1.0 - self.deviance_ratios) * self.null_deviance
 
+    # -- model sink (S5): persist/restore as parquet ----------------------
+
+    def save(self, spark, path: str) -> None:
+        """Persist the model as parquet: the tidy coefficient table plus a
+        one-row JSON metadata table (the reference's model sink,
+        ``R/owl.R:471-486``, re-expressed as a queryable dataset)."""
+        import json
+
+        self.coef_df(spark).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/coefs"
+        )
+        meta = dict(
+            family=self.family,
+            feature_names=list(self.feature_names),
+            intercept=bool(self.intercept),
+            sigma=[float(x) for x in self.sigma],
+            lam=[float(x) for x in self.lam],
+            null_deviance=float(self.null_deviance),
+            deviances=[float(x) for x in self.deviances],
+            deviance_ratios=[float(x) for x in self.deviance_ratios],
+            passes=[int(x) for x in self.passes],
+            n_unique=[int(x) for x in self.n_unique],
+            class_names=list(self.class_names),
+            n_targets=int(self.n_targets),
+        )
+        spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @staticmethod
+    def load(spark, path: str) -> "SlopeModel":
+        """Restore a model persisted by ``save`` (predictions/scoring only;
+        solver state such as diagnostics is not round-tripped)."""
+        import json
+
+        meta = json.loads(spark.read.parquet(f"{path}/meta").first()["meta"])
+        names = (["(Intercept)"] if meta["intercept"] else []) + list(
+            meta["feature_names"]
+        )
+        name_pos = {nm: j for j, nm in enumerate(names)}
+        n_path = len(meta["sigma"])
+        m = meta["n_targets"]
+        betas = np.zeros((n_path, len(names), m))
+        for r in spark.read.parquet(f"{path}/coefs").collect():
+            betas[int(r["path_idx"]), name_pos[r["feature"]], int(r["target"])] = r[
+                "coef"
+            ]
+        return SlopeModel(
+            family=meta["family"],
+            feature_names=list(meta["feature_names"]),
+            intercept=meta["intercept"],
+            betas=betas,
+            sigma=np.asarray(meta["sigma"]),
+            lam=np.asarray(meta["lam"]),
+            null_deviance=meta["null_deviance"],
+            deviances=np.asarray(meta["deviances"]),
+            deviance_ratios=np.asarray(meta["deviance_ratios"]),
+            passes=np.asarray(meta["passes"], dtype=int),
+            active_sets=[],
+            n_unique=np.asarray(meta["n_unique"], dtype=int),
+            class_names=list(meta["class_names"]),
+            n_targets=m,
+        )
+
     def diagnostics_df(self, spark):
         """Tidy per-iteration diagnostics (path_idx, iteration, primal,
         dual, time_s) — the ``plotDiagnostics`` data output

@@ -101,12 +101,22 @@ def score(
     raise ValueError(fam)
 
 
+AUC_BUCKETS = 1024
+
+
 def auc(df: DataFrame, prob_col: str, pos_indicator) -> float:
     """Rank-based AUC with average-rank tie handling.
 
     AUC = sum_over_distinct_p( n1_p * (cum_n0_below + n0_p / 2) ) / (n1 * n0),
     algebraically identical to the reference's
     ``(sum rank(prob)[y==1] - n1(n1+1)/2) / (n1 n0)`` with R average ranks.
+
+    Scale plan: probabilities reduce via groupBy(p) (map-side combine);
+    the cumulative negative count then runs in TWO levels — per-bucket
+    totals (AUC_BUCKETS coarse buckets over [0, 1]) collect to the driver
+    for an exact prefix sum, and the within-bucket cumsum is a window
+    PARTITIONED by bucket. No single-task global window anywhere, so the
+    whole computation stays parallel at any data size.
     """
     grouped = (
         df.select(F.col(prob_col).alias("p"), pos_indicator.alias("y2"))
@@ -115,16 +125,41 @@ def auc(df: DataFrame, prob_col: str, pos_indicator) -> float:
             F.sum("y2").alias("n1_g"),
             F.sum(F.lit(1.0) - F.col("y2")).alias("n0_g"),
         )
+        .withColumn(
+            "bucket",
+            F.least(
+                F.greatest(F.floor(F.col("p") * AUC_BUCKETS), F.lit(0)),
+                F.lit(AUC_BUCKETS - 1),
+            ).cast("int"),
+        )
+        .persist()
     )
-    w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    totals = {
+        int(r["bucket"]): (float(r["t0"]))
+        for r in grouped.groupBy("bucket").agg(F.sum("n0_g").alias("t0")).collect()
+    }
+    prefix, acc = {}, 0.0
+    for b in sorted(totals):
+        prefix[b] = acc
+        acc += totals[b]
+    prefix_map = F.create_map(
+        *[x for b, v in prefix.items() for x in (F.lit(b), F.lit(v))]
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     scored = grouped.withColumn(
-        "cum_n0_below", F.coalesce(F.sum("n0_g").over(w), F.lit(0.0))
+        "cum_n0_below",
+        prefix_map[F.col("bucket")] + F.coalesce(F.sum("n0_g").over(w), F.lit(0.0)),
     )
     row = scored.agg(
         F.sum(F.col("n1_g") * (F.col("cum_n0_below") + F.col("n0_g") / 2.0)).alias("u"),
         F.sum("n1_g").alias("n1"),
         F.sum("n0_g").alias("n0"),
     ).first()
+    grouped.unpersist()
     return float(row["u"] / (row["n1"] * row["n0"]))
 
 

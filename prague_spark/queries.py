@@ -1221,6 +1221,43 @@ def q_c1_cv_fit(spark, sf_dir):
     return res.summary_df(spark)
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    """IVF probed ANN top-5 for two corpus queries (nprobe=4 of 8 cells) —
+    rows-only: the probe set is a driver-side k-means artifact, recall < 1
+    by design. This is the sub-linear scale path for similarity search."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    C = similarity.train_ivf_centroids(emb, "vec", n_centroids=8, iters=5)
+    cells = similarity.assign_ivf_cells(emb, "vec", C)
+    qrows = emb.filter(F.col("vec_id").isin([0, 1])).select("vec_id", "vec").collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in qrows]
+    out = similarity.ivf_topk(cells, "vec_id", "vec", C, queries, k=5, nprobe=4)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_model_sink(spark, sf_dir):
+    """Model sink roundtrip (S5): fit -> save parquet -> load -> tidy coef
+    table of the restored model — rows-only (solver-dependent values)."""
+    import tempfile
+
+    from .fit import fit as _fit
+    from .model import SlopeModel
+
+    li = load(spark, sf_dir, "lineitem")
+    model = _fit(
+        li, ["l_quantity", "l_discount"], "l_extendedprice", "gaussian", n_sigma=5
+    )
+    path = tempfile.mkdtemp(prefix="prague_model_") + "/m"
+    model.save(spark, path)
+    return SlopeModel.load(spark, path).coef_df(spark)
+
+
 def q_sim_ivf_cells(spark, sf_dir):
     """IVF cell assignment histogram — rows-only (centroids are a
     driver-side k-means artifact)."""
@@ -1386,6 +1423,8 @@ QUERIES = {
     "q6_coef_interpolation": q_q6_coef_interpolation,
     "c1_cv_fit": q_c1_cv_fit,
     "sim_ivf_cells": q_sim_ivf_cells,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "model_sink": q_model_sink,
     "multimodal_features": q_multimodal_features,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_frame_plan": q_multimodal_frame_plan,

@@ -143,3 +143,21 @@ def test_coef_df_and_path_summary(li, spark):
     assert cdf.count() == model.n_path * (len(FEATURES) + 1)
     summ = model.path_summary()
     assert summ[0]["n_nonzero"] <= len(FEATURES)
+
+
+def test_model_save_load_roundtrip(li, spark, tmp_path):
+    import numpy as np
+
+    import prague_spark as ps
+    from prague_spark.model import SlopeModel
+
+    m = ps.fit(li, ["l_quantity", "l_discount"], "l_extendedprice",
+               "gaussian", n_sigma=4)
+    path = str(tmp_path / "model")
+    m.save(spark, path)
+    m2 = SlopeModel.load(spark, path)
+    np.testing.assert_allclose(m2.betas, m.betas)
+    np.testing.assert_allclose(m2.sigma, m.sigma)
+    p1 = ps.predict(li, m, type="response", out="y1").select("y1").toPandas()
+    p2 = ps.predict(li, m2, type="response", out="y1").select("y1").toPandas()
+    np.testing.assert_allclose(p1["y1"].to_numpy(), p2["y1"].to_numpy())
