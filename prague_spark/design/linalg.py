@@ -111,6 +111,57 @@ def xtx_pass(df, x_col: str, p: int):
     return tot.reshape(p, p)
 
 
+def gram_xty_pass_keyed(df, x_col: str, y_col: str, key_col: str, p: int, n_keys: int):
+    """Per-key gaussian sufficient statistics in ONE distributed pass.
+
+    For each key k in [0, n_keys): raw (un-standardized) X^T X, X^T y,
+    column sums of X, y^T y, sum of y, and row count — everything a
+    gaussian path fit AND its standardization AND its mse scoring need.
+    This is what makes one-pass cross-validation possible: train-fold
+    stats are total-minus-fold, so k-fold CV costs ONE scan of the data
+    regardless of k (payload: n_keys * (p^2 + 2p + 3) doubles/partition).
+    """
+    block = p * p + p + p + 1 + 1 + 1
+    out_len = n_keys * block
+
+    def make_partial(batch):
+        X, Y = _batch_xy(batch, x_col, y_col, p, 1)
+        keys = (
+            batch.column(batch.schema.get_field_index(key_col))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        y = Y.ravel()
+        part = np.zeros(out_len, dtype=np.float64)
+        for k in np.unique(keys):
+            msk = keys == k
+            Xk, yk = X[msk], y[msk]
+            o = int(k) * block
+            part[o : o + p * p] = (Xk.T @ Xk).ravel()
+            part[o + p * p : o + p * p + p] = Xk.T @ yk
+            part[o + p * p + p : o + p * p + 2 * p] = Xk.sum(axis=0)
+            part[o + p * p + 2 * p] = float(yk @ yk)
+            part[o + p * p + 2 * p + 1] = float(yk.sum())
+            part[o + p * p + 2 * p + 2] = float(len(yk))
+        return part
+
+    tot = partial_aggregate(df.select(x_col, y_col, key_col), out_len, make_partial)
+    out = []
+    for k in range(n_keys):
+        o = k * block
+        out.append(
+            dict(
+                gram=tot[o : o + p * p].reshape(p, p),
+                xty=tot[o + p * p : o + p * p + p].copy(),
+                sums_x=tot[o + p * p + p : o + p * p + 2 * p].copy(),
+                yty=float(tot[o + p * p + 2 * p]),
+                sum_y=float(tot[o + p * p + 2 * p + 1]),
+                n=int(round(tot[o + p * p + 2 * p + 2])),
+            )
+        )
+    return out
+
+
 def xtv_pass(df, x_col: str, v_col: str, p: int, m: int = 1):
     """Distributed ``X^T v`` (used for lambda_max, ``src/lambdaMax.h:8-60``)."""
 

@@ -74,6 +74,7 @@ def cv_fit(
     measures: list[str] | None = None,
     seed: int = 42,
     fold_col: str | None = None,
+    method: str = "auto",  # auto | gram | refit
     **fit_kwargs,
 ) -> CvResult:
     ok = _OK_MEASURES[family]
@@ -84,6 +85,33 @@ def cv_fit(
     # initial full fit freezes the sigma grid (R/trainOwl.R:69, 84)
     base = fit(df, features, label, family, q=q_values[0], **fit_kwargs)
     sigma = base.sigma
+
+    # one-pass gaussian fast path: per-fold raw sufficient statistics from
+    # a single keyed scan per repeat; per-fold standardization, the whole
+    # path refit, and the test mse are then pure driver arithmetic
+    # (train moments = total - fold). See core.gram_path.
+    if (
+        method in ("auto", "gram")
+        and family == "gaussian"
+        and set(measures) <= {"mse"}
+        and fit_kwargs.get("intercept", True)
+        and fit_kwargs.get("center", True)
+        and fit_kwargs.get("scale", "l2") in ("l2", "sd")
+        and fit_kwargs.get("solver", "auto") in ("auto", "gram")
+        and "user_lambda" not in fit_kwargs
+        and "sigma" not in fit_kwargs
+    ):
+        cells = _gaussian_gram_cells(
+            df, features, label, sigma, q_values, n_folds, n_repeats,
+            seed, fold_col, fit_kwargs,
+        )
+        return _aggregate(cells, sigma, q_values, measures, n_folds,
+                          n_repeats, base)
+    if method == "gram":
+        raise ValueError(
+            "method='gram' needs family='gaussian', measures=['mse'], "
+            "intercept/center on, scale in ('l2','sd')"
+        )
 
     # the outer grid is embarrassingly parallel: each (rep, fold) cell is
     # its own chain of Spark jobs, submitted concurrently from a driver
@@ -132,7 +160,12 @@ def cv_fit(
     for fdf in prepared:
         fdf.unpersist()
 
-    # aggregation: mean / se / 95% t-CI (R/trainOwl.R:146-161)
+    return _aggregate(cells, sigma, q_values, measures, n_folds, n_repeats, base)
+
+
+def _aggregate(cells, sigma, q_values, measures, n_folds, n_repeats, base) -> CvResult:
+    """mean / se / 95% t-CI per (q, sigma, measure) + per-measure argmin
+    (R/trainOwl.R:146-166)."""
     n_cells = n_folds * n_repeats
     tq = t_ppf(0.975, n_cells - 1) if n_cells > 1 else 0.0
     summary = []
@@ -159,3 +192,59 @@ def cv_fit(
         optima.append(min(rows, key=lambda r: r["mean"]))
 
     return CvResult(summary=summary, optima=optima, model=base, measures=measures)
+
+
+def _gaussian_gram_cells(
+    df, features, label, sigma, q_values, n_folds, n_repeats, seed,
+    fold_col, fit_kwargs,
+) -> list[dict]:
+    """One distributed pass per repeat; every fold's refit + mse is driver
+    arithmetic on sufficient statistics."""
+    from ..core.gram_path import (
+        fit_gaussian_path_from_stats, mse_from_stats, subtract_stats,
+    )
+    from ..design.linalg import gram_xty_pass_keyed
+
+    p = len(features)
+    scale = fit_kwargs.get("scale", "l2")
+    path_kw = dict(
+        center=True,
+        scale=scale,
+        lambda_type=fit_kwargs.get("lambda_type", "gaussian"),
+        n_sigma=fit_kwargs.get("n_sigma", 100),
+        lambda_min_ratio=fit_kwargs.get("lambda_min_ratio"),
+        max_passes=fit_kwargs.get("max_passes", 10**6),
+        tol_abs=fit_kwargs.get("tol_abs", 1e-5),
+        tol_rel=fit_kwargs.get("tol_rel", 1e-4),
+    )
+
+    cells: list[dict] = []
+    for rep in range(n_repeats):
+        if fold_col is None:
+            key = F.floor(F.rand(seed + rep) * n_folds).cast("int")
+        else:
+            key = (F.col(fold_col).cast("int") % n_folds)
+        xdf = df.select(
+            F.array(*[F.col(c).cast("double") for c in features]).alias("_x"),
+            F.col(label).cast("double").alias("_y"),
+            key.alias("_fold"),
+        )
+        per_fold = gram_xty_pass_keyed(xdf, "_x", "_y", "_fold", p, n_folds)
+        total = per_fold[0]
+        for f in per_fold[1:]:
+            total = {
+                k: (total[k] + f[k]) for k in total
+            }
+        for fold in range(n_folds):
+            train = subtract_stats(total, per_fold[fold])
+            for qv in q_values:
+                betas, sig_real, _ = fit_gaussian_path_from_stats(
+                    train, q=qv, sigma=sigma, **path_kw
+                )
+                for si in range(len(sig_real)):
+                    cells.append(
+                        dict(q=qv, rep=rep, fold=fold, sigma_idx=si,
+                             measure="mse",
+                             value=mse_from_stats(per_fold[fold], betas[si]))
+                    )
+    return cells

@@ -161,3 +161,23 @@ def test_model_save_load_roundtrip(li, spark, tmp_path):
     p1 = ps.predict(li, m, type="response", out="y1").select("y1").toPandas()
     p2 = ps.predict(li, m2, type="response", out="y1").select("y1").toPandas()
     np.testing.assert_allclose(p1["y1"].to_numpy(), p2["y1"].to_numpy())
+
+
+def test_cv_gram_matches_refit(li, spark):
+    from prague_spark.ops.cv import cv_fit
+
+    kw = dict(
+        n_folds=3, measures=["mse"], n_sigma=4, lambda_min_ratio=0.01,
+        fold_col="l_orderkey",
+    )
+    sub = li.limit(3000)
+    r1 = cv_fit(sub, ["l_quantity", "l_discount"], "l_extendedprice",
+                "gaussian", method="refit", **kw)
+    r2 = cv_fit(sub, ["l_quantity", "l_discount"], "l_extendedprice",
+                "gaussian", method="gram", **kw)
+    m1 = {(r["sigma_idx"]): r["mean"] for r in r1.summary}
+    m2 = {(r["sigma_idx"]): r["mean"] for r in r2.summary}
+    assert set(m1) == set(m2)
+    for k in m1:
+        assert abs(m1[k] - m2[k]) / max(abs(m1[k]), 1e-12) < 1e-3, (k, m1[k], m2[k])
+    assert r1.optima[0]["sigma_idx"] == r2.optima[0]["sigma_idx"]
