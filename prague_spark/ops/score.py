@@ -104,12 +104,15 @@ def score(
 AUC_BUCKETS = 1024
 
 
-def auc(df: DataFrame, prob_col: str, pos_indicator) -> float:
-    """Rank-based AUC with average-rank tie handling.
+def auc(df: DataFrame, prob_col: str, pos_indicator, weight_col: str | None = None) -> float:
+    """Rank-based AUC with average-rank tie handling; optionally weighted
+    (the reference's weighted variant, ``R/score.R:152-166``, in its
+    expectation form — deterministic instead of randomized tie breaking).
 
     AUC = sum_over_distinct_p( n1_p * (cum_n0_below + n0_p / 2) ) / (n1 * n0),
     algebraically identical to the reference's
-    ``(sum rank(prob)[y==1] - n1(n1+1)/2) / (n1 n0)`` with R average ranks.
+    ``(sum rank(prob)[y==1] - n1(n1+1)/2) / (n1 n0)`` with R average ranks;
+    with weights, every count becomes a weight sum.
 
     Scale plan: probabilities reduce via groupBy(p) (map-side combine);
     the cumulative negative count then runs in TWO levels — per-bucket
@@ -118,12 +121,15 @@ def auc(df: DataFrame, prob_col: str, pos_indicator) -> float:
     PARTITIONED by bucket. No single-task global window anywhere, so the
     whole computation stays parallel at any data size.
     """
+    wcol = F.col(weight_col) if weight_col else F.lit(1.0)
     grouped = (
-        df.select(F.col(prob_col).alias("p"), pos_indicator.alias("y2"))
+        df.select(
+            F.col(prob_col).alias("p"), pos_indicator.alias("y2"), wcol.alias("w")
+        )
         .groupBy("p")
         .agg(
-            F.sum("y2").alias("n1_g"),
-            F.sum(F.lit(1.0) - F.col("y2")).alias("n0_g"),
+            F.sum(F.col("w") * F.col("y2")).alias("n1_g"),
+            F.sum(F.col("w") * (F.lit(1.0) - F.col("y2"))).alias("n0_g"),
         )
         .withColumn(
             "bucket",

@@ -87,3 +87,26 @@ def long_to_features(
         lambda i: F.coalesce(F.col("_m")[i.cast("int")], F.lit(0.0)),
     )
     return pairs.withColumn(out, dense).drop("_m")
+
+
+def sparse_xtv(
+    triplets: DataFrame,
+    v: DataFrame,
+    row_col: str = "row_id",
+    col_col: str = "col_id",
+    val_col: str = "value",
+    v_col: str = "v",
+) -> DataFrame:
+    """Distributed ``X^T v`` directly on the long format: join the triplets
+    to the per-row vector ``v`` on row_id, then one groupBy(col_id) sum.
+
+    This is the wide-p scale path (p too large to densify into array rows
+    or to ship a p-vector to the driver): shuffle volume is O(nnz) for the
+    join plus O(distinct col_id) for the aggregation, and the result stays
+    a DataFrame — the gradient never has to exist as one dense object.
+    Returns (col_id, xtv)."""
+    return (
+        triplets.join(v.select(F.col(row_col), F.col(v_col)), row_col)
+        .groupBy(col_col)
+        .agg(F.sum(F.col(val_col) * F.col(v_col)).alias("xtv"))
+    )

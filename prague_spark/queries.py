@@ -1347,6 +1347,40 @@ SQL_SPARSE_INGEST = """
 """
 
 
+def q_sparse_xtv(spark, sf_dir):
+    """Wide-p sparse gradient: X^T v computed directly on long-format
+    triplets (join on row_id + groupBy col_id) — the scale path when p is
+    too large to densify. Triplets and v derived from events."""
+    from .ops.sparse import sparse_xtv
+
+    ev = load(spark, sf_dir, "events")
+    trip = ev.select(
+        F.col("event_id").alias("row_id"),
+        (F.col("event_id") % 7).cast("int").alias("col_id"),
+        F.col("value").alias("value"),
+    )
+    v = ev.select(
+        F.col("event_id").alias("row_id"),
+        (F.col("value") - 1.0).alias("v"),
+    )
+    out = sparse_xtv(trip, v)
+    return out.select(
+        "col_id", F.round("xtv", 4).alias("xtv")
+    )
+
+
+SQL_SPARSE_XTV = """
+    WITH trip AS (
+        SELECT event_id AS row_id, (event_id % 7)::INTEGER AS col_id, value
+        FROM events
+    ), v AS (
+        SELECT event_id AS row_id, value - 1.0 AS v FROM events
+    )
+    SELECT t.col_id, round(sum(t.value * v.v), 4) AS xtv
+    FROM trip t JOIN v USING (row_id) GROUP BY t.col_id
+"""
+
+
 def q_s4_random_problem(spark, sf_dir):
     """Synthetic problem generator (randomProblem, R/utils.R:15-76) —
     rows-only (rand streams are engine-specific)."""
@@ -1432,6 +1466,7 @@ QUERIES = {
     # sources / streaming-compatible / synthetic
     "events_windowed_agg": q_events_windowed_agg,
     "sparse_ingest": q_sparse_ingest,
+    "sparse_xtv": q_sparse_xtv,
     "s4_random_problem": q_s4_random_problem,
     "f13_diagnostics": q_f13_diagnostics,
 }
@@ -1472,5 +1507,6 @@ ORACLES = {
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "events_windowed_agg": SQL_EVENTS_WINDOW,
     "sparse_ingest": SQL_SPARSE_INGEST,
+    "sparse_xtv": SQL_SPARSE_XTV,
     "multimodal_frame_plan": SQL_MM_FRAME_PLAN,
 }

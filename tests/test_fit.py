@@ -181,3 +181,28 @@ def test_cv_gram_matches_refit(li, spark):
     for k in m1:
         assert abs(m1[k] - m2[k]) / max(abs(m1[k]), 1e-12) < 1e-3, (k, m1[k], m2[k])
     assert r1.optima[0]["sigma_idx"] == r2.optima[0]["sigma_idx"]
+
+
+def test_weighted_auc_matches_numpy(li, spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from prague_spark.ops.score import auc
+
+    df = li.limit(3000).select(
+        F.round(F.col("l_discount"), 3).alias("p"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y2"),
+        (F.col("l_quantity") / 10.0).alias("w"),
+    ).cache()
+    got = auc(df, "p", F.col("y2"), weight_col="w")
+    pdf = df.toPandas()
+    p, y2, w = pdf["p"].to_numpy(), pdf["y2"].to_numpy(), pdf["w"].to_numpy()
+    # weighted Mann-Whitney with average-rank ties, brute force
+    u = 0.0
+    for val in np.unique(p):
+        m = p == val
+        below = w[(p < val) & (y2 == 0)].sum()
+        tie0 = w[m & (y2 == 0)].sum()
+        u += w[m & (y2 == 1)].sum() * (below + tie0 / 2.0)
+    want = u / (w[y2 == 1].sum() * w[y2 == 0].sum())
+    assert got == pytest.approx(want, rel=1e-10)
