@@ -48,10 +48,13 @@ def main() -> None:
     wm = ps.fit(li_s, ["l_quantity", "l_discount", "l_tax"], "l_extendedprice",
                 "gaussian", n_sigma=3)
     ps.score(li_s, wm, "l_extendedprice", "mse")
-    wb = ps.fit(
-        li_s.withColumn("flag", F.when(F.col("l_returnflag") == "R", "ret").otherwise("ok")),
-        ["l_quantity"], "flag", "binomial", n_sigma=2, lambda_min_ratio=0.5,
+    li_flag_s = li_s.withColumn(
+        "flag", F.when(F.col("l_returnflag") == "R", "ret").otherwise("ok")
     )
+    wb = ps.fit(
+        li_flag_s, ["l_quantity"], "flag", "binomial", n_sigma=2, lambda_min_ratio=0.5,
+    )
+    ps.score(li_flag_s, wb, "flag", "auc")
     dedup.exact_dedup(docs_s, "text", "doc_id").count()
     _ws = dedup.minhash_signatures(docs_s, "doc_id", "text", num_hashes=32)
     dedup.minhash_lsh_candidates(_ws, "doc_id", bands=8, rows_per_band=4).count()

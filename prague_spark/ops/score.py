@@ -148,17 +148,18 @@ def auc(df: DataFrame, prob_col: str, pos_indicator, weight_col: str | None = No
     for b in sorted(totals):
         prefix[b] = acc
         acc += totals[b]
-    prefix_map = F.create_map(
-        *[x for b, v in prefix.items() for x in (F.lit(b), F.lit(v))]
+    spark = df.sparkSession
+    prefix_df = spark.createDataFrame(
+        [(b, v) for b, v in prefix.items()], "bucket int, n0_before double"
     )
     w = (
         Window.partitionBy("bucket")
         .orderBy("p")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    scored = grouped.withColumn(
+    scored = grouped.join(F.broadcast(prefix_df), "bucket").withColumn(
         "cum_n0_below",
-        prefix_map[F.col("bucket")] + F.coalesce(F.sum("n0_g").over(w), F.lit(0.0)),
+        F.col("n0_before") + F.coalesce(F.sum("n0_g").over(w), F.lit(0.0)),
     )
     row = scored.agg(
         F.sum(F.col("n1_g") * (F.col("cum_n0_below") + F.col("n0_g") / 2.0)).alias("u"),

@@ -18,7 +18,11 @@ def get_spark(app_name: str = "prague_spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # single-JVM local mode: driver heap IS the executor heap. The
+        # target box has 128 GiB; with 32 task threads an 8g heap GC-
+        # thrashes on wide codegen aggregates (multi-second pauses showing
+        # up as 5-10x per-query variance), so default generously.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
