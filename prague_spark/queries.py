@@ -34,9 +34,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # long read + an explicit micros conversion.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer division: ts is ~1.7e18 nanos; a double round-trip loses
+        # sub-microsecond precision (observed 1us session-start drift)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -1305,6 +1305,49 @@ SQL_EVENTS_WINDOW = """
 """
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Per-user sessionization with a 30-minute inactivity gap via
+    ``F.session_window`` — the canonical stateful-streaming operator; the
+    same expression runs under readStream with a watermark. Batch oracle:
+    lag + cumulative session-id. Output: one row per (user, session)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ), s AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM o
+    )
+    SELECT user_id, min(ts) AS session_start,
+           count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sess_id
+"""
+
+
 def q_sparse_ingest(spark, sf_dir):
     """Sparse long-format ingest + scale-only standardization
     (src/standardize.h:42-71: no centering for sparse) + densification.
@@ -1465,6 +1508,7 @@ QUERIES = {
     "r_lambda_sequences": q_r_lambda_sequences,
     # sources / streaming-compatible / synthetic
     "events_windowed_agg": q_events_windowed_agg,
+    "events_sessionize": q_events_sessionize,
     "sparse_ingest": q_sparse_ingest,
     "sparse_xtv": q_sparse_xtv,
     "s4_random_problem": q_s4_random_problem,
@@ -1506,6 +1550,7 @@ ORACLES = {
     "text_langid": _langid_sql(),
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "events_windowed_agg": SQL_EVENTS_WINDOW,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "sparse_ingest": SQL_SPARSE_INGEST,
     "sparse_xtv": SQL_SPARSE_XTV,
     "multimodal_frame_plan": SQL_MM_FRAME_PLAN,

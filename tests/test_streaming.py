@@ -15,7 +15,7 @@ def events_stream_dir(spark, sf_dir):
     # needs no legacy flag.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     d = tempfile.mkdtemp(prefix="prague_stream_")
     df.coalesce(2).write.mode("overwrite").parquet(d)
