@@ -162,6 +162,36 @@ def gram_xty_pass_keyed(df, x_col: str, y_col: str, key_col: str, p: int, n_keys
     return out
 
 
+def glm_setup_pass(df, x_col: str, y_col: str, p: int, m: int = 1, need_xtx: bool = True):
+    """ONE fused scan producing every setup statistic the iterative GLM
+    families need: optionally X^T X (Lipschitz bound), X^T Y, column sums
+    of X, column sums of Y, and n. Replaces three separate scans
+    (xtx_pass + response-mean agg + xtv_pass): at cluster scale each
+    avoided pass is one full read of the data."""
+    nx = p * p if need_xtx else 0
+    out_len = nx + p * m + p + m + 1
+
+    def make_partial(batch):
+        X, Y = _batch_xy(batch, x_col, y_col, p, m)
+        part = np.empty(out_len, dtype=np.float64)
+        if need_xtx:
+            part[:nx] = (X.T @ X).ravel()
+        part[nx : nx + p * m] = (X.T @ Y).ravel(order="F")
+        part[nx + p * m : nx + p * m + p] = X.sum(axis=0)
+        part[nx + p * m + p : nx + p * m + p + m] = Y.sum(axis=0)
+        part[-1] = float(X.shape[0])
+        return part
+
+    tot = partial_aggregate(df.select(x_col, y_col), out_len, make_partial)
+    return dict(
+        xtx=tot[:nx].reshape(p, p) if need_xtx else None,
+        xty=tot[nx : nx + p * m].reshape((p, m), order="F"),
+        sums_x=tot[nx + p * m : nx + p * m + p].copy(),
+        sums_y=tot[nx + p * m + p : nx + p * m + p + m].copy(),
+        n=int(round(tot[-1])),
+    )
+
+
 def xtv_pass(df, x_col: str, v_col: str, p: int, m: int = 1):
     """Distributed ``X^T v`` (used for lambda_max, ``src/lambdaMax.h:8-60``)."""
 

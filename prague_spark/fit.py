@@ -31,7 +31,7 @@ from .core.lambdas import lambda_sequence, sigma_grid
 from .core.screening import kkt_check, strong_rule_active_set
 from .core.solver import FitResult, admm_gaussian, admm_rho, fista
 from .design import GramData, GramGaussianDesign, LocalDesign, SparkGlmDesign
-from .design.linalg import gram_xty_pass, xtv_pass, xtx_pass
+from .design.linalg import glm_setup_pass, gram_xty_pass
 from .model import SlopeModel
 from .ops.features import assemble_features
 from .ops.response import Y_COL, preprocess_response
@@ -58,37 +58,32 @@ def _collect_xy(sdf: DataFrame, p: int, m: int):
     return X, Y
 
 
-def _lambda_max(sdf, family, rinfo, p_total, m, intercept, xty_gaussian=None):
-    """Distributed |X^T y~| (``src/lambdaMax.h:8-60``), intercept row shed."""
+def _lambda_max_from_stats(family, xty, sums_x, sums_y, n, intercept):
+    """|X^T y~| (``src/lambdaMax.h:8-60``) from cross-moment statistics,
+    intercept row shed. All family transforms of y are affine, so
+    ``X^T v`` folds into X^T Y plus column-sum corrections — one fused
+    scan (or the in-core arrays) supplies everything:
+
+    - gaussian:    v = y (already centered/scaled by response prep)
+    - binomial:    v = (y+1)/2 - mean01        (y in {-1,+1})
+    - poisson:     v = 1 - y
+    - multinomial: v = (Y - mean)/std, scaled back by std => X'Y - colsums x mean
+    """
+    xty = np.asarray(xty, dtype=np.float64)
+    if xty.ndim == 1:
+        xty = xty[:, np.newaxis]
+    p_total, m = xty.shape
     if family == "gaussian":
-        lm = np.asarray(xty_gaussian, dtype=np.float64).reshape(p_total, 1)
+        lm = xty
     elif family == "binomial":
-        mean01 = float(
-            sdf.agg(F.avg((F.col(Y_COL) + 1.0) / 2.0)).first()[0]
-        )
-        tmp = sdf.withColumn("_v", (F.col(Y_COL) + 1.0) / 2.0 - F.lit(mean01))
-        lm = xtv_pass(tmp, X_COL, "_v", p_total).reshape(p_total, 1)
+        mean01 = (sums_y[0] / n + 1.0) / 2.0
+        lm = (xty[:, 0] + sums_x) / 2.0 - mean01 * sums_x
+        lm = lm[:, np.newaxis]
     elif family == "poisson":
-        tmp = sdf.withColumn("_v", 1.0 - F.col(Y_COL))
-        lm = xtv_pass(tmp, X_COL, "_v", p_total).reshape(p_total, 1)
+        lm = (sums_x - xty[:, 0])[:, np.newaxis]
     elif family == "multinomial":
-        stats = sdf.agg(
-            *[F.avg(F.col(Y_COL)[k]).alias(f"m{k}") for k in range(m)],
-            *[F.stddev_pop(F.col(Y_COL)[k]).alias(f"s{k}") for k in range(m)],
-        ).first()
-        means = np.array([stats[f"m{k}"] for k in range(m)])
-        stds = np.array([stats[f"s{k}"] for k in range(m)])
-        tmp = sdf.withColumn(
-            "_v",
-            F.array(
-                *[
-                    (F.col(Y_COL)[k] - F.lit(float(means[k]))) / F.lit(float(stds[k]))
-                    for k in range(m)
-                ]
-            ),
-        )
-        lm = xtv_pass(tmp, X_COL, "_v", p_total, m)
-        lm = lm * stds[np.newaxis, :]
+        means = np.asarray(sums_y, dtype=np.float64) / n
+        lm = xty - np.outer(sums_x, means)
     else:
         raise ValueError(family)
     if intercept:
@@ -173,23 +168,34 @@ def fit(
         # in-core gaussian still goes through Gram/ADMM like the reference
         use_admm = True
 
-    # Fixed Lipschitz step for the families with a provable global bound:
-    # binomial L <= eigmax(X'X)/4, multinomial L <= eigmax(X'X)/2.
-    # Used only on the distributed design, where each line-search probe is
-    # a full data pass — one extra setup pass buys zero probes per
-    # iteration. In-core keeps backtracking: its adaptive step is larger
-    # than 1/L in flat regions and probes cost microseconds there.
+    # ---- setup statistics + penalty machinery ----
+    # One fused scan (distributed design) or in-core arrays supply both
+    # the fixed Lipschitz step (binomial L <= eigmax(X'X)/4, multinomial
+    # <= eigmax/2 — with it, zero line-search probe passes per iteration)
+    # and the lambda_max cross-moments. In-core keeps backtracking: its
+    # adaptive step beats 1/L in flat regions and probes cost microseconds.
     lipschitz_lr = None
-    if family in ("binomial", "multinomial") and isinstance(design, SparkGlmDesign):
-        xtx = xtx_pass(sdf, X_COL, p_total)
-        eigmax = float(np.linalg.eigvalsh(xtx).max())
-        if eigmax > 0:
-            lipschitz_lr = (4.0 if family == "binomial" else 2.0) / eigmax
-
-    # ---- penalty machinery (driver plane fed by one distributed agg) ----
-    if family == "gaussian" and xty_gaussian is None and isinstance(design, LocalDesign):
-        xty_gaussian = (design.X.T @ design.Y).ravel()
-    lambda_max = _lambda_max(sdf, family, rinfo, p_total, m, intercept, xty_gaussian)
+    if isinstance(design, SparkGlmDesign):
+        need_xtx = family in ("binomial", "multinomial")
+        setup = glm_setup_pass(sdf, X_COL, Y_COL, p_total, m, need_xtx=need_xtx)
+        if need_xtx:
+            eigmax = float(np.linalg.eigvalsh(setup["xtx"]).max())
+            if eigmax > 0:
+                lipschitz_lr = (4.0 if family == "binomial" else 2.0) / eigmax
+        lambda_max = _lambda_max_from_stats(
+            family, setup["xty"], setup["sums_x"], setup["sums_y"], n, intercept
+        )
+    elif family == "gaussian" and xty_gaussian is not None:
+        lambda_max = _lambda_max_from_stats(
+            family, np.asarray(xty_gaussian).reshape(p_total, -1),
+            None, None, n, intercept,
+        )
+    else:
+        X_loc, Y_loc = design.X, design.Y
+        lambda_max = _lambda_max_from_stats(
+            family, X_loc.T @ Y_loc, X_loc.sum(axis=0), Y_loc.sum(axis=0),
+            n, intercept,
+        )
 
     lam = lambda_sequence(p_pen * m, n, lambda_type, q, user_lambda)
     sigma_is_auto = sigma is None

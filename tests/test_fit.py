@@ -206,3 +206,21 @@ def test_weighted_auc_matches_numpy(li, spark):
         u += w[m & (y2 == 1)].sum() * (below + tie0 / 2.0)
     want = u / (w[y2 == 1].sum() * w[y2 == 0].sum())
     assert got == pytest.approx(want, rel=1e-10)
+
+
+def test_gaussian_spark_design_matches_gram(li):
+    import numpy as np
+
+    import prague_spark as ps
+
+    sub = li.limit(2000)
+    kw = dict(n_sigma=4, lambda_min_ratio=0.05)
+    m_gram = ps.fit(sub, ["l_quantity", "l_discount"], "l_extendedprice",
+                    "gaussian", solver="gram", **kw)
+    m_spark = ps.fit(sub, ["l_quantity", "l_discount"], "l_extendedprice",
+                     "gaussian", solver="spark", **kw)
+    n = min(m_gram.n_path, m_spark.n_path)
+    assert n >= 1
+    np.testing.assert_allclose(
+        m_spark.betas[:n], m_gram.betas[:n], rtol=5e-3, atol=2e-4
+    )
