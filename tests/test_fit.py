@@ -224,3 +224,20 @@ def test_gaussian_spark_design_matches_gram(li):
     np.testing.assert_allclose(
         m_spark.betas[:n], m_gram.betas[:n], rtol=5e-3, atol=2e-4
     )
+
+
+def test_poisson_multinomial_spark_design(li):
+    import prague_spark as ps
+
+    sub = li.limit(1500)
+    mp = ps.fit(
+        sub.withColumn("cnt", F.round("l_quantity").cast("double")),
+        ["l_discount", "l_tax"], "cnt", "poisson",
+        n_sigma=2, lambda_min_ratio=0.3, solver="spark",
+    )
+    assert mp.n_path >= 1
+    mm = ps.fit(
+        sub, ["l_quantity", "l_extendedprice"], "l_returnflag", "multinomial",
+        n_sigma=2, lambda_min_ratio=0.3, solver="spark", max_passes=300,
+    )
+    assert mm.n_path >= 1 and mm.betas.shape[2] == 2

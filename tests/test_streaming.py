@@ -84,3 +84,67 @@ def test_score_stream_stateless(spark, lineitem, events_stream_dir):
         "SELECT count(*) AS n, count(pred) AS np FROM scored"
     ).first()
     assert row["n"] == lineitem.count() and row["np"] == row["n"]
+
+
+def test_stateful_running_stats_across_batches(spark, sf_dir):
+    """applyInPandasWithState: state must carry across micro-batches —
+    two files, maxFilesPerTrigger=1 forces two batches; the final emitted
+    totals must equal the batch-computed global stats."""
+    import numpy as np
+
+    from prague_spark.streaming.stateful import running_stats_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "value", "event_id"
+    )
+    d = tempfile.mkdtemp(prefix="prague_stateful_")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{d}/p0")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{d}/p1")
+    # single dir with both files
+    import glob as _glob
+    import shutil
+
+    sdir = tempfile.mkdtemp(prefix="prague_stateful_in_")
+    for i, f in enumerate(sorted(_glob.glob(f"{d}/p*/part-*.parquet"))):
+        shutil.copy(f, f"{sdir}/{i:04d}.parquet")
+
+    schema = ev.select("user_id", "value").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    out = running_stats_stream(stream, "user_id", "value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM running_stats").collect()
+    # at least one key must have been emitted in BOTH batches (state carried)
+    from collections import Counter
+
+    per_key = Counter(r["key"] for r in rows)
+    assert max(per_key.values()) >= 2
+    # final emission per key == exact global stats
+    final = {}
+    for r in rows:
+        if r["key"] not in final or r["n"] > final[r["key"]]["n"]:
+            final[r["key"]] = {"n": r["n"], "mean": r["mean"], "var": r["var"]}
+    want = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("value").alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_samp("value").alias("var"),
+        )
+        .collect()
+    }
+    for k, got in final.items():
+        assert got["n"] == want[k]["n"]
+        assert got["mean"] == pytest.approx(want[k]["mean"], rel=1e-9)
+        assert got["var"] == pytest.approx(want[k]["var"], rel=1e-6)
