@@ -147,6 +147,29 @@ def ivf_topk(
     return out
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    path: str,
+    cell_col: str = "cell",
+) -> None:
+    """Materialize the IVF layout: corpus parquet partitioned by cell id.
+
+    Probing then reads ONLY the nprobe matching partitions (Spark
+    partition pruning on the directory structure) — at 100 TB a top-k
+    query touches nprobe/n_cells of the data instead of scanning it all."""
+    assign_ivf_cells(corpus, vec_col, centroids, out=cell_col).write.mode(
+        "overwrite"
+    ).partitionBy(cell_col).parquet(path)
+
+
+def read_ivf_index(spark, path: str) -> DataFrame:
+    """Load a written IVF index; filters on the cell column prune
+    partitions (verify with .explain: PartitionFilters)."""
+    return spark.read.parquet(path)
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     vec_col: str,

@@ -128,3 +128,58 @@ def fingerprint(df: DataFrame, text_col: str, out: str = "fingerprint") -> DataF
 def content_hash(df: DataFrame, text_col: str, out: str = "content_md5") -> DataFrame:
     """Exact-content key (md5 of the raw text)."""
     return df.withColumn(out, F.md5(F.col(text_col)))
+
+
+def winnow_fingerprint(
+    df: DataFrame,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    out: str = "winnow_fp",
+) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer-Wilkerson-Aiken): hash
+    every character k-gram of the lowercased text, take the minimum hash
+    of each sliding window of ``w`` consecutive k-grams, and digest the
+    sorted distinct minima. Near-identical documents share most selected
+    minima, and the fingerprint is position-robust (the rolling-window
+    selection is what "rolling hash fingerprinting" buys over a plain
+    content hash).
+
+    Pure JVM expressions (no UDF): one transform per k-gram, one per
+    window — O(len * w) per row, no shuffle. md5-derived hashes keep it
+    engine-portable (DuckDB-SQL oracle in the query registry)."""
+    # Each stage is materialized as a real column before the next refers
+    # to it: Catalyst does NOT common-subexpression-eliminate inside
+    # higher-order-function lambdas, so inlining ``grams`` into the
+    # window-minimum transform would recompute the whole k-gram hash
+    # array once per window — O(len^2) md5 calls per row.
+    txt = F.lower(F.col(text_col))
+    n_grams = F.greatest(F.length(txt) - k + 1, F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(
+            F.substring(F.md5(txt.substr(i, F.lit(k))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    stage = df.withColumn("_wgrams", grams)
+    minima = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(F.col("_wgrams")) - w + 1, F.lit(1))
+        ),
+        lambda j: F.array_min(F.slice(F.col("_wgrams"), j, w)),
+    )
+    stage = stage.withColumn("_wmin", minima).withColumn(
+        "_wset", F.sort_array(F.array_distinct(F.col("_wmin")))
+    )
+    return (
+        stage.withColumn(
+            out,
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform(F.col("_wset"), lambda x: x.cast("string"))
+                )
+            ),
+        )
+        .withColumn(out + "_size", F.size(F.col("_wset")).cast("bigint"))
+        .drop("_wgrams", "_wmin", "_wset")
+    )

@@ -859,6 +859,38 @@ def q_text_fingerprint(spark, sf_dir):
     return text.fingerprint(docs, "text").select("doc_id", "fingerprint")
 
 
+def q_text_winnow(spark, sf_dir):
+    """Rolling-hash winnowing fingerprint (k=8 char-grams, window 4):
+    digest of the sorted distinct window-minimum hashes."""
+    docs = load(spark, sf_dir, "documents")
+    out = text.winnow_fingerprint(docs, "text", k=8, w=4)
+    return out.select("doc_id", "winnow_fp", F.col("winnow_fp_size").alias("n_minima"))
+
+
+SQL_TEXT_WINNOW = """
+    WITH g AS (
+        SELECT doc_id, p.i,
+               ('0x' || substr(md5(substr(lower(text), p.i, 8)), 1, 8))::BIGINT AS h,
+               greatest(length(text) - 8 + 1, 1) AS n_grams
+        FROM documents,
+        LATERAL (SELECT unnest(range(1, greatest(length(text) - 8 + 1, 1) + 1)) AS i) p
+    ), m AS (
+        SELECT doc_id, i,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+               n_grams
+        FROM g
+    ), sel AS (
+        SELECT DISTINCT doc_id, wmin FROM m
+        WHERE i <= greatest(n_grams - 4 + 1, 1)
+    )
+    SELECT doc_id,
+           md5(string_agg(wmin::VARCHAR, ',' ORDER BY wmin)) AS winnow_fp,
+           count(*)::BIGINT AS n_minima
+    FROM sel GROUP BY doc_id
+"""
+
+
 SQL_TEXT_FINGERPRINT = """
     SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(
@@ -1492,6 +1524,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_winnow_fingerprint": q_text_winnow,
     # solver surface (rows-only)
     "f11_gaussian_path": q_f11_gaussian_path,
     "f2_binomial_fit": q_f2_binomial_fit,
@@ -1549,6 +1582,7 @@ ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": _langid_sql(),
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "text_winnow_fingerprint": SQL_TEXT_WINNOW,
     "events_windowed_agg": SQL_EVENTS_WINDOW,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "sparse_ingest": SQL_SPARSE_INGEST,

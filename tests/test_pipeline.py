@@ -209,3 +209,24 @@ def test_embedding_cosine_pairs_lsh_subset_of_exact(emb):
     }
     assert lsh <= exact
     assert len(lsh) > 0  # 8 planes at threshold 0.3 keeps useful recall
+
+
+def test_ivf_partitioned_index_prunes(emb, spark, tmp_path):
+    vec = emb.withColumn("vec", F.transform("embedding", lambda x: x.cast("double")))
+    C = similarity.train_ivf_centroids(vec, "vec", n_centroids=4, iters=3)
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(vec, "vec", C, path)
+    idx = similarity.read_ivf_index(spark, path)
+    # all rows survive the roundtrip
+    assert idx.count() == emb.count()
+    probe = idx.filter(F.col("cell").isin([0, 1]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # probed search over the pruned index returns correct top-k
+    qrow = vec.limit(1).select("vec_id", "vec").first()
+    out = similarity.ivf_topk(
+        idx, "vec_id", "vec", C,
+        [(int(qrow["vec_id"]), [float(x) for x in qrow["vec"]])],
+        k=3, nprobe=2,
+    ).collect()
+    assert len(out) == 3
