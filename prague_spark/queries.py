@@ -899,6 +899,17 @@ SQL_TEXT_FINGERPRINT = """
 """
 
 
+def q_dedup_ngram3_jaccard(spark, sf_dir):
+    """Word 3-gram shingle Jaccard pairs >= 0.3 with a document-frequency
+    cap (the production n-gram dedup config; the n=1 variant above has the
+    exact SQL oracle) — rows-only."""
+    docs = load(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3, max_df=100
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH banding candidate pairs (2 bands x 2 rows over the
     4-hash unigram signature): documents sharing >= 1 band key."""
@@ -1513,6 +1524,7 @@ QUERIES = {
     # pipeline extensions
     "dedup_exact": q_dedup_exact,
     "dedup_token_jaccard": q_dedup_token_jaccard,
+    "dedup_ngram3_jaccard": q_dedup_ngram3_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_est": q_dedup_minhash_est,
