@@ -90,8 +90,10 @@ def fit_gaussian_path_from_stats(
     tol_dev_ratio: float = 0.995,
 ):
     """Full gaussian SLOPE path — zero data passes (driver arithmetic on
-    sufficient statistics). Returns (betas_original, sigma, dev_ratios):
-    betas_original has shape (n_path, p+1), intercept first.
+    sufficient statistics). Returns a dict with ``betas`` (original
+    units, shape (n_path, p+1), intercept first), ``sigma``,
+    ``dev_ratios``, ``passes``, ``lam`` (unnormalized), ``null_dev``
+    (response units), and the standardization info.
     """
     std = standardize_stats(raw, center=center, scale=scale)
     G, xty, yty, n = std["G_std"], std["xty_std"], std["yty_std"], std["n"]
@@ -115,6 +117,7 @@ def fit_gaussian_path_from_stats(
     u = np.zeros(p)
     dev_ratios = []
     deviances = []
+    passes = []
     k = 0
     while k < len(sig):
         lam_s = lam * sig[k]
@@ -127,6 +130,7 @@ def fit_gaussian_path_from_stats(
         betas[k] = beta
         dev = res.deviance
         deviances.append(dev)
+        passes.append(res.passes)
         dev_ratio = 1.0 - dev / null_dev if null_dev > 0 else 0.0
         dev_ratios.append(dev_ratio)
         if k > 0 and sigma_is_auto and np.any(beta != 0):
@@ -144,7 +148,20 @@ def fit_gaussian_path_from_stats(
     bscaled = betas * (std["y_scale"] / std["x_scale"])[np.newaxis, :]
     out[:, 1:] = bscaled
     out[:, 0] = std["y_center"] - bscaled @ std["x_center"]
-    return out, sig, np.asarray(dev_ratios)
+    y_var = std["y_scale"] ** 2
+    return dict(
+        betas=out,
+        sigma=sig,
+        dev_ratios=np.asarray(dev_ratios),
+        deviances=np.asarray(deviances[:k]) * y_var,
+        null_dev=null_dev * y_var,
+        passes=np.asarray(passes[:k], dtype=int),
+        lam=lam,
+        x_center=std["x_center"],
+        x_scale=std["x_scale"],
+        y_center=std["y_center"],
+        y_scale=std["y_scale"],
+    )
 
 
 def subtract_stats(total: dict, fold: dict) -> dict:

@@ -169,25 +169,39 @@ def glm_setup_pass(df, x_col: str, y_col: str, p: int, m: int = 1, need_xtx: boo
     (xtx_pass + response-mean agg + xtv_pass): at cluster scale each
     avoided pass is one full read of the data."""
     nx = p * p if need_xtx else 0
-    out_len = nx + p * m + p + m + 1
+    out_len = nx + p * m + p + m + m + 1
 
     def make_partial(batch):
         X, Y = _batch_xy(batch, x_col, y_col, p, m)
         part = np.empty(out_len, dtype=np.float64)
         if need_xtx:
             part[:nx] = (X.T @ X).ravel()
-        part[nx : nx + p * m] = (X.T @ Y).ravel(order="F")
-        part[nx + p * m : nx + p * m + p] = X.sum(axis=0)
-        part[nx + p * m + p : nx + p * m + p + m] = Y.sum(axis=0)
+        o = nx
+        part[o : o + p * m] = (X.T @ Y).ravel(order="F")
+        o += p * m
+        part[o : o + p] = X.sum(axis=0)
+        o += p
+        part[o : o + m] = Y.sum(axis=0)
+        o += m
+        part[o : o + m] = (Y * Y).sum(axis=0)
         part[-1] = float(X.shape[0])
         return part
 
     tot = partial_aggregate(df.select(x_col, y_col), out_len, make_partial)
+    o = nx
+    xty = tot[o : o + p * m].reshape((p, m), order="F")
+    o += p * m
+    sums_x = tot[o : o + p].copy()
+    o += p
+    sums_y = tot[o : o + m].copy()
+    o += m
+    sumsq_y = tot[o : o + m].copy()
     return dict(
         xtx=tot[:nx].reshape(p, p) if need_xtx else None,
-        xty=tot[nx : nx + p * m].reshape((p, m), order="F"),
-        sums_x=tot[nx + p * m : nx + p * m + p].copy(),
-        sums_y=tot[nx + p * m + p : nx + p * m + p + m].copy(),
+        xty=xty,
+        sums_x=sums_x,
+        sums_y=sums_y,
+        sumsq_y=sumsq_y,
         n=int(round(tot[-1])),
     )
 

@@ -121,6 +121,70 @@ def fit(
 ) -> SlopeModel:
     fam = setup_family(family)
 
+    # ---- gaussian one-pass fast path ----
+    # Everything a gaussian path fit needs (response centering/scaling,
+    # feature standardization, lambda_max, the whole ADMM path, and the
+    # deviances) is a function of raw moments, so the entire fit is ONE
+    # fused scan + driver arithmetic (core.gram_path — same machinery as
+    # the one-pass CV). The staged path below (4 scans) remains for
+    # diagnostics, in-core/spark solvers, and non-derivable scales.
+    if (
+        family == "gaussian"
+        and solver in ("auto", "gram")
+        and intercept
+        and center
+        and scale in ("l2", "sd", "none")
+        and user_lambda is None
+        and not diagnostics
+    ):
+        from .core.gram_path import fit_gaussian_path_from_stats
+
+        xdf = df.select(
+            F.array(*[F.col(c).cast("double") for c in features]).alias("_x"),
+            F.col(label).cast("double").alias("_y"),
+        )
+        setup = glm_setup_pass(xdf, "_x", "_y", len(features), 1, need_xtx=True)
+        raw = dict(
+            gram=setup["xtx"],
+            xty=setup["xty"][:, 0],
+            sums_x=setup["sums_x"],
+            yty=float(setup["sumsq_y"][0]),
+            sum_y=float(setup["sums_y"][0]),
+            n=setup["n"],
+        )
+        if not np.isfinite(raw["gram"]).all() or not np.isfinite(raw["yty"]):
+            raise ValueError("NA/inf values in features or response")
+        res = fit_gaussian_path_from_stats(
+            raw, center=center, scale=scale, lambda_type=lambda_type, q=q,
+            n_sigma=n_sigma, sigma=sigma, lambda_min_ratio=lambda_min_ratio,
+            max_passes=max_passes, tol_abs=tol_abs, tol_rel=tol_rel,
+            tol_dev_change=tol_dev_change, tol_dev_ratio=tol_dev_ratio,
+        )
+        betas3 = res["betas"][:, :, np.newaxis]
+        nz = [np.flatnonzero(np.any(b != 0, axis=1)) for b in betas3]
+        return SlopeModel(
+            family=family,
+            feature_names=list(features),
+            intercept=True,
+            betas=betas3,
+            sigma=res["sigma"],
+            lam=res["lam"] / raw["n"],
+            null_deviance=float(res["null_dev"]),
+            deviances=res["deviances"],
+            deviance_ratios=res["dev_ratios"],
+            passes=res["passes"],
+            active_sets=nz,
+            n_unique=np.array(
+                [len(np.unique(np.abs(b[b != 0]))) for b in betas3], dtype=int
+            ),
+            class_names=[],
+            n_targets=1,
+            x_center=res["x_center"],
+            x_scale=res["x_scale"],
+            y_center=np.atleast_1d(res["y_center"]),
+            y_scale=np.atleast_1d(res["y_scale"]),
+        )
+
     # ---- response + features + standardization (DataFrame plane) ----
     df2, rinfo = preprocess_response(df, label, family)
     m = rinfo.n_targets

@@ -238,10 +238,11 @@ def _gaussian_gram_cells(
         for fold in range(n_folds):
             train = subtract_stats(total, per_fold[fold])
             for qv in q_values:
-                betas, sig_real, _ = fit_gaussian_path_from_stats(
+                res = fit_gaussian_path_from_stats(
                     train, q=qv, sigma=sigma, **path_kw
                 )
-                for si in range(len(sig_real)):
+                betas = res["betas"]
+                for si in range(len(res["sigma"])):
                     cells.append(
                         dict(q=qv, rep=rep, fold=fold, sigma_idx=si,
                              measure="mse",

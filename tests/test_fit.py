@@ -49,8 +49,10 @@ def test_gaussian_path_monotone_deviance(li):
 
 
 def test_gaussian_screening_invariance(li):
-    # tight solver tolerances so both runs approach the same optimum
-    kw = dict(n_sigma=10, solver="gram", tol_abs=1e-9, tol_rel=1e-8)
+    # tight solver tolerances so both runs approach the same optimum;
+    # diagnostics=True forces the staged path (screening lives there)
+    kw = dict(n_sigma=10, solver="gram", tol_abs=1e-9, tol_rel=1e-8,
+              diagnostics=True)
     m_on = ps.fit(li, FEATURES, LABEL, "gaussian", screening=True, **kw)
     m_off = ps.fit(li, FEATURES, LABEL, "gaussian", screening=False, **kw)
     k = min(m_on.n_path, m_off.n_path)
@@ -241,3 +243,25 @@ def test_poisson_multinomial_spark_design(li):
         n_sigma=2, lambda_min_ratio=0.3, solver="spark", max_passes=300,
     )
     assert mm.n_path >= 1 and mm.betas.shape[2] == 2
+
+
+def test_gaussian_one_pass_matches_staged(li):
+    """The one-pass moment-based gaussian fit must match the staged
+    (response prep -> standardize -> Gram) path to solver tolerance."""
+    import numpy as np
+
+    import prague_spark as ps
+
+    kw = dict(n_sigma=5, lambda_min_ratio=0.05)
+    m_fast = ps.fit(li, FEATURES, LABEL, "gaussian", **kw)
+    m_staged = ps.fit(li, FEATURES, LABEL, "gaussian", diagnostics=True, **kw)
+    assert m_fast.n_path == m_staged.n_path
+    np.testing.assert_allclose(m_fast.sigma, m_staged.sigma, rtol=1e-9)
+    scale = np.max(np.abs(m_staged.betas))
+    np.testing.assert_allclose(
+        m_fast.betas / scale, m_staged.betas / scale, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        m_fast.deviance_ratios, m_staged.deviance_ratios, atol=1e-5
+    )
+    assert m_fast.null_deviance == pytest.approx(m_staged.null_deviance, rel=1e-9)

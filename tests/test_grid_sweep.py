@@ -19,7 +19,7 @@ def test_grid_screening_invariance(spark, n, p, density):
     df, beta = random_problem(spark, n=n, p=p, family="gaussian",
                               density=density, seed=11)
     feats = [f"x{j}" for j in range(1, p + 1)]
-    kw = dict(n_sigma=6, lambda_min_ratio=0.05)
+    kw = dict(n_sigma=6, lambda_min_ratio=0.05, diagnostics=True)  # staged path (screening lives there)
     m_on = ps.fit(df, feats, "y", "gaussian", screening=True, **kw)
     m_off = ps.fit(df, feats, "y", "gaussian", screening=False, **kw)
     assert m_on.n_path == m_off.n_path
