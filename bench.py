@@ -171,6 +171,18 @@ def main() -> None:
         queries = [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in qrows]
         similarity.cosine_topk(emb, "vec_id", "vec", queries, k=10).count()
 
+    @bench("events_sessionize")
+    def _():
+        from prague_spark.queries import q_events_sessionize
+
+        q_events_sessionize(spark, SF_DIR).count()
+
+    @bench("text_winnow_fingerprint")
+    def _():
+        text_ops.winnow_fingerprint(docs, "text").agg(
+            F.count("winnow_fp")
+        ).collect()
+
     @bench("text_quality")
     def _():
         out = text_ops.quality_score(docs, "text")
