@@ -193,7 +193,10 @@ def fit(
     base = df3.select(
         *[F.col(c).cast("double").alias(c) for c in features], Y_COL
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    n = base.count()  # materializes the cache
+    # row count rides along with the one-scan standardizer when available;
+    # the cache then materializes on the first design pass instead of a
+    # dedicated count scan
+    n = std.n if std.n is not None else base.count()
     # Precondition the intercept column to unit l2 norm (1/sqrt(n) entries):
     # with l2-scaled features this keeps the Hessian condition number O(1)
     # instead of O(n), so FISTA pass counts stay flat as data grows. Exact

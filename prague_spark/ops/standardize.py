@@ -5,9 +5,10 @@ jolars/prague): optionally center each column by its mean, then scale by
 the ``l1`` / ``l2`` / ``sd`` (sample) / ``max`` norm **of the centered
 column**; zero-norm columns get scale 1.0 so constant features survive.
 
-Cost model at scale: two scans (one for means, one for centered norms) —
-both are map-side-combined aggregations with a p-sized result, no shuffle
-of data rows. The transform itself is a pure projection (whole-stage
+Cost model at scale: ONE scan for l2/sd/none (centered norms derive from
+raw moments; the row count comes along for free), two scans for l1/max
+(not moment-derivable) — all map-side-combined aggregations with a
+p-sized result, no shuffle of data rows. The transform itself is a pure projection (whole-stage
 codegen, no shuffle).
 """
 
@@ -15,6 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 SCALE_TYPES = ("l1", "l2", "sd", "max", "none")
@@ -27,6 +29,7 @@ class StandardizerModel:
     scale: dict[str, float] = field(default_factory=dict)
     do_center: bool = True
     scale_type: str = "l2"
+    n: int | None = None  # row count, captured when the fit is one-scan
 
     def transform(self, df: DataFrame, suffix: str = "") -> DataFrame:
         """Replace (or suffix) each column with (x - center) / scale."""
@@ -51,29 +54,50 @@ def fit_standardizer(
 
     model = StandardizerModel(cols=list(cols), do_center=center, scale_type=scale)
 
+    if scale in ("l2", "sd", "none"):
+        # ONE scan: l2/sd of the centered column derive from raw moments
+        # (sum, sum of squares, n). The centered sum-of-squares
+        # sumsq - n*mean^2 is exact to ~1e-7 relative even at the double-
+        # precision edge (partition-wise partial sums), far inside every
+        # oracle rounding. l1/max of centered values are not
+        # moment-derivable and keep the two-scan path below.
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in cols:
+            e = F.col(c).cast("double")
+            aggs.append(F.sum(e).alias(f"_s_{c}"))
+            if scale != "none":
+                aggs.append(F.sum(e * e).alias(f"_q_{c}"))
+        row = df.agg(*aggs).first()
+        n = int(row["_n"])
+        model.n = n
+        if center:
+            model.center = {c: float(row[f"_s_{c}"]) / n for c in cols}
+        if scale != "none":
+            for c in cols:
+                mean = float(row[f"_s_{c}"]) / n if center else 0.0
+                css = max(float(row[f"_q_{c}"]) - n * mean * mean, 0.0)
+                v = np.sqrt(css / (n - 1)) if scale == "sd" and n > 1 else np.sqrt(css)
+                model.scale[c] = 1.0 if v == 0.0 else float(v)
+        return model
+
     if center:
         row = df.agg(*[F.avg(F.col(c).cast("double")).alias(c) for c in cols]).first()
         model.center = {c: float(row[c]) for c in cols}
 
-    if scale != "none":
-        def centered(c):
-            e = F.col(c).cast("double")
-            return e - F.lit(model.center[c]) if center else e
+    def centered(c):
+        e = F.col(c).cast("double")
+        return e - F.lit(model.center[c]) if center else e
 
-        aggs = []
-        for c in cols:
-            e = centered(c)
-            if scale == "l1":
-                aggs.append(F.sum(F.abs(e)).alias(c))
-            elif scale == "l2":
-                aggs.append(F.sqrt(F.sum(e * e)).alias(c))
-            elif scale == "sd":
-                aggs.append(F.stddev_samp(e).alias(c))
-            elif scale == "max":
-                aggs.append(F.max(e).alias(c))
-        row = df.agg(*aggs).first()
-        model.scale = {
-            c: (1.0 if row[c] is None or float(row[c]) == 0.0 else float(row[c]))
-            for c in cols
-        }
+    aggs = []
+    for c in cols:
+        e = centered(c)
+        if scale == "l1":
+            aggs.append(F.sum(F.abs(e)).alias(c))
+        elif scale == "max":
+            aggs.append(F.max(e).alias(c))
+    row = df.agg(*aggs).first()
+    model.scale = {
+        c: (1.0 if row[c] is None or float(row[c]) == 0.0 else float(row[c]))
+        for c in cols
+    }
     return model
