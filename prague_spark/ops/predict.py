@@ -99,3 +99,38 @@ def predict(
             chain = F.when(cond, F.lit(cls)) if chain is None else chain.when(cond, F.lit(cls))
         return out_df.withColumn(out, chain).drop(tmp)
     raise ValueError(f"type {type!r} not supported for multinomial")
+
+
+def predict_path(
+    df: DataFrame,
+    model: SlopeModel,
+    type: str = "link",
+    out: str = "pred_path",
+) -> DataFrame:
+    """Predictions for EVERY path point at once — one array element per
+    sigma (the reference's 3-D n x m x n_sigma output, ``R/predict.R:65-67``).
+
+    Still a single scan + project: each slice's coefficients fold in as
+    literals, so the plan cost is independent of the path length apart
+    from expression width."""
+    fam = model.family
+
+    def slice_expr(i):
+        if fam in ("gaussian", "binomial", "poisson"):
+            lp = linear_predictor_expr(model, i)
+            if type == "link" or (type == "response" and fam == "gaussian"):
+                return lp
+            if fam == "binomial" and type == "response":
+                return F.lit(1.0) / (F.lit(1.0) + F.exp(-lp))
+            if fam == "poisson" and type == "response":
+                return F.exp(lp)
+            raise ValueError(f"type {type!r} not supported for family {fam!r}")
+        if type != "link":
+            raise ValueError("predict_path for multinomial supports type='link'")
+        lps = [
+            linear_predictor_expr(model, i, target=t)
+            for t in range(model.n_targets)
+        ]
+        return F.array(*lps, F.lit(0.0))
+
+    return df.withColumn(out, F.array(*[slice_expr(i) for i in range(model.n_path)]))

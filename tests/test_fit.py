@@ -265,3 +265,16 @@ def test_gaussian_one_pass_matches_staged(li):
         m_fast.deviance_ratios, m_staged.deviance_ratios, atol=1e-5
     )
     assert m_fast.null_deviance == pytest.approx(m_staged.null_deviance, rel=1e-9)
+
+
+def test_predict_path_matches_per_slice(li):
+    model = ps.fit(li, FEATURES, LABEL, "gaussian", n_sigma=6)
+    from prague_spark.ops.predict import predict_path
+
+    full = predict_path(li, model, type="link", out="pp")
+    for i in (0, model.n_path - 1):
+        both = ps.predict(full, model, path_idx=i, type="link", out="p1")
+        diff = both.select(
+            F.max(F.abs(F.col("pp")[i] - F.col("p1"))).alias("d")
+        ).first()["d"]
+        assert diff < 1e-9
