@@ -14,7 +14,7 @@ Layering:
 from .fit import fit
 from .model import SlopeModel
 from .ops.cv import cv_fit
-from .ops.predict import predict
+from .ops.predict import predict, predict_path
 from .ops.score import auc, score, score_path
 from .session import get_spark
 
@@ -23,6 +23,7 @@ __all__ = [
     "SlopeModel",
     "cv_fit",
     "predict",
+    "predict_path",
     "score",
     "score_path",
     "auc",
