@@ -56,7 +56,11 @@ def standardize_stats(raw: dict, center: bool = True, scale: str = "l2") -> dict
     if scale == "l2":
         xs = np.sqrt(diag)
     elif scale == "sd":
-        xs = np.sqrt(diag / (n - 1))
+        # always the CENTERED sample sd, even when center=False
+        # (arma::stddev semantics — only the stored center honors the flag)
+        xbar_all = sx / n
+        diag_c = np.clip(np.diag(G) - n * xbar_all * xbar_all, 0.0, None)
+        xs = np.sqrt(diag_c / (n - 1))
     elif scale == "none":
         xs = np.ones(p)
     else:
@@ -88,6 +92,7 @@ def fit_gaussian_path_from_stats(
     tol_rel: float = 1e-4,
     tol_dev_change: float = 1e-5,
     tol_dev_ratio: float = 0.995,
+    max_variables: int | None = None,
 ):
     """Full gaussian SLOPE path — zero data passes (driver arithmetic on
     sufficient statistics). Returns a dict with ``betas`` (original
@@ -118,6 +123,7 @@ def fit_gaussian_path_from_stats(
     dev_ratios = []
     deviances = []
     passes = []
+    n_uniq = []
     k = 0
     while k < len(sig):
         lam_s = lam * sig[k]
@@ -133,12 +139,19 @@ def fit_gaussian_path_from_stats(
         passes.append(res.passes)
         dev_ratio = 1.0 - dev / null_dev if null_dev > 0 else 0.0
         dev_ratios.append(dev_ratio)
+        # SLOPE cluster count on the STANDARDIZED-space coefficients (ties
+        # occur in the penalized internal space; per-column rescaling would
+        # destroy them) — src/owl.cpp:338
+        n_uniq.append(len(np.unique(np.abs(beta[beta != 0]))))
         if k > 0 and sigma_is_auto and np.any(beta != 0):
             prev = deviances[k - 1]
             change = abs((prev - dev) / prev) if prev != 0 else 0.0
             if change < tol_dev_change or dev_ratio > tol_dev_ratio:
                 k += 1
                 break
+        if max_variables is not None and n_uniq[k] > max_variables:
+            # path stops; the offending point is excluded (src/owl.cpp:358)
+            break
         k += 1
 
     betas = betas[:k]
@@ -151,11 +164,13 @@ def fit_gaussian_path_from_stats(
     y_var = std["y_scale"] ** 2
     return dict(
         betas=out,
+        betas_std=betas,
         sigma=sig,
-        dev_ratios=np.asarray(dev_ratios),
+        dev_ratios=np.asarray(dev_ratios[:k]),
         deviances=np.asarray(deviances[:k]) * y_var,
         null_dev=null_dev * y_var,
         passes=np.asarray(passes[:k], dtype=int),
+        n_unique=np.asarray(n_uniq[:k], dtype=int),
         lam=lam,
         x_center=std["x_center"],
         x_scale=std["x_scale"],

@@ -134,6 +134,10 @@ def gram_xty_pass_keyed(df, x_col: str, y_col: str, key_col: str, p: int, n_keys
         y = Y.ravel()
         part = np.zeros(out_len, dtype=np.float64)
         for k in np.unique(keys):
+            if k < 0 or k >= n_keys:
+                raise ValueError(
+                    f"key {k} outside [0, {n_keys}); use pmod when deriving keys"
+                )
             msk = keys == k
             Xk, yk = X[msk], y[msk]
             o = int(k) * block

@@ -159,6 +159,7 @@ def fit(
             n_sigma=n_sigma, sigma=sigma, lambda_min_ratio=lambda_min_ratio,
             max_passes=max_passes, tol_abs=tol_abs, tol_rel=tol_rel,
             tol_dev_change=tol_dev_change, tol_dev_ratio=tol_dev_ratio,
+            max_variables=max_variables,
         )
         betas3 = res["betas"][:, :, np.newaxis]
         nz = [np.flatnonzero(np.any(b != 0, axis=1)) for b in betas3]
@@ -174,9 +175,9 @@ def fit(
             deviance_ratios=res["dev_ratios"],
             passes=res["passes"],
             active_sets=nz,
-            n_unique=np.array(
-                [len(np.unique(np.abs(b[b != 0]))) for b in betas3], dtype=int
-            ),
+            # cluster counts from the standardized-space path (ties live
+            # in the penalized internal space, not in original units)
+            n_unique=res["n_unique"],
             class_names=[],
             n_targets=1,
             x_center=res["x_center"],
@@ -398,7 +399,10 @@ def fit(
         beta_prev = beta.copy()
         active_sets.append(np.asarray(active_set).copy())
         n_coefs = int(np.count_nonzero(np.any(beta != 0, axis=1)))
-        n_unique[k] = len(np.unique(np.abs(beta[beta != 0])))
+        # penalized rows only — the intercept is outside the sorted-L1
+        # penalty, so it cannot form a magnitude cluster
+        bp = beta[n_unpen:]
+        n_unique[k] = len(np.unique(np.abs(bp[bp != 0])))
 
         if n_coefs > 0 and k > 0 and sigma_is_auto:
             if deviance_change < tol_dev_change or dev_ratio > tol_dev_ratio:

@@ -125,7 +125,11 @@ def cv_fit(
                 "_fold", F.floor(F.rand(seed + rep) * n_folds).cast("int")
             )
         else:
-            fdf = df.withColumn("_fold", F.col(fold_col).cast("int") % n_folds)
+            # pmod: Spark's % keeps the dividend's sign; a negative key
+            # column would otherwise yield folds outside [0, n_folds)
+            fdf = df.withColumn(
+                "_fold", F.pmod(F.col(fold_col).cast("int"), F.lit(n_folds))
+            )
         fdf = fdf.persist()
         fdf.count()
         prepared.append(fdf)
@@ -223,7 +227,9 @@ def _gaussian_gram_cells(
         if fold_col is None:
             key = F.floor(F.rand(seed + rep) * n_folds).cast("int")
         else:
-            key = (F.col(fold_col).cast("int") % n_folds)
+            # pmod keeps negative key columns inside [0, n_folds) — a plain
+            # % would silently corrupt other folds' sufficient statistics
+            key = F.pmod(F.col(fold_col).cast("int"), F.lit(n_folds))
         xdf = df.select(
             F.array(*[F.col(c).cast("double") for c in features]).alias("_x"),
             F.col(label).cast("double").alias("_y"),

@@ -74,7 +74,10 @@ def fit_standardizer(
             model.center = {c: float(row[f"_s_{c}"]) / n for c in cols}
         if scale != "none":
             for c in cols:
-                mean = float(row[f"_s_{c}"]) / n if center else 0.0
+                # 'sd' is ALWAYS the centered sample sd (arma::stddev,
+                # src/standardize.h) — only the stored center depends on
+                # the center flag. 'l2' of the raw column when not centering.
+                mean = float(row[f"_s_{c}"]) / n if (center or scale == "sd") else 0.0
                 css = max(float(row[f"_q_{c}"]) - n * mean * mean, 0.0)
                 v = np.sqrt(css / (n - 1)) if scale == "sd" and n > 1 else np.sqrt(css)
                 model.scale[c] = 1.0 if v == 0.0 else float(v)

@@ -14,13 +14,20 @@ Conventions that make cross-engine hash comparison robust:
 
 from __future__ import annotations
 
+import os
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .core.stats import t_ppf
 from .ops.features import one_hot
 from .ops.response import Y_COL, preprocess_response
-from .ops.standardize import fit_standardizer
+from .ops.standardize import StandardizerModel, fit_standardizer
 from .pipeline import dedup, similarity, text
+
+# The driver's correctness gate runs both engines at this scale factor;
+# data-dependent oracle literals are derived from it at import time.
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -51,25 +58,72 @@ B0, BQ, BP, BD = 0.1, 0.8, 0.3, -0.5
 C0, CQ, CP, CD = -0.02, -0.3, 0.6, 0.2
 T_MULT_5 = t_ppf(0.975, 4)  # 5 folds -> df=4, embedded in both sides
 
-_Z_SQL = """
+
+@lru_cache(maxsize=None)
+def _li_moments(sf_dir: str) -> dict:
+    """Deterministic (mean, sample-sd) for the standardized lineitem
+    columns, computed ONCE on the driver from the parquet with NumPy
+    (single canonical summation order) and embedded as literals in BOTH
+    the Spark plan and the DuckDB oracle.
+
+    Why literals: a distributed sum and DuckDB's serial sum differ in the
+    last ulp; standardizing by each engine's own aggregate occasionally
+    lands a z-score's 5th decimal exactly on a ROUND(.,4) boundary, which
+    flips the rounded digit (the round-1 p1/p2 hash FAILs). With shared
+    literals both engines do bit-identical per-row IEEE arithmetic. The
+    engine's own distributed aggregates stay oracle-verified separately
+    by p2_standardize_scales / p1_response_info."""
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    tbl = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=ZCOLS)
+    out = {}
+    for c in ZCOLS:
+        v = tbl.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+        out[c] = (float(v.mean()), float(v.std(ddof=1)))
+    return out
+
+
+def _z_sql(sf_dir: str) -> str:
+    mom = _li_moments(sf_dir)
+    (mq, sq), (mp, sp), (md, sd) = (mom[c] for c in ZCOLS)
+    return f"""
     SELECT l_orderkey, l_linenumber, l_returnflag,
-           (l_quantity      - avg(l_quantity)      OVER ()) / stddev_samp(l_quantity)      OVER () AS zq,
-           (l_extendedprice - avg(l_extendedprice) OVER ()) / stddev_samp(l_extendedprice) OVER () AS zp,
-           (l_discount      - avg(l_discount)      OVER ()) / stddev_samp(l_discount)      OVER () AS zd
+           (l_quantity      - {mq!r}) / {sq!r} AS zq,
+           (l_extendedprice - {mp!r}) / {sp!r} AS zp,
+           (l_discount      - {md!r}) / {sd!r} AS zd,
+           (l_extendedprice - {mp!r}) / {sp!r} AS ys
     FROM lineitem
 """
 
 
+# Placeholder embedded into the SQL templates at module import; the
+# data-dependent literals are substituted per sf_dir by build_oracles().
+# (Every use site wraps it in parentheses already.)
+_Z_SQL = "%%Z_SQL%%"
+
+
 def _zdf(spark, sf_dir) -> DataFrame:
-    """Engine-side z-scores: fit_standardizer (distributed agg) + transform."""
+    """Engine-side z-scores through StandardizerModel.transform (the
+    engine's projection path), with the center/scale constants pinned to
+    the shared literals (see _li_moments). ``ys`` is the standardized
+    response (= zp: the fixture response IS l_extendedprice)."""
     li = load(spark, sf_dir, "lineitem")
-    std = fit_standardizer(li, ZCOLS, center=True, scale="sd")
+    mom = _li_moments(sf_dir)
+    std = StandardizerModel(
+        cols=list(ZCOLS),
+        center={c: mom[c][0] for c in ZCOLS},
+        scale={c: mom[c][1] for c in ZCOLS},
+        do_center=True,
+        scale_type="sd",
+    )
     out = std.transform(li, suffix="_z")
     return out.select(
         "l_orderkey", "l_linenumber", "l_returnflag",
         F.col("l_quantity_z").alias("zq"),
         F.col("l_extendedprice_z").alias("zp"),
         F.col("l_discount_z").alias("zd"),
+        F.col("l_extendedprice_z").alias("ys"),
     )
 
 
@@ -101,19 +155,64 @@ def _lp2_expr():
 
 def q_p1_response_gaussian(spark, sf_dir):
     """Gaussian response preprocessing: center + unit-variance scale
-    (R/preProcessResponse.R:10-13 + engine's glmnet-style scaling)."""
+    (R/preProcessResponse.R:10-13 + engine's glmnet-style scaling).
+    Center/scale are the shared driver literals (_li_moments) so the
+    per-row arithmetic is bit-identical across engines; the aggregates
+    themselves are verified by p1_response_info."""
     li = load(spark, sf_dir, "lineitem")
-    out, info = preprocess_response(li, "l_extendedprice", "gaussian")
-    return out.select(
-        "l_orderkey", "l_linenumber", F.round(F.col(Y_COL), 4).alias("y_std")
+    c, s = _li_moments(sf_dir)["l_extendedprice"]
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round((F.col("l_extendedprice") - F.lit(c)) / F.lit(s), 4).alias("y_std"),
     )
 
 
 SQL_P1_GAUSSIAN = """
     SELECT l_orderkey, l_linenumber,
-           round((l_extendedprice - avg(l_extendedprice) OVER ())
-                 / stddev_samp(l_extendedprice) OVER (), 4) AS y_std
+           round((l_extendedprice - %%P1C%%) / %%P1S%%, 4) AS y_std
     FROM lineitem
+"""
+
+
+def q_p1_response_info(spark, sf_dir):
+    """The response-preprocessing AGGREGATES themselves (y_center, y_scale,
+    class inventory) for all four families, oracle-checked at 2 dp — this
+    is what keeps preprocess_response's distributed statistics verified
+    now that the per-row queries use shared literals."""
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "flag", F.when(F.col("l_returnflag") == "R", "ret").otherwise("ok")
+    )
+    rows = []
+    _, gi = preprocess_response(li, "l_extendedprice", "gaussian")
+    rows.append(("gaussian", round(float(gi.y_center[0]), 2),
+                 round(float(gi.y_scale[0]), 2), int(gi.n_targets), ""))
+    _, bi = preprocess_response(li, "flag", "binomial")
+    rows.append(("binomial", 0.0, 1.0, int(bi.n_targets), ",".join(bi.class_names)))
+    _, mi = preprocess_response(li, "l_returnflag", "multinomial")
+    rows.append(("multinomial", 0.0, 1.0, int(mi.n_targets), ",".join(mi.class_names)))
+    _, pi = preprocess_response(li, "l_quantity", "poisson")
+    rows.append(("poisson", 0.0, 1.0, int(pi.n_targets), ""))
+    return spark.createDataFrame(
+        rows, "family string, y_center double, y_scale double, "
+              "n_targets int, classes string"
+    )
+
+
+SQL_P1_INFO = """
+    SELECT 'gaussian' AS family,
+           round(avg(l_extendedprice), 2) AS y_center,
+           round(stddev_samp(l_extendedprice), 2) AS y_scale,
+           1::INTEGER AS n_targets, '' AS classes
+    FROM lineitem
+    UNION ALL
+    SELECT 'binomial', 0.0, 1.0, 1::INTEGER, 'ok,ret' FROM (SELECT 1)
+    UNION ALL
+    SELECT 'multinomial', 0.0, 1.0,
+           (count(DISTINCT l_returnflag) - 1)::INTEGER,
+           string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'poisson', 0.0, 1.0, 1::INTEGER, '' FROM (SELECT 1)
 """
 
 
@@ -227,18 +326,13 @@ SQL_P5_DUMMY = """
 
 def q_r5_lambda_max(spark, sf_dir):
     """|X^T y| penalty scale per standardized feature vs the standardized
-    response (src/lambdaMax.h:8-60, gaussian branch)."""
+    response (src/lambdaMax.h:8-60, gaussian branch). z-scores and ys come
+    from the shared literal standardization (one scan, no join)."""
     z = _zdf(spark, sf_dir)
-    li = load(spark, sf_dir, "lineitem")
-    resp, _ = preprocess_response(li, "l_extendedprice", "gaussian")
-    joined = z.join(
-        resp.select("l_orderkey", "l_linenumber", Y_COL),
-        ["l_orderkey", "l_linenumber"],
-    )
     rows = []
     for name, col in [("l_quantity", "zq"), ("l_extendedprice", "zp"), ("l_discount", "zd")]:
-        rows.append((name, F.abs(F.sum(F.col(col) * F.col(Y_COL)))))
-    agg = joined.agg(*[e.alias(n) for n, e in rows])
+        rows.append((name, F.abs(F.sum(F.col(col) * F.col("ys")))))
+    agg = z.agg(*[e.alias(n) for n, e in rows])
     stacked = None
     for name, _ in rows:
         one = agg.select(F.lit(name).alias("feature"), F.round(F.col(name), 2).alias("lambda_max"))
@@ -247,16 +341,7 @@ def q_r5_lambda_max(spark, sf_dir):
 
 
 SQL_R5_LAMBDA_MAX = f"""
-    WITH z AS ({_Z_SQL}),
-    y AS (
-        SELECT l_orderkey, l_linenumber,
-               (l_extendedprice - avg(l_extendedprice) OVER ())
-               / stddev_samp(l_extendedprice) OVER () AS ys
-        FROM lineitem
-    ), j AS (
-        SELECT z.zq, z.zp, z.zd, y.ys FROM z
-        JOIN y ON z.l_orderkey = y.l_orderkey AND z.l_linenumber = y.l_linenumber
-    )
+    WITH j AS ({_Z_SQL})
     SELECT 'l_quantity' AS feature, round(abs(sum(zq*ys)), 2) AS lambda_max FROM j
     UNION ALL SELECT 'l_extendedprice', round(abs(sum(zp*ys)), 2) FROM j
     UNION ALL SELECT 'l_discount', round(abs(sum(zd*ys)), 2) FROM j
@@ -364,29 +449,16 @@ def q_q8_score_mse_mae(spark, sf_dir):
     """MSE / MAE of the fixed-coefficient prediction vs the standardized
     response (R/score.R:29-41)."""
     z = _zdf(spark, sf_dir)
-    li = load(spark, sf_dir, "lineitem")
-    resp, _ = preprocess_response(li, "l_extendedprice", "gaussian")
-    joined = z.join(
-        resp.select("l_orderkey", "l_linenumber", Y_COL),
-        ["l_orderkey", "l_linenumber"],
-    )
-    err = _lp_expr() - F.col(Y_COL)
-    return joined.agg(
+    err = _lp_expr() - F.col("ys")
+    return z.agg(
         F.round(F.avg(err * err), 4).alias("mse"),
         F.round(F.avg(F.abs(err)), 4).alias("mae"),
     )
 
 
 SQL_Q8_MSE_MAE = f"""
-    WITH z AS ({_Z_SQL}),
-    y AS (
-        SELECT l_orderkey, l_linenumber,
-               (l_extendedprice - avg(l_extendedprice) OVER ())
-               / stddev_samp(l_extendedprice) OVER () AS ys
-        FROM lineitem
-    ), j AS (
-        SELECT {_LP_SQL} - y.ys AS err FROM z
-        JOIN y ON z.l_orderkey = y.l_orderkey AND z.l_linenumber = y.l_linenumber
+    WITH z AS ({_Z_SQL}), j AS (
+        SELECT {_LP_SQL} - ys AS err FROM z
     )
     SELECT round(avg(err*err), 4) AS mse, round(avg(abs(err)), 4) AS mae FROM j
 """
@@ -467,15 +539,9 @@ def q_c1_cv_folds(spark, sf_dir):
     """Per-fold MSE of the fixed prediction, folds = l_orderkey % 5
     (the trainOwl worker loop's score step, R/trainOwl.R:102-123)."""
     z = _zdf(spark, sf_dir)
-    li = load(spark, sf_dir, "lineitem")
-    resp, _ = preprocess_response(li, "l_extendedprice", "gaussian")
-    joined = z.join(
-        resp.select("l_orderkey", "l_linenumber", Y_COL),
-        ["l_orderkey", "l_linenumber"],
-    )
-    err = _lp_expr() - F.col(Y_COL)
+    err = _lp_expr() - F.col("ys")
     return (
-        joined.withColumn("fold", F.col("l_orderkey") % 5)
+        z.withColumn("fold", F.col("l_orderkey") % 5)
         .groupBy("fold")
         .agg(
             F.round(F.avg(err * err), 4).alias("mse"),
@@ -485,15 +551,8 @@ def q_c1_cv_folds(spark, sf_dir):
 
 
 SQL_C1_FOLDS = f"""
-    WITH z AS ({_Z_SQL}),
-    y AS (
-        SELECT l_orderkey, l_linenumber,
-               (l_extendedprice - avg(l_extendedprice) OVER ())
-               / stddev_samp(l_extendedprice) OVER () AS ys
-        FROM lineitem
-    ), j AS (
-        SELECT z.l_orderkey % 5 AS fold, {_LP_SQL} - y.ys AS err FROM z
-        JOIN y ON z.l_orderkey = y.l_orderkey AND z.l_linenumber = y.l_linenumber
+    WITH z AS ({_Z_SQL}), j AS (
+        SELECT l_orderkey % 5 AS fold, {_LP_SQL} - ys AS err FROM z
     )
     SELECT fold, round(avg(err*err), 4) AS mse, count(*)::BIGINT AS n
     FROM j GROUP BY fold
@@ -531,16 +590,10 @@ def q_c1_cv_optima(spark, sf_dir):
     three scaled coefficient slices act as the sigma grid; the argmin row
     per measure (mse, mae) is returned."""
     z = _zdf(spark, sf_dir)
-    li = load(spark, sf_dir, "lineitem")
-    resp, _ = preprocess_response(li, "l_extendedprice", "gaussian")
-    joined = z.join(
-        resp.select("l_orderkey", "l_linenumber", Y_COL),
-        ["l_orderkey", "l_linenumber"],
-    )
     slices = None
     for sidx, scale in [(0, 0.25), (1, 1.0), (2, 4.0)]:
-        err = F.lit(scale) * _lp_expr() - F.col(Y_COL)
-        one = joined.agg(
+        err = F.lit(scale) * _lp_expr() - F.col("ys")
+        one = z.agg(
             F.avg(err * err).alias("mse"), F.avg(F.abs(err)).alias("mae")
         ).select(F.lit(sidx).alias("sigma_idx"), "mse", "mae")
         slices = one if slices is None else slices.unionByName(one)
@@ -557,15 +610,8 @@ def q_c1_cv_optima(spark, sf_dir):
 
 
 SQL_C1_OPTIMA = f"""
-    WITH z AS ({_Z_SQL}),
-    y AS (
-        SELECT l_orderkey, l_linenumber,
-               (l_extendedprice - avg(l_extendedprice) OVER ())
-               / stddev_samp(l_extendedprice) OVER () AS ys
-        FROM lineitem
-    ), j AS (
-        SELECT {_LP_SQL} AS lp, y.ys FROM z
-        JOIN y ON z.l_orderkey = y.l_orderkey AND z.l_linenumber = y.l_linenumber
+    WITH z AS ({_Z_SQL}), j AS (
+        SELECT {_LP_SQL} AS lp, ys FROM z
     ), grid AS (
         SELECT 0 AS sigma_idx, 0.25 AS s UNION ALL
         SELECT 1, 1.0 UNION ALL SELECT 2, 4.0
@@ -1375,7 +1421,7 @@ SQL_EVENTS_SESSIONIZE = """
     WITH o AS (
         SELECT user_id, ts, value,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         > INTERVAL 30 MINUTE
+                         >= INTERVAL 30 MINUTE
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
@@ -1501,6 +1547,7 @@ QUERIES = {
     "p1_response_gaussian": q_p1_response_gaussian,
     "p1_response_binomial": q_p1_response_binomial,
     "p1_response_multinomial": q_p1_response_multinomial,
+    "p1_response_info": q_p1_response_info,
     "p2_standardize": q_p2_standardize,
     "p2_standardize_scales": q_p2_standardize_scales,
     "p5_dummy_code": q_p5_dummy_code,
@@ -1560,10 +1607,11 @@ QUERIES = {
     "f13_diagnostics": q_f13_diagnostics,
 }
 
-ORACLES = {
+_RAW_ORACLES = {
     "p1_response_gaussian": SQL_P1_GAUSSIAN,
     "p1_response_binomial": SQL_P1_BINOMIAL,
     "p1_response_multinomial": SQL_P1_MULTINOMIAL,
+    "p1_response_info": SQL_P1_INFO,
     "p2_standardize": SQL_P2_STANDARDIZE,
     "p2_standardize_scales": SQL_P2_SCALES,
     "p5_dummy_code": SQL_P5_DUMMY,
@@ -1601,3 +1649,21 @@ ORACLES = {
     "sparse_xtv": SQL_SPARSE_XTV,
     "multimodal_frame_plan": SQL_MM_FRAME_PLAN,
 }
+
+
+def build_oracles(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
+    """Materialize the oracle SQL for a scale factor: the data-dependent
+    standardization literals (see _li_moments) are substituted into the
+    templates so Spark and DuckDB share bit-identical constants."""
+    zs = _z_sql(sf_dir)
+    c, s = _li_moments(sf_dir)["l_extendedprice"]
+    return {
+        k: v.replace("%%Z_SQL%%", zs)
+        .replace("%%P1C%%", repr(c))
+        .replace("%%P1S%%", repr(s))
+        for k, v in _RAW_ORACLES.items()
+    }
+
+
+# The driver's correctness gate runs at ORACLE_SF_DIR (sf0.01).
+ORACLES = build_oracles(ORACLE_SF_DIR)

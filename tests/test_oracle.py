@@ -30,7 +30,7 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_oracle_match(name, spark, sf_dir, duck):
     spark_df = Q.QUERIES[name](spark, sf_dir).toPandas()
-    duck_df = duck.execute(Q.ORACLES[name]).fetchdf()
+    duck_df = duck.execute(Q.build_oracles(sf_dir)[name]).fetchdf()
 
     assert len(spark_df) == len(duck_df), (
         f"{name}: row count {len(spark_df)} vs oracle {len(duck_df)}"
