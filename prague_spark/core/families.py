@@ -45,6 +45,15 @@ class Family:
         """n x m matrix g such that the full gradient is X^T g."""
         raise NotImplementedError
 
+    def hessian_weights(self, y: np.ndarray, lin_pred: np.ndarray) -> np.ndarray:
+        """Per-row curvature for the prox-Newton (IRLS) outer loop.
+
+        Returns (n, m): for m = 1 the diagonal IRLS weight w_i (so the
+        Hessian is X^T diag(w) X); for multinomial the class probabilities
+        p_ik, from which the full Hessian blocks are
+        X^T diag(p_k * (delta_kl - p_l)) X."""
+        raise NotImplementedError
+
     def fit_null_model(self, y: np.ndarray) -> np.ndarray:
         raise NotImplementedError
 
@@ -68,6 +77,10 @@ class Gaussian(Family):
     def pseudo_gradient(self, y, lin_pred):
         return lin_pred - y
 
+    def hessian_weights(self, y, lin_pred):
+        # constant curvature: the prox-Newton model is exact (one step)
+        return np.ones_like(lin_pred)
+
     def fit_null_model(self, y):
         return np.mean(y, axis=0)
 
@@ -89,6 +102,11 @@ class Binomial(Family):
 
     def pseudo_gradient(self, y, lin_pred):
         return -y / (1.0 + trunc_exp(y * lin_pred))
+
+    def hessian_weights(self, y, lin_pred):
+        # d2/dlp2 log(1+exp(-y*lp)) = s(1-s), independent of y in {-1,+1}
+        s = 1.0 / (1.0 + trunc_exp(-lin_pred))
+        return s * (1.0 - s)
 
     def fit_null_model(self, y):
         pmin = 1e-9
@@ -118,6 +136,9 @@ class Poisson(Family):
 
     def pseudo_gradient(self, y, lin_pred):
         return trunc_exp(lin_pred) - y
+
+    def hessian_weights(self, y, lin_pred):
+        return trunc_exp(lin_pred)
 
     def fit_null_model(self, y):
         return trunc_log(np.mean(y, axis=0))
@@ -154,6 +175,12 @@ class Multinomial(Family):
     def pseudo_gradient(self, y, lin_pred):
         lse = self._lse(lin_pred)
         return trunc_exp(lin_pred - lse) - y
+
+    def hessian_weights(self, y, lin_pred):
+        # class probabilities over the m-1 explicit targets; the Hessian
+        # blocks are X^T diag(p_k (delta_kl - p_l)) X
+        lse = self._lse(lin_pred)
+        return trunc_exp(lin_pred - lse)
 
     def fit_null_model(self, y):
         m = y.shape[1]

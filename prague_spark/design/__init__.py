@@ -65,6 +65,18 @@ class LocalDesign:
         lin_pred = self.X @ beta
         return self.X.T @ self.family.pseudo_gradient(self.Y, lin_pred)
 
+    def eval_hessian(self, beta):
+        """(primal, dual, gradient, Hessian) at beta — the prox-Newton
+        outer-iteration bundle. Hessian is (p*m, p*m) in F-ravel order."""
+        lin_pred = self.X @ beta
+        g = self.family.primal(self.Y, lin_pred)
+        G = self.family.dual(self.Y, lin_pred)
+        grad = self.X.T @ self.family.pseudo_gradient(self.Y, lin_pred)
+        W = self.family.hessian_weights(self.Y, lin_pred)
+        H = _weighted_gram(self.X, W if W.ndim > 1 else W[:, np.newaxis],
+                           self.m, multinomial=self.family.name == "multinomial")
+        return g, G, grad, H
+
     def subset(self, idx):
         return LocalDesign(self.X[:, np.asarray(idx)], self.Y, self.family)
 
@@ -114,6 +126,27 @@ class GramGaussianDesign:
         return GramGaussianDesign(self.g.subset(np.asarray(idx)))
 
 
+def _weighted_gram(X: np.ndarray, W: np.ndarray, m: int, multinomial: bool) -> np.ndarray:
+    """X^T W X for the IRLS Hessian, (p*m, p*m) in F-ravel coordinate
+    order (index = j + p*k for feature j, target k).
+
+    m = 1: W is the (n, 1) diagonal weight.  Multinomial: W holds class
+    probabilities p_ik and block (k, l) is X^T diag(p_k (delta_kl - p_l)) X
+    (the exact softmax Hessian, symmetric)."""
+    n, p = X.shape
+    if not multinomial:
+        return (X * W[:, 0:1]).T @ X
+    H = np.empty((p * m, p * m), dtype=np.float64)
+    for k in range(m):
+        for l in range(k, m):
+            w_kl = W[:, k] * ((1.0 if k == l else 0.0) - W[:, l])
+            blk = (X * w_kl[:, np.newaxis]).T @ X
+            H[k * p : (k + 1) * p, l * p : (l + 1) * p] = blk
+            if l != k:
+                H[l * p : (l + 1) * p, k * p : (k + 1) * p] = blk
+    return H
+
+
 class SparkGlmDesign:
     """Distributed design over a cached DataFrame with an ``array<double>``
     feature column and a scalar (or, for multinomial, array) response.
@@ -137,14 +170,16 @@ class SparkGlmDesign:
             n = df.count()
         self.n = n
 
-    def _scan(self, beta, need_grad: bool):
+    def _scan(self, beta, need_grad: bool, need_hess: bool = False):
         x_col, y_col = self.x_col, self.y_col
         p_full, m = self.p_full, self.m
         idx = self.active_idx
         fam = self.family
         p_act = self.p
         beta = np.ascontiguousarray(beta, dtype=np.float64).reshape(p_act, m)
-        out_len = 2 + (p_act * m if need_grad else 0)
+        pm = p_act * m
+        out_len = 2 + (pm if need_grad else 0) + (pm * pm if need_hess else 0)
+        is_multi = fam.name == "multinomial"
 
         def make_partial(batch):
             X, Y = _batch_xy(batch, x_col, y_col, p_full, m)
@@ -155,16 +190,29 @@ class SparkGlmDesign:
             part[0] = fam.primal(Y, lin_pred)
             part[1] = fam.dual(Y, lin_pred)
             if need_grad:
-                part[2:] = (X.T @ fam.pseudo_gradient(Y, lin_pred)).ravel(order="F")
+                part[2 : 2 + pm] = (
+                    X.T @ fam.pseudo_gradient(Y, lin_pred)
+                ).ravel(order="F")
+            if need_hess:
+                W = fam.hessian_weights(Y, lin_pred)
+                if W.ndim == 1:
+                    W = W[:, np.newaxis]
+                part[2 + pm :] = _weighted_gram(X, W, m, is_multi).ravel()
             return part
 
         tot = partial_aggregate(self.df.select(x_col, y_col), out_len, make_partial)
-        if need_grad:
-            return tot[0], tot[1], tot[2:].reshape((p_act, m), order="F")
-        return tot[0], tot[1], None
+        grad = tot[2 : 2 + pm].reshape((p_act, m), order="F") if need_grad else None
+        if need_hess:
+            return tot[0], tot[1], grad, tot[2 + pm :].reshape(pm, pm)
+        return tot[0], tot[1], grad
 
     def eval(self, beta):
         return self._scan(beta, need_grad=True)
+
+    def eval_hessian(self, beta):
+        """(primal, dual, gradient, X^T W X) in ONE fused distributed scan —
+        the per-outer-iteration cost of the prox-Newton solver."""
+        return self._scan(beta, need_grad=True, need_hess=True)
 
     def primal(self, beta):
         return self._scan(beta, need_grad=False)[0]

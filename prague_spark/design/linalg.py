@@ -166,14 +166,17 @@ def gram_xty_pass_keyed(df, x_col: str, y_col: str, key_col: str, p: int, n_keys
     return out
 
 
-def glm_setup_pass(df, x_col: str, y_col: str, p: int, m: int = 1, need_xtx: bool = True):
+def glm_setup_pass(df, x_col: str, y_col: str, p: int, m: int = 1,
+                   need_xtx: bool = True, family=None):
     """ONE fused scan producing every setup statistic the iterative GLM
     families need: optionally X^T X (Lipschitz bound), X^T Y, column sums
-    of X, column sums of Y, and n. Replaces three separate scans
-    (xtx_pass + response-mean agg + xtv_pass): at cluster scale each
-    avoided pass is one full read of the data."""
+    of X, column sums of Y, n, and (when ``family`` is given) the primal
+    objective at beta = 0 — i.e. the null deviance / 2 — so the path loop
+    needs no dedicated null-model pass. Replaces four separate scans; at
+    cluster scale each avoided pass is one full read of the data."""
     nx = p * p if need_xtx else 0
-    out_len = nx + p * m + p + m + m + 1
+    with_null = family is not None
+    out_len = nx + p * m + p + m + m + (1 if with_null else 0) + 1
 
     def make_partial(batch):
         X, Y = _batch_xy(batch, x_col, y_col, p, m)
@@ -188,6 +191,8 @@ def glm_setup_pass(df, x_col: str, y_col: str, p: int, m: int = 1, need_xtx: boo
         part[o : o + m] = Y.sum(axis=0)
         o += m
         part[o : o + m] = (Y * Y).sum(axis=0)
+        if with_null:
+            part[-2] = family.primal(Y, np.zeros_like(Y, dtype=np.float64))
         part[-1] = float(X.shape[0])
         return part
 
@@ -206,6 +211,7 @@ def glm_setup_pass(df, x_col: str, y_col: str, p: int, m: int = 1, need_xtx: boo
         sums_x=sums_x,
         sums_y=sums_y,
         sumsq_y=sumsq_y,
+        primal0=float(tot[-2]) if with_null else None,
         n=int(round(tot[-1])),
     )
 

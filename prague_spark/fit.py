@@ -29,7 +29,7 @@ from pyspark.storagelevel import StorageLevel
 from .core.families import setup_family
 from .core.lambdas import lambda_sequence, sigma_grid
 from .core.screening import kkt_check, strong_rule_active_set
-from .core.solver import FitResult, admm_gaussian, admm_rho, fista
+from .core.solver import FitResult, admm_gaussian, admm_rho, fista, prox_newton
 from .design import GramData, GramGaussianDesign, LocalDesign, SparkGlmDesign
 from .design.linalg import glm_setup_pass, gram_xty_pass
 from .model import SlopeModel
@@ -107,7 +107,7 @@ def fit(
     user_lambda=None,
     lambda_min_ratio: float | None = None,
     screening: bool = True,
-    solver: str = "auto",  # auto | gram | incore | spark
+    solver: str = "auto",  # auto | gram | incore | spark | spark_fista
     incore_limit: int = DEFAULT_INCORE_LIMIT,
     max_passes: int = 10**6,
     tol_rel_gap: float = 1e-5,
@@ -235,6 +235,10 @@ def fit(
     if family == "gaussian" and solver == "incore":
         # in-core gaussian still goes through Gram/ADMM like the reference
         use_admm = True
+    # distributed iterative families: prox-Newton (one weighted-Gram scan
+    # per outer iteration, driver-side SLOPE inner solve) unless the caller
+    # forces per-iteration FISTA with solver="spark_fista"
+    use_newton = isinstance(design, SparkGlmDesign) and solver != "spark_fista"
 
     # ---- setup statistics + penalty machinery ----
     # One fused scan (distributed design) or in-core arrays supply both
@@ -244,8 +248,11 @@ def fit(
     # adaptive step beats 1/L in flat regions and probes cost microseconds.
     lipschitz_lr = None
     if isinstance(design, SparkGlmDesign):
-        need_xtx = family in ("binomial", "multinomial")
-        setup = glm_setup_pass(sdf, X_COL, Y_COL, p_total, m, need_xtx=need_xtx)
+        # prox-Newton needs no Lipschitz bound; skip the p^2 payload
+        need_xtx = family in ("binomial", "multinomial") and not use_newton
+        setup = glm_setup_pass(
+            sdf, X_COL, Y_COL, p_total, m, need_xtx=need_xtx, family=fam
+        )
         if need_xtx:
             eigmax = float(np.linalg.eigvalsh(setup["xtx"]).max())
             if eigmax > 0:
@@ -280,7 +287,11 @@ def fit(
         max_variables = n * m
 
     # ---- path loop (driver control plane, ``src/owl.cpp:146-364``) ----
-    null_deviance = 2.0 * design.primal(np.zeros((p_total, m)))
+    if isinstance(design, SparkGlmDesign):
+        # primal at beta=0 rode along with the setup scan — no extra pass
+        null_deviance = 2.0 * setup["primal0"]
+    else:
+        null_deviance = 2.0 * design.primal(np.zeros((p_total, m)))
 
     betas = np.zeros((n_sig, p_total, m))
     beta = np.zeros((p_total, m))
@@ -299,7 +310,13 @@ def fit(
         np.array([0], dtype=np.intp) if intercept else np.array([], dtype=np.intp)
     )
     all_idx = np.arange(p_total, dtype=np.intp)
-    screening_on = bool(screening)
+    # Screening prunes COLUMNS of the distributed aggregation. With the
+    # prox-Newton solver and a narrow design, the subset saves no scan
+    # cost (row conversion dominates) while the strong-rule gradient and
+    # the KKT check each cost one full pass per path point — so skip
+    # screening entirely there. Wide designs keep it: the p_act^2 Hessian
+    # payload is what screening shrinks.
+    screening_on = bool(screening) and not (use_newton and p_total <= 64)
     deviance_change = 0.0
 
     def fit_on(design_sub, beta_init, lam_scaled, z_s, u_s):
@@ -313,8 +330,17 @@ def fit(
                 diagnostics=diagnostics,
             )
             return res, z_out, u_out
+        n_unpen_sub = 0 if lam_scaled.size == design_sub.p * m else n_unpen
+        if use_newton:
+            res = prox_newton(
+                design_sub, beta_init, lam_scaled, n_unpenalized=n_unpen_sub,
+                max_passes=max_passes, tol_rel_gap=tol_rel_gap,
+                tol_infeas=tol_infeas, tol_abs=tol_abs, tol_rel=tol_rel,
+                diagnostics=diagnostics,
+            )
+            return res, z_s, u_s
         res = fista(
-            design_sub, beta_init, lam_scaled, n_unpenalized=0 if lam_scaled.size == design_sub.p * m else n_unpen,
+            design_sub, beta_init, lam_scaled, n_unpenalized=n_unpen_sub,
             max_passes=max_passes, tol_rel_gap=tol_rel_gap,
             tol_infeas=tol_infeas, diagnostics=diagnostics,
             fixed_learning_rate=lipschitz_lr,
