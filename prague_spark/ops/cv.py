@@ -23,9 +23,9 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from ..core.stats import t_ppf
-from ..fit import fit
+from ..fit import DEFAULT_INCORE_LIMIT, fit
 from ..model import SlopeModel
-from .score import score_path
+from .score import score_path, score_path_spark
 
 _OK_MEASURES = {
     "gaussian": ["mse", "mae"],
@@ -75,6 +75,7 @@ def cv_fit(
     seed: int = 42,
     fold_col: str | None = None,
     method: str = "auto",  # auto | gram | refit
+    incore_limit: int = DEFAULT_INCORE_LIMIT,
     **fit_kwargs,
 ) -> CvResult:
     ok = _OK_MEASURES[family]
@@ -138,17 +139,29 @@ def cv_fit(
     def run_fold(rep: int, fdf: DataFrame, fold: int) -> list[dict]:
         train = fdf.filter(F.col("_fold") != fold)
         test = fdf.filter(F.col("_fold") == fold)
-        tpdf = test.select(*features, label).toPandas()
-        X_test = tpdf[list(features)].to_numpy(dtype=np.float64)
-        y_test = tpdf[label].to_numpy()
+        # collect the test fold only when it is provably driver-sized;
+        # otherwise score distributedly (one agg scan covers every sigma x
+        # measure — never O(n) driver memory)
+        n_test = test.count()
+        collect_ok = n_test * len(features) * 8 <= incore_limit
+        if collect_ok:
+            tpdf = test.select(*features, label).toPandas()
+            X_test = tpdf[list(features)].to_numpy(dtype=np.float64)
+            y_test = tpdf[label].to_numpy()
         out = []
         for qv in q_values:
             m = fit(
                 train, features, label, family,
                 q=qv, sigma=sigma, **fit_kwargs,
             )
+            if collect_ok:
+                per_meas = {
+                    meas: score_path(m, X_test, y_test, meas) for meas in measures
+                }
+            else:
+                per_meas = score_path_spark(test, m, label, measures)
             for meas in measures:
-                vals = score_path(m, X_test, y_test, meas)
+                vals = per_meas[meas]
                 # a shortened path (safety) scores only realized points
                 for si in range(len(vals)):
                     out.append(

@@ -170,6 +170,89 @@ def auc(df: DataFrame, prob_col: str, pos_indicator, weight_col: str | None = No
     return float(row["u"] / (row["n1"] * row["n0"]))
 
 
+def score_path_spark(
+    df: DataFrame, model: SlopeModel, label: str, measures: list[str]
+) -> dict:
+    """Score EVERY path slice for every measure in ONE distributed
+    aggregation (plus one rank pass per slice for auc, which is not an
+    avg). This is the O(n)-driver-memory-free CV scoring path: the test
+    fold is never collected; each slice's coefficients fold into the
+    projection as literals, so the scan cost is independent of the path
+    length. Returns {measure: [value per path point]}."""
+    from .predict import linear_predictor_expr
+
+    fam = model.family
+    n_path = model.n_path
+    y = F.col(label)
+    avg_measures = [m for m in measures if m != "auc"]
+    aggs = []
+    for i in range(n_path):
+        if fam in ("gaussian", "poisson"):
+            lp = linear_predictor_expr(model, i)
+            pred = F.exp(lp) if fam == "poisson" else lp
+            err = pred - y.cast("double")
+            exprs = {"mse": F.avg(err * err), "mae": F.avg(F.abs(err))}
+        elif fam == "binomial":
+            c1, c2 = model.class_names
+            lp = linear_predictor_expr(model, i)
+            ph = F.lit(1.0) / (F.lit(1.0) + F.exp(-lp))
+            y2 = F.when(y.cast("string") == F.lit(c2), 1.0).otherwise(0.0)
+            y1 = F.lit(1.0) - y2
+            phc = F.least(F.greatest(ph, F.lit(PROB_MIN)), F.lit(PROB_MAX))
+            exprs = {
+                "mse": F.avg((ph + y1 - 1.0) ** 2 + (ph - y2) ** 2),
+                "mae": F.avg(F.abs(ph + y1 - 1.0) + F.abs(ph - y2)),
+                "deviance": F.avg(-2.0 * (y1 * F.log(1.0 - phc) + y2 * F.log(phc))),
+                "misclass": F.avg(
+                    y1 * F.when(ph > 0.5, 1.0).otherwise(0.0)
+                    + y2 * F.when(ph <= 0.5, 1.0).otherwise(0.0)
+                ),
+            }
+        else:  # multinomial
+            classes = model.class_names
+            m = model.n_targets
+            lps = [linear_predictor_expr(model, i, target=t) for t in range(m)]
+            lps_full = lps + [F.lit(0.0)]
+            mx = F.greatest(*lps_full)
+            es = [F.exp(e - mx) for e in lps_full]
+            den = es[0]
+            for e in es[1:]:
+                den = den + e
+            per = {"mse": None, "mae": None, "deviance": None}
+            for ci, cls in enumerate(classes):
+                yk = F.when(y.cast("string") == F.lit(cls), 1.0).otherwise(0.0)
+                pk = es[ci] / den
+                pkc = F.least(F.greatest(pk, F.lit(PROB_MIN)), F.lit(PROB_MAX))
+                terms = {
+                    "mse": (yk - pk) ** 2,
+                    "mae": F.abs(yk - pk),
+                    "deviance": -2.0 * yk * F.log(pkc),
+                }
+                for k2, t2 in terms.items():
+                    per[k2] = t2 if per[k2] is None else per[k2] + t2
+            exprs = {
+                "mse": F.avg(per["mse"] / float(len(classes))),
+                "mae": F.avg(per["mae"] / float(len(classes))),
+                "deviance": F.avg(per["deviance"]),
+            }
+        for meas in avg_measures:
+            aggs.append(exprs[meas].alias(f"_{meas}_{i}"))
+
+    out: dict = {m: [0.0] * n_path for m in measures}
+    if aggs:
+        row = df.agg(*aggs).first()
+        for meas in avg_measures:
+            out[meas] = [float(row[f"_{meas}_{i}"]) for i in range(n_path)]
+    if "auc" in measures:
+        c1, c2 = model.class_names
+        y2 = F.when(y.cast("string") == F.lit(c2), 1.0).otherwise(0.0)
+        for i in range(n_path):
+            lp = linear_predictor_expr(model, i)
+            ph = F.lit(1.0) / (F.lit(1.0) + F.exp(-lp))
+            out["auc"][i] = auc(df.select(ph.alias("_p"), y2.alias("_y2")), "_p", F.col("_y2"))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # in-core path scoring (CV fast path): all sigmas at once from NumPy arrays
 # ---------------------------------------------------------------------------

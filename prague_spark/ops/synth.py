@@ -9,7 +9,44 @@ is drawn driver-side (p-sized) and embedded as literals.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+# Acklam's rational-polynomial inverse normal CDF (|relative error| <
+# 1.15e-9 over (0,1)) as a PURE column expression — keeps the generator
+# whole-stage-codegen JVM-side (no Python UDF in the package).
+_ACKLAM_A = (-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+             1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00)
+_ACKLAM_B = (-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+             6.680131188771972e+01, -1.328068155288572e+01)
+_ACKLAM_C = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+             -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00)
+_ACKLAM_D = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+             3.754408661907416e+00)
+_ACKLAM_SPLIT = 0.02425
+
+
+def _horner(coefs, x: Column) -> Column:
+    acc = F.lit(float(coefs[0]))
+    for c in coefs[1:]:
+        acc = acc * x + F.lit(float(c))
+    return acc
+
+
+def norm_ppf_expr(u: Column) -> Column:
+    """Standard-normal quantile of ``u`` (clamped away from 0/1) as a
+    column expression."""
+    u = F.least(F.greatest(u, F.lit(1e-9)), F.lit(1.0 - 1e-9))
+    ql = F.sqrt(-2.0 * F.log(u))
+    qh = F.sqrt(-2.0 * F.log(1.0 - u))
+    high = -_horner(_ACKLAM_C, qh) / (_horner(_ACKLAM_D, qh) * qh + 1.0)
+    qc = u - 0.5
+    r = qc * qc
+    central = (_horner(_ACKLAM_A, r) * qc) / (_horner(_ACKLAM_B, r) * r + 1.0)
+    return (
+        F.when(u < _ACKLAM_SPLIT, _horner(_ACKLAM_C, ql) / (_horner(_ACKLAM_D, ql) * ql + 1.0))
+        .when(u > 1.0 - _ACKLAM_SPLIT, high)
+        .otherwise(central)
+    )
 
 
 def random_problem(
@@ -63,20 +100,15 @@ def random_problem(
         mu = F.exp(F.least(F.col("_lp"), F.lit(10.0)))
         u = F.rand(seed + 1)
         # crude but deterministic: quantile of Poisson approximated by
-        # floor(mu + sqrt(mu) * qnorm(u)) clamped at 0
-        from ..core.stats import norm_ppf
-
-        df = df.withColumn("_u", u).withColumn(
+        # floor(mu + sqrt(mu) * qnorm(u)) clamped at 0; qnorm is the
+        # Acklam column expression (JVM codegen, no UDF)
+        df = df.withColumn(
             "y",
             F.greatest(
-                F.floor(
-                    mu
-                    + F.sqrt(mu)
-                    * F.udf(lambda x: float(norm_ppf(min(max(x, 1e-9), 1 - 1e-9))), "double")("_u")
-                ),
+                F.floor(mu + F.sqrt(mu) * norm_ppf_expr(u)),
                 F.lit(0),
             ).cast("double"),
-        ).drop("_u")
+        )
     elif family == "multinomial":
         scores = [
             (F.col("_lp") * F.lit(float(np.cos(c + 1))) + F.randn(seed + 10 + c))

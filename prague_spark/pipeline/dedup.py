@@ -74,15 +74,19 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """All document pairs with shingle-set Jaccard >= threshold.
 
     Inverted-index plan: explode distinct shingles -> self-join on shingle
     (id_a < id_b) -> count common shingles per pair -> Jaccard from
-    |A| + |B| - |A∩B|. ``max_df`` drops shingles occurring in more than
-    that many documents (stopword-shingle blowup guard — at 100 TB this cap
-    is what keeps the join sub-quadratic)."""
+    |A| + |B| - |A∩B|. ``max_df`` (ON by default) drops shingles occurring
+    in more than that many documents: one hot stopword-shingle appearing in
+    k docs contributes k^2/2 join rows, so the cap is what keeps the
+    self-join sub-quadratic at 100 TB. Pass ``max_df=None`` for the exact
+    (potentially quadratic) variant. Dropped shingles are logged."""
+    import logging
+
     sh = (
         df.select(
             F.col(id_col).alias("doc"),
@@ -92,7 +96,13 @@ def ngram_jaccard_pairs(
     sh = sh.persist()  # consumed by sizes + both sides of the self-join
     sizes = sh.groupBy("doc").agg(F.count("*").alias("set_size"))
     if max_df is not None:
-        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_df)
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_df).persist()
+        n_hot = hot.count()
+        if n_hot:
+            logging.getLogger("prague_spark.dedup").info(
+                "ngram_jaccard_pairs: dropping %d shingles with doc-frequency > %d "
+                "(pair counts become sub-quadratic estimates)", n_hot, max_df,
+            )
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")

@@ -692,7 +692,9 @@ def q_dedup_token_jaccard(spark, sf_dir):
     """Unigram-token Jaccard pairs >= 0.5 (the n-gram Jaccard operator at
     n=1, where the SQL oracle is exact)."""
     docs = load(spark, sf_dir, "documents")
-    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.5)
+    out = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=1, threshold=0.5, max_df=None
+    )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -946,14 +948,43 @@ SQL_TEXT_FINGERPRINT = """
 
 
 def q_dedup_ngram3_jaccard(spark, sf_dir):
-    """Word 3-gram shingle Jaccard pairs >= 0.3 with a document-frequency
-    cap (the production n-gram dedup config; the n=1 variant above has the
-    exact SQL oracle) — rows-only."""
+    """Word 3-gram shingle Jaccard pairs >= 0.3 with the document-frequency
+    cap at its default (the production n-gram dedup config). The operator
+    is exact SQL (inverted index + pre-cap sizes), so the oracle is too."""
     docs = load(spark, sf_dir, "documents")
     out = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.3, max_df=100
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_DEDUP_NGRAM3 = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ts
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, s.shingle FROM toks,
+        LATERAL unnest(list_transform(range(1, greatest(len(ts) - 3, 0) + 2),
+                       i -> array_to_string(ts[i:i+2], ' '))) AS s(shingle)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+    ), dfc AS (
+        SELECT shingle, count(*) AS c FROM sh GROUP BY shingle
+    ), sh2 AS (
+        SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle) WHERE dfc.c <= 100
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(i::DOUBLE / (sa.set_size + sb.set_size - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i::DOUBLE / (sa.set_size + sb.set_size - i) >= 0.3
+"""
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -1939,6 +1970,7 @@ _RAW_ORACLES = {
     "c1_cv_optima": SQL_C1_OPTIMA,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_token_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_ngram3_jaccard": SQL_DEDUP_NGRAM3,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_minhash_est": SQL_DEDUP_MINHASH_EST,

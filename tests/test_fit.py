@@ -278,3 +278,23 @@ def test_predict_path_matches_per_slice(li):
             F.max(F.abs(F.col("pp")[i] - F.col("p1"))).alias("d")
         ).first()["d"]
         assert diff < 1e-9
+
+
+def test_cv_distributed_scoring_matches_incore(li):
+    # incore_limit=0 forces the no-collect scoring path: one agg scan per
+    # fold covers every sigma x measure; auc goes through the grouped
+    # rank machinery per slice
+    df = li.limit(1200).withColumn(
+        "flag", F.when(F.col("l_returnflag") == "R", "ret").otherwise("ok")
+    ).cache()
+    kw = dict(n_folds=3, measures=["deviance", "auc"], n_sigma=3,
+              lambda_min_ratio=0.3, fold_col="l_orderkey")
+    r_in = ps.cv_fit(df, ["l_quantity", "l_discount"], "flag", "binomial", **kw)
+    r_dist = ps.cv_fit(
+        df, ["l_quantity", "l_discount"], "flag", "binomial",
+        incore_limit=0, **kw
+    )
+    assert len(r_in.summary) == len(r_dist.summary)
+    for a, b in zip(r_in.summary, r_dist.summary):
+        assert a["measure"] == b["measure"] and a["sigma_idx"] == b["sigma_idx"]
+        assert abs(a["mean"] - b["mean"]) < 1e-9
