@@ -121,6 +121,22 @@ def fit(
 ) -> SlopeModel:
     fam = setup_family(family)
 
+    # refit closure for coef(exact=True) (R/coef.R:35-48): rerun this fit
+    # at explicitly requested sigmas, everything else unchanged
+    _refit_kwargs = dict(
+        intercept=intercept, center=center, scale=scale,
+        lambda_type=lambda_type, q=q, n_sigma=n_sigma,
+        user_lambda=user_lambda, lambda_min_ratio=lambda_min_ratio,
+        screening=screening, solver=solver, incore_limit=incore_limit,
+        max_passes=max_passes, tol_rel_gap=tol_rel_gap,
+        tol_infeas=tol_infeas, tol_abs=tol_abs, tol_rel=tol_rel,
+        tol_dev_change=tol_dev_change, tol_dev_ratio=tol_dev_ratio,
+        max_variables=max_variables, diagnostics=diagnostics,
+    )
+
+    def _refit(sig):
+        return fit(df, features, label, family, sigma=sig, **_refit_kwargs)
+
     # ---- gaussian one-pass fast path ----
     # Everything a gaussian path fit needs (response centering/scaling,
     # feature standardization, lambda_max, the whole ADMM path, and the
@@ -164,6 +180,7 @@ def fit(
         betas3 = res["betas"][:, :, np.newaxis]
         nz = [np.flatnonzero(np.any(b != 0, axis=1)) for b in betas3]
         return SlopeModel(
+            refit=_refit,
             family=family,
             feature_names=list(features),
             intercept=True,
@@ -457,6 +474,7 @@ def fit(
     )
 
     return SlopeModel(
+        refit=_refit,
         family=family,
         feature_names=list(features),
         intercept=intercept,

@@ -36,17 +36,40 @@ class SlopeModel:
     y_center: np.ndarray | None = None
     y_scale: np.ndarray | None = None
     diagnostics: dict | None = None
+    # refit closure installed by fit() (not persisted by save/load): called
+    # by coef(exact=True) to rerun the fit at off-grid sigma, the analogue
+    # of stats::update in R/coef.R:42-43
+    refit: object = field(default=None, repr=False, compare=False)
 
     @property
     def n_path(self) -> int:
         return self.betas.shape[0]
 
-    def coef(self, sigma=None) -> np.ndarray:
-        """Coefficient cube, linearly interpolated for off-grid sigma
-        (``R/coef.R:23-54``)."""
+    def coef(self, sigma=None, exact: bool = False) -> np.ndarray:
+        """Coefficient cube (``R/coef.R:23-54``).
+
+        sigma None -> the full path. Requested sigmas all on the grid ->
+        those slices. Off-grid: linear interpolation by default
+        (``R/interpolatePenalty.R``), or with ``exact=True`` a REFIT at the
+        requested sigmas with the stored fit configuration
+        (``R/coef.R:35-48`` / ``stats::update``) — needs the model to have
+        been produced by ``fit()`` in this session (models restored from a
+        sink have no training data attached)."""
         if sigma is None:
             return self.betas
-        return interpolate_coefficients(self.betas, self.sigma, np.atleast_1d(sigma))
+        sig = np.atleast_1d(np.asarray(sigma, dtype=np.float64))
+        if sig.size and np.all(np.isin(sig, self.sigma)):
+            idx = [int(np.flatnonzero(self.sigma == s)[0]) for s in sig]
+            return self.betas[idx]
+        if exact:
+            if self.refit is None:
+                raise ValueError(
+                    "coef(exact=True) needs the fit-time training data; this "
+                    "model was restored without it — refit with fit() or use "
+                    "exact=False interpolation"
+                )
+            return self.refit(sig).betas
+        return interpolate_coefficients(self.betas, self.sigma, sig)
 
     def nonzeros(self) -> np.ndarray:
         """Count of nonzero (non-intercept) coefficients per path point."""

@@ -1499,8 +1499,9 @@ q_f11_gaussian_path = _solver_kkt_query("f11_gaussian_path")
 
 
 def q_q6_coef_interpolation(spark, sf_dir):
-    """Off-grid sigma coefficient interpolation (R/coef.R +
-    R/interpolatePenalty.R) — rows-only check."""
+    """Off-grid sigma coefficients both ways: linear interpolation
+    (R/interpolatePenalty.R) AND the exact=TRUE warm refit (R/coef.R:35-48)
+    at the same mid-grid sigmas — rows-only check."""
     from .fit import fit as _fit
 
     li = load(spark, sf_dir, "lineitem")
@@ -1510,14 +1511,20 @@ def q_q6_coef_interpolation(spark, sf_dir):
     import numpy as np
 
     mids = np.sqrt(model.sigma[:-1] * model.sigma[1:]) if model.n_path > 1 else model.sigma
-    cube = model.coef(mids)
     names = ["(Intercept)"] + model.feature_names
-    rows = [
-        (int(i), names[j], float(cube[i, j, 0]))
-        for i in range(cube.shape[0])
-        for j in range(cube.shape[1])
-    ]
-    return spark.createDataFrame(rows, "interp_idx int, feature string, coef double")
+    rows = []
+    for mode, cube in (
+        ("interp", model.coef(mids)),
+        ("exact", model.coef(mids, exact=True)),
+    ):
+        rows += [
+            (mode, int(i), names[j], float(cube[i, j, 0]))
+            for i in range(cube.shape[0])
+            for j in range(cube.shape[1])
+        ]
+    return spark.createDataFrame(
+        rows, "mode string, interp_idx int, feature string, coef double"
+    )
 
 
 _CV_FEATS = ["l_quantity", "l_discount"]
@@ -1851,6 +1858,30 @@ SQL_SPARSE_XTV = """
 """
 
 
+def q_sparse_fit(spark, sf_dir):
+    """End-to-end sparse SLOPE fit on long-format triplets WITHOUT
+    densification (fit_sparse; reference sparse entry src/owl.cpp:398-412,
+    scale-only standardization src/standardize.h:42-71) — rows-only
+    (solver-dependent values). Triplets derived deterministically from
+    events; tidy coefficient output."""
+    from .ops.sparse import fit_sparse
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    trip = ev.select(
+        F.col("event_id").alias("row_id"),
+        (F.col("event_id") % 5).cast("int").alias("col_id"),
+        F.col("value").alias("value"),
+    ).filter(F.col("value") != 0.0)
+    ydf = ev.select(
+        F.col("event_id").alias("row_id"),
+        (F.col("value") * 2.0 + (F.col("event_id") % 3).cast("double")).alias("y"),
+    )
+    model = fit_sparse(
+        trip, ydf, "y", "gaussian", n_cols=5, n_sigma=2, lambda_min_ratio=0.5,
+    )
+    return model.coef_df(spark)
+
+
 def q_s4_random_problem(spark, sf_dir):
     """Synthetic problem generator (randomProblem, R/utils.R:15-76) —
     rows-only (rand streams are engine-specific)."""
@@ -1941,6 +1972,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "sparse_ingest": q_sparse_ingest,
     "sparse_xtv": q_sparse_xtv,
+    "sparse_fit": q_sparse_fit,
     "s4_random_problem": q_s4_random_problem,
     "f13_diagnostics": q_f13_diagnostics,
 }

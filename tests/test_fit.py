@@ -298,3 +298,33 @@ def test_cv_distributed_scoring_matches_incore(li):
     for a, b in zip(r_in.summary, r_dist.summary):
         assert a["measure"] == b["measure"] and a["sigma_idx"] == b["sigma_idx"]
         assert abs(a["mean"] - b["mean"]) < 1e-9
+
+
+def test_coef_interpolation_and_exact_refit(li):
+    # mirrors reference tests/testthat/test-coef.R:1-47
+    df = li.limit(1500).cache()
+    m = ps.fit(df, ["l_quantity", "l_discount"], "l_extendedprice",
+               "gaussian", n_sigma=6)
+    assert m.n_path >= 3
+    # grid hits return exact slices
+    picked = m.coef(sigma=[float(m.sigma[1]), float(m.sigma[2])])
+    np.testing.assert_array_equal(picked, m.betas[[1, 2]])
+    # off-grid: interpolated lies between neighbours elementwise-ish
+    mid = float(np.sqrt(m.sigma[1] * m.sigma[2]))
+    interp = m.coef(sigma=mid)
+    assert interp.shape == (1,) + m.betas.shape[1:]
+    # exact=True refits at the requested sigma and must closely match a
+    # direct fit at that sigma
+    exact = m.coef(sigma=mid, exact=True)
+    direct = ps.fit(df, ["l_quantity", "l_discount"], "l_extendedprice",
+                    "gaussian", sigma=[mid])
+    np.testing.assert_allclose(exact, direct.betas, rtol=1e-6, atol=1e-8)
+    # exact beats interpolation as an approximation of the true refit
+    err_exact = np.abs(exact - direct.betas).max()
+    err_interp = np.abs(interp - direct.betas).max()
+    assert err_exact <= err_interp + 1e-12
+    # restored models refuse exact (no data attached)
+    m.refit = None
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exact"):
+        m.coef(sigma=mid, exact=True)

@@ -85,3 +85,73 @@ def test_prox_is_exact_minimizer_property(vlist, seed):
     for _ in range(20):
         z = x + rng.normal(scale=0.1, size=len(v))
         assert fx <= obj(z) + 1e-9
+
+
+def test_fit_sparse_long_format_no_densify_matches_dense(spark):
+    """True sparse end-to-end (reference test-sparsity.R + src/owl.cpp:398-412):
+    fit_sparse consumes long-format triplets directly — the design is NEVER
+    densified — and must agree with the dense fit of the same data under
+    scale-only standardization. p is wide relative to nnz (density 3%)."""
+    from prague_spark.ops.sparse import fit_sparse
+
+    rng = np.random.default_rng(11)
+    n, p, density = 400, 120, 0.05
+    nnz_mask = rng.random((n, p)) < density
+    X = np.where(nnz_mask, rng.normal(size=(n, p)), 0.0)
+    beta_true = np.zeros(p)
+    beta_true[:4] = [3.0, -3.0, 2.0, -2.0]
+    y = X @ beta_true + rng.normal(scale=0.5, size=n)
+
+    rows, cols_idx = np.nonzero(X)
+    trip = spark.createDataFrame(
+        [(int(r), int(c), float(X[r, c])) for r, c in zip(rows, cols_idx)],
+        "row_id long, col_id int, value double",
+    )
+    ydf = spark.createDataFrame(
+        [(int(i), float(y[i])) for i in range(n)], "row_id long, y double"
+    )
+    m_sparse = fit_sparse(
+        trip, ydf, "y", "gaussian", n_cols=p,
+        n_sigma=3, lambda_min_ratio=0.3,
+    )
+
+    dense = spark.createDataFrame(
+        [tuple([float(v) for v in X[i]] + [float(y[i])]) for i in range(n)],
+        ", ".join([f"x{j} double" for j in range(p)] + ["y double"]),
+    )
+    m_dense = ps.fit(
+        dense, [f"x{j}" for j in range(p)], "y", "gaussian",
+        center=False, scale="l2", n_sigma=3, lambda_min_ratio=0.3,
+    )
+    assert m_sparse.n_path == m_dense.n_path
+    for k in range(m_sparse.n_path):
+        np.testing.assert_allclose(
+            m_sparse.betas[k, :, 0], m_dense.betas[k, :, 0],
+            rtol=2e-3, atol=2e-3,
+        )
+    # support recovery sanity: the planted signal is found
+    assert set(np.flatnonzero(np.abs(m_sparse.betas[-1, 1:, 0]) > 0.5)) >= {0, 1, 2, 3}
+
+
+def test_fit_sparse_binomial_runs_and_recovers_sign(spark):
+    from prague_spark.ops.sparse import fit_sparse
+
+    rng = np.random.default_rng(5)
+    n, p, density = 400, 60, 0.1
+    X = np.where(rng.random((n, p)) < density, rng.normal(size=(n, p)), 0.0)
+    lp = 4.0 * X[:, 0] - 4.0 * X[:, 1]
+    y = np.where(rng.random(n) < 1.0 / (1.0 + np.exp(-lp)), "pos", "neg")
+    rows, cols_idx = np.nonzero(X)
+    trip = spark.createDataFrame(
+        [(int(r), int(c), float(X[r, c])) for r, c in zip(rows, cols_idx)],
+        "row_id long, col_id int, value double",
+    )
+    ydf = spark.createDataFrame(
+        [(int(i), str(y[i])) for i in range(n)], "row_id long, y string"
+    )
+    m = fit_sparse(
+        trip, ydf, "y", "binomial", n_cols=p, n_sigma=3, lambda_min_ratio=0.3,
+    )
+    b = m.betas[-1, 1:, 0]
+    assert b[0] > 0 and b[1] < 0  # 'pos' is class 2 -> +lp direction
+    assert np.count_nonzero(b) < p  # SLOPE actually sparsifies
