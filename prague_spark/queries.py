@@ -1238,17 +1238,92 @@ SQL_MM_FRAME_PLAN = """
 """
 
 
-def q_r_lambda_sequences(spark, sf_dir):
-    """The three named lambda sequences (bh / gaussian / oscar;
-    src/regularizationPath.h:28-50) for p=20, q=0.2, n=1000 — rows-only
-    (the BH sequence needs the normal quantile, which ANSI SQL lacks)."""
+_LSEQ_K, _LSEQ_N, _LSEQ_Q = 20, 1000, 0.2
+
+# Polynomial for log(upper normal tail) on y in [1.25, 2.62] — the range
+# every BH lambda of this fixture lands in — fitted (np.polyfit, degree 12,
+# centered at y=1.9) against statistics.NormalDist; max relative error of
+# the exp'd tail is 3.4e-14. Lets DuckDB verify the engine's qnorm through
+# the FORWARD CDF in pure SQL: round(tail(lambda_i), 8) must equal the
+# target tail probability i*q/(2k).
+_TAIL_POLY = (
+    -4.982428340924787e-10, 5.180981311228062e-09, -3.694376138880692e-08,
+    1.73883472394336e-07, -4.388049837518235e-07, -1.471915062886157e-06,
+    2.9736601900937025e-05, -0.000260001944860869, 0.0017681779373720794,
+    -0.010574503878652372, -0.439791633570298, -2.2849469154767403,
+    -3.5502813255421333,
+)
+
+
+def _tail_sql(y: str) -> str:
+    """SQL for the standard-normal upper tail at ``y`` (fixture range only)."""
+    expr = repr(_TAIL_POLY[0])
+    for c in _TAIL_POLY[1:]:
+        expr = f"(({expr})*(({y}) - 1.9) + {c!r})"
+    return f"exp({expr})"
+
+
+def _lambda_seq_sql() -> str:
+    """Oracle for q_r_lambda_sequences: bh quantiles verified through the
+    forward CDF; the gaussian sequence's SEQUENTIAL sqrt(1 + cumsum/w)
+    adjustment (src/regularizationPath.h:35-46) re-derived from the
+    CDF-verified bh literals with WITH RECURSIVE; oscar by closed formula."""
     from .core.lambdas import lambda_sequence
 
+    k, n, qq = _LSEQ_K, _LSEQ_N, _LSEQ_Q
+    bh = lambda_sequence(k, n, "bh", qq)
+    assert all(1.25 < float(v) < 2.62 for v in bh), "fixture out of poly range"
+    bh_rows = ", ".join(f"({i}, {float(bh[i])!r})" for i in range(k))
+    adj = f"b.lam * sqrt(1.0 + g.cum / greatest(1.0, {float(n)!r} - b.idx - 1))"
+    return f"""
+    WITH RECURSIVE bh(idx, lam) AS (
+        SELECT * FROM (VALUES {bh_rows}) AS t(idx, lam)
+    ), gadj(idx, lam, cum) AS (
+        SELECT 0, {float(bh[0])!r}, {float(bh[0])!r} * {float(bh[0])!r}
+        UNION ALL
+        SELECT b.idx, {adj}, g.cum + ({adj}) * ({adj})
+        FROM gadj g JOIN bh b ON b.idx = g.idx + 1
+    ), gmin AS (SELECT min(lam) AS mn FROM gadj),
+    gargmin AS (
+        SELECT min(idx) AS am FROM gadj, gmin WHERE gadj.lam = gmin.mn
+    ), gfinal AS (
+        SELECT idx, CASE WHEN idx >= (SELECT am FROM gargmin)
+                         THEN (SELECT mn FROM gmin) ELSE lam END AS lam
+        FROM gadj
+    )
+    SELECT 'bh' AS seq_type, CAST(idx AS INTEGER) AS idx,
+           round(lam, 6) AS lam, round({_tail_sql("lam")}, 8) AS tail
+    FROM bh
+    UNION ALL
+    SELECT 'gaussian', CAST(idx AS INTEGER), round(lam, 6), 0.0 FROM gfinal
+    UNION ALL
+    SELECT 'oscar', CAST(i AS INTEGER),
+           round({qq!r} * ({k} - i - 1) + 1.0, 6), 0.0
+    FROM range(0, {k}) AS t(i)
+"""
+
+
+def q_r_lambda_sequences(spark, sf_dir):
+    """The three named lambda sequences (bh / gaussian / oscar;
+    src/regularizationPath.h:28-50) for k=20, q=0.2, n=1000, with a REAL
+    oracle: DuckDB verifies the BH quantiles through the forward normal
+    CDF (Cody's rational approximation in SQL), re-derives the gaussian
+    sequence's sequential sqrt(1+cumsum/w) adjustment with WITH RECURSIVE
+    from the (CDF-verified) BH values, and checks OSCAR by its closed
+    formula. ``tail`` is the upper-tail probability for bh rows, 0 for
+    the other sequences."""
+    from .core.lambdas import lambda_sequence
+
+    k, n, qq = _LSEQ_K, _LSEQ_N, _LSEQ_Q
     rows = []
     for seq in ("bh", "gaussian", "oscar"):
-        lam = lambda_sequence(20, 1000, seq, 0.2)
-        rows += [(seq, i, float(v)) for i, v in enumerate(lam)]
-    return spark.createDataFrame(rows, "seq_type string, idx int, lam double")
+        lam = lambda_sequence(k, n, seq, qq)
+        for i, v in enumerate(lam):
+            tail = (i + 1) * qq / (2.0 * k) if seq == "bh" else 0.0
+            rows.append((seq, i, round(float(v), 6), round(tail, 8)))
+    return spark.createDataFrame(
+        rows, "seq_type string, idx int, lam double, tail double"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1676,20 +1751,102 @@ def q_sim_ivf_topk(spark, sf_dir):
 
 
 def q_model_sink(spark, sf_dir):
-    """Model sink roundtrip (S5): fit -> save parquet -> load -> tidy coef
-    table of the restored model — rows-only (solver-dependent values)."""
+    """Model sink roundtrip (S5, R/owl.R:471-486): a model built from the
+    FIXED literal path (_COEF_ROWS) -> save parquet -> load -> tidy coef
+    table of the restored model. Deterministic, so the oracle is the same
+    literal table — a hash match proves the sink/restore transport."""
     import tempfile
 
-    from .fit import fit as _fit
+    import numpy as np
+
     from .model import SlopeModel
 
-    li = load(spark, sf_dir, "lineitem")
-    model = _fit(
-        li, ["l_quantity", "l_discount"], "l_extendedprice", "gaussian", n_sigma=5
+    n_path = 1 + max(p for p, _, _ in _COEF_ROWS)
+    names = ["(Intercept)", "l_quantity", "l_extendedprice", "l_discount"]
+    betas = np.zeros((n_path, len(names), 1))
+    for pidx, feat, coefv in _COEF_ROWS:
+        betas[pidx, names.index(feat), 0] = coefv
+    model = SlopeModel(
+        family="gaussian", feature_names=names[1:], intercept=True,
+        betas=betas, sigma=np.array([1.0, 0.5, 0.25]),
+        lam=np.array([0.3, 0.2, 0.1]), null_deviance=100.0,
+        deviances=np.array([90.0, 60.0, 30.0]),
+        deviance_ratios=np.array([0.1, 0.4, 0.7]),
+        passes=np.array([3, 4, 5]), active_sets=[],
+        n_unique=np.array([0, 2, 3]),
     )
     path = tempfile.mkdtemp(prefix="prague_model_") + "/m"
     model.save(spark, path)
-    return SlopeModel.load(spark, path).coef_df(spark)
+    restored = SlopeModel.load(spark, path)
+    return restored.coef_df(spark).select(
+        "path_idx", "target", "feature", F.round("coef", 6).alias("coef")
+    )
+
+
+SQL_MODEL_SINK = (
+    "SELECT CAST(path_idx AS INTEGER) AS path_idx, 0 AS target, feature, "
+    "round(coef, 6) AS coef FROM (VALUES "
+    + ", ".join(f"({p}, '{f}', {c!r})" for p, f, c in _COEF_ROWS)
+    + ") AS t(path_idx, feature, coef)"
+)
+
+
+@lru_cache(maxsize=None)
+def _ivf_pin_centroids(sf_dir: str):
+    """Pinned literal centroids: the embeddings of vec_id 0..7 (read once
+    with pyarrow, cast to double — identical literals on both engines)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    by = dict(zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()))
+    return tuple(tuple(float(x) for x in by[i]) for i in range(8))
+
+
+def q_sim_ivf_assign(spark, sf_dir):
+    """IVF cell ASSIGNMENT with pinned literal centroids: the argmax
+    routing of assign_ivf_cells (pure column expressions) is SQL-exact, so
+    this piece of the IVF index is hash-verified; k-means training and
+    probed search stay exercised by sim_ivf_cells / sim_ivf_topk
+    (rows-only: driver k-means artifacts)."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    C = np.array(_ivf_pin_centroids(sf_dir))
+    out = similarity.assign_ivf_cells(emb, "vec", C)
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cell").cast("int").alias("cell"),
+    )
+
+
+def _ivf_assign_sql(sf_dir: str) -> str:
+    cents = _ivf_pin_centroids(sf_dir)
+
+    def dot(ci):
+        lst = "[" + ", ".join(repr(x) for x in cents[ci]) + "]"
+        return f"list_dot_product(v, {lst})"
+
+    sims = [f"({dot(i)} / sqrt(list_dot_product(v, v)))" for i in range(len(cents))]
+    best = "greatest(" + ", ".join(f"s{i}" for i in range(len(cents))) + ")"
+    chain = " ".join(
+        f"WHEN s{i} = _best THEN {i}" for i in range(len(cents))
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, {", ".join(f"{e} AS s{i}" for i, e in enumerate(sims))}
+        FROM v
+    ), b AS (
+        SELECT *, {best} AS _best FROM s
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(CASE {chain} END AS INTEGER) AS cell
+    FROM b
+"""
 
 
 def q_sim_ivf_cells(spark, sf_dir):
@@ -1961,6 +2118,7 @@ QUERIES = {
     "q6_coef_interpolation": q_q6_coef_interpolation,
     "c1_cv_fit": q_c1_cv_fit,
     "sim_ivf_cells": q_sim_ivf_cells,
+    "sim_ivf_assign": q_sim_ivf_assign,
     "sim_ivf_topk": q_sim_ivf_topk,
     "model_sink": q_model_sink,
     "multimodal_features": q_multimodal_features,
@@ -2019,6 +2177,7 @@ _RAW_ORACLES = {
     "sparse_ingest": SQL_SPARSE_INGEST,
     "sparse_xtv": SQL_SPARSE_XTV,
     "multimodal_frame_plan": SQL_MM_FRAME_PLAN,
+    "model_sink": SQL_MODEL_SINK,
 }
 
 
@@ -2039,6 +2198,8 @@ def build_oracles(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
             "SELECT *, TRUE AS fit_agrees FROM (" + _kkt_sql(sf_dir, qname) + ") ksub"
         )
     out["c1_cv_fit"] = _cv_fit_sql(sf_dir)
+    out["r_lambda_sequences"] = _lambda_seq_sql()
+    out["sim_ivf_assign"] = _ivf_assign_sql(sf_dir)
     return out
 
 
