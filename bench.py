@@ -73,13 +73,13 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def bench(name):
-        # best-of-2: the box shows transient multi-second host-level
+        # best-of-3: the box shows transient multi-second host-level
         # stalls (same query swings 2s <-> 50s with zero steal/pressure
-        # locally); the min of two runs reports engine throughput, not
-        # whichever run caught a stall window
+        # visible in-guest); the min reports engine throughput, not
+        # whichever runs caught a stall window
         def deco(fn):
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.monotonic()
                 fn()
                 best = min(best, time.monotonic() - t0)

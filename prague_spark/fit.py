@@ -208,21 +208,22 @@ def fit(
     m = rinfo.n_targets
     std = fit_standardizer(df2, list(features), center=center, scale=scale)
     df3 = std.transform(df2)
-    base = df3.select(
-        *[F.col(c).cast("double").alias(c) for c in features], Y_COL
-    ).persist(StorageLevel.MEMORY_AND_DISK)
     # row count rides along with the one-scan standardizer when available;
     # the cache then materializes on the first design pass instead of a
     # dedicated count scan
-    n = std.n if std.n is not None else base.count()
+    n = std.n if std.n is not None else df3.count()
     # Precondition the intercept column to unit l2 norm (1/sqrt(n) entries):
     # with l2-scaled features this keeps the Hessian condition number O(1)
     # instead of O(n), so FISTA pass counts stay flat as data grows. Exact
     # reparameterization (intercept is unpenalized); undone after the path.
     icol = 1.0 / np.sqrt(n) if (intercept and scale == "l2") else 1.0
-    sdf = assemble_features(
-        base, list(features), out=X_COL, intercept=intercept, intercept_value=icol
-    ).select(X_COL, Y_COL)
+    # cache the ASSEMBLED array column: every solver scan then reads the
+    # materialized arrays instead of re-running the standardize + assemble
+    # projection per pass
+    base = assemble_features(
+        df3, list(features), out=X_COL, intercept=intercept, intercept_value=icol
+    ).select(X_COL, Y_COL).persist(StorageLevel.MEMORY_AND_DISK)
+    sdf = base
     p_total = len(features) + (1 if intercept else 0)
     n_unpen = 1 if intercept else 0
     p_pen = p_total - n_unpen
