@@ -531,6 +531,48 @@ SQL_Q10_AUC = f"""
 """
 
 
+def q_q10_score_auc_weighted(spark, sf_dir):
+    """WEIGHTED rank-based AUC (R/score.R:152-166, expectation form of the
+    randomized tie-breaking): every count in the Mann-Whitney statistic
+    becomes a weight sum; weight = l_quantity. Same grouped two-level
+    cumulative plan as the unweighted q10."""
+    z = _zdf(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    zz = z.join(li, ["l_orderkey", "l_linenumber"])
+    lp = _lp_expr()
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-lp)), 6)
+    y2 = F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+    from .ops.score import auc as auc_fn
+
+    val = auc_fn(
+        zz.select(prob.alias("p"), y2.alias("y2"), F.col("l_quantity").alias("w")),
+        "p", F.col("y2"), weight_col="w",
+    )
+    return spark.createDataFrame([(round(val, 6),)], "auc_w double")
+
+
+SQL_Q10_AUC_WEIGHTED = f"""
+    WITH z AS ({_Z_SQL}), s AS (
+        SELECT round(1.0/(1.0 + exp(-{_LP_SQL})), 6) AS p,
+               CASE WHEN z.l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y2,
+               li.l_quantity AS w
+        FROM z JOIN lineitem li ON z.l_orderkey = li.l_orderkey
+                               AND z.l_linenumber = li.l_linenumber
+    ), g AS (
+        SELECT p, sum(w*y2) AS n1_g, sum(w*(1.0 - y2)) AS n0_g FROM s GROUP BY p
+    ), cum AS (
+        SELECT n1_g, n0_g,
+               coalesce(sum(n0_g) OVER (ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS below
+        FROM g
+    )
+    SELECT round(sum(n1_g*(below + n0_g/2.0)) / (sum(n1_g)*sum(n0_g)), 6) AS auc_w
+    FROM cum
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.6 CV aggregation operators (deterministic key-mod folds)
 # ---------------------------------------------------------------------------
@@ -1365,7 +1407,14 @@ _SOLVER_SPECS = {
         features=["l_quantity", "l_discount", "l_tax"],
         n_sigma=10, lambda_min_ratio=None,
     ),
+    # pinned for the q6 interpolation oracle only (skipped by the KKT loop)
+    "q6_coef_interpolation": dict(
+        family="gaussian",
+        features=["l_quantity", "l_discount"],
+        n_sigma=8, lambda_min_ratio=None,
+    ),
 }
+_KKT_ORACLE_NAMES = [k for k in _SOLVER_SPECS if k != "q6_coef_interpolation"]
 
 # label SQL per family (the same derived columns the Spark fit uses)
 _SOLVER_Y_SQL = {
@@ -1573,33 +1622,117 @@ q_f7_multinomial_fit = _solver_kkt_query("f7_multinomial_fit")
 q_f11_gaussian_path = _solver_kkt_query("f11_gaussian_path")
 
 
-def q_q6_coef_interpolation(spark, sf_dir):
-    """Off-grid sigma coefficients both ways: linear interpolation
-    (R/interpolatePenalty.R) AND the exact=TRUE warm refit (R/coef.R:35-48)
-    at the same mid-grid sigmas — rows-only check."""
-    from .fit import fit as _fit
-
-    li = load(spark, sf_dir, "lineitem")
-    model = _fit(
-        li, ["l_quantity", "l_discount"], "l_extendedprice", "gaussian", n_sigma=8
-    )
+def _q6_mids(pin):
     import numpy as np
 
-    mids = np.sqrt(model.sigma[:-1] * model.sigma[1:]) if model.n_path > 1 else model.sigma
-    names = ["(Intercept)"] + model.feature_names
-    rows = []
-    for mode, cube in (
-        ("interp", model.coef(mids)),
-        ("exact", model.coef(mids, exact=True)),
-    ):
-        rows += [
-            (mode, int(i), names[j], float(cube[i, j, 0]))
-            for i in range(cube.shape[0])
-            for j in range(cube.shape[1])
-        ]
-    return spark.createDataFrame(
-        rows, "mode string, interp_idx int, feature string, coef double"
+    sig = pin["sigma"]
+    return np.sqrt(sig[:-1] * sig[1:]) if len(sig) > 1 else sig
+
+
+_Q6_FEATS = ["(Intercept)", "l_quantity", "l_discount"]
+
+
+def q_q6_coef_interpolation(spark, sf_dir):
+    """Off-grid sigma coefficients with a HARD oracle. The engine's
+    interpolation code (R/interpolatePenalty.R port) runs on the PINNED
+    reference path; DuckDB re-derives the same interpolation from the
+    pinned (sigma, beta) literals in closed form — cross-engine
+    verification of the interpolation math. Two booleans check the live
+    behaviors: fit_agrees (the real fit matches the pinned path) and
+    exact_agrees (coef(exact=True)'s refit at the mid sigmas matches an
+    independently pinned NumPy refit at those sigmas)."""
+    import numpy as np
+
+    from .core.interpolate import interpolate_coefficients
+    from .fit import fit as _fit
+
+    spec = _SOLVER_SPECS["q6_coef_interpolation"]
+    li = load(spark, sf_dir, "lineitem")
+    model = _fit(
+        li, spec["features"], "l_extendedprice", "gaussian",
+        n_sigma=spec["n_sigma"],
     )
+    pin = _pinned_fit(sf_dir, "q6_coef_interpolation")
+    mids = _q6_mids(pin)
+
+    fit_agrees = model.betas.shape == pin["betas"].shape and bool(
+        np.allclose(model.betas, pin["betas"], rtol=5e-2, atol=5e-3)
+    )
+    exact = model.coef(mids, exact=True)
+    pin_exact = _pinned_fit_at(sf_dir, "q6_coef_interpolation", tuple(float(x) for x in mids))
+    exact_agrees = exact.shape == pin_exact["betas"].shape and bool(
+        np.allclose(exact, pin_exact["betas"], rtol=5e-2, atol=5e-3)
+    )
+
+    cube = interpolate_coefficients(pin["betas"], pin["sigma"], mids)
+    rows = [
+        (int(i), _Q6_FEATS[j], round(float(cube[i, j, 0]), 6),
+         bool(fit_agrees), bool(exact_agrees))
+        for i in range(cube.shape[0])
+        for j in range(cube.shape[1])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "interp_idx int, feature string, coef double, "
+        "fit_agrees boolean, exact_agrees boolean",
+    )
+
+
+@lru_cache(maxsize=None)
+def _pinned_fit_at(sf_dir: str, qname: str, sigmas: tuple):
+    """Pinned NumPy reference fit at EXPLICIT sigma values (the oracle for
+    coef(exact=True)'s refit)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .core.ref_fit import numpy_path_fit
+
+    spec = _SOLVER_SPECS[qname]
+    tbl = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=list(spec["features"]) + ["l_extendedprice"],
+    )
+    X = np.column_stack(
+        [tbl.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+         for c in spec["features"]]
+    )
+    y = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False).astype(np.float64)
+    return numpy_path_fit(
+        X, y, spec["family"], sigma=np.asarray(sigmas),
+        tol_rel_gap=1e-7, tol_infeas=1e-4,
+    )
+
+
+def _q6_interp_sql(sf_dir: str) -> str:
+    """Closed-form re-derivation of the interpolation: each mid sigma m_i
+    lies between grid points s_i (left) and s_{i+1} (right), and the
+    glmnet-style weight reduces to frac = (s_r - m)/(s_r - s_l), so
+    coef = frac*b_l + (1-frac)*b_r (R/interpolatePenalty.R:10-37)."""
+    pin = _pinned_fit(sf_dir, "q6_coef_interpolation")
+    mids = _q6_mids(pin)
+    B = pin["betas"]
+    sig = pin["sigma"]
+    beta_rows = ", ".join(
+        f"({k}, '{_Q6_FEATS[j]}', {float(B[k, j, 0])!r})"
+        for k in range(B.shape[0]) for j in range(len(_Q6_FEATS))
+    )
+    mid_rows = ", ".join(
+        f"({i}, {float(mids[i])!r}, {float(sig[i])!r}, {float(sig[i + 1])!r})"
+        for i in range(len(mids))
+    )
+    return f"""
+    WITH b(k, feature, coef) AS (VALUES {beta_rows}),
+    m(i, mid, s_l, s_r) AS (VALUES {mid_rows}),
+    f AS (
+        SELECT i, mid, (s_r - mid) / (s_r - s_l) AS frac FROM m
+    )
+    SELECT CAST(f.i AS INTEGER) AS interp_idx, bl.feature,
+           round(f.frac * bl.coef + (1.0 - f.frac) * br.coef, 6) AS coef,
+           TRUE AS fit_agrees, TRUE AS exact_agrees
+    FROM f
+    JOIN b bl ON bl.k = f.i
+    JOIN b br ON br.k = f.i + 1 AND br.feature = bl.feature
+"""
 
 
 _CV_FEATS = ["l_quantity", "l_discount"]
@@ -2088,6 +2221,7 @@ QUERIES = {
     "q8_score_mse_mae": q_q8_score_mse_mae,
     "q9_score_binomial": q_q9_score_binomial,
     "q10_score_auc": q_q10_score_auc,
+    "q10_score_auc_weighted": q_q10_score_auc_weighted,
     "q11_score_multinomial": q_q11_score_multinomial,
     "q12_path_summary": q_q12_path_summary,
     # §2.6 CV
@@ -2153,6 +2287,7 @@ _RAW_ORACLES = {
     "q8_score_mse_mae": SQL_Q8_MSE_MAE,
     "q9_score_binomial": SQL_Q9_BINOMIAL,
     "q10_score_auc": SQL_Q10_AUC,
+    "q10_score_auc_weighted": SQL_Q10_AUC_WEIGHTED,
     "q11_score_multinomial": SQL_Q11_MULTINOMIAL,
     "q12_path_summary": SQL_Q12_PATH,
     "c1_cv_folds": SQL_C1_FOLDS,
@@ -2193,10 +2328,11 @@ def build_oracles(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         .replace("%%P1S%%", repr(s))
         for k, v in _RAW_ORACLES.items()
     }
-    for qname in _SOLVER_SPECS:
+    for qname in _KKT_ORACLE_NAMES:
         out[qname] = (
             "SELECT *, TRUE AS fit_agrees FROM (" + _kkt_sql(sf_dir, qname) + ") ksub"
         )
+    out["q6_coef_interpolation"] = _q6_interp_sql(sf_dir)
     out["c1_cv_fit"] = _cv_fit_sql(sf_dir)
     out["r_lambda_sequences"] = _lambda_seq_sql()
     out["sim_ivf_assign"] = _ivf_assign_sql(sf_dir)
