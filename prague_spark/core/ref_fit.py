@@ -54,13 +54,16 @@ def numpy_path_fit(
     lambda_min_ratio: float | None = None,
     sigma=None,
     lambda_type: str = "gaussian",
+    center: bool = True,
     tol_rel_gap: float = 1e-5,
     tol_infeas: float = 1e-3,
     tol_dev_change: float = 1e-5,
     tol_dev_ratio: float = 0.995,
     max_passes: int = 10**6,
 ) -> dict:
-    """In-core reference path fit (intercept on, center on, scale='l2').
+    """In-core reference path fit (intercept on, scale='l2'; with
+    ``center=False`` the scale-only variant the sparse path uses,
+    ``src/standardize.h:42-71``).
 
     Returns betas in ORIGINAL units (n_path, p+1, m), the internal lambda
     sequence (unnormalized), sigma grid, standardization constants, and
@@ -76,7 +79,7 @@ def numpy_path_fit(
     Y, y_center, y_scale, class_names = preprocess_response_np(y_raw, family)
     m = Y.shape[1]
 
-    x_center = X_raw.mean(axis=0)
+    x_center = X_raw.mean(axis=0) if center else np.zeros(p)
     Xc = X_raw - x_center
     x_scale = np.sqrt((Xc * Xc).sum(axis=0))
     x_scale = np.where(x_scale > 0, x_scale, 1.0)

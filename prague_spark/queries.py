@@ -2148,12 +2148,119 @@ SQL_SPARSE_XTV = """
 """
 
 
+_SPARSE_FIT_KW = dict(n_cols=5, n_sigma=2, lambda_min_ratio=0.5)
+
+
+@lru_cache(maxsize=None)
+def _pinned_sparse_fit(sf_dir: str):
+    """Pinned NumPy reference for the sparse fixture: the same events-
+    derived design densified in-core (tiny) and fitted with the scale-only
+    (center=False) reference path."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .core.ref_fit import numpy_path_fit
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    ids = tbl.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = tbl.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+    msk = ids < 2000
+    ids, vals = ids[msk], vals[msk]
+    p = _SPARSE_FIT_KW["n_cols"]
+    X = np.zeros((len(ids), p))
+    X[np.arange(len(ids)), ids % p] = vals
+    y = vals * 2.0 + (ids % 3).astype(np.float64)
+    return numpy_path_fit(
+        X, y, "gaussian", center=False,
+        n_sigma=_SPARSE_FIT_KW["n_sigma"],
+        lambda_min_ratio=_SPARSE_FIT_KW["lambda_min_ratio"],
+        tol_rel_gap=1e-7, tol_infeas=1e-4,
+    )
+
+
+def _sparse_kkt_sql(sf_dir: str) -> str:
+    """KKT-residual oracle for the sparse fit: DuckDB recomputes the
+    scale-only standardized gradient directly from the events-derived
+    triplets (each row has exactly one nonzero feature, col = id % 5) with
+    the pinned betas as literals, then the sorted-cumsum infeasibility."""
+    pin = _pinned_sparse_fit(sf_dir)
+    p = _SPARSE_FIT_KW["n_cols"]
+    B = pin["betas"]
+    K = B.shape[0]
+    sj = pin["x_scale"]
+    ys = float(pin["y_scale"][0])
+    lam = pin["lam"]
+    sig = pin["sigma"]
+    tol = max(pin["tol_infeas"], 1e-3)
+
+    def lp(k):
+        # one nonzero feature per row: lp = b0 + b_{cid} * value
+        chain = " ".join(
+            f"WHEN cid = {j} THEN {float(B[k, 1 + j, 0])!r} * value"
+            for j in range(p)
+        )
+        return f"({float(B[k, 0, 0])!r} + (CASE {chain} ELSE 0.0 END))"
+
+    g_exprs = [
+        f"sum(CASE WHEN cid = {j} THEN (value / {float(sj[j])!r}) * (({lp(k)}) - y) / {ys!r} END) AS g_{k}_{j}"
+        for k in range(K) for j in range(p)
+    ]
+    long_selects = " UNION ALL ".join(
+        f"SELECT {k} AS k, coalesce(abs(g_{k}_{j}), 0.0) AS a FROM g"
+        for k in range(K) for j in range(p)
+    )
+    lam_rows = ", ".join(
+        f"({k}, {r + 1}, {float(lam[r] * sig[k])!r})"
+        for k in range(K) for r in range(p)
+    )
+    meta_rows = ", ".join(
+        f"({k}, {pin['n_nonzero'][k]}, {float(tol * lam[0] * sig[k])!r})"
+        for k in range(K)
+    )
+    return f"""
+    WITH base AS (
+        SELECT CAST(event_id % {p} AS INTEGER) AS cid, value,
+               value * 2.0 + CAST(event_id % 3 AS DOUBLE) AS y
+        FROM events WHERE event_id < 2000
+    ), g AS (
+        SELECT {", ".join(g_exprs)} FROM base
+    ), longg AS (
+        {long_selects}
+    ), lamt AS (
+        SELECT * FROM (VALUES {lam_rows}) AS t(k, r, lam)
+    ), ranked AS (
+        SELECT k, a, row_number() OVER (PARTITION BY k ORDER BY a DESC) AS r
+        FROM longg
+    ), cum AS (
+        SELECT ranked.k AS k,
+               sum(ranked.a - lamt.lam) OVER (
+                   PARTITION BY ranked.k ORDER BY ranked.r
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM ranked JOIN lamt ON ranked.k = lamt.k AND ranked.r = lamt.r
+    ), inf AS (
+        SELECT k, max(CASE WHEN c > 0.0 THEN c ELSE 0.0 END) AS infeas
+        FROM cum GROUP BY k
+    ), meta AS (
+        SELECT * FROM (VALUES {meta_rows}) AS t(k, nnz, tol)
+    )
+    SELECT CAST(meta.k AS INTEGER) AS path_idx,
+           CAST(meta.nnz AS BIGINT) AS n_nonzero,
+           (inf.infeas <= meta.tol) AS kkt_ok,
+           TRUE AS fit_agrees
+    FROM inf JOIN meta ON inf.k = meta.k
+"""
+
+
 def q_sparse_fit(spark, sf_dir):
     """End-to-end sparse SLOPE fit on long-format triplets WITHOUT
     densification (fit_sparse; reference sparse entry src/owl.cpp:398-412,
-    scale-only standardization src/standardize.h:42-71) — rows-only
-    (solver-dependent values). Triplets derived deterministically from
-    events; tidy coefficient output."""
+    scale-only standardization src/standardize.h:42-71), with the same
+    hard KKT-residual oracle scheme as the dense solver queries: both
+    engines verify sorted-L1 KKT feasibility of the pinned reference betas
+    from the raw data, and fit_agrees checks the engine's sparse fit
+    against them."""
+    import numpy as np
+
     from .ops.sparse import fit_sparse
 
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
@@ -2166,10 +2273,14 @@ def q_sparse_fit(spark, sf_dir):
         F.col("event_id").alias("row_id"),
         (F.col("value") * 2.0 + (F.col("event_id") % 3).cast("double")).alias("y"),
     )
-    model = fit_sparse(
-        trip, ydf, "y", "gaussian", n_cols=5, n_sigma=2, lambda_min_ratio=0.5,
+    model = fit_sparse(trip, ydf, "y", "gaussian", **_SPARSE_FIT_KW)
+    pin = _pinned_sparse_fit(sf_dir)
+    agree = model.betas.shape == pin["betas"].shape and bool(
+        np.allclose(model.betas, pin["betas"], rtol=5e-2, atol=5e-3)
     )
-    return model.coef_df(spark)
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    out = spark.sql(_sparse_kkt_sql(sf_dir))
+    return out.drop("fit_agrees").withColumn("fit_agrees", F.lit(bool(agree)))
 
 
 def q_s4_random_problem(spark, sf_dir):
@@ -2336,6 +2447,7 @@ def build_oracles(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     out["c1_cv_fit"] = _cv_fit_sql(sf_dir)
     out["r_lambda_sequences"] = _lambda_seq_sql()
     out["sim_ivf_assign"] = _ivf_assign_sql(sf_dir)
+    out["sparse_fit"] = _sparse_kkt_sql(sf_dir)
     return out
 
 
