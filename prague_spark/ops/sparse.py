@@ -105,24 +105,22 @@ class SparseLongDesign:
       groupBy(col_id) — again O(nnz); only the p-vector reaches the driver.
 
     The intercept column (value 1/sqrt(n) under l2 preconditioning) is
-    handled analytically, never materialized. Supported families:
-    gaussian, binomial, poisson (y already in internal encoding).
+    handled analytically, never materialized. All four families; the
+    multinomial response rides as one internal column per target
+    (``_y0.._y{m-1}``) and the per-row softmax runs as column expressions.
     """
 
     def __init__(self, trip, ydf, family: str, p: int, n: int, icol: float,
-                 row_col: str = "row_id", col_col: str = "col_id",
+                 m: int = 1, row_col: str = "row_id", col_col: str = "col_id",
                  val_col: str = "value"):
-        if family not in ("gaussian", "binomial", "poisson"):
-            raise ValueError(
-                f"sparse long-format fit supports gaussian/binomial/poisson, "
-                f"not {family!r} (densify with long_to_features for multinomial)"
-            )
+        if family not in ("gaussian", "binomial", "poisson", "multinomial"):
+            raise ValueError(f"unknown family {family!r}")
         self.trip = trip
-        self.ydf = ydf  # (row_col, _y) in internal encoding
+        self.ydf = ydf  # (row_col, _y0.._y{m-1}) in internal encoding
         self.family = family
         self.p_pen = p
         self.p = p + 1  # +intercept, solver-facing
-        self.m = 1
+        self.m = m
         self.n = n
         self.icol = icol
         self.row_col, self.col_col, self.val_col = row_col, col_col, val_col
@@ -131,19 +129,35 @@ class SparseLongDesign:
             # SQL primal/dual stay builtin-only (Spark lacks lgamma)
             from math import lgamma
 
-            ys = [r["_y"] for r in ydf.select("_y").collect()] if n <= 10**7 else None
+            ys = [r["_y0"] for r in ydf.select("_y0").collect()] if n <= 10**7 else None
             if ys is None:
                 raise ValueError("poisson sparse fit: n too large for lgamma setup")
             self._lg = float(np.sum([lgamma(v + 1.0) for v in ys]))
         else:
             self._lg = 0.0
 
-    # -- family math as column expressions over (_y, _lp) -----------------
+    # -- family math as column expressions over (_y*, _lp*) ---------------
+    # returns (primal_term, dual_term, [g_0..g_{m-1}])
     def _exprs(self):
-        y, lp = F.col("_y"), F.col("_lp")
+        if self.family == "multinomial":
+            lps = [F.col(f"_lp{t}") for t in range(self.m)]
+            ys = [F.col(f"_y{t}") for t in range(self.m)]
+            mx = F.greatest(*lps) if self.m > 1 else lps[0]
+            ssum = F.exp(-mx)
+            for t in range(self.m):
+                ssum = ssum + F.exp(F.least(lps[t] - mx, F.lit(_EXP_MAX)))
+            lse = F.log(ssum) + mx
+            ylp = ys[0] * lps[0]
+            lpe = lps[0] * F.exp(lps[0] - lse)
+            for t in range(1, self.m):
+                ylp = ylp + ys[t] * lps[t]
+                lpe = lpe + lps[t] * F.exp(lps[t] - lse)
+            gs = [F.exp(lps[t] - lse) - ys[t] for t in range(self.m)]
+            return lse - ylp, lse - lpe, gs
+        y, lp = F.col("_y0"), F.col("_lp0")
         if self.family == "gaussian":
             r = y - lp
-            return 0.5 * r * r, 0.5 * y * y - 0.5 * lp * lp, lp - y
+            return 0.5 * r * r, 0.5 * y * y - 0.5 * lp * lp, [lp - y]
         if self.family == "binomial":
             eneg = F.exp(F.least(-y * lp, F.lit(_EXP_MAX)))
             epos = F.exp(F.least(y * lp, F.lit(_EXP_MAX)))
@@ -153,52 +167,81 @@ class SparseLongDesign:
             return (
                 F.log1p(eneg),
                 (r - 1.0) * log1mr - r * logr,
-                -y / (F.lit(1.0) + epos),
+                [-y / (F.lit(1.0) + epos)],
             )
         mu = F.exp(F.least(lp, F.lit(_EXP_MAX)))
-        return -(y * lp - mu), -(mu * (lp - 1.0)), mu - y
+        return -(y * lp - mu), -(mu * (lp - 1.0)), [mu - y]
 
     def _rows(self, beta):
-        b = np.asarray(beta, dtype=np.float64).ravel()
+        B = np.asarray(beta, dtype=np.float64).reshape(self.p, self.m)
         spark = self.trip.sparkSession
-        nz = np.flatnonzero(b[1:])
+        nz = np.flatnonzero(np.any(B[1:] != 0, axis=1))
+        rows = self.ydf
         if len(nz):
             bdf = spark.createDataFrame(
-                [(int(j), float(b[1 + j])) for j in nz], f"{self.col_col} int, _b double"
+                [
+                    (int(j), *[float(B[1 + j, t]) for t in range(self.m)])
+                    for j in nz
+                ],
+                f"{self.col_col} int, "
+                + ", ".join(f"_b{t} double" for t in range(self.m)),
             )
             lp = (
                 self.trip.join(F.broadcast(bdf), self.col_col)
                 .groupBy(self.row_col)
-                .agg(F.sum(F.col(self.val_col) * F.col("_b")).alias("_lp"))
+                .agg(
+                    *[
+                        F.sum(F.col(self.val_col) * F.col(f"_b{t}")).alias(f"_lp{t}")
+                        for t in range(self.m)
+                    ]
+                )
             )
-            rows = self.ydf.join(lp, self.row_col, "left").withColumn(
-                "_lp", F.coalesce(F.col("_lp"), F.lit(0.0))
-            )
+            rows = rows.join(lp, self.row_col, "left")
+            for t in range(self.m):
+                rows = rows.withColumn(
+                    f"_lp{t}", F.coalesce(F.col(f"_lp{t}"), F.lit(0.0))
+                )
         else:
-            rows = self.ydf.withColumn("_lp", F.lit(0.0))
-        return rows.withColumn("_lp", F.col("_lp") + F.lit(self.icol * float(b[0])))
+            for t in range(self.m):
+                rows = rows.withColumn(f"_lp{t}", F.lit(0.0))
+        for t in range(self.m):
+            rows = rows.withColumn(
+                f"_lp{t}", F.col(f"_lp{t}") + F.lit(self.icol * float(B[0, t]))
+            )
+        return rows
 
     def eval(self, beta):
         rows = self._rows(beta)
-        pe, de, ge = self._exprs()
-        rows = rows.withColumn("_g", ge)
+        pe, de, ges = self._exprs()
+        for t, ge in enumerate(ges):
+            rows = rows.withColumn(f"_g{t}", ge)
         head = rows.agg(
-            F.sum(pe).alias("_p"), F.sum(de).alias("_d"), F.sum("_g").alias("_gi")
+            F.sum(pe).alias("_p"), F.sum(de).alias("_d"),
+            *[F.sum(f"_g{t}").alias(f"_gi{t}") for t in range(self.m)],
         ).first()
-        grad = np.zeros((self.p, 1))
-        grad[0, 0] = self.icol * float(head["_gi"])
+        grad = np.zeros((self.p, self.m))
+        for t in range(self.m):
+            grad[0, t] = self.icol * float(head[f"_gi{t}"])
+        gcols = [f"_g{t}" for t in range(self.m)]
         for r in (
-            self.trip.join(rows.select(self.row_col, "_g"), self.row_col)
+            self.trip.join(rows.select(self.row_col, *gcols), self.row_col)
             .groupBy(self.col_col)
-            .agg(F.sum(F.col(self.val_col) * F.col("_g")).alias("_gc"))
+            .agg(
+                *[
+                    F.sum(F.col(self.val_col) * F.col(g)).alias(f"_gc{t}")
+                    for t, g in enumerate(gcols)
+                ]
+            )
             .collect()
         ):
-            grad[1 + int(r[self.col_col]), 0] = float(r["_gc"])
+            for t in range(self.m):
+                grad[1 + int(r[self.col_col]), t] = float(r[f"_gc{t}"])
         return float(head["_p"]) + self._lg, float(head["_d"]) + self._lg, grad
 
     def primal(self, beta):
+        rows = self._rows(beta)
         pe, _, _ = self._exprs()
-        return float(self._rows(beta).agg(F.sum(pe)).first()[0]) + self._lg
+        return float(rows.agg(F.sum(pe)).first()[0]) + self._lg
 
     def full_gradient(self, beta):
         return self.eval(beta)[2]
@@ -249,7 +292,12 @@ def fit_sparse(
 
     spark = triplets.sparkSession
     ydf2, rinfo = preprocess_response(y_df, label, family)
-    ydf = ydf2.select(F.col(row_col), F.col(Y_COL).alias("_y")).persist()
+    m = rinfo.n_targets
+    if m > 1:
+        ycols = [F.col(Y_COL)[t].alias(f"_y{t}") for t in range(m)]
+    else:
+        ycols = [F.col(Y_COL).alias("_y0")]
+    ydf = ydf2.select(F.col(row_col), *ycols).persist()
     n = ydf.count()
 
     scales = sparse_scales(triplets, n, scale=scale,
@@ -267,39 +315,45 @@ def fit_sparse(
     trip.count()
 
     icol = 1.0 / np.sqrt(n) if (intercept and scale == "l2") else 1.0
-    design = SparseLongDesign(trip, ydf, family, n_cols, n, icol,
+    design = SparseLongDesign(trip, ydf, family, n_cols, n, icol, m=m,
                               row_col=row_col, col_col=col_col, val_col=val_col)
 
     # one pass each for the lambda_max cross-moments (sparse aggregations)
-    xty = np.zeros(n_cols + 1)
+    xty = np.zeros((n_cols + 1, m))
     sums_x = np.zeros(n_cols + 1)
     for r in (
         trip.join(ydf, row_col)
         .groupBy(col_col)
-        .agg(F.sum(F.col(val_col) * F.col("_y")).alias("_xy"),
-             F.sum(val_col).alias("_sx"))
+        .agg(
+            *[F.sum(F.col(val_col) * F.col(f"_y{t}")).alias(f"_xy{t}")
+              for t in range(m)],
+            F.sum(val_col).alias("_sx"),
+        )
         .collect()
     ):
-        xty[1 + int(r[col_col])] = float(r["_xy"])
+        for t in range(m):
+            xty[1 + int(r[col_col]), t] = float(r[f"_xy{t}"])
         sums_x[1 + int(r[col_col])] = float(r["_sx"])
-    head = ydf.agg(F.sum("_y").alias("_sy")).first()
-    sum_y = float(head["_sy"])
-    xty[0] = icol * sum_y
+    head = ydf.agg(
+        *[F.sum(f"_y{t}").alias(f"_sy{t}") for t in range(m)]
+    ).first()
+    sums_y = np.array([float(head[f"_sy{t}"]) for t in range(m)])
+    xty[0, :] = icol * sums_y
     sums_x[0] = n * icol
     lambda_max = _lambda_max_from_stats(
-        family, xty[:, np.newaxis], sums_x, np.array([sum_y]), n, intercept=True
+        family, xty, sums_x, sums_y, n, intercept=True
     )
 
-    lam = lambda_sequence(n_cols, n, lambda_type, q)
+    lam = lambda_sequence(n_cols * m, n, lambda_type, q)
     sigma_is_auto = sigma is None
     if sigma_is_auto:
         sig, _ = sigma_grid(lambda_max, lam, n_sigma, lambda_min_ratio, n=n, p=n_cols)
     else:
         sig = np.atleast_1d(np.asarray(sigma, dtype=np.float64))
 
-    null_deviance = 2.0 * design.primal(np.zeros((n_cols + 1, 1)))
-    betas = np.zeros((len(sig), n_cols + 1, 1))
-    beta = np.zeros((n_cols + 1, 1))
+    null_deviance = 2.0 * design.primal(np.zeros((n_cols + 1, m)))
+    betas = np.zeros((len(sig), n_cols + 1, m))
+    beta = np.zeros((n_cols + 1, m))
     deviances: list[float] = []
     dev_ratios: list[float] = []
     passes: list[int] = []
@@ -309,7 +363,7 @@ def fit_sparse(
             design, beta, lam * sig[k], n_unpenalized=1,
             max_passes=max_passes, tol_rel_gap=tol_rel_gap, tol_infeas=tol_infeas,
         )
-        beta = res.beta.reshape(n_cols + 1, 1)
+        beta = res.beta.reshape(n_cols + 1, m)
         betas[k] = beta
         deviances.append(res.deviance)
         dev_ratios.append(1.0 - res.deviance / null_deviance)
@@ -349,7 +403,7 @@ def fit_sparse(
             [len(np.unique(np.abs(b[b != 0]))) for b in bp], dtype=int
         ),
         class_names=rinfo.class_names,
-        n_targets=1,
+        n_targets=m,
         x_center=np.zeros(n_cols),
         x_scale=x_scale,
         y_center=rinfo.y_center,

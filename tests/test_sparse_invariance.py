@@ -155,3 +155,53 @@ def test_fit_sparse_binomial_runs_and_recovers_sign(spark):
     b = m.betas[-1, 1:, 0]
     assert b[0] > 0 and b[1] < 0  # 'pos' is class 2 -> +lp direction
     assert np.count_nonzero(b) < p  # SLOPE actually sparsifies
+
+
+def test_fit_sparse_multinomial_matches_dense(spark):
+    """Sparse multinomial (m-1 softmax targets over long-format triplets,
+    never densified) agrees with the dense in-core multinomial fit."""
+    from prague_spark.ops.sparse import fit_sparse
+
+    rng = np.random.default_rng(23)
+    n, p, density = 400, 30, 0.2
+    X = np.where(rng.random((n, p)) < density, rng.normal(size=(n, p)), 0.0)
+    score0 = 3.0 * X[:, 0] + rng.normal(scale=0.5, size=n)
+    score1 = -3.0 * X[:, 1] + rng.normal(scale=0.5, size=n)
+    y = np.where(score0 > np.maximum(score1, 0), "a",
+                 np.where(score1 > 0, "b", "c"))
+    rows, cols_idx = np.nonzero(X)
+    trip = spark.createDataFrame(
+        [(int(r), int(c), float(X[r, c])) for r, c in zip(rows, cols_idx)],
+        "row_id long, col_id int, value double",
+    )
+    ydf = spark.createDataFrame(
+        [(int(i), str(y[i])) for i in range(n)], "row_id long, y string"
+    )
+    m_sparse = fit_sparse(
+        trip, ydf, "y", "multinomial", n_cols=p, n_sigma=3, lambda_min_ratio=0.3,
+    )
+    dense = spark.createDataFrame(
+        [tuple([float(v) for v in X[i]] + [str(y[i])]) for i in range(n)],
+        ", ".join([f"x{j} double" for j in range(p)] + ["y string"]),
+    )
+    m_dense = ps.fit(
+        dense, [f"x{j}" for j in range(p)], "y", "multinomial",
+        center=False, scale="l2", n_sigma=3, lambda_min_ratio=0.3,
+        solver="incore",
+    )
+    assert m_sparse.n_path == m_dense.n_path
+    assert m_sparse.n_targets == m_dense.n_targets == 2
+    for k in range(m_sparse.n_path):
+        # penalized coefficients must agree everywhere; the UNPENALIZED
+        # intercept at k=0 (sigma_max) sits on a degenerate stopping tie
+        # (duality gap is exactly 0 at beta=0 while feasibility sits on
+        # the threshold by construction of sigma_max), so backends may
+        # legitimately stop at beta=0 or at the null intercept there —
+        # compare intercepts from k=1 on.
+        np.testing.assert_allclose(
+            m_sparse.betas[k, 1:], m_dense.betas[k, 1:], rtol=5e-3, atol=5e-3,
+        )
+        if k >= 1:
+            np.testing.assert_allclose(
+                m_sparse.betas[k, 0], m_dense.betas[k, 0], rtol=5e-3, atol=5e-3,
+            )
