@@ -82,7 +82,7 @@ def _irls_multinomial(X, Y, iters=200, tol=1e-12):
 
 @pytest.fixture(scope="module")
 def li_small(lineitem):
-    return lineitem.limit(2000).cache()
+    return lineitem.limit(1200).cache()
 
 
 @pytest.mark.parametrize("solver", ["incore", "spark"])

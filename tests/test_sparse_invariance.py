@@ -95,7 +95,7 @@ def test_fit_sparse_long_format_no_densify_matches_dense(spark):
     from prague_spark.ops.sparse import fit_sparse
 
     rng = np.random.default_rng(11)
-    n, p, density = 400, 120, 0.05
+    n, p, density = 300, 60, 0.05
     nnz_mask = rng.random((n, p)) < density
     X = np.where(nnz_mask, rng.normal(size=(n, p)), 0.0)
     beta_true = np.zeros(p)
@@ -137,7 +137,7 @@ def test_fit_sparse_binomial_runs_and_recovers_sign(spark):
     from prague_spark.ops.sparse import fit_sparse
 
     rng = np.random.default_rng(5)
-    n, p, density = 400, 60, 0.1
+    n, p, density = 300, 40, 0.1
     X = np.where(rng.random((n, p)) < density, rng.normal(size=(n, p)), 0.0)
     lp = 4.0 * X[:, 0] - 4.0 * X[:, 1]
     y = np.where(rng.random(n) < 1.0 / (1.0 + np.exp(-lp)), "pos", "neg")
@@ -163,7 +163,7 @@ def test_fit_sparse_multinomial_matches_dense(spark):
     from prague_spark.ops.sparse import fit_sparse
 
     rng = np.random.default_rng(23)
-    n, p, density = 400, 30, 0.2
+    n, p, density = 300, 20, 0.2
     X = np.where(rng.random((n, p)) < density, rng.normal(size=(n, p)), 0.0)
     score0 = 3.0 * X[:, 0] + rng.normal(scale=0.5, size=n)
     score1 = -3.0 * X[:, 1] + rng.normal(scale=0.5, size=n)
