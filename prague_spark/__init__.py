@@ -15,7 +15,8 @@ from .fit import fit
 from .model import SlopeModel
 from .ops.cv import cv_fit
 from .ops.predict import predict, predict_path
-from .ops.score import auc, score, score_path
+from .ops.score import auc, score, score_path, score_path_spark
+from .ops.sparse import fit_sparse, predict_sparse
 from .session import get_spark
 
 __all__ = [
@@ -26,6 +27,9 @@ __all__ = [
     "predict_path",
     "score",
     "score_path",
+    "score_path_spark",
+    "fit_sparse",
+    "predict_sparse",
     "auc",
     "get_spark",
 ]

@@ -411,6 +411,102 @@ def fit_sparse(
     )
 
 
+def predict_sparse(
+    triplets: DataFrame,
+    model,
+    *,
+    rows: DataFrame | None = None,
+    path_idx: int | None = None,
+    type: str = "link",
+    row_col: str = "row_id",
+    col_col: str = "col_id",
+    val_col: str = "value",
+    out: str = "pred",
+) -> DataFrame:
+    """Predictions for a model (from ``fit_sparse`` or ``fit``) directly on
+    long-format triplets — no densification (R/predict.R semantics on the
+    sparse input path). One broadcast join + one groupBy(row_id): O(nnz).
+
+    ``rows`` optionally supplies the full row universe so all-zero rows
+    predict the intercept. ``type``: link | response | class. Returns
+    (row_col, ``out``) — for multinomial response an array of class
+    probabilities, for class the predicted label."""
+    spark = triplets.sparkSession
+    if path_idx is None:
+        path_idx = model.n_path - 1
+    B = np.asarray(model.betas[path_idx], dtype=np.float64)  # (p+1|p, m)
+    m = model.n_targets
+    start = 1 if model.intercept else 0
+    b0 = B[0] if model.intercept else np.zeros(m)
+    pen = B[start:]
+
+    nz = np.flatnonzero(np.any(pen != 0, axis=1))
+    lps = [F.lit(float(b0[t])) for t in range(m)]
+    if len(nz):
+        bdf = spark.createDataFrame(
+            [(int(j), *[float(pen[j, t]) for t in range(m)]) for j in nz],
+            f"{col_col} int, " + ", ".join(f"_b{t} double" for t in range(m)),
+        )
+        agg = (
+            triplets.join(F.broadcast(bdf), col_col)
+            .groupBy(row_col)
+            .agg(
+                *[
+                    F.sum(F.col(val_col) * F.col(f"_b{t}")).alias(f"_s{t}")
+                    for t in range(m)
+                ]
+            )
+        )
+        base = rows.select(row_col).join(agg, row_col, "left") if rows is not None else agg
+        lps = [
+            F.coalesce(F.col(f"_s{t}"), F.lit(0.0)) + F.lit(float(b0[t]))
+            for t in range(m)
+        ]
+    else:
+        if rows is None:
+            base = triplets.select(row_col).distinct()
+        else:
+            base = rows.select(row_col)
+
+    fam = model.family
+    if fam in ("gaussian", "binomial", "poisson"):
+        lp = lps[0]
+        if type == "link" or (type == "response" and fam == "gaussian"):
+            expr = lp
+        elif fam == "binomial" and type == "response":
+            expr = F.lit(1.0) / (F.lit(1.0) + F.exp(-lp))
+        elif fam == "binomial" and type == "class":
+            c1, c2 = model.class_names
+            expr = F.when(lp > 0, F.lit(c2)).otherwise(F.lit(c1))
+        elif fam == "poisson" and type == "response":
+            expr = F.exp(lp)
+        else:
+            raise ValueError(f"type {type!r} not supported for {fam!r}")
+        return base.select(row_col, expr.alias(out))
+
+    # multinomial
+    lps_full = lps + [F.lit(0.0)]
+    if type == "link":
+        return base.select(row_col, F.array(*lps).alias(out))
+    mx = F.greatest(*lps_full)
+    exps = [F.exp(e - mx) for e in lps_full]
+    den = exps[0]
+    for e in exps[1:]:
+        den = den + e
+    probs = [e / den for e in exps]
+    if type == "response":
+        return base.select(row_col, F.array(*probs).alias(out))
+    if type == "class":
+        classes = model.class_names
+        best = F.greatest(*probs)
+        chain = None
+        for i, cls in enumerate(classes):
+            cond = probs[i] == best
+            chain = F.when(cond, F.lit(cls)) if chain is None else chain.when(cond, F.lit(cls))
+        return base.select(row_col, chain.alias(out))
+    raise ValueError(f"type {type!r} not supported for multinomial")
+
+
 def sparse_xtv(
     triplets: DataFrame,
     v: DataFrame,

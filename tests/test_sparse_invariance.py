@@ -205,3 +205,30 @@ def test_fit_sparse_multinomial_matches_dense(spark):
             np.testing.assert_allclose(
                 m_sparse.betas[k, 0], m_dense.betas[k, 0], rtol=5e-3, atol=5e-3,
             )
+
+
+def test_predict_sparse_matches_dense_predict(spark):
+    from prague_spark.ops.sparse import fit_sparse, predict_sparse
+
+    rng = np.random.default_rng(7)
+    n, p = 200, 15
+    X = np.where(rng.random((n, p)) < 0.3, rng.normal(size=(n, p)), 0.0)
+    y = 2.0 * X[:, 0] - 1.0 * X[:, 1] + rng.normal(scale=0.3, size=n)
+    rows, cols_idx = np.nonzero(X)
+    trip = spark.createDataFrame(
+        [(int(r), int(c), float(X[r, c])) for r, c in zip(rows, cols_idx)],
+        "row_id long, col_id int, value double",
+    )
+    ydf = spark.createDataFrame(
+        [(int(i), float(y[i])) for i in range(n)], "row_id long, y double"
+    )
+    m = fit_sparse(trip, ydf, "y", "gaussian", n_cols=p, n_sigma=2,
+                   lambda_min_ratio=0.5)
+    preds = {
+        int(r["row_id"]): float(r["pred"])
+        for r in predict_sparse(trip, m, rows=ydf, type="response").collect()
+    }
+    B = m.betas[-1, :, 0]
+    expect = B[0] + X @ B[1:]
+    got = np.array([preds[i] for i in range(n)])
+    np.testing.assert_allclose(got, expect, rtol=1e-10, atol=1e-10)
