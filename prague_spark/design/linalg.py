@@ -167,16 +167,19 @@ def gram_xty_pass_keyed(df, x_col: str, y_col: str, key_col: str, p: int, n_keys
 
 
 def glm_setup_pass(df, x_col: str, y_col: str, p: int, m: int = 1,
-                   need_xtx: bool = True, family=None):
+                   need_xtx: bool = True, need_xsq: bool = False, family=None):
     """ONE fused scan producing every setup statistic the iterative GLM
     families need: optionally X^T X (Lipschitz bound), X^T Y, column sums
-    of X, column sums of Y, n, and (when ``family`` is given) the primal
+    of X, optionally per-column sums of squares (standardization scales),
+    column sums of Y, n, and (when ``family`` is given) the primal
     objective at beta = 0 — i.e. the null deviance / 2 — so the path loop
-    needs no dedicated null-model pass. Replaces four separate scans; at
-    cluster scale each avoided pass is one full read of the data."""
+    needs no dedicated null-model or standardizer pass. Replaces up to
+    five separate scans; at cluster scale each avoided pass is one full
+    read of the data."""
     nx = p * p if need_xtx else 0
+    nq = p if need_xsq else 0
     with_null = family is not None
-    out_len = nx + p * m + p + m + m + (1 if with_null else 0) + 1
+    out_len = nx + p * m + p + nq + m + m + (1 if with_null else 0) + 1
 
     def make_partial(batch):
         X, Y = _batch_xy(batch, x_col, y_col, p, m)
@@ -188,6 +191,9 @@ def glm_setup_pass(df, x_col: str, y_col: str, p: int, m: int = 1,
         o += p * m
         part[o : o + p] = X.sum(axis=0)
         o += p
+        if need_xsq:
+            part[o : o + p] = (X * X).sum(axis=0)
+            o += p
         part[o : o + m] = Y.sum(axis=0)
         o += m
         part[o : o + m] = (Y * Y).sum(axis=0)
@@ -202,6 +208,8 @@ def glm_setup_pass(df, x_col: str, y_col: str, p: int, m: int = 1,
     o += p * m
     sums_x = tot[o : o + p].copy()
     o += p
+    sumsq_x = tot[o : o + p].copy() if need_xsq else None
+    o += nq
     sums_y = tot[o : o + m].copy()
     o += m
     sumsq_y = tot[o : o + m].copy()
@@ -209,6 +217,7 @@ def glm_setup_pass(df, x_col: str, y_col: str, p: int, m: int = 1,
         xtx=tot[:nx].reshape(p, p) if need_xtx else None,
         xty=xty,
         sums_x=sums_x,
+        sumsq_x=sumsq_x,
         sums_y=sums_y,
         sumsq_y=sumsq_y,
         primal0=float(tot[-2]) if with_null else None,

@@ -35,7 +35,7 @@ from .design.linalg import glm_setup_pass, gram_xty_pass
 from .model import SlopeModel
 from .ops.features import assemble_features
 from .ops.response import Y_COL, preprocess_response
-from .ops.standardize import fit_standardizer
+from .ops.standardize import StandardizerModel, fit_standardizer
 
 X_COL = "_x_features"
 
@@ -206,7 +206,41 @@ def fit(
     # ---- response + features + standardization (DataFrame plane) ----
     df2, rinfo = preprocess_response(df, label, family)
     m = rinfo.n_targets
-    std = fit_standardizer(df2, list(features), center=center, scale=scale)
+
+    # For moment-derivable scales, ONE fused raw scan supplies the
+    # standardizer, the lambda_max cross-moments, the null deviance, and
+    # (when needed) the Gram/Lipschitz curvature — the staged families'
+    # analogue of the gaussian fast path's single-pass setup. Legacy
+    # two-scan setup only for l1/max scales.
+    raw_setup = None
+    p_feat = len(features)
+    if scale in ("l2", "sd", "none"):
+        raw_need_xtx = (
+            family == "gaussian" and solver in ("auto", "gram")
+        ) or (solver == "spark_fista" and family in ("binomial", "multinomial"))
+        xdf_raw = df2.select(
+            F.array(*[F.col(c).cast("double") for c in features]).alias("_xr"),
+            Y_COL,
+        )
+        raw_setup = glm_setup_pass(
+            xdf_raw, "_xr", Y_COL, p_feat, m,
+            need_xtx=raw_need_xtx, need_xsq=True, family=fam,
+        )
+        n = raw_setup["n"]
+        std = StandardizerModel(
+            cols=list(features), do_center=center, scale_type=scale, n=n
+        )
+        for j, c in enumerate(features):
+            sj = float(raw_setup["sums_x"][j])
+            if center:
+                std.center[c] = sj / n
+            if scale != "none":
+                mean = sj / n if (center or scale == "sd") else 0.0
+                css = max(float(raw_setup["sumsq_x"][j]) - n * mean * mean, 0.0)
+                v = np.sqrt(css / (n - 1)) if scale == "sd" and n > 1 else np.sqrt(css)
+                std.scale[c] = 1.0 if v == 0.0 else float(v)
+    else:
+        std = fit_standardizer(df2, list(features), center=center, scale=scale)
     df3 = std.transform(df2)
     # row count rides along with the one-scan standardizer when available;
     # the cache then materializes on the first design pass instead of a
@@ -239,7 +273,16 @@ def fit(
     est_bytes = n * p_total * 8 * max(m, 1)
     xty_gaussian = None
     if family == "gaussian" and solver in ("auto", "gram"):
-        gram, xty, yty, n_seen = gram_xty_pass(sdf, X_COL, Y_COL, p_total)
+        if raw_setup is not None:
+            # Gram sufficient statistics derived from the raw scan — the
+            # staged gaussian route is one pass too
+            der = _std_setup_from_raw(
+                raw_setup, x_center, x_scale, icol, n, m, intercept,
+                with_xtx=True,
+            )
+            gram, xty, yty = der["xtx"], der["xty"].ravel(), float(der["sumsq_y"][0])
+        else:
+            gram, xty, yty, n_seen = gram_xty_pass(sdf, X_COL, Y_COL, p_total)
         design = GramGaussianDesign(GramData(gram=gram, xty=xty, yty=yty, n=n))
         xty_gaussian = xty
         use_admm = True
@@ -268,10 +311,17 @@ def fit(
     if isinstance(design, SparkGlmDesign):
         # prox-Newton needs no Lipschitz bound; skip the p^2 payload
         need_xtx = family in ("binomial", "multinomial") and not use_newton
-        setup = glm_setup_pass(
-            sdf, X_COL, Y_COL, p_total, m, need_xtx=need_xtx, family=fam
-        )
-        if need_xtx:
+        if raw_setup is not None:
+            # derived from the raw scan — no additional pass
+            setup = _std_setup_from_raw(
+                raw_setup, x_center, x_scale, icol, n, m, intercept,
+                with_xtx=need_xtx,
+            )
+        else:
+            setup = glm_setup_pass(
+                sdf, X_COL, Y_COL, p_total, m, need_xtx=need_xtx, family=fam
+            )
+        if need_xtx and setup["xtx"] is not None:
             eigmax = float(np.linalg.eigvalsh(setup["xtx"]).max())
             if eigmax > 0:
                 lipschitz_lr = (4.0 if family == "binomial" else 2.0) / eigmax
@@ -495,6 +545,45 @@ def fit(
         y_center=rinfo.y_center,
         y_scale=rinfo.y_scale,
         diagnostics=diag if diagnostics else None,
+    )
+
+
+def _std_setup_from_raw(raw, x_center, x_scale, icol, n, m, intercept,
+                        with_xtx=False):
+    """Standardized-design setup statistics derived from RAW moments —
+    zero additional data passes. X~ = (X - 1 c') D^-1 with an intercept
+    column of ``icol``; y is already in internal encoding, so only the
+    X-side affine transform applies."""
+    p = len(x_center)
+    c, s = np.asarray(x_center, float), np.asarray(x_scale, float)
+    xty_pen = (raw["xty"] - np.outer(c, raw["sums_y"])) / s[:, np.newaxis]
+    sums_pen = (raw["sums_x"] - n * c) / s
+    if intercept:
+        xty = np.vstack([icol * np.asarray(raw["sums_y"], float)[np.newaxis, :], xty_pen])
+        sums_x = np.concatenate([[icol * n], sums_pen])
+    else:
+        xty, sums_x = xty_pen, sums_pen
+    xtx = None
+    if with_xtx and raw["xtx"] is not None:
+        G = raw["xtx"]
+        Mc = (
+            G
+            - np.outer(c, raw["sums_x"])
+            - np.outer(raw["sums_x"], c)
+            + n * np.outer(c, c)
+        )
+        M = Mc / np.outer(s, s)
+        if intercept:
+            xtx = np.empty((p + 1, p + 1))
+            xtx[1:, 1:] = M
+            xtx[0, 0] = icol * icol * n
+            xtx[0, 1:] = icol * sums_pen
+            xtx[1:, 0] = icol * sums_pen
+        else:
+            xtx = M
+    return dict(
+        xtx=xtx, xty=xty, sums_x=sums_x, sums_y=raw["sums_y"],
+        sumsq_y=raw["sumsq_y"], primal0=raw["primal0"], n=n,
     )
 
 
