@@ -328,3 +328,17 @@ def test_coef_interpolation_and_exact_refit(li):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="exact"):
         m.coef(sigma=mid, exact=True)
+
+
+def test_binomial_spark_fista_matches_incore(li):
+    # the per-iteration FISTA escape hatch: fixed-Lipschitz step from the
+    # standardized X'X now DERIVED from the raw setup scan
+    df = li.limit(500).withColumn(
+        "high", F.when(F.col("l_discount") > 0.05, "hi").otherwise("lo")
+    ).cache()
+    kw = dict(n_sigma=3, lambda_min_ratio=0.5, max_passes=2000, screening=False)
+    m_local = ps.fit(df, FEATURES, "high", "binomial", solver="incore", **kw)
+    m_fista = ps.fit(df, FEATURES, "high", "binomial", solver="spark_fista", **kw)
+    np.testing.assert_allclose(
+        m_local.betas, m_fista.betas, rtol=1e-3, atol=1e-4
+    )
