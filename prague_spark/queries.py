@@ -37,13 +37,16 @@ TABLES = [
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark needs the legacy
-        # long read + an explicit micros conversion.
+        # events.ts has been parquet TIMESTAMP(NANOS) in some testdata
+        # generations (Spark needs the legacy long read + an explicit
+        # micros conversion; integer division — a double round-trip loses
+        # sub-microsecond precision) and plain TIMESTAMP(MICROS) in
+        # others, where it reads as a timestamp directly.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer division: ts is ~1.7e18 nanos; a double round-trip loses
-        # sub-microsecond precision (observed 1us session-start drift)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes).get("ts") in ("bigint", "long"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -88,7 +91,7 @@ def _z_sql(sf_dir: str) -> str:
     mom = _li_moments(sf_dir)
     (mq, sq), (mp, sp), (md, sd) = (mom[c] for c in ZCOLS)
     return f"""
-    SELECT l_orderkey, l_linenumber, l_returnflag,
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity AS w_raw,
            (l_quantity      - {mq!r}) / {sq!r} AS zq,
            (l_extendedprice - {mp!r}) / {sp!r} AS zp,
            (l_discount      - {md!r}) / {sd!r} AS zd,
@@ -120,6 +123,7 @@ def _zdf(spark, sf_dir) -> DataFrame:
     out = std.transform(li, suffix="_z")
     return out.select(
         "l_orderkey", "l_linenumber", "l_returnflag",
+        F.col("l_quantity").alias("w_raw"),
         F.col("l_quantity_z").alias("zq"),
         F.col("l_extendedprice_z").alias("zp"),
         F.col("l_discount_z").alias("zd"),
@@ -153,23 +157,44 @@ def _lp2_expr():
 # §2.2 preprocessing operators
 # ---------------------------------------------------------------------------
 
-def q_p1_response_gaussian(spark, sf_dir):
-    """Gaussian response preprocessing: center + unit-variance scale
-    (R/preProcessResponse.R:10-13 + engine's glmnet-style scaling).
-    Center/scale are the shared driver literals (_li_moments) so the
-    per-row arithmetic is bit-identical across engines; the aggregates
-    themselves are verified by p1_response_info."""
-    li = load(spark, sf_dir, "lineitem")
+def q_p1_response(spark, sf_dir):
+    """All per-row response encodings of preprocessResponse in ONE
+    projection (P1, R/preProcessResponse.R:1-104): gaussian center +
+    unit-variance scale (10-13), binomial {-1,+1} by sorted class order
+    (42), multinomial one-hot with last class dropped (62-68). The
+    gaussian center/scale are the shared driver literals (_li_moments) so
+    the per-row arithmetic is bit-identical across engines; the aggregates
+    themselves are verified by p1_response_info.
+
+    Quantization: floor(x*1e4 + 0.5) instead of round(x, 4) — Spark's
+    round() goes through BigDecimal HALF_UP on the exact binary value
+    while DuckDB rounds via scaled-double arithmetic, so 5th-decimal
+    boundary values flip differently; floor on the same double product is
+    bit-identical in both engines."""
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "flag", F.when(F.col("l_returnflag") == "R", "ret").otherwise("ok")
+    )
     c, s = _li_moments(sf_dir)["l_extendedprice"]
-    return li.select(
+    b, _ = preprocess_response(li, "flag", "binomial")
+    b = b.withColumnRenamed(Y_COL, "_yb")
+    m, _ = preprocess_response(b, "l_returnflag", "multinomial")
+    zy = (F.col("l_extendedprice") - F.lit(c)) / F.lit(s)
+    return m.select(
         "l_orderkey", "l_linenumber",
-        F.round((F.col("l_extendedprice") - F.lit(c)) / F.lit(s), 4).alias("y_std"),
+        F.floor(zy * F.lit(1e4) + F.lit(0.5)).cast("long").alias("y_std_q"),
+        F.col("_yb").alias("y_enc"),
+        F.col(Y_COL)[0].alias("y0"),
+        F.col(Y_COL)[1].alias("y1"),
     )
 
 
-SQL_P1_GAUSSIAN = """
+SQL_P1_RESPONSE = """
     SELECT l_orderkey, l_linenumber,
-           round((l_extendedprice - %%P1C%%) / %%P1S%%, 4) AS y_std
+           CAST(floor((l_extendedprice - %%P1C%%) / %%P1S%% * 1e4 + 0.5) AS BIGINT) AS y_std_q,
+           CASE WHEN (CASE WHEN l_returnflag = 'R' THEN 'ret' ELSE 'ok' END) = 'ok'
+                THEN -1.0 ELSE 1.0 END AS y_enc,
+           CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END AS y0,
+           CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS y1
     FROM lineitem
 """
 
@@ -216,60 +241,22 @@ SQL_P1_INFO = """
 """
 
 
-def q_p1_response_binomial(spark, sf_dir):
-    """Binomial encoding to {-1,+1} by sorted class order
-    (R/preProcessResponse.R:42)."""
-    li = load(spark, sf_dir, "lineitem").withColumn(
-        "flag", F.when(F.col("l_returnflag") == "R", "ret").otherwise("ok")
-    )
-    out, info = preprocess_response(li, "flag", "binomial")
-    return out.select(
-        "l_orderkey", "l_linenumber", F.col(Y_COL).alias("y_enc")
-    )
-
-
-SQL_P1_BINOMIAL = """
-    SELECT l_orderkey, l_linenumber,
-           CASE WHEN (CASE WHEN l_returnflag = 'R' THEN 'ret' ELSE 'ok' END) = 'ok'
-                THEN -1.0 ELSE 1.0 END AS y_enc
-    FROM lineitem
-"""
-
-
-def q_p1_response_multinomial(spark, sf_dir):
-    """Multinomial one-hot with last class dropped
-    (R/preProcessResponse.R:62-68); classes of l_returnflag sorted (A,N,R)."""
-    li = load(spark, sf_dir, "lineitem")
-    out, info = preprocess_response(li, "l_returnflag", "multinomial")
-    return out.select(
-        "l_orderkey", "l_linenumber",
-        F.col(Y_COL)[0].alias("y0"),
-        F.col(Y_COL)[1].alias("y1"),
-    )
-
-
-SQL_P1_MULTINOMIAL = """
-    SELECT l_orderkey, l_linenumber,
-           CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END AS y0,
-           CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS y1
-    FROM lineitem
-"""
-
-
 def q_p2_standardize(spark, sf_dir):
     """Per-column center/scale standardization (src/standardize.h:8-40)."""
     z = _zdf(spark, sf_dir)
-    return z.select(
-        "l_orderkey", "l_linenumber",
-        F.round("zq", 4).alias("zq"),
-        F.round("zp", 4).alias("zp"),
-        F.round("zd", 4).alias("zd"),
-    )
+
+    def q4(c):
+        # engine-identical quantization (see q_p1_response_gaussian)
+        return F.floor(F.col(c) * F.lit(1e4) + F.lit(0.5)).cast("long").alias(c + "_q")
+
+    return z.select("l_orderkey", "l_linenumber", q4("zq"), q4("zp"), q4("zd"))
 
 
 SQL_P2_STANDARDIZE = f"""
     SELECT l_orderkey, l_linenumber,
-           round(zq, 4) AS zq, round(zp, 4) AS zp, round(zd, 4) AS zd
+           CAST(floor(zq * 1e4 + 0.5) AS BIGINT) AS zq_q,
+           CAST(floor(zp * 1e4 + 0.5) AS BIGINT) AS zp_q,
+           CAST(floor(zd * 1e4 + 0.5) AS BIGINT) AS zd_q
     FROM ({_Z_SQL})
 """
 
@@ -353,15 +340,20 @@ SQL_R5_LAMBDA_MAX = f"""
 # ---------------------------------------------------------------------------
 
 def q_q1_predict_link(spark, sf_dir):
-    """Linear predictor x'beta for a fixed coefficient slice (R/predict.R:32-69)."""
+    """Linear predictor x'beta for a fixed coefficient slice
+    (Q1, R/predict.R:32-69) plus the gaussian response prediction —
+    the identity link (Q2, R/predict.R:73-87) — as a second column."""
     z = _zdf(spark, sf_dir)
     return z.select(
-        "l_orderkey", "l_linenumber", F.round(_lp_expr(), 4).alias("lp")
+        "l_orderkey", "l_linenumber",
+        F.round(_lp_expr(), 4).alias("lp"),
+        F.round(_lp_expr(), 4).alias("response"),
     )
 
 
 SQL_Q1_LINK = f"""
-    SELECT l_orderkey, l_linenumber, round({_LP_SQL}, 4) AS lp
+    SELECT l_orderkey, l_linenumber, round({_LP_SQL}, 4) AS lp,
+           round({_LP_SQL}, 4) AS response
     FROM ({_Z_SQL})
 """
 
@@ -499,10 +491,14 @@ SQL_Q9_BINOMIAL = f"""
 
 
 def q_q10_score_auc(spark, sf_dir):
-    """Rank-based AUC with average-rank ties (R/score.R:137-166), computed
-    via the grouped cumulative form (no global row sort — see ops.score.auc).
-    Probabilities are rounded to 6 dp BEFORE grouping on both sides so the
-    tie structure is engine-independent."""
+    """Rank-based AUC with average-rank ties (R/score.R:137-166), both
+    UNWEIGHTED and WEIGHTED (weight = l_quantity) in one row, computed
+    via the grouped cumulative form (no global row sort — see
+    ops.score.auc). The weighted variant is the EXPECTATION form of the
+    reference's randomized tie-breaking (R/score.R:152-166) — see the
+    ops.score.auc docstring for the semantic delta. Probabilities are
+    rounded to 6 dp BEFORE grouping on both sides so the tie structure is
+    engine-independent."""
     z = _zdf(spark, sf_dir)
     lp = _lp_expr()
     prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-lp)), 6)
@@ -510,65 +506,35 @@ def q_q10_score_auc(spark, sf_dir):
     from .ops.score import auc as auc_fn
 
     val = auc_fn(z.select(prob.alias("p"), y2.alias("y2")), "p", F.col("y2"))
-    return spark.createDataFrame([(round(val, 6),)], "auc double")
+    val_w = auc_fn(
+        z.select(prob.alias("p"), y2.alias("y2"), F.col("w_raw").alias("w")),
+        "p", F.col("y2"), weight_col="w",
+    )
+    return spark.createDataFrame(
+        [(round(val, 6), round(val_w, 6))], "auc double, auc_w double"
+    )
 
 
 SQL_Q10_AUC = f"""
     WITH z AS ({_Z_SQL}), s AS (
         SELECT round(1.0/(1.0 + exp(-{_LP_SQL})), 6) AS p,
-               CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y2
+               CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y2,
+               w_raw AS w
         FROM z
     ), g AS (
-        SELECT p, sum(y2) AS n1_g, sum(1.0 - y2) AS n0_g FROM s GROUP BY p
+        SELECT p, sum(y2) AS n1_g, sum(1.0 - y2) AS n0_g,
+               sum(w*y2) AS wn1_g, sum(w*(1.0 - y2)) AS wn0_g
+        FROM s GROUP BY p
     ), cum AS (
-        SELECT n1_g, n0_g,
+        SELECT n1_g, n0_g, wn1_g, wn0_g,
                coalesce(sum(n0_g) OVER (ORDER BY p
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS below
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS below,
+               coalesce(sum(wn0_g) OVER (ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS wbelow
         FROM g
     )
-    SELECT round(sum(n1_g*(below + n0_g/2.0)) / (sum(n1_g)*sum(n0_g)), 6) AS auc
-    FROM cum
-"""
-
-
-def q_q10_score_auc_weighted(spark, sf_dir):
-    """WEIGHTED rank-based AUC (R/score.R:152-166, expectation form of the
-    randomized tie-breaking): every count in the Mann-Whitney statistic
-    becomes a weight sum; weight = l_quantity. Same grouped two-level
-    cumulative plan as the unweighted q10."""
-    z = _zdf(spark, sf_dir)
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity"
-    )
-    zz = z.join(li, ["l_orderkey", "l_linenumber"])
-    lp = _lp_expr()
-    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-lp)), 6)
-    y2 = F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
-    from .ops.score import auc as auc_fn
-
-    val = auc_fn(
-        zz.select(prob.alias("p"), y2.alias("y2"), F.col("l_quantity").alias("w")),
-        "p", F.col("y2"), weight_col="w",
-    )
-    return spark.createDataFrame([(round(val, 6),)], "auc_w double")
-
-
-SQL_Q10_AUC_WEIGHTED = f"""
-    WITH z AS ({_Z_SQL}), s AS (
-        SELECT round(1.0/(1.0 + exp(-{_LP_SQL})), 6) AS p,
-               CASE WHEN z.l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y2,
-               li.l_quantity AS w
-        FROM z JOIN lineitem li ON z.l_orderkey = li.l_orderkey
-                               AND z.l_linenumber = li.l_linenumber
-    ), g AS (
-        SELECT p, sum(w*y2) AS n1_g, sum(w*(1.0 - y2)) AS n0_g FROM s GROUP BY p
-    ), cum AS (
-        SELECT n1_g, n0_g,
-               coalesce(sum(n0_g) OVER (ORDER BY p
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS below
-        FROM g
-    )
-    SELECT round(sum(n1_g*(below + n0_g/2.0)) / (sum(n1_g)*sum(n0_g)), 6) AS auc_w
+    SELECT round(sum(n1_g*(below + n0_g/2.0)) / (sum(n1_g)*sum(n0_g)), 6) AS auc,
+           round(sum(wn1_g*(wbelow + wn0_g/2.0)) / (sum(wn1_g)*sum(wn0_g)), 6) AS auc_w
     FROM cum
 """
 
@@ -864,61 +830,52 @@ SQL_SIM_TOPK = """
 """
 
 
-def q_text_token_count(spark, sf_dir):
+def q_text_stats(spark, sf_dir):
+    """Per-document text analysis in ONE projection: token counting
+    (whitespace + BPE-ish regex), quality scoring (length / punctuation /
+    digit / stopword ratios), and n-gram-heuristic language ID — all pure
+    codegen column expressions chained over a single documents scan."""
     docs = load(spark, sf_dir, "documents")
     out = text.token_count(docs, "text")
+    out = text.quality_score(out, "text")
+    out = text.lang_id(out, "text")
     return out.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("n_tokens_bpe").cast("bigint").alias("n_tokens_bpe"),
-    )
-
-
-SQL_TEXT_TOKENS = """
-    SELECT doc_id,
-           len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != ''))::BIGINT AS n_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens_bpe
-    FROM documents
-"""
-
-
-def q_text_quality(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    out = text.quality_score(docs, "text")
-    return out.select(
-        "doc_id",
         F.col("q_n_chars").alias("n_chars"),
         F.col("q_n_words").alias("n_words"),
         F.round("q_avg_word_len", 4).alias("avg_word_len"),
         F.round("q_punct_ratio", 4).alias("punct_ratio"),
         F.round("q_digit_ratio", 4).alias("digit_ratio"),
         F.round("q_stopword_ratio", 4).alias("stopword_ratio"),
+        "lang_pred",
     )
 
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in text.EN_STOPWORDS)
 
-SQL_TEXT_QUALITY = f"""
+
+def _text_stats_sql() -> str:
+    return f"""
     WITH base AS (
         SELECT doc_id, text,
                length(text) AS n_chars,
                list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
         FROM documents
-    )
-    SELECT doc_id,
+    ), lid AS ({_langid_sql()})
+    SELECT base.doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens_bpe,
            n_chars::BIGINT AS n_chars,
            len(toks)::BIGINT AS n_words,
            round(CASE WHEN len(toks) > 0 THEN n_chars::DOUBLE/len(toks) ELSE 0.0 END, 4) AS avg_word_len,
            round(CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE/n_chars ELSE 0.0 END, 4) AS punct_ratio,
            round(CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE/n_chars ELSE 0.0 END, 4) AS digit_ratio,
-           round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> t IN ({_STOP_SQL})))::DOUBLE/len(toks) ELSE 0.0 END, 4) AS stopword_ratio
-    FROM base
+           round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> t IN ({_STOP_SQL})))::DOUBLE/len(toks) ELSE 0.0 END, 4) AS stopword_ratio,
+           lid.lang_pred
+    FROM base JOIN lid ON base.doc_id = lid.doc_id
 """
-
-
-def q_text_langid(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    return text.lang_id(docs, "text").select("doc_id", "lang_pred")
 
 
 def _langid_sql() -> str:
@@ -945,19 +902,20 @@ def _langid_sql() -> str:
 
 
 def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting, both forms in one projection: the sorted-
+    distinct-token content fingerprint AND the rolling-hash winnowing
+    fingerprint (k=8 char-grams, window 4: digest of the sorted distinct
+    window-minimum hashes)."""
     docs = load(spark, sf_dir, "documents")
-    return text.fingerprint(docs, "text").select("doc_id", "fingerprint")
+    out = text.fingerprint(docs, "text")
+    out = text.winnow_fingerprint(out, "text", k=8, w=4)
+    return out.select(
+        "doc_id", "fingerprint", "winnow_fp",
+        F.col("winnow_fp_size").alias("n_minima"),
+    )
 
 
-def q_text_winnow(spark, sf_dir):
-    """Rolling-hash winnowing fingerprint (k=8 char-grams, window 4):
-    digest of the sorted distinct window-minimum hashes."""
-    docs = load(spark, sf_dir, "documents")
-    out = text.winnow_fingerprint(docs, "text", k=8, w=4)
-    return out.select("doc_id", "winnow_fp", F.col("winnow_fp_size").alias("n_minima"))
-
-
-SQL_TEXT_WINNOW = """
+SQL_TEXT_FINGERPRINT = """
     WITH g AS (
         SELECT doc_id, p.i,
                ('0x' || substr(md5(substr(lower(text), p.i, 8)), 1, 8))::BIGINT AS h,
@@ -973,19 +931,19 @@ SQL_TEXT_WINNOW = """
     ), sel AS (
         SELECT DISTINCT doc_id, wmin FROM m
         WHERE i <= greatest(n_grams - 4 + 1, 1)
+    ), wn AS (
+        SELECT doc_id,
+               md5(string_agg(wmin::VARCHAR, ',' ORDER BY wmin)) AS winnow_fp,
+               count(*)::BIGINT AS n_minima
+        FROM sel GROUP BY doc_id
+    ), fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t != ''))), ' ')) AS fingerprint
+        FROM documents
     )
-    SELECT doc_id,
-           md5(string_agg(wmin::VARCHAR, ',' ORDER BY wmin)) AS winnow_fp,
-           count(*)::BIGINT AS n_minima
-    FROM sel GROUP BY doc_id
-"""
-
-
-SQL_TEXT_FINGERPRINT = """
-    SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(
-               list_filter(string_split_regex(lower(text), '\\s+'), t -> t != ''))), ' ')) AS fingerprint
-    FROM documents
+    SELECT fp.doc_id, fp.fingerprint, wn.winnow_fp, wn.n_minima
+    FROM fp JOIN wn ON fp.doc_id = wn.doc_id
 """
 
 
@@ -1031,13 +989,18 @@ SQL_DEDUP_NGRAM3 = """
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH banding candidate pairs (2 bands x 2 rows over the
-    4-hash unigram signature): documents sharing >= 1 band key."""
+    4-hash unigram signature: documents sharing >= 1 band key) PLUS the
+    verify step: the estimated Jaccard (fraction of equal signature
+    slots) for each candidate pair — the full sub-quadratic MinHash dedup
+    pipeline in one output."""
     docs = load(spark, sf_dir, "documents")
     sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=_MH_N, shingle_n=1)
-    out = dedup.minhash_lsh_candidates(sig, "doc_id", bands=2, rows_per_band=2)
+    pairs = dedup.minhash_lsh_candidates(sig, "doc_id", bands=2, rows_per_band=2)
+    out = dedup.minhash_jaccard_estimate(sig, pairs)
     return out.select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
+        F.round("jaccard_est", 6).alias("jaccard_est"),
     )
 
 
@@ -1059,34 +1022,6 @@ _MH_SIG_SQL = (
 )
 
 SQL_DEDUP_MINHASH_LSH = (
-    _MH_SIG_SQL
-    + """, banded AS (
-        SELECT doc_id, 0 AS band, md5(h0::VARCHAR || ',' || h1::VARCHAR) AS key FROM sig
-        UNION ALL
-        SELECT doc_id, 1, md5(h2::VARCHAR || ',' || h3::VARCHAR) FROM sig
-    )
-    SELECT DISTINCT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b
-    FROM banded a JOIN banded b
-      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-"""
-)
-
-
-def q_dedup_minhash_est(spark, sf_dir):
-    """Estimated Jaccard (fraction of equal signature slots) for the LSH
-    candidate pairs — the verify step of the MinHash pipeline."""
-    docs = load(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=_MH_N, shingle_n=1)
-    pairs = dedup.minhash_lsh_candidates(sig, "doc_id", bands=2, rows_per_band=2)
-    out = dedup.minhash_jaccard_estimate(sig, pairs)
-    return out.select(
-        F.col("id_a").cast("bigint").alias("id_a"),
-        F.col("id_b").cast("bigint").alias("id_b"),
-        F.round("jaccard_est", 6).alias("jaccard_est"),
-    )
-
-
-SQL_DEDUP_MINHASH_EST = (
     _MH_SIG_SQL
     + """, banded AS (
         SELECT doc_id, 0 AS band, md5(h0::VARCHAR || ',' || h1::VARCHAR) AS key FROM sig
@@ -1150,22 +1085,8 @@ def q_dedup_embedding_lsh(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# §2.5 remaining predict/score surface (Q2, Q7, Q11)
+# §2.5 remaining predict/score surface (Q7, Q11)
 # ---------------------------------------------------------------------------
-
-def q_q2_predict_gaussian(spark, sf_dir):
-    """Gaussian response prediction = identity link (R/predict.R:73-87)."""
-    z = _zdf(spark, sf_dir)
-    return z.select(
-        "l_orderkey", "l_linenumber", F.round(_lp_expr(), 4).alias("response")
-    )
-
-
-SQL_Q2_GAUSSIAN = f"""
-    SELECT l_orderkey, l_linenumber, round({_LP_SQL}, 4) AS response
-    FROM ({_Z_SQL})
-"""
-
 
 _DEV_ROWS = [(0, 0.0), (1, 0.35), (2, 0.62), (3, 0.81)]
 _NULL_DEV = 1234.5
@@ -1246,17 +1167,6 @@ SQL_Q11_MULTINOMIAL = f"""
            round(avg((abs(p1-y1) + abs(p2-y2) + abs(p3-y3))/3.0), 4) AS mae
     FROM c
 """
-
-
-def q_multimodal_audio(spark, sf_dir):
-    """Audio feature plumbing: binary payloads -> Arrow-batched waveform
-    stats — rows-only (decoder is the deterministic stub)."""
-    from .pipeline import multimodal as mm
-
-    docs = load(spark, sf_dir, "documents").withColumn(
-        "payload", F.encode(F.substring("text", 1, 32), "utf-8")
-    )
-    return mm.extract_audio_features(docs, "doc_id", "payload", decoder=mm.fake_audio_decoder)
 
 
 def q_multimodal_frame_plan(spark, sf_dir):
@@ -1864,16 +1774,23 @@ def _cv_fit_sql(sf_dir: str) -> str:
 
 
 def q_sim_ivf_topk(spark, sf_dir):
-    """IVF probed ANN top-5 for two corpus queries (nprobe=4 of 8 cells) —
-    rows-only: the probe set is a driver-side k-means artifact, recall < 1
-    by design. This is the sub-linear scale path for similarity search."""
+    """IVF probed ANN top-5 for two corpus queries (nprobe=4 of 8 cells)
+    with PINNED literal centroids (the same _ivf_pin_centroids used by
+    sim_ivf_assign) so the whole probe path — cell assignment, probe-cell
+    ranking, within-cell exact cosine top-k — is deterministic and
+    hash-verified by a DuckDB oracle that re-derives it from the literals.
+    The k-means centroid training itself (a driver-side artifact) is
+    covered by pytest (tests/test_pipeline.py). This is the sub-linear
+    scale path for similarity search: with the corpus written partitioned
+    by cell, the probe filter becomes partition pruning."""
+    import numpy as np
+
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "vec", F.transform("embedding", lambda x: x.cast("double"))
     )
-    C = similarity.train_ivf_centroids(emb, "vec", n_centroids=8, iters=5)
+    C = np.array(_ivf_pin_centroids(sf_dir))
     cells = similarity.assign_ivf_cells(emb, "vec", C)
-    qrows = emb.filter(F.col("vec_id").isin([0, 1])).select("vec_id", "vec").collect()
-    queries = [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in qrows]
+    queries = [(i, [float(x) for x in C[i]]) for i in (0, 1)]
     out = similarity.ivf_topk(cells, "vec_id", "vec", C, queries, k=5, nprobe=4)
     return out.select(
         F.col("query_id").cast("bigint").alias("query_id"),
@@ -1881,6 +1798,60 @@ def q_sim_ivf_topk(spark, sf_dir):
         F.round("cosine", 4).alias("cosine"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def _ivf_topk_sql(sf_dir: str) -> str:
+    """Oracle for q_sim_ivf_topk: assignment (same formula as
+    _ivf_assign_sql), probe-cell ranking by query-centroid cosine (the
+    normalized-dot argsort of similarity.ivf_topk), candidate union over
+    the top-4 cells, exact cosine rank within candidates."""
+    cents = _ivf_pin_centroids(sf_dir)
+
+    def lst(ci):
+        return "[" + ", ".join(repr(x) for x in cents[ci]) + "]"
+
+    cent_rows = ", ".join(
+        f"({i}, CAST({lst(i)} AS DOUBLE[]))" for i in range(len(cents))
+    )
+    q_rows = ", ".join(f"({i}, CAST({lst(i)} AS DOUBLE[]))" for i in (0, 1))
+    sims = [
+        f"(list_dot_product(v, {lst(i)}) / sqrt(list_dot_product(v, v)))"
+        for i in range(len(cents))
+    ]
+    best = "greatest(" + ", ".join(f"s{i}" for i in range(len(cents))) + ")"
+    chain = " ".join(f"WHEN s{i} = _best THEN {i}" for i in range(len(cents)))
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, v, {", ".join(f"{e} AS s{i}" for i, e in enumerate(sims))}
+        FROM v
+    ), b AS (
+        SELECT *, {best} AS _best FROM s
+    ), asg AS (
+        SELECT vec_id, v, CASE {chain} END AS cell FROM b
+    ), cents(ci, cv) AS (VALUES {cent_rows}),
+    q(qid, qv) AS (VALUES {q_rows}),
+    probe AS (
+        SELECT qid, ci,
+               row_number() OVER (PARTITION BY qid
+                   ORDER BY list_cosine_similarity(qv, cv) DESC, ci) AS pr
+        FROM q CROSS JOIN cents
+    ), cand AS (
+        SELECT q.qid, a.vec_id, list_cosine_similarity(a.v, q.qv) AS cosine
+        FROM q JOIN probe p ON p.qid = q.qid AND p.pr <= 4
+        JOIN asg a ON a.cell = p.ci
+    ), ranked AS (
+        SELECT qid, vec_id, cosine,
+               row_number() OVER (PARTITION BY qid
+                   ORDER BY cosine DESC, vec_id) AS rank
+        FROM cand
+    )
+    SELECT CAST(qid AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+           round(cosine, 4) AS cosine, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+"""
 
 
 def q_model_sink(spark, sf_dir):
@@ -1982,27 +1953,20 @@ def _ivf_assign_sql(sf_dir: str) -> str:
 """
 
 
-def q_sim_ivf_cells(spark, sf_dir):
-    """IVF cell assignment histogram — rows-only (centroids are a
-    driver-side k-means artifact)."""
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "vec", F.transform("embedding", lambda x: x.cast("double"))
-    )
-    C = similarity.train_ivf_centroids(emb, "vec", n_centroids=8, iters=5)
-    cells = similarity.assign_ivf_cells(emb, "vec", C)
-    return cells.groupBy("cell").agg(F.count("*").cast("bigint").alias("n")).orderBy("cell")
-
-
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: binary payloads (from document text bytes) ->
-    Arrow-batched feature extraction — rows-only (decoder is the
-    deterministic stub)."""
+    """Multimodal plumbing, image AND audio: binary payloads (from
+    document text bytes) -> Arrow-batched mapInPandas feature extraction
+    (image width/height/channels/intensity stats + audio n_samples/rms/
+    peak), joined per doc — rows-only (decoders are the deterministic
+    stubs; the runtime has no media libs)."""
     from .pipeline import multimodal as mm
 
     docs = load(spark, sf_dir, "documents").withColumn(
         "payload", F.encode(F.substring("text", 1, 32), "utf-8")
     )
-    return mm.extract_image_features(docs, "doc_id", "payload", decoder=mm.fake_image_decoder)
+    img = mm.extract_image_features(docs, "doc_id", "payload", decoder=mm.fake_image_decoder)
+    aud = mm.extract_audio_features(docs, "doc_id", "payload", decoder=mm.fake_audio_decoder)
+    return img.join(aud, "doc_id")
 
 
 def q_events_windowed_agg(spark, sf_dir):
@@ -2309,81 +2273,256 @@ def q_f13_diagnostics(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# V1-V3 tidy plot outputs (§2.7) with a hard literal-derived oracle
+# ---------------------------------------------------------------------------
+
+_V_SIGMA = [1.0, 0.5, 0.25]  # binary-exact literals
+_V2_MEASURES = ("mse", "mae")
+_V2_N_FOLDS = 4
+_T_V2 = t_ppf(0.975, _V2_N_FOLDS - 1)
+
+# Literal diagnostics trace (all values multiples of 1/16: binary-exact,
+# <= 6 decimal digits, so round(.,6) is boundary-free in both engines).
+_V3_DIAG = dict(
+    primals=[[10.0, 5.25, 4.125], [3.5, 2.75], [2.0625, 1.5]],
+    duals=[[9.5, 5.0, 4.0], [3.25, 2.5], [2.0, 1.4375]],
+    time=[[0.5, 1.0, 1.5], [0.5, 1.0], [0.5, 1.0]],
+)
+
+
+def _v2_cells():
+    """Deterministic literal per-(measure, sigma, fold) CV scores, all
+    integer multiples of 1/16 so every 4-fold mean is an exact 6-decimal
+    binary-representable value (se/lo/hi involve sqrt -> irrational ->
+    far from any rounding boundary)."""
+    cells = []
+    for mi, meas in enumerate(_V2_MEASURES):
+        for si in range(len(_V_SIGMA)):
+            for f in range(_V2_N_FOLDS):
+                k = 16 + 6 * mi + 6 * abs(si - 1 - mi) + ((f * 3 + si + mi) % 4)
+                cells.append(
+                    dict(q=0.2, rep=0, fold=f, sigma_idx=si,
+                         measure=meas, value=k / 16.0)
+                )
+    return cells
+
+
+def q_v_plot_data(spark, sf_dir):
+    """V1-V3 plot-surface data outputs (§2.7 — the reference's lattice
+    plots re-expressed as tidy DataFrames) in one tall frame, unified as
+    (plot, path_idx, series, x, y, lo, hi):
+
+    - V1 `coef_path` (plot.Owl, R/plot.R:19-109): non-intercept
+      coefficient paths vs sigma, via the engine's model.coef_df
+      projection over the literal path cube (_COEF_ROWS).
+    - V2 `cv_curve` + `cv_optimum` (plot.TrainedOwl, R/plot.R:144-299):
+      the REAL ops.cv._aggregate (mean/se/95% t-CI + per-measure argmin,
+      R/trainOwl.R:146-166) run on literal fold scores; the oracle
+      recomputes the aggregation independently in SQL.
+    - V3 `diagnostics` (plotDiagnostics, R/plotDiagnostics.R:22-73): the
+      engine's model.diagnostics_df projection of a literal trace,
+      unpivoted to (primal, dual, time) series."""
+    import numpy as np
+
+    from .model import SlopeModel
+    from .ops.cv import _aggregate
+
+    names = ["(Intercept)", "l_quantity", "l_extendedprice", "l_discount"]
+    betas = np.zeros((len(_V_SIGMA), len(names), 1))
+    for pidx, feat, coefv in _COEF_ROWS:
+        betas[pidx, names.index(feat), 0] = coefv
+    model = SlopeModel(
+        family="gaussian", feature_names=names[1:], intercept=True,
+        betas=betas, sigma=np.array(_V_SIGMA), lam=np.array([0.3, 0.2, 0.1]),
+        null_deviance=100.0, deviances=np.array([90.0, 60.0, 30.0]),
+        deviance_ratios=np.array([0.1, 0.4, 0.7]),
+        passes=np.array([3, 4, 5]), active_sets=[],
+        n_unique=np.array([0, 2, 3]), diagnostics=_V3_DIAG,
+    )
+
+    sg = spark.createDataFrame(
+        list(enumerate(_V_SIGMA)), "path_idx int, sigma double"
+    )
+    v1 = (
+        model.coef_df(spark)
+        .filter(F.col("feature") != "(Intercept)")
+        .join(sg, "path_idx")
+        .select(
+            F.lit("coef_path").alias("plot"), "path_idx",
+            F.col("feature").alias("series"),
+            F.round("sigma", 6).alias("x"), F.round("coef", 6).alias("y"),
+            F.lit(0.0).alias("lo"), F.lit(0.0).alias("hi"),
+        )
+    )
+
+    res = _aggregate(
+        _v2_cells(), np.array(_V_SIGMA), [0.2], list(_V2_MEASURES),
+        _V2_N_FOLDS, 1, None,
+    )
+    v2_rows = [
+        (tag, int(r["sigma_idx"]), r["measure"], round(float(r["sigma"]), 6),
+         round(float(r["mean"]), 6), round(float(r["lo"]), 6),
+         round(float(r["hi"]), 6))
+        for tag, rows in (("cv_curve", res.summary), ("cv_optimum", res.optima))
+        for r in rows
+    ]
+    v2 = spark.createDataFrame(
+        v2_rows,
+        "plot string, path_idx int, series string, x double, y double, "
+        "lo double, hi double",
+    )
+
+    v3 = model.diagnostics_df(spark).selectExpr(
+        "'diagnostics' AS plot", "path_idx",
+        "stack(3, 'primal', primal, 'dual', dual, 'time', time_s) AS (series, y0)",
+        "CAST(iteration AS DOUBLE) AS x",
+    ).select(
+        "plot", "path_idx", "series", "x",
+        F.round("y0", 6).alias("y"),
+        F.lit(0.0).alias("lo"), F.lit(0.0).alias("hi"),
+    )
+
+    return v1.unionByName(v2).unionByName(v3)
+
+
+def _v_plot_sql() -> str:
+    coef_rows = ", ".join(f"({p}, '{f}', {c!r})" for p, f, c in _COEF_ROWS)
+    sig_rows = ", ".join(f"({i}, {s!r})" for i, s in enumerate(_V_SIGMA))
+    cell_rows = ", ".join(
+        f"('{c['measure']}', {c['sigma_idx']}, {c['fold']}, {c['value']!r})"
+        for c in _v2_cells()
+    )
+    diag_rows = ", ".join(
+        f"({pi}, {it}, {float(prim[it])!r}, {float(dual[it])!r}, {float(tim[it])!r})"
+        for pi, (prim, dual, tim) in enumerate(
+            zip(_V3_DIAG["primals"], _V3_DIAG["duals"], _V3_DIAG["time"])
+        )
+        for it in range(len(prim))
+    )
+    return f"""
+    WITH coefs(path_idx, feature, coef) AS (VALUES {coef_rows}),
+    sg(path_idx, sigma) AS (VALUES {sig_rows}),
+    cvcells(measure, sigma_idx, fold, value) AS (VALUES {cell_rows}),
+    diag(path_idx, iteration, primal, dual, time_s) AS (VALUES {diag_rows}),
+    coefrows AS (
+        SELECT 'coef_path' AS plot, c.path_idx AS path_idx,
+               c.feature AS series, sg.sigma AS x, c.coef AS y,
+               0.0 AS lo, 0.0 AS hi
+        FROM coefs c JOIN sg ON sg.path_idx = c.path_idx
+        WHERE c.feature != '(Intercept)'
+    ), cvagg AS (
+        SELECT measure, sigma_idx, avg(value) AS mean,
+               stddev_samp(value)/sqrt(count(*)) AS se
+        FROM cvcells GROUP BY measure, sigma_idx
+    ), cvrows AS (
+        SELECT 'cv_curve' AS plot, a.sigma_idx AS path_idx,
+               a.measure AS series, sg.sigma AS x, a.mean AS y,
+               a.mean - {_T_V2!r}*a.se AS lo, a.mean + {_T_V2!r}*a.se AS hi
+        FROM cvagg a JOIN sg ON sg.path_idx = a.sigma_idx
+    ), cvopt AS (
+        SELECT 'cv_optimum' AS plot, path_idx, series, x, y, lo, hi FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY series ORDER BY y, path_idx) AS rn
+            FROM cvrows
+        ) WHERE rn = 1
+    ), diagrows AS (
+        SELECT 'diagnostics' AS plot, path_idx, 'primal' AS series,
+               CAST(iteration AS DOUBLE) AS x, primal AS y, 0.0 AS lo, 0.0 AS hi
+        FROM diag
+        UNION ALL
+        SELECT 'diagnostics', path_idx, 'dual', CAST(iteration AS DOUBLE),
+               dual, 0.0, 0.0 FROM diag
+        UNION ALL
+        SELECT 'diagnostics', path_idx, 'time', CAST(iteration AS DOUBLE),
+               time_s, 0.0, 0.0 FROM diag
+    )
+    SELECT plot, CAST(path_idx AS INTEGER) AS path_idx, series,
+           round(x, 6) AS x, round(y, 6) AS y,
+           round(lo, 6) AS lo, round(hi, 6) AS hi
+    FROM (
+        SELECT * FROM coefrows
+        UNION ALL SELECT * FROM cvrows
+        UNION ALL SELECT * FROM cvopt
+        UNION ALL SELECT * FROM diagrows
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
+# Exactly 50 entries — the driver's correctness gate checks the FIRST 50
+# registry positions, so the whole registered surface must fit inside that
+# window (near-duplicate queries are merged rather than dropped: p1
+# families -> p1_response, Q2 -> q1_predict_link, weighted AUC ->
+# q10_score_auc, minhash estimate -> dedup_minhash_lsh, token/quality/
+# langid -> text_stats, winnow -> text_fingerprint, audio ->
+# multimodal_features; sim_ivf_cells was a pure projection of
+# sim_ivf_assign and is gone).
 QUERIES = {
-    # §2.2 preprocessing
-    "p1_response_gaussian": q_p1_response_gaussian,
-    "p1_response_binomial": q_p1_response_binomial,
-    "p1_response_multinomial": q_p1_response_multinomial,
+    # §2.2 preprocessing + §2.3 penalty machinery
+    "p1_response": q_p1_response,
     "p1_response_info": q_p1_response_info,
     "p2_standardize": q_p2_standardize,
     "p2_standardize_scales": q_p2_standardize_scales,
     "p5_dummy_code": q_p5_dummy_code,
     "r5_lambda_max": q_r5_lambda_max,
+    "r_lambda_sequences": q_r_lambda_sequences,
     # §2.5 predict / score
     "q1_predict_link": q_q1_predict_link,
     "q3_predict_binomial": q_q3_predict_binomial,
     "q4_predict_poisson": q_q4_predict_poisson,
     "q5_predict_multinomial": q_q5_predict_multinomial,
-    "q2_predict_gaussian": q_q2_predict_gaussian,
+    "q6_coef_interpolation": q_q6_coef_interpolation,
     "q7_deviance": q_q7_deviance,
     "q8_score_mse_mae": q_q8_score_mse_mae,
     "q9_score_binomial": q_q9_score_binomial,
     "q10_score_auc": q_q10_score_auc,
-    "q10_score_auc_weighted": q_q10_score_auc_weighted,
     "q11_score_multinomial": q_q11_score_multinomial,
     "q12_path_summary": q_q12_path_summary,
     # §2.6 CV
     "c1_cv_folds": q_c1_cv_folds,
     "c1_cv_summary": q_c1_cv_summary,
     "c1_cv_optima": q_c1_cv_optima,
-    # pipeline extensions
+    "c1_cv_fit": q_c1_cv_fit,
+    # §2.4 solver surface (hard KKT-residual oracles)
+    "f2_binomial_fit": q_f2_binomial_fit,
+    "f6_poisson_fit": q_f6_poisson_fit,
+    "f7_multinomial_fit": q_f7_multinomial_fit,
+    "f11_gaussian_path": q_f11_gaussian_path,
+    "f13_diagnostics": q_f13_diagnostics,
+    # §2.1 sources / sinks + §2.7 plot outputs
+    "s4_random_problem": q_s4_random_problem,
+    "model_sink": q_model_sink,
+    "v_plot_data": q_v_plot_data,
+    # sparse path (S2/P3)
+    "sparse_ingest": q_sparse_ingest,
+    "sparse_xtv": q_sparse_xtv,
+    "sparse_fit": q_sparse_fit,
+    # streaming-compatible event ops
+    "events_windowed_agg": q_events_windowed_agg,
+    "events_sessionize": q_events_sessionize,
+    # pipeline extensions: dedup / similarity / text / multimodal
     "dedup_exact": q_dedup_exact,
     "dedup_token_jaccard": q_dedup_token_jaccard,
     "dedup_ngram3_jaccard": q_dedup_ngram3_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_minhash_est": q_dedup_minhash_est,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "sim_cosine_topk": q_sim_cosine_topk,
-    "text_token_count": q_text_token_count,
-    "text_quality": q_text_quality,
-    "text_langid": q_text_langid,
-    "text_fingerprint": q_text_fingerprint,
-    "text_winnow_fingerprint": q_text_winnow,
-    # solver surface (rows-only)
-    "f11_gaussian_path": q_f11_gaussian_path,
-    "f2_binomial_fit": q_f2_binomial_fit,
-    "f6_poisson_fit": q_f6_poisson_fit,
-    "f7_multinomial_fit": q_f7_multinomial_fit,
-    "q6_coef_interpolation": q_q6_coef_interpolation,
-    "c1_cv_fit": q_c1_cv_fit,
-    "sim_ivf_cells": q_sim_ivf_cells,
     "sim_ivf_assign": q_sim_ivf_assign,
     "sim_ivf_topk": q_sim_ivf_topk,
-    "model_sink": q_model_sink,
+    "text_stats": q_text_stats,
+    "text_fingerprint": q_text_fingerprint,
     "multimodal_features": q_multimodal_features,
-    "multimodal_audio": q_multimodal_audio,
     "multimodal_frame_plan": q_multimodal_frame_plan,
-    "r_lambda_sequences": q_r_lambda_sequences,
-    # sources / streaming-compatible / synthetic
-    "events_windowed_agg": q_events_windowed_agg,
-    "events_sessionize": q_events_sessionize,
-    "sparse_ingest": q_sparse_ingest,
-    "sparse_xtv": q_sparse_xtv,
-    "sparse_fit": q_sparse_fit,
-    "s4_random_problem": q_s4_random_problem,
-    "f13_diagnostics": q_f13_diagnostics,
 }
 
 _RAW_ORACLES = {
-    "p1_response_gaussian": SQL_P1_GAUSSIAN,
-    "p1_response_binomial": SQL_P1_BINOMIAL,
-    "p1_response_multinomial": SQL_P1_MULTINOMIAL,
+    "p1_response": SQL_P1_RESPONSE,
     "p1_response_info": SQL_P1_INFO,
     "p2_standardize": SQL_P2_STANDARDIZE,
     "p2_standardize_scales": SQL_P2_SCALES,
@@ -2393,12 +2532,10 @@ _RAW_ORACLES = {
     "q3_predict_binomial": SQL_Q3_BINOMIAL,
     "q4_predict_poisson": SQL_Q4_POISSON,
     "q5_predict_multinomial": SQL_Q5_MULTINOMIAL,
-    "q2_predict_gaussian": SQL_Q2_GAUSSIAN,
     "q7_deviance": SQL_Q7_DEVIANCE,
     "q8_score_mse_mae": SQL_Q8_MSE_MAE,
     "q9_score_binomial": SQL_Q9_BINOMIAL,
     "q10_score_auc": SQL_Q10_AUC,
-    "q10_score_auc_weighted": SQL_Q10_AUC_WEIGHTED,
     "q11_score_multinomial": SQL_Q11_MULTINOMIAL,
     "q12_path_summary": SQL_Q12_PATH,
     "c1_cv_folds": SQL_C1_FOLDS,
@@ -2409,21 +2546,18 @@ _RAW_ORACLES = {
     "dedup_ngram3_jaccard": SQL_DEDUP_NGRAM3,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
-    "dedup_minhash_est": SQL_DEDUP_MINHASH_EST,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "sim_cosine_topk": SQL_SIM_TOPK,
-    "text_token_count": SQL_TEXT_TOKENS,
-    "text_quality": SQL_TEXT_QUALITY,
-    "text_langid": _langid_sql(),
+    "text_stats": _text_stats_sql(),
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
-    "text_winnow_fingerprint": SQL_TEXT_WINNOW,
     "events_windowed_agg": SQL_EVENTS_WINDOW,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "sparse_ingest": SQL_SPARSE_INGEST,
     "sparse_xtv": SQL_SPARSE_XTV,
     "multimodal_frame_plan": SQL_MM_FRAME_PLAN,
     "model_sink": SQL_MODEL_SINK,
+    "v_plot_data": _v_plot_sql(),
 }
 
 
@@ -2447,6 +2581,7 @@ def build_oracles(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     out["c1_cv_fit"] = _cv_fit_sql(sf_dir)
     out["r_lambda_sequences"] = _lambda_seq_sql()
     out["sim_ivf_assign"] = _ivf_assign_sql(sf_dir)
+    out["sim_ivf_topk"] = _ivf_topk_sql(sf_dir)
     out["sparse_fit"] = _sparse_kkt_sql(sf_dir)
     return out
 
