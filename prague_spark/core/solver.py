@@ -98,13 +98,23 @@ def fista(
         )
         optimal = abs(f - G) / max(small, abs(f)) < tol_rel_gap
         feasible = infeas <= max(small, tol_infeas * lam[0]) if lam.size else True
+        # The family dual is a valid bound only where the residual is
+        # orthogonal to the UNPENALIZED (intercept) columns — on centered
+        # designs that holds automatically, but on scale-only (sparse)
+        # designs the gap can close at a point whose intercept gradient is
+        # still large. Require stationarity of the unpenalized block too.
+        unpen_ok = (
+            n_unpenalized == 0
+            or float(np.abs(grad[:n_unpenalized]).max())
+            <= max(small, tol_infeas * (lam[0] if lam.size else 1.0))
+        )
 
         if diagnostics:
             times.append(_time.monotonic() - t0)
             primals.append(f)
             duals.append(G)
 
-        if optimal and feasible:
+        if optimal and feasible and unpen_ok:
             break
 
         # Adaptive restart (O'Donoghue & Candes 2015, "Adaptive restart for
@@ -230,11 +240,17 @@ def prox_newton(
         )
         optimal = abs(f - G) / max(small, abs(f)) < tol_rel_gap
         feasible = infeas <= max(small, tol_infeas * lam[0]) if lam.size else True
+        # see fista: the dual bound needs the unpenalized block stationary
+        unpen_ok = (
+            n_unpenalized == 0
+            or float(np.abs(grad[:n_unpenalized]).max())
+            <= max(small, tol_infeas * (lam[0] if lam.size else 1.0))
+        )
         if diagnostics:
             times.append(_time.monotonic() - t0)
             primals.append(f)
             duals.append(G)
-        if (optimal and feasible) or passes >= max_passes:
+        if (optimal and feasible and unpen_ok) or passes >= max_passes:
             break
 
         # inner: SLOPE-penalized quadratic model on the driver.

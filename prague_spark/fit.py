@@ -308,6 +308,7 @@ def fit(
     # and the lambda_max cross-moments. In-core keeps backtracking: its
     # adaptive step beats 1/L in flat regions and probes cost microseconds.
     lipschitz_lr = None
+    col_sq_std = None
     if isinstance(design, SparkGlmDesign):
         # prox-Newton needs no Lipschitz bound; skip the p^2 payload
         need_xtx = family in ("binomial", "multinomial") and not use_newton
@@ -316,6 +317,16 @@ def fit(
             setup = _std_setup_from_raw(
                 raw_setup, x_center, x_scale, icol, n, m, intercept,
                 with_xtx=need_xtx,
+            )
+            # standardized per-column sum of squares: the trace Lipschitz
+            # bound eigmax(X'X) <= trace(X'X) used by the wide-p Hessian
+            # guard (no extra pass; sumsq_x rode the raw scan)
+            css = np.asarray(raw_setup["sumsq_x"], dtype=np.float64)
+            if center:
+                css = np.clip(css - n * x_center * x_center, 0.0, None)
+            css = css / (x_scale * x_scale)
+            col_sq_std = (
+                np.concatenate([[icol * icol * n], css]) if intercept else css
             )
         else:
             setup = glm_setup_pass(
@@ -387,7 +398,22 @@ def fit(
     screening_on = bool(screening) and not (use_newton and p_total <= 64)
     deviance_change = 0.0
 
-    def fit_on(design_sub, beta_init, lam_scaled, z_s, u_s):
+    # Hessian payload guard: prox-Newton ships 2 + p_act*m + (p_act*m)^2
+    # doubles per partition partial; past ~10^6 cells (p_act*m ~ 1000) the
+    # quadratic payload — not the scan count — becomes the cluster cost.
+    # Those fits fall back to FISTA with the trace-bound fixed step
+    # (eigmax <= trace = sum of standardized column sumsq, free from the
+    # setup moments), which ships only O(p_act*m) per partial.
+    hess_cell_guard = 10**6
+
+    def _trace_lr(sub_idx):
+        if col_sq_std is None or family not in ("binomial", "multinomial"):
+            return None  # poisson: no global bound -> backtracking probes
+        tr = float(col_sq_std[sub_idx].sum()) if sub_idx is not None else float(col_sq_std.sum())
+        factor = 4.0 if family == "binomial" else 2.0
+        return factor / tr if tr > 0 else None
+
+    def fit_on(design_sub, beta_init, lam_scaled, z_s, u_s, sub_idx=None):
         if use_admm:
             gd = design_sub.g if isinstance(design_sub, GramGaussianDesign) else design_sub.gram()
             w, _ = gd.eigh()
@@ -399,7 +425,7 @@ def fit(
             )
             return res, z_out, u_out
         n_unpen_sub = 0 if lam_scaled.size == design_sub.p * m else n_unpen
-        if use_newton:
+        if use_newton and (design_sub.p * m) ** 2 <= hess_cell_guard:
             res = prox_newton(
                 design_sub, beta_init, lam_scaled, n_unpenalized=n_unpen_sub,
                 max_passes=max_passes, tol_rel_gap=tol_rel_gap,
@@ -411,7 +437,9 @@ def fit(
             design_sub, beta_init, lam_scaled, n_unpenalized=n_unpen_sub,
             max_passes=max_passes, tol_rel_gap=tol_rel_gap,
             tol_infeas=tol_infeas, diagnostics=diagnostics,
-            fixed_learning_rate=lipschitz_lr,
+            fixed_learning_rate=(
+                lipschitz_lr if lipschitz_lr is not None else _trace_lr(sub_idx)
+            ),
         )
         return res, z_s, u_s
 
@@ -451,7 +479,7 @@ def fit(
                     lam_sub = lam[:n_active_pen] * sig[k]
                     res, z_s, u_s = fit_on(
                         design_sub, beta[active_set], lam_sub,
-                        z[active_set], u[active_set],
+                        z[active_set], u[active_set], sub_idx=active_set,
                     )
                     if use_admm:
                         z[active_set] = z_s

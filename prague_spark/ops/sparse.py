@@ -112,7 +112,7 @@ class SparseLongDesign:
 
     def __init__(self, trip, ydf, family: str, p: int, n: int, icol: float,
                  m: int = 1, row_col: str = "row_id", col_col: str = "col_id",
-                 val_col: str = "value"):
+                 val_col: str = "value", lgamma_const: float | None = None):
         if family not in ("gaussian", "binomial", "poisson", "multinomial"):
             raise ValueError(f"unknown family {family!r}")
         self.trip = trip
@@ -124,15 +124,22 @@ class SparseLongDesign:
         self.n = n
         self.icol = icol
         self.row_col, self.col_col, self.val_col = row_col, col_col, val_col
-        if family == "poisson":
+        self.scans = 0  # distributed jobs issued (solver cost accounting)
+        if lgamma_const is not None:
+            self._lg = lgamma_const
+        elif family == "poisson":
             # sum lgamma(y+1) is constant in beta; computed once so the
-            # SQL primal/dual stay builtin-only (Spark lacks lgamma)
+            # SQL primal/dual stay builtin-only (Spark lacks lgamma).
+            # Poisson responses are counts with few distinct values, so
+            # groupBy(y).count() collects O(distinct y) rows — never the
+            # n-sized column itself.
             from math import lgamma
 
-            ys = [r["_y0"] for r in ydf.select("_y0").collect()] if n <= 10**7 else None
-            if ys is None:
-                raise ValueError("poisson sparse fit: n too large for lgamma setup")
-            self._lg = float(np.sum([lgamma(v + 1.0) for v in ys]))
+            groups = ydf.groupBy("_y0").agg(F.count(F.lit(1)).alias("_c")).collect()
+            self._lg = float(
+                sum(lgamma(float(r["_y0"]) + 1.0) * int(r["_c"]) for r in groups)
+            )
+            self.scans += 1
         else:
             self._lg = 0.0
 
@@ -215,36 +222,213 @@ class SparseLongDesign:
         pe, de, ges = self._exprs()
         for t, ge in enumerate(ges):
             rows = rows.withColumn(f"_g{t}", ge)
-        head = rows.agg(
-            F.sum(pe).alias("_p"), F.sum(de).alias("_d"),
-            *[F.sum(f"_g{t}").alias(f"_gi{t}") for t in range(self.m)],
-        ).first()
-        grad = np.zeros((self.p, self.m))
-        for t in range(self.m):
-            grad[0, t] = self.icol * float(head[f"_gi{t}"])
-        gcols = [f"_g{t}" for t in range(self.m)]
-        for r in (
-            self.trip.join(rows.select(self.row_col, *gcols), self.row_col)
-            .groupBy(self.col_col)
-            .agg(
-                *[
-                    F.sum(F.col(self.val_col) * F.col(g)).alias(f"_gc{t}")
-                    for t, g in enumerate(gcols)
-                ]
-            )
-            .collect()
-        ):
+        # the joined per-row frame feeds TWO jobs (scalar sums + the
+        # per-column gradient join); persist it so the lp join + family
+        # expressions run once, not twice
+        rows = rows.persist()
+        try:
+            head = rows.agg(
+                F.sum(pe).alias("_p"), F.sum(de).alias("_d"),
+                *[F.sum(f"_g{t}").alias(f"_gi{t}") for t in range(self.m)],
+            ).first()
+            grad = np.zeros((self.p, self.m))
             for t in range(self.m):
-                grad[1 + int(r[self.col_col]), t] = float(r[f"_gc{t}"])
+                grad[0, t] = self.icol * float(head[f"_gi{t}"])
+            gcols = [f"_g{t}" for t in range(self.m)]
+            for r in (
+                self.trip.join(rows.select(self.row_col, *gcols), self.row_col)
+                .groupBy(self.col_col)
+                .agg(
+                    *[
+                        F.sum(F.col(self.val_col) * F.col(g)).alias(f"_gc{t}")
+                        for t, g in enumerate(gcols)
+                    ]
+                )
+                .collect()
+            ):
+                for t in range(self.m):
+                    grad[1 + int(r[self.col_col]), t] = float(r[f"_gc{t}"])
+        finally:
+            rows.unpersist()
+        self.scans += 2
         return float(head["_p"]) + self._lg, float(head["_d"]) + self._lg, grad
 
     def primal(self, beta):
         rows = self._rows(beta)
         pe, _, _ = self._exprs()
+        self.scans += 1
         return float(rows.agg(F.sum(pe)).first()[0]) + self._lg
+
+    def _weight_exprs(self):
+        """Per-row IRLS curvature columns (core.families.hessian_weights as
+        SQL expressions): m=1 families yield the diagonal weight; the
+        multinomial yields the class probabilities, from which the Hessian
+        blocks are X^T diag(p_k (delta_kl - p_l)) X."""
+        if self.family == "multinomial":
+            lps = [F.col(f"_lp{t}") for t in range(self.m)]
+            mx = F.greatest(*lps) if self.m > 1 else lps[0]
+            ssum = F.exp(-mx)
+            for t in range(self.m):
+                ssum = ssum + F.exp(F.least(lps[t] - mx, F.lit(_EXP_MAX)))
+            lse = F.log(ssum) + mx
+            return [F.exp(lps[t] - lse) for t in range(self.m)]
+        lp = F.col("_lp0")
+        if self.family == "gaussian":
+            return [F.lit(1.0)]
+        if self.family == "binomial":
+            s = F.lit(1.0) / (F.lit(1.0) + F.exp(F.least(-lp, F.lit(_EXP_MAX))))
+            return [s * (F.lit(1.0) - s)]
+        return [F.exp(F.least(lp, F.lit(_EXP_MAX)))]  # poisson
+
+    def eval_hessian(self, beta):
+        """(primal, dual, gradient, X^T W X) for the prox-Newton outer
+        loop, in THREE O(nnz) jobs regardless of iteration count:
+
+        1. scalar sums (primal, dual, intercept gradient, block weight
+           totals — the intercept x intercept Hessian cells);
+        2. per-column join+groupBy: gradient AND the weighted column sums
+           (the intercept x column Hessian cells) in one aggregation;
+        3. triplet self-join on row_id for the column x column cells
+           H[j,k] = sum_i w_i x_ij x_ik (pair volume sum_i nnz_i^2 —
+           bounded for row-sparse designs).
+        """
+        m, p = self.m, self.p
+        pm = p * m
+        rows = self._rows(beta)
+        pe, de, ges = self._exprs()
+        for t, ge in enumerate(ges):
+            rows = rows.withColumn(f"_g{t}", ge)
+        wexprs = self._weight_exprs()
+        for t, we in enumerate(wexprs):
+            rows = rows.withColumn(f"_w{t}", we)
+        # block weight w_kl = W_k (delta_kl - W_l); m=1 collapses to w_0
+        blocks = []
+        if self.family == "multinomial":
+            for kk in range(m):
+                for ll in range(kk, m):
+                    d = 1.0 if kk == ll else 0.0
+                    blocks.append(
+                        (kk, ll,
+                         F.col(f"_w{kk}") * (F.lit(d) - F.col(f"_w{ll}")))
+                    )
+        else:
+            blocks.append((0, 0, F.col("_w0")))
+        for bi, (_, _, be) in enumerate(blocks):
+            rows = rows.withColumn(f"_wb{bi}", be)
+
+        rows = rows.persist()
+        try:
+            head = rows.agg(
+                F.sum(pe).alias("_p"), F.sum(de).alias("_d"),
+                *[F.sum(f"_g{t}").alias(f"_gi{t}") for t in range(m)],
+                *[F.sum(f"_wb{bi}").alias(f"_wt{bi}") for bi in range(len(blocks))],
+            ).first()
+
+            grad = np.zeros((p, m))
+            for t in range(m):
+                grad[0, t] = self.icol * float(head[f"_gi{t}"])
+            H = np.zeros((pm, pm))
+            for bi, (kk, ll, _) in enumerate(blocks):
+                v = self.icol * self.icol * float(head[f"_wt{bi}"])
+                H[kk * p, ll * p] = v
+                H[ll * p, kk * p] = v
+
+            gcols = [f"_g{t}" for t in range(m)]
+            wbcols = [f"_wb{bi}" for bi in range(len(blocks))]
+            joined = self.trip.join(
+                rows.select(self.row_col, *gcols, *wbcols), self.row_col
+            )
+            for r in (
+                joined.groupBy(self.col_col)
+                .agg(
+                    *[F.sum(F.col(self.val_col) * F.col(g)).alias(f"_gc{t}")
+                      for t, g in enumerate(gcols)],
+                    *[F.sum(F.col(self.val_col) * F.col(wb)).alias(f"_wc{bi}")
+                      for bi, wb in enumerate(wbcols)],
+                )
+                .collect()
+            ):
+                j = 1 + int(r[self.col_col])
+                for t in range(m):
+                    grad[j, t] = float(r[f"_gc{t}"])
+                for bi, (kk, ll, _) in enumerate(blocks):
+                    v = self.icol * float(r[f"_wc{bi}"])
+                    H[kk * p, ll * p + j] = v
+                    H[ll * p + j, kk * p] = v
+                    H[ll * p, kk * p + j] = v
+                    H[kk * p + j, ll * p] = v
+
+            a = self.trip.alias("_ha")
+            b = self.trip.join(
+                rows.select(self.row_col, *wbcols), self.row_col
+            ).alias("_hb")
+            rc, cc, vc = self.row_col, self.col_col, self.val_col
+            for r in (
+                a.join(b, F.col(f"_ha.{rc}") == F.col(f"_hb.{rc}"))
+                .filter(F.col(f"_ha.{cc}") <= F.col(f"_hb.{cc}"))
+                .groupBy(
+                    F.col(f"_ha.{cc}").alias("_ci"),
+                    F.col(f"_hb.{cc}").alias("_cj"),
+                )
+                .agg(
+                    *[
+                        F.sum(
+                            F.col(f"_ha.{vc}") * F.col(f"_hb.{vc}") * F.col(f"_hb.{wb}")
+                        ).alias(f"_h{bi}")
+                        for bi, wb in enumerate(wbcols)
+                    ]
+                )
+                .collect()
+            ):
+                i, j = 1 + int(r["_ci"]), 1 + int(r["_cj"])
+                for bi, (kk, ll, _) in enumerate(blocks):
+                    v = float(r[f"_h{bi}"])
+                    H[kk * p + i, ll * p + j] = v
+                    H[ll * p + j, kk * p + i] = v
+                    H[ll * p + i, kk * p + j] = v
+                    H[kk * p + j, ll * p + i] = v
+        finally:
+            rows.unpersist()
+        self.scans += 3
+        return (
+            float(head["_p"]) + self._lg,
+            float(head["_d"]) + self._lg,
+            grad,
+            H,
+        )
 
     def full_gradient(self, beta):
         return self.eval(beta)[2]
+
+    def subset(self, idx):
+        """Column-pruned design for screening / KKT-repair subset fits
+        (the sparse analogue of ``matrixSubset``, ``src/utils.h:7-25``):
+        only triplets of the active columns survive the solver joins.
+        ``idx``: sorted solver indices over [0, p]; 0 (intercept) must be
+        included — it is unpenalized and handled analytically."""
+        idx = np.asarray(idx, dtype=np.intp)
+        if len(idx) == 0 or idx[0] != 0:
+            raise ValueError("sparse subset requires the intercept index 0")
+        cols = [int(j) - 1 for j in idx if j >= 1]
+        spark = self.trip.sparkSession
+        mdf = spark.createDataFrame(
+            [(c, pos) for pos, c in enumerate(cols)],
+            f"{self.col_col} int, _newcol int",
+        )
+        trip_sub = (
+            self.trip.join(F.broadcast(mdf), self.col_col)
+            .select(
+                self.row_col,
+                F.col("_newcol").alias(self.col_col),
+                self.val_col,
+            )
+        )
+        sub = SparseLongDesign(
+            trip_sub, self.ydf, self.family, len(cols), self.n, self.icol,
+            m=self.m, row_col=self.row_col, col_col=self.col_col,
+            val_col=self.val_col, lgamma_const=self._lg,
+        )
+        return sub
 
 
 def fit_sparse(
@@ -264,9 +448,13 @@ def fit_sparse(
     n_sigma: int = 20,
     sigma=None,
     lambda_min_ratio: float | None = None,
+    screening: bool = True,
+    gram_limit: int = 2048,
     max_passes: int = 10**5,
     tol_rel_gap: float = 1e-5,
     tol_infeas: float = 1e-3,
+    tol_abs: float = 1e-5,
+    tol_rel: float = 1e-4,
     tol_dev_change: float = 1e-5,
     tol_dev_ratio: float = 0.995,
 ):
@@ -277,15 +465,36 @@ def fit_sparse(
     Mirrors the reference's sparse entry (``src/owl.cpp:398-412``):
     scale-only standardization (``src/standardize.h:42-71`` — centering is
     forbidden for sparse input, ``R/owl.R:339, 353-360``), same penalty
-    machinery and stopping rules as the dense ``fit()``. Screening is not
-    applied (the full gradient is already one O(nnz) aggregation).
+    machinery and stopping rules as the dense ``fit()``.
+
+    Scale architecture (cluster cost = number of data scans, not FLOPs):
+
+    - gaussian with p <= ``gram_limit`` and a bounded self-join budget:
+      the (p+1)x(p+1) Gram of the standardized design is built ONCE from
+      the triplets (self-join on row_id, O(sum_i nnz_i^2) pairs), after
+      which the ENTIRE path is driver-side ADMM — zero per-path-point
+      scans (the reference's one-time factorization, src/owl.cpp:178-203,
+      carried over to the sparse entry).
+    - iterative families run FISTA with a FIXED Lipschitz step derived
+      from the trace bound eigmax(X'X) <= trace(X'X) = sum of squared
+      standardized column norms (piggybacked on the setup pass — no extra
+      scan), so no line-search probe scans; poisson has no global
+      Lipschitz bound and keeps backtracking.
+    - strong-rule screening + KKT repair (``src/screening.h``,
+      ``src/kktCheck.h``) prune the triplets to the active columns before
+      the per-iteration joins — the sparse analogue of the dense path's
+      column pruning. Scan counts are recorded in
+      ``model.diagnostics["sparse_scans"]``.
 
     ``triplets``: (row_col, col_col, val_col) with col ids in [0, n_cols);
     ``y_df``: (row_col, label) with one row per observation (the row
     universe — all-zero rows included).
     """
     from ..core.lambdas import lambda_sequence, sigma_grid
-    from ..core.solver import fista
+    from ..core.screening import kkt_check, strong_rule_active_set
+    from ..core.solver import (
+        GramData, admm_gaussian, admm_rho, fista, prox_newton,
+    )
     from ..fit import _lambda_max_from_stats, _rescale
     from ..model import SlopeModel
     from .response import Y_COL, preprocess_response
@@ -318,9 +527,11 @@ def fit_sparse(
     design = SparseLongDesign(trip, ydf, family, n_cols, n, icol, m=m,
                               row_col=row_col, col_col=col_col, val_col=val_col)
 
-    # one pass each for the lambda_max cross-moments (sparse aggregations)
+    # ONE setup pass: lambda_max cross-moments + column sums + per-column
+    # sum of squares (trace Lipschitz bound) ride the same aggregation
     xty = np.zeros((n_cols + 1, m))
     sums_x = np.zeros(n_cols + 1)
+    col_sq = np.zeros(n_cols + 1)
     for r in (
         trip.join(ydf, row_col)
         .groupBy(col_col)
@@ -328,18 +539,24 @@ def fit_sparse(
             *[F.sum(F.col(val_col) * F.col(f"_y{t}")).alias(f"_xy{t}")
               for t in range(m)],
             F.sum(val_col).alias("_sx"),
+            F.sum(F.col(val_col) * F.col(val_col)).alias("_sq"),
         )
         .collect()
     ):
         for t in range(m):
             xty[1 + int(r[col_col]), t] = float(r[f"_xy{t}"])
         sums_x[1 + int(r[col_col])] = float(r["_sx"])
+        col_sq[1 + int(r[col_col])] = float(r["_sq"])
     head = ydf.agg(
-        *[F.sum(f"_y{t}").alias(f"_sy{t}") for t in range(m)]
+        *[F.sum(f"_y{t}").alias(f"_sy{t}") for t in range(m)],
+        F.sum(F.col("_y0") * F.col("_y0")).alias("_yy"),
     ).first()
     sums_y = np.array([float(head[f"_sy{t}"]) for t in range(m)])
+    yty = float(head["_yy"])
     xty[0, :] = icol * sums_y
     sums_x[0] = n * icol
+    col_sq[0] = n * icol * icol
+    design.scans += 2
     lambda_max = _lambda_max_from_stats(
         family, xty, sums_x, sums_y, n, intercept=True
     )
@@ -347,24 +564,162 @@ def fit_sparse(
     lam = lambda_sequence(n_cols * m, n, lambda_type, q)
     sigma_is_auto = sigma is None
     if sigma_is_auto:
-        sig, _ = sigma_grid(lambda_max, lam, n_sigma, lambda_min_ratio, n=n, p=n_cols)
+        sig, sigma_max = sigma_grid(
+            lambda_max, lam, n_sigma, lambda_min_ratio, n=n, p=n_cols
+        )
     else:
         sig = np.atleast_1d(np.asarray(sigma, dtype=np.float64))
+        lm_sorted = np.sort(np.abs(lambda_max))[::-1]
+        sigma_max = float(np.max(np.cumsum(lm_sorted) / np.cumsum(lam)))
 
-    null_deviance = 2.0 * design.primal(np.zeros((n_cols + 1, m)))
-    betas = np.zeros((len(sig), n_cols + 1, m))
-    beta = np.zeros((n_cols + 1, m))
+    # ---- gaussian Gram fast path: one self-join, then a zero-scan path --
+    gram = None
+    if family == "gaussian" and n_cols <= gram_limit:
+        # self-join output size = sum over rows of nnz_row^2; guard it
+        nnz_sq = (
+            trip.groupBy(row_col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(F.sum(F.col("_c") * F.col("_c")))
+            .first()[0]
+        )
+        design.scans += 1
+        if nnz_sq is not None and float(nnz_sq) <= 2e8:
+            a, b = trip.alias("_a"), trip.alias("_b")
+            G = np.zeros((n_cols + 1, n_cols + 1))
+            for r in (
+                a.join(b, F.col(f"_a.{row_col}") == F.col(f"_b.{row_col}"))
+                .filter(F.col(f"_a.{col_col}") <= F.col(f"_b.{col_col}"))
+                .groupBy(
+                    F.col(f"_a.{col_col}").alias("_ci"),
+                    F.col(f"_b.{col_col}").alias("_cj"),
+                )
+                .agg(
+                    F.sum(F.col(f"_a.{val_col}") * F.col(f"_b.{val_col}")).alias("_g")
+                )
+                .collect()
+            ):
+                i, j = 1 + int(r["_ci"]), 1 + int(r["_cj"])
+                G[i, j] = G[j, i] = float(r["_g"])
+            G[0, 0] = n * icol * icol
+            G[0, 1:] = icol * sums_x[1:]
+            G[1:, 0] = icol * sums_x[1:]
+            gram = GramData(gram=G, xty=xty[:, 0].copy(), yty=yty, n=n)
+            design.scans += 1
+
+    # fixed Lipschitz step from the trace bound (no extra scan); poisson
+    # has no global bound and keeps the backtracking line search
+    lr = None
+    if gram is None and family in ("gaussian", "binomial", "multinomial"):
+        factor = {"gaussian": 1.0, "binomial": 4.0, "multinomial": 2.0}[family]
+        trace = float(col_sq.sum())
+        lr = factor / trace if trace > 0 else None
+
+    if gram is not None:
+        null_deviance = yty  # 2 * primal(0) = y'y for centered/scaled y
+    else:
+        null_deviance = 2.0 * design.primal(np.zeros((n_cols + 1, m)))
+
+    p_total = n_cols + 1
+    betas = np.zeros((len(sig), p_total, m))
+    beta = np.zeros((p_total, m))
+    beta_prev = np.zeros((p_total, m))
+    z = np.zeros(p_total)
+    u = np.zeros(p_total)
     deviances: list[float] = []
     dev_ratios: list[float] = []
     passes: list[int] = []
+
+    ever_active = np.array([0], dtype=np.intp)
+    all_idx = np.arange(p_total, dtype=np.intp)
+    # Screening prunes the per-iteration joins to the active columns; with
+    # the Gram path there are no per-iteration scans to prune, and at tiny
+    # p the strong-rule/KKT full-gradient scans cost more than they save.
+    screening_on = bool(screening) and gram is None and n_cols > 8
+
+    # prox-Newton Hessian payload guard (the dense path's wide-p guard,
+    # carried over): when the p_act*m square would exceed ~10^6 cells the
+    # per-iteration X^T W X ship is the new bottleneck — fall back to
+    # FISTA with the trace-bound fixed step for that fit
+    hess_cell_guard = 10**6
+
+    def _fit_at(design_sub, beta_init, lam_scaled, idx):
+        if gram is not None:
+            gd = gram if len(idx) == p_total else gram.subset(idx)
+            w_eig, _ = gd.eigh()
+            rho = admm_rho(
+                float(w_eig.max()), float(lam_scaled.max()) if lam_scaled.size else 1.0
+            )
+            res, z_s, u_s = admm_gaussian(
+                gd, beta_init.ravel(), z[idx], u[idx], lam_scaled, rho,
+                max_passes=max_passes, tol_abs=tol_abs, tol_rel=tol_rel,
+            )
+            z[idx] = z_s
+            u[idx] = u_s
+            return res
+        # iterative families: prox-Newton (3 O(nnz) jobs per outer
+        # iteration, 2-6 outer iterations) unless the Hessian payload
+        # would be too wide
+        if (len(idx) * m) ** 2 <= hess_cell_guard:
+            return prox_newton(
+                design_sub, beta_init, lam_scaled, n_unpenalized=1,
+                max_passes=max_passes, tol_rel_gap=tol_rel_gap,
+                tol_infeas=tol_infeas, tol_abs=tol_abs, tol_rel=tol_rel,
+            )
+        lr_sub = lr
+        if lr is not None and len(idx) != p_total:
+            tr = float(col_sq[idx].sum())
+            factor = {"gaussian": 1.0, "binomial": 4.0, "multinomial": 2.0}[family]
+            lr_sub = factor / tr if tr > 0 else None
+        return fista(
+            design_sub, beta_init, lam_scaled, n_unpenalized=1,
+            max_passes=max_passes, tol_rel_gap=tol_rel_gap,
+            tol_infeas=tol_infeas, fixed_learning_rate=lr_sub,
+        )
+
     k = 0
     while k < len(sig):
-        res = fista(
-            design, beta, lam * sig[k], n_unpenalized=1,
-            max_passes=max_passes, tol_rel_gap=tol_rel_gap, tol_infeas=tol_infeas,
-        )
-        beta = res.beta.reshape(n_cols + 1, m)
+        if not screening_on:
+            res = _fit_at(design, beta, lam * sig[k], all_idx)
+            beta = res.beta.reshape(p_total, m)
+        else:
+            gradient_prev = design.full_gradient(beta_prev)
+            sigma_prev = sigma_max if k == 0 else sig[k - 1]
+            strong_set = strong_rule_active_set(
+                gradient_prev[1:], lam * sig[k], lam * sigma_prev, True
+            )
+            prev_active = np.flatnonzero(np.any(beta_prev != 0, axis=1))
+            ever_active = np.union1d(ever_active, prev_active).astype(np.intp)
+            active_set = ever_active
+            while True:
+                if len(active_set) >= p_total:
+                    active_set = all_idx
+                    res = _fit_at(design, beta, lam * sig[k], all_idx)
+                    beta = res.beta.reshape(p_total, m)
+                    break
+                design_sub = design.subset(active_set)
+                n_active_pen = (len(active_set) - 1) * m
+                res = _fit_at(
+                    design_sub, beta[active_set],
+                    lam[:n_active_pen] * sig[k], active_set,
+                )
+                design.scans += design_sub.scans
+                beta = np.zeros((p_total, m))
+                beta[active_set] = res.beta.reshape(len(active_set), m)
+
+                gradient_full = design.full_gradient(beta)
+                possible = kkt_check(
+                    gradient_full, beta, lam * sig[k], tol_infeas, True
+                )
+                strong_failures = np.intersect1d(possible, strong_set)
+                check_failures = np.setdiff1d(strong_failures, active_set)
+                if len(check_failures) == 0:
+                    check_failures = np.setdiff1d(possible, active_set)
+                if len(check_failures) == 0:
+                    break
+                active_set = np.union1d(check_failures, active_set).astype(np.intp)
+
         betas[k] = beta
+        beta_prev = beta.copy()
         deviances.append(res.deviance)
         dev_ratios.append(1.0 - res.deviance / null_deviance)
         passes.append(res.passes)
@@ -408,6 +763,14 @@ def fit_sparse(
         x_scale=x_scale,
         y_center=rinfo.y_center,
         y_scale=rinfo.y_scale,
+        # scan accounting: total distributed jobs the fit issued and the
+        # per-path-point average (the cluster cost metric; the gaussian
+        # Gram path amortizes to <1 scan per path point)
+        diagnostics=dict(
+            primals=[], duals=[], time=[],
+            sparse_scans=design.scans,
+            scans_per_path_point=design.scans / max(k, 1),
+        ),
     )
 
 

@@ -32,15 +32,21 @@ class StandardizerModel:
     n: int | None = None  # row count, captured when the fit is one-scan
 
     def transform(self, df: DataFrame, suffix: str = "") -> DataFrame:
-        """Replace (or suffix) each column with (x - center) / scale."""
+        """Replace (or suffix) each column with (x - center) / scale.
+
+        One ``withColumns`` projection for ALL columns: chaining
+        ``withColumn`` per feature nests one Project node each, and past
+        ~1000 features Catalyst's recursive tree analysis overflows the
+        JVM stack (and is quadratic in plan size before that)."""
+        exprs = {}
         for c in self.cols:
             expr = F.col(c).cast("double")
             if self.do_center:
                 expr = expr - F.lit(self.center[c])
             if self.scale_type != "none":
                 expr = expr / F.lit(self.scale[c])
-            df = df.withColumn(c + suffix, expr)
-        return df
+            exprs[c + suffix] = expr
+        return df.withColumns(exprs)
 
 
 def fit_standardizer(

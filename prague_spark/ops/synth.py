@@ -76,11 +76,16 @@ def random_problem(
     beta[idx] = amplitude * np.where(np.arange(k) % 2 == 0, 1.0, -1.0)
 
     df = spark.range(n).withColumnRenamed("id", "row_id")
+    # one withColumns projection: per-column withColumn chaining nests a
+    # Project node per feature and overflows Catalyst's recursive
+    # analysis past ~1000 columns
+    xcols = {}
     for j in range(p):
         x = F.randn(seed + 1000 + j)
         if density < 1.0:
             x = F.when(F.rand(seed + 2000 + j) < density, x).otherwise(0.0)
-        df = df.withColumn(f"x{j + 1}", x)
+        xcols[f"x{j + 1}"] = x
+    df = df.withColumns(xcols)
 
     lp = F.lit(0.0)
     for j in range(p):

@@ -2147,6 +2147,8 @@ def _sparse_kkt_sql(sf_dir: str) -> str:
     scale-only standardized gradient directly from the events-derived
     triplets (each row has exactly one nonzero feature, col = id % 5) with
     the pinned betas as literals, then the sorted-cumsum infeasibility."""
+    import numpy as np
+
     pin = _pinned_sparse_fit(sf_dir)
     p = _SPARSE_FIT_KW["n_cols"]
     B = pin["betas"]
@@ -2165,9 +2167,18 @@ def _sparse_kkt_sql(sf_dir: str) -> str:
         )
         return f"({float(B[k, 0, 0])!r} + (CASE {chain} ELSE 0.0 END))"
 
+    # intercept gradient: the scale-only (uncentered) design does NOT
+    # decouple the intercept, so KKT needs BOTH the sorted-cumsum dual
+    # feasibility of the penalized block AND stationarity of the
+    # (unpenalized, 1/sqrt(n)-preconditioned) intercept column
+    n_fix = int(pin.get("n", 2000))
+    icol = 1.0 / np.sqrt(n_fix)
     g_exprs = [
         f"sum(CASE WHEN cid = {j} THEN (value / {float(sj[j])!r}) * (({lp(k)}) - y) / {ys!r} END) AS g_{k}_{j}"
         for k in range(K) for j in range(p)
+    ] + [
+        f"sum({icol!r} * (({lp(k)}) - y) / {ys!r}) AS gint_{k}"
+        for k in range(K)
     ]
     long_selects = " UNION ALL ".join(
         f"SELECT {k} AS k, coalesce(abs(g_{k}_{j}), 0.0) AS a FROM g"
@@ -2181,6 +2192,9 @@ def _sparse_kkt_sql(sf_dir: str) -> str:
         f"({k}, {pin['n_nonzero'][k]}, {float(tol * lam[0] * sig[k])!r})"
         for k in range(K)
     )
+    gint_selects = " UNION ALL ".join(
+        f"SELECT {k} AS k, abs(gint_{k}) AS gi FROM g" for k in range(K)
+    )
     return f"""
     WITH base AS (
         SELECT CAST(event_id % {p} AS INTEGER) AS cid, value,
@@ -2190,6 +2204,8 @@ def _sparse_kkt_sql(sf_dir: str) -> str:
         SELECT {", ".join(g_exprs)} FROM base
     ), longg AS (
         {long_selects}
+    ), gint AS (
+        {gint_selects}
     ), lamt AS (
         SELECT * FROM (VALUES {lam_rows}) AS t(k, r, lam)
     ), ranked AS (
@@ -2209,9 +2225,9 @@ def _sparse_kkt_sql(sf_dir: str) -> str:
     )
     SELECT CAST(meta.k AS INTEGER) AS path_idx,
            CAST(meta.nnz AS BIGINT) AS n_nonzero,
-           (inf.infeas <= meta.tol) AS kkt_ok,
+           (inf.infeas <= meta.tol AND gint.gi <= meta.tol) AS kkt_ok,
            TRUE AS fit_agrees
-    FROM inf JOIN meta ON inf.k = meta.k
+    FROM inf JOIN meta ON inf.k = meta.k JOIN gint ON gint.k = meta.k
 """
 
 

@@ -86,8 +86,10 @@ def test_binomial_spark_design_matches_incore(li):
     kw = dict(n_sigma=3, lambda_min_ratio=0.5, max_passes=2000, screening=False)
     m_local = ps.fit(df, FEATURES, "high", "binomial", solver="incore", **kw)
     m_spark = ps.fit(df, FEATURES, "high", "binomial", solver="spark", **kw)
+    # agreement tolerance ~ the duality-gap-induced wiggle around the
+    # shared optimum (the KKT oracles allow 5e-2/5e-3)
     np.testing.assert_allclose(
-        m_local.betas, m_spark.betas, rtol=1e-3, atol=1e-4
+        m_local.betas, m_spark.betas, rtol=1e-3, atol=5e-4
     )
 
 
@@ -342,3 +344,31 @@ def test_binomial_spark_fista_matches_incore(li):
     np.testing.assert_allclose(
         m_local.betas, m_fista.betas, rtol=1e-3, atol=1e-4
     )
+
+
+def test_wide_p_hessian_guard_falls_back_to_fista(spark, monkeypatch):
+    # Wide designs must NOT ship the (p_act*m)^2 prox-Newton Hessian
+    # payload: past ~10^6 cells the fit falls back to FISTA with the
+    # trace-bound fixed step. prox_newton is poisoned to prove the
+    # fallback is the path actually taken.
+    import sys
+
+    from prague_spark.ops.synth import random_problem
+
+    # prague_spark.fit (the module) is shadowed by the fit() function on
+    # the package namespace — fetch the module object directly
+    fit_mod = sys.modules["prague_spark.fit"]
+
+    def _boom(*a, **kw):
+        raise AssertionError("prox_newton must not run past the Hessian guard")
+
+    monkeypatch.setattr(fit_mod, "prox_newton", _boom)
+    df, _ = random_problem(
+        spark, n=300, p=1050, family="binomial", density=0.3, seed=3
+    )
+    feats = [f"x{j}" for j in range(1, 1051)]
+    m = fit_mod.fit(
+        df, feats, "y", "binomial", solver="spark", screening=False,
+        sigma=[5.0], max_passes=300,
+    )
+    assert np.all(np.isfinite(m.betas))

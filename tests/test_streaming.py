@@ -11,12 +11,17 @@ from pyspark.sql import functions as F
 
 @pytest.fixture(scope="module")
 def events_stream_dir(spark, sf_dir):
-    # events.ts is TIMESTAMP(NANOS); rewrite a micros copy so readStream
-    # needs no legacy flag.
+    # events.ts has been TIMESTAMP(NANOS) in some testdata generations
+    # and TIMESTAMP(MICROS) in others; rewrite a micros copy so
+    # readStream needs no legacy flag either way (prague_spark.queries
+    # load() carries the same dual handling).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) loads as TIMESTAMP_NTZ,
+    # which withWatermark rejects — event time must be TIMESTAMP
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     d = tempfile.mkdtemp(prefix="prague_stream_")
     df.coalesce(2).write.mode("overwrite").parquet(d)
     return d
