@@ -145,6 +145,26 @@ def main() -> None:
             n_folds=3, measures=["mse"], n_sigma=5, lambda_min_ratio=0.01,
         )
 
+    @bench("fit_sparse_gaussian")
+    def _():
+        # long-format sparse path: one-time triplet self-join Gram, then
+        # the whole path is driver-side ADMM (zero per-path-point scans)
+        from prague_spark.ops.sparse import fit_sparse
+        from prague_spark.queries import load as _load
+
+        ev = _load(spark, SF_DIR, "events")
+        trip = ev.select(
+            F.col("event_id").alias("row_id"),
+            (F.col("event_id") % 50).cast("int").alias("col_id"),
+            F.col("value").alias("value"),
+        ).filter(F.col("value") != 0.0)
+        ydf = ev.select(
+            F.col("event_id").alias("row_id"),
+            (F.col("value") * 2.0 + (F.col("event_id") % 3).cast("double")).alias("y"),
+        )
+        fit_sparse(trip, ydf, "y", "gaussian", n_cols=50, n_sigma=10,
+                   lambda_min_ratio=0.1)
+
     @bench("dedup_exact")
     def _():
         dedup.exact_dedup(docs, "text", "doc_id").count()

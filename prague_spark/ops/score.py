@@ -109,6 +109,17 @@ def auc(df: DataFrame, prob_col: str, pos_indicator, weight_col: str | None = No
     (the reference's weighted variant, ``R/score.R:152-166``, in its
     expectation form — deterministic instead of randomized tie breaking).
 
+    Tie-handling delta vs the reference: ``R/score.R:152-166`` breaks
+    weighted ties by RANDOMIZING the rank order within each tied
+    probability group, so repeated calls return different AUCs whose
+    expected value is the average-rank statistic. This implementation
+    computes that expectation directly (each tied group contributes
+    ``n1_g * n0_g / 2`` cross pairs), which is (a) the same number the
+    randomized form converges to, (b) reproducible — required for the
+    cross-engine hash oracle — and (c) shuffle-free to distribute. The
+    only observable difference is the absence of per-call sampling noise
+    of order O(ties / n^2).
+
     AUC = sum_over_distinct_p( n1_p * (cum_n0_below + n0_p / 2) ) / (n1 * n0),
     algebraically identical to the reference's
     ``(sum rank(prob)[y==1] - n1(n1+1)/2) / (n1 n0)`` with R average ranks;
