@@ -153,3 +153,42 @@ def test_stateful_running_stats_across_batches(spark, sf_dir):
         assert got["n"] == want[k]["n"]
         assert got["mean"] == pytest.approx(want[k]["mean"], rel=1e-9)
         assert got["var"] == pytest.approx(want[k]["var"], rel=1e-6)
+
+
+def test_sessionize_stream_matches_batch(spark, events_stream_dir):
+    """session_window under readStream (complete mode + watermark; session
+    windows reject update mode) must reproduce the batch sessionization —
+    the canonical stateful-streaming operator of the events surface
+    (queries.q_events_sessionize)."""
+    batch_df = spark.read.parquet(events_stream_dir)
+    expected = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in batch_df.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        .collect()
+    }
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .parquet(events_stream_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_agg").collect()
+    }
+    assert got == expected
