@@ -144,9 +144,15 @@ def fit(
     # fused scan + driver arithmetic (core.gram_path — same machinery as
     # the one-pass CV). The staged path below (4 scans) remains for
     # diagnostics, in-core/spark solvers, and non-derivable scales.
+    # p guard on the Gram routes: X'X partials are p^2 doubles per
+    # partition — past ~4096 features the quadratic payload (and the
+    # driver-side eigh) dominates, and the distributed iterative design
+    # with the trace-bound FISTA step is the right plan instead.
+    GRAM_P_LIMIT = 4096
     if (
         family == "gaussian"
         and solver in ("auto", "gram")
+        and len(features) <= GRAM_P_LIMIT
         and intercept
         and center
         and scale in ("l2", "sd", "none")
@@ -216,8 +222,12 @@ def fit(
     p_feat = len(features)
     if scale in ("l2", "sd", "none"):
         raw_need_xtx = (
-            family == "gaussian" and solver in ("auto", "gram")
-        ) or (solver == "spark_fista" and family in ("binomial", "multinomial"))
+            family == "gaussian" and solver in ("auto", "gram") and p_feat < 4096
+        ) or (
+            solver == "spark_fista"
+            and family in ("binomial", "multinomial")
+            and p_feat < 4096
+        )
         xdf_raw = df2.select(
             F.array(*[F.col(c).cast("double") for c in features]).alias("_xr"),
             Y_COL,
@@ -272,7 +282,7 @@ def fit(
     # ---- choose the design ----
     est_bytes = n * p_total * 8 * max(m, 1)
     xty_gaussian = None
-    if family == "gaussian" and solver in ("auto", "gram"):
+    if family == "gaussian" and solver in ("auto", "gram") and p_total <= 4096:
         if raw_setup is not None:
             # Gram sufficient statistics derived from the raw scan — the
             # staged gaussian route is one pass too
@@ -407,10 +417,10 @@ def fit(
     hess_cell_guard = 10**6
 
     def _trace_lr(sub_idx):
-        if col_sq_std is None or family not in ("binomial", "multinomial"):
+        if col_sq_std is None or family == "poisson":
             return None  # poisson: no global bound -> backtracking probes
         tr = float(col_sq_std[sub_idx].sum()) if sub_idx is not None else float(col_sq_std.sum())
-        factor = 4.0 if family == "binomial" else 2.0
+        factor = {"gaussian": 1.0, "binomial": 4.0, "multinomial": 2.0}[family]
         return factor / tr if tr > 0 else None
 
     def fit_on(design_sub, beta_init, lam_scaled, z_s, u_s, sub_idx=None):

@@ -372,3 +372,23 @@ def test_wide_p_hessian_guard_falls_back_to_fista(spark, monkeypatch):
         sigma=[5.0], max_passes=300,
     )
     assert np.all(np.isfinite(m.betas))
+
+
+def test_wide_p_gaussian_avoids_gram(spark):
+    # gaussian past the Gram p-limit must not ship p^2 partials: it routes
+    # to the distributed design and (past the Hessian cell guard) the
+    # trace-bound FISTA step, like the iterative families
+    import sys
+
+    from prague_spark.ops.synth import random_problem
+
+    fit_mod = sys.modules["prague_spark.fit"]
+    df, _ = random_problem(
+        spark, n=300, p=1050, family="gaussian", density=0.3, seed=5
+    )
+    feats = [f"x{j}" for j in range(1, 1051)]
+    m = fit_mod.fit(
+        df, feats, "y", "gaussian", solver="spark", screening=False,
+        sigma=[5.0], max_passes=300,
+    )
+    assert np.all(np.isfinite(m.betas))
