@@ -43,6 +43,12 @@ X_COL = "_x_features"
 # standardized design). Above this the iterative families run distributed.
 DEFAULT_INCORE_LIMIT = 512 * 1024 * 1024
 
+# p guard on the Gram routes: X'X partials are p^2 doubles per partition —
+# past this many TOTAL columns (intercept included) the quadratic payload
+# and the driver-side eigh dominate, and the distributed iterative design
+# with the trace-bound FISTA step is the right plan instead.
+GRAM_P_LIMIT = 4096
+
 
 def _collect_xy(sdf: DataFrame, p: int, m: int):
     """Collect the (n, p) design to the driver as flat float64 buffers via
@@ -144,15 +150,18 @@ def fit(
     # fused scan + driver arithmetic (core.gram_path — same machinery as
     # the one-pass CV). The staged path below (4 scans) remains for
     # diagnostics, in-core/spark solvers, and non-derivable scales.
-    # p guard on the Gram routes: X'X partials are p^2 doubles per
-    # partition — past ~4096 features the quadratic payload (and the
-    # driver-side eigh) dominates, and the distributed iterative design
-    # with the trace-bound FISTA step is the right plan instead.
-    GRAM_P_LIMIT = 4096
+    # an explicitly requested Gram solver past the p guard would silently
+    # degrade to a different solver — refuse instead
+    if solver == "gram" and len(features) + 1 > GRAM_P_LIMIT:
+        raise ValueError(
+            f"solver='gram' builds a p^2 Gram; p={len(features)} exceeds "
+            f"GRAM_P_LIMIT={GRAM_P_LIMIT}. Use solver='auto'/'spark' (the "
+            "distributed iterative path) for wide designs."
+        )
     if (
         family == "gaussian"
         and solver in ("auto", "gram")
-        and len(features) <= GRAM_P_LIMIT
+        and len(features) + 1 <= GRAM_P_LIMIT
         and intercept
         and center
         and scale in ("l2", "sd", "none")
@@ -221,12 +230,16 @@ def fit(
     raw_setup = None
     p_feat = len(features)
     if scale in ("l2", "sd", "none"):
+        # p_feat + 1 == p_total when intercept; use the inclusive bound so
+        # this agrees EXACTLY with the Gram-design route below — a
+        # mismatch would build GramData(gram=None) and crash in eigh
+        gram_ok = p_feat + 1 <= GRAM_P_LIMIT
         raw_need_xtx = (
-            family == "gaussian" and solver in ("auto", "gram") and p_feat < 4096
+            family == "gaussian" and solver in ("auto", "gram") and gram_ok
         ) or (
             solver == "spark_fista"
             and family in ("binomial", "multinomial")
-            and p_feat < 4096
+            and gram_ok
         )
         xdf_raw = df2.select(
             F.array(*[F.col(c).cast("double") for c in features]).alias("_xr"),
@@ -282,7 +295,11 @@ def fit(
     # ---- choose the design ----
     est_bytes = n * p_total * 8 * max(m, 1)
     xty_gaussian = None
-    if family == "gaussian" and solver in ("auto", "gram") and p_total <= 4096:
+    if (
+        family == "gaussian"
+        and solver in ("auto", "gram")
+        and p_feat + 1 <= GRAM_P_LIMIT
+    ):
         if raw_setup is not None:
             # Gram sufficient statistics derived from the raw scan — the
             # staged gaussian route is one pass too

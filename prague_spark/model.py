@@ -176,7 +176,10 @@ class SlopeModel:
         dual, time_s) — the ``plotDiagnostics`` data output
         (``R/setupDiagnostics.R:9-25``, ``R/plotDiagnostics.R:22-73``).
         Requires the fit to have run with ``diagnostics=True``."""
-        if not self.diagnostics:
+        # sparse fits attach a diagnostics dict carrying only scan-count
+        # accounting (sparse_scans) with empty trace lists — that is NOT
+        # a per-iteration trace, so keep raising for it
+        if not self.diagnostics or not self.diagnostics.get("primals"):
             raise ValueError("fit was run without diagnostics=True")
         rows = []
         for pi, (prim, dual, tim) in enumerate(

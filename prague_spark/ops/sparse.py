@@ -125,6 +125,7 @@ class SparseLongDesign:
         self.icol = icol
         self.row_col, self.col_col, self.val_col = row_col, col_col, val_col
         self.scans = 0  # distributed jobs issued (solver cost accounting)
+        self._hess = None  # gaussian-only: X'WX with W=1 is constant
         if lgamma_const is not None:
             self._lg = lgamma_const
         elif family == "poisson":
@@ -132,10 +133,25 @@ class SparseLongDesign:
             # SQL primal/dual stay builtin-only (Spark lacks lgamma).
             # Poisson responses are counts with few distinct values, so
             # groupBy(y).count() collects O(distinct y) rows — never the
-            # n-sized column itself.
+            # n-sized column itself. The limit guards the collect against
+            # a continuous-valued response (distinct ~ n), which would
+            # otherwise OOM the driver silently.
             from math import lgamma
 
-            groups = ydf.groupBy("_y0").agg(F.count(F.lit(1)).alias("_c")).collect()
+            max_distinct = 1_000_000
+            groups = (
+                ydf.groupBy("_y0")
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .limit(max_distinct + 1)
+                .collect()
+            )
+            if len(groups) > max_distinct:
+                raise ValueError(
+                    "poisson sparse fit: response has more than "
+                    f"{max_distinct} distinct values — not a count "
+                    "response; the lgamma(y+1) constant cannot be set up "
+                    "driver-side"
+                )
             self._lg = float(
                 sum(lgamma(float(r["_y0"]) + 1.0) * int(r["_c"]) for r in groups)
             )
@@ -294,6 +310,12 @@ class SparseLongDesign:
         """
         m, p = self.m, self.p
         pm = p * m
+        if self.family == "gaussian" and self._hess is not None:
+            # unit IRLS weights make X'WX constant — reuse the first
+            # Hessian and pay only the 2-job eval() for (primal, dual,
+            # gradient) on subsequent outer iterations / probes
+            p_val, d_val, grad = self.eval(beta)
+            return p_val, d_val, grad, self._hess
         rows = self._rows(beta)
         pe, de, ges = self._exprs()
         for t, ge in enumerate(ges):
@@ -390,6 +412,8 @@ class SparseLongDesign:
         finally:
             rows.unpersist()
         self.scans += 3
+        if self.family == "gaussian":
+            self._hess = H
         return (
             float(head["_p"]) + self._lg,
             float(head["_d"]) + self._lg,
@@ -677,12 +701,17 @@ def fit_sparse(
         )
 
     k = 0
+    grad_cache = None  # full gradient at beta_prev, carried from the KKT
+    # check of the previous path point (same beta) — saves 2 scans/point
     while k < len(sig):
         if not screening_on:
             res = _fit_at(design, beta, lam * sig[k], all_idx)
             beta = res.beta.reshape(p_total, m)
         else:
-            gradient_prev = design.full_gradient(beta_prev)
+            gradient_prev = (
+                grad_cache if grad_cache is not None
+                else design.full_gradient(beta_prev)
+            )
             sigma_prev = sigma_max if k == 0 else sig[k - 1]
             strong_set = strong_rule_active_set(
                 gradient_prev[1:], lam * sig[k], lam * sigma_prev, True
@@ -695,6 +724,7 @@ def fit_sparse(
                     active_set = all_idx
                     res = _fit_at(design, beta, lam * sig[k], all_idx)
                     beta = res.beta.reshape(p_total, m)
+                    grad_cache = None  # no KKT gradient at this beta
                     break
                 design_sub = design.subset(active_set)
                 n_active_pen = (len(active_set) - 1) * m
@@ -707,6 +737,7 @@ def fit_sparse(
                 beta[active_set] = res.beta.reshape(len(active_set), m)
 
                 gradient_full = design.full_gradient(beta)
+                grad_cache = gradient_full
                 possible = kkt_check(
                     gradient_full, beta, lam * sig[k], tol_infeas, True
                 )

@@ -186,9 +186,12 @@ def test_sessionize_stream_matches_batch(spark, events_stream_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    got = {
-        (r["user_id"], r["session_start"]): r["n_events"]
-        for r in spark.sql("SELECT * FROM sess_agg").collect()
-    }
-    assert got == expected
+    try:
+        assert q.awaitTermination(120), "streaming query did not finish in 120s"
+        got = {
+            (r["user_id"], r["session_start"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM sess_agg").collect()
+        }
+        assert got == expected
+    finally:
+        q.stop()
