@@ -471,13 +471,20 @@ def fit(
         return res, z_s, u_s
 
     k = 0
+    # full gradient at beta_prev, carried over from the previous path
+    # point's KKT check (computed at the same beta) — saves one full
+    # distributed pass per path point when screening is on
+    grad_cache = None
     while k < n_sig:
         violations: list[int] = []
         strong_set = all_idx
         active_set = all_idx
 
         if screening_on:
-            gradient_prev = design.full_gradient(beta_prev)
+            gradient_prev = (
+                grad_cache if grad_cache is not None
+                else design.full_gradient(beta_prev)
+            )
             g_pen = gradient_prev[n_unpen:]
             sigma_prev = sigma_max if k == 0 else sig[k - 1]
             strong_set = strong_rule_active_set(
@@ -493,6 +500,7 @@ def fit(
             res, z, u = fit_on(design, beta, lam * sig[k], z, u)
             beta = res.beta.reshape(p_total, m)
             passes[k] = res.passes
+            grad_cache = None  # no KKT gradient at this beta
         else:
             while True:
                 if len(active_set) == 0:
@@ -515,6 +523,7 @@ def fit(
                     passes[k] = res.passes
 
                 gradient_full = design.full_gradient(beta)
+                grad_cache = gradient_full
                 possible = kkt_check(
                     gradient_full, beta, lam * sig[k], tol_infeas, intercept
                 )
