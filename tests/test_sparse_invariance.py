@@ -232,3 +232,41 @@ def test_predict_sparse_matches_dense_predict(spark):
     expect = B[0] + X @ B[1:]
     got = np.array([preds[i] for i in range(n)])
     np.testing.assert_allclose(got, expect, rtol=1e-10, atol=1e-10)
+
+
+def test_sparse_wide_p_hessian_guard_falls_back_to_fista(spark, monkeypatch):
+    # past ~10^6 Hessian cells the sparse fit must not ship the prox-Newton
+    # X'WX self-join; it falls back to FISTA with the trace-bound step.
+    # prox_newton is poisoned to prove the fallback is the path taken.
+    import sys
+
+    sparse_mod = sys.modules["prague_spark.ops.sparse"]
+    solver_mod = sys.modules["prague_spark.core.solver"]
+
+    def _boom(*a, **kw):
+        raise AssertionError("prox_newton must not run past the Hessian guard")
+
+    monkeypatch.setattr(solver_mod, "prox_newton", _boom)
+
+    rng = np.random.default_rng(11)
+    n, p = 400, 1050
+    rows, cols_idx, vals = [], [], []
+    for i in range(n):
+        for c in rng.choice(p, size=3, replace=False):
+            rows.append(i), cols_idx.append(int(c)), vals.append(float(rng.normal()))
+    trip = spark.createDataFrame(
+        list(zip(rows, cols_idx, vals)), "row_id long, col_id int, value double"
+    )
+    y = rng.normal(size=n)
+    ydf = spark.createDataFrame(
+        [(i, float(y[i]) if y[i] > -10 else 0.0) for i in range(n)],
+        "row_id long, y double",
+    )
+    # binomial label so the gaussian Gram path (which needs no Hessian)
+    # does not apply; large sigma converges in a few fixed-step passes
+    yb = ydf.selectExpr("row_id", "CASE WHEN y > 0 THEN 'a' ELSE 'b' END AS y")
+    m = sparse_mod.fit_sparse(
+        trip, yb, "y", "binomial", n_cols=p, sigma=[5.0],
+        screening=False, max_passes=200,
+    )
+    assert np.all(np.isfinite(m.betas))
