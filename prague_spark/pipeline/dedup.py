@@ -330,3 +330,69 @@ def embedding_cosine_pairs(
             "cosine",
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over an
+    undirected candidate-pair edge list via min-label propagation.
+
+    This is the step a production dedup pipeline runs AFTER the pair
+    generators (minhash_lsh_candidates / ngram_jaccard_pairs /
+    embedding_cosine_pairs): transitive closure groups near-duplicate
+    pairs into clusters, and one canonical document per cluster (the
+    minimum id, which IS the converged label) survives.
+
+    Scale shape: each iteration is ONE join + groupBy over the edge list
+    (O(|E|) shuffle, AQE-coalesced); iterations needed = graph diameter,
+    which for dedup graphs (dense near-clique clusters) is small. No
+    driver-side graph state — only the converged (node, cluster) frame.
+    Returns (node, cluster_id) for every node appearing in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            neigh = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy("src")
+                .agg(F.min("cluster_id").alias("_nl"))
+            )
+            updated = (
+                labels.join(neigh, labels["node"] == neigh["src"], "left")
+                .select(
+                    F.col("node"),
+                    F.col("cluster_id").alias("_old"),
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("_nl"), F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                )
+                .persist()
+            )
+            changed = updated.filter(F.col("cluster_id") < F.col("_old")).count()
+            old = labels
+            labels = updated.select("node", "cluster_id").persist()
+            updated.unpersist()
+            old.unpersist()
+            if changed == 0:
+                break
+        return labels.select("node", "cluster_id")
+    finally:
+        edges.unpersist()

@@ -358,36 +358,26 @@ SQL_Q1_LINK = f"""
 """
 
 
-def q_q3_predict_binomial(spark, sf_dir):
-    """Sigmoid response + thresholded class (R/predict.R:91-121)."""
+def q_q3_q4_predict_response(spark, sf_dir):
+    """Binomial sigmoid response + thresholded class (Q3,
+    R/predict.R:91-121) AND the poisson exp-link response (Q4,
+    R/predict.R:125-147) over the same fixed coefficient slice, in one
+    projection."""
     z = _zdf(spark, sf_dir)
     lp = _lp_expr()
     return z.select(
         "l_orderkey", "l_linenumber",
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-lp)), 4).alias("prob"),
         F.when(lp > 0, "ret").otherwise("ok").alias("pred_class"),
+        F.round(F.exp(lp), 4).alias("mu"),
     )
 
 
-SQL_Q3_BINOMIAL = f"""
+SQL_Q3_Q4_RESPONSE = f"""
     SELECT l_orderkey, l_linenumber,
            round(1.0 / (1.0 + exp(-{_LP_SQL})), 4) AS prob,
-           CASE WHEN {_LP_SQL} > 0 THEN 'ret' ELSE 'ok' END AS pred_class
-    FROM ({_Z_SQL})
-"""
-
-
-def q_q4_predict_poisson(spark, sf_dir):
-    """exp-link response (R/predict.R:125-147)."""
-    z = _zdf(spark, sf_dir)
-    return z.select(
-        "l_orderkey", "l_linenumber",
-        F.round(F.exp(_lp_expr()), 4).alias("mu"),
-    )
-
-
-SQL_Q4_POISSON = f"""
-    SELECT l_orderkey, l_linenumber, round(exp({_LP_SQL}), 4) AS mu
+           CASE WHEN {_LP_SQL} > 0 THEN 'ret' ELSE 'ok' END AS pred_class,
+           round(exp({_LP_SQL}), 4) AS mu
     FROM ({_Z_SQL})
 """
 
@@ -1021,6 +1011,24 @@ _MH_SIG_SQL = (
     + " FROM hx GROUP BY doc_id)"
 )
 
+def q_dedup_cc(spark, sf_dir):
+    """Duplicate-CLUSTER assignment: connected components (min-label
+    propagation, one join+groupBy per iteration) over the MinHash-LSH
+    candidate pairs, with canonical-document selection (the cluster's
+    minimum doc_id). The step a production dedup pipeline runs after the
+    pair generators; the oracle re-derives the transitive closure with a
+    recursive CTE from the identical pair set."""
+    docs = load(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=_MH_N, shingle_n=1)
+    pairs = dedup.minhash_lsh_candidates(sig, "doc_id", bands=2, rows_per_band=2)
+    cc = dedup.connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 SQL_DEDUP_MINHASH_LSH = (
     _MH_SIG_SQL
     + """, banded AS (
@@ -1041,6 +1049,32 @@ SQL_DEDUP_MINHASH_LSH = (
     FROM pairs p
     JOIN sig sa ON sa.doc_id = p.id_a
     JOIN sig sb ON sb.doc_id = p.id_b
+"""
+)
+
+
+SQL_DEDUP_CC = (
+    _MH_SIG_SQL.replace("WITH toks AS", "WITH RECURSIVE toks AS", 1)
+    + """, banded AS (
+        SELECT doc_id, 0 AS band, md5(h0::VARCHAR || ',' || h1::VARCHAR) AS key FROM sig
+        UNION ALL
+        SELECT doc_id, 1, md5(h2::VARCHAR || ',' || h3::VARCHAR) FROM sig
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), und AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(node, lbl) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT u.src, r.lbl FROM und u JOIN reach r ON r.node = u.dst
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(min(lbl) AS BIGINT) AS cluster_id,
+           (node = min(lbl)) AS is_canonical
+    FROM reach GROUP BY node
 """
 )
 
@@ -2487,8 +2521,7 @@ QUERIES = {
     "r_lambda_sequences": q_r_lambda_sequences,
     # §2.5 predict / score
     "q1_predict_link": q_q1_predict_link,
-    "q3_predict_binomial": q_q3_predict_binomial,
-    "q4_predict_poisson": q_q4_predict_poisson,
+    "q3_q4_predict_response": q_q3_q4_predict_response,
     "q5_predict_multinomial": q_q5_predict_multinomial,
     "q6_coef_interpolation": q_q6_coef_interpolation,
     "q7_deviance": q_q7_deviance,
@@ -2525,6 +2558,7 @@ QUERIES = {
     "dedup_ngram3_jaccard": q_dedup_ngram3_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_cc": q_dedup_cc,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -2545,8 +2579,7 @@ _RAW_ORACLES = {
     "p5_dummy_code": SQL_P5_DUMMY,
     "r5_lambda_max": SQL_R5_LAMBDA_MAX,
     "q1_predict_link": SQL_Q1_LINK,
-    "q3_predict_binomial": SQL_Q3_BINOMIAL,
-    "q4_predict_poisson": SQL_Q4_POISSON,
+    "q3_q4_predict_response": SQL_Q3_Q4_RESPONSE,
     "q5_predict_multinomial": SQL_Q5_MULTINOMIAL,
     "q7_deviance": SQL_Q7_DEVIANCE,
     "q8_score_mse_mae": SQL_Q8_MSE_MAE,
@@ -2562,6 +2595,7 @@ _RAW_ORACLES = {
     "dedup_ngram3_jaccard": SQL_DEDUP_NGRAM3,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_cc": SQL_DEDUP_CC,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "sim_cosine_topk": SQL_SIM_TOPK,

@@ -230,3 +230,18 @@ def test_ivf_partitioned_index_prunes(emb, spark, tmp_path):
         k=3, nprobe=2,
     ).collect()
     assert len(out) == 3
+
+
+def test_connected_components_clusters(spark):
+    from prague_spark.pipeline.dedup import connected_components
+
+    # two components: {1,2,3,4} (chain) and {10,11}; 20-21-22 triangle
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        int(r["node"]): int(r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
