@@ -183,3 +183,27 @@ def winnow_fingerprint(
         .withColumn(out + "_size", F.size(F.col("_wset")).cast("bigint"))
         .drop("_wgrams", "_wmin", "_wset")
     )
+
+
+# PII-ish surface patterns for training-data scrubbing triage. Kept to a
+# regex subset (character classes, +, {m,}, alternation-free) that Java
+# regex (Spark) and RE2 (DuckDB) interpret identically, so the counts are
+# cross-engine hash-verifiable.
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_urls": r"https?://[^\s]+",
+    "n_phones": r"\+?[0-9][0-9()\s.-]{7,}[0-9]",
+}
+
+
+def pii_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-document counts of email / URL / phone-shaped spans — the
+    cheap first-pass PII triage a training-data pipeline runs before an
+    expensive NER scrub. Pure codegen projections (regexp_count), no
+    shuffle."""
+    return df.withColumns(
+        {
+            name: F.regexp_count(F.col(text_col), F.lit(pat))
+            for name, pat in PII_PATTERNS.items()
+        }
+    )

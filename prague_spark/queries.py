@@ -823,12 +823,14 @@ SQL_SIM_TOPK = """
 def q_text_stats(spark, sf_dir):
     """Per-document text analysis in ONE projection: token counting
     (whitespace + BPE-ish regex), quality scoring (length / punctuation /
-    digit / stopword ratios), and n-gram-heuristic language ID — all pure
-    codegen column expressions chained over a single documents scan."""
+    digit / stopword ratios), n-gram-heuristic language ID, and PII-span
+    triage counts (emails / URLs / phone shapes) — all pure codegen
+    column expressions chained over a single documents scan."""
     docs = load(spark, sf_dir, "documents")
     out = text.token_count(docs, "text")
     out = text.quality_score(out, "text")
     out = text.lang_id(out, "text")
+    out = text.pii_counts(out, "text")
     return out.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
@@ -840,6 +842,9 @@ def q_text_stats(spark, sf_dir):
         F.round("q_digit_ratio", 4).alias("digit_ratio"),
         F.round("q_stopword_ratio", 4).alias("stopword_ratio"),
         "lang_pred",
+        F.col("n_emails").cast("bigint").alias("n_emails"),
+        F.col("n_urls").cast("bigint").alias("n_urls"),
+        F.col("n_phones").cast("bigint").alias("n_phones"),
     )
 
 
@@ -847,6 +852,13 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in text.EN_STOPWORDS)
 
 
 def _text_stats_sql() -> str:
+    # the raw patterns drop into DuckDB single-quoted literals verbatim
+    # (standard SQL strings do not interpret backslashes); built outside
+    # the f-string because the patterns contain regex braces
+    pii = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS {name}"
+        for name, pat in text.PII_PATTERNS.items()
+    )
     return f"""
     WITH base AS (
         SELECT doc_id, text,
@@ -863,7 +875,8 @@ def _text_stats_sql() -> str:
            round(CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE/n_chars ELSE 0.0 END, 4) AS punct_ratio,
            round(CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE/n_chars ELSE 0.0 END, 4) AS digit_ratio,
            round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> t IN ({_STOP_SQL})))::DOUBLE/len(toks) ELSE 0.0 END, 4) AS stopword_ratio,
-           lid.lang_pred
+           lid.lang_pred,
+           {pii}
     FROM base JOIN lid ON base.doc_id = lid.doc_id
 """
 
