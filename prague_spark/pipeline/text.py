@@ -207,3 +207,22 @@ def pii_counts(df: DataFrame, text_col: str) -> DataFrame:
             for name, pat in PII_PATTERNS.items()
         }
     )
+
+
+def repetition_ratio(
+    df: DataFrame, text_col: str, n: int = 3, out: str = "rep_ratio"
+) -> DataFrame:
+    """Internal-repetition quality signal: the duplicated word-n-gram
+    fraction (1 - distinct/total n-grams) — the Gopher-style repetition
+    filter used to drop boilerplate/spam documents from training data.
+    Pure array expressions over one tokenization, no shuffle."""
+    toks = tokens_expr(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    total = F.size(grams)
+    ratio = F.when(
+        total > 0, F.lit(1.0) - F.size(F.array_distinct(grams)) / total
+    ).otherwise(F.lit(0.0))
+    return df.withColumn(out, ratio)

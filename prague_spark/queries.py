@@ -831,6 +831,7 @@ def q_text_stats(spark, sf_dir):
     out = text.quality_score(out, "text")
     out = text.lang_id(out, "text")
     out = text.pii_counts(out, "text")
+    out = text.repetition_ratio(out, "text")
     return out.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
@@ -845,6 +846,7 @@ def q_text_stats(spark, sf_dir):
         F.col("n_emails").cast("bigint").alias("n_emails"),
         F.col("n_urls").cast("bigint").alias("n_urls"),
         F.col("n_phones").cast("bigint").alias("n_phones"),
+        F.round("rep_ratio", 4).alias("rep_ratio"),
     )
 
 
@@ -876,8 +878,16 @@ def _text_stats_sql() -> str:
            round(CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE/n_chars ELSE 0.0 END, 4) AS digit_ratio,
            round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> t IN ({_STOP_SQL})))::DOUBLE/len(toks) ELSE 0.0 END, 4) AS stopword_ratio,
            lid.lang_pred,
-           {pii}
-    FROM base JOIN lid ON base.doc_id = lid.doc_id
+           {pii},
+           round(CASE WHEN len(g3) > 0
+                      THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3)
+                      ELSE 0.0 END, 4) AS rep_ratio
+    FROM (
+        SELECT *, list_transform(
+                   range(1, greatest(len(toks) - 3, 0) + 2),
+                   i -> array_to_string(toks[i:i+2], ' ')) AS g3
+        FROM base
+    ) base JOIN lid ON base.doc_id = lid.doc_id
 """
 
 

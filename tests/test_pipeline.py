@@ -245,3 +245,21 @@ def test_connected_components_clusters(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_repetition_ratio(spark):
+    from prague_spark.pipeline.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),   # one distinct 3-gram
+            (2, "one two three four five six"),      # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        int(r["doc_id"]): float(r["rep_ratio"])
+        for r in repetition_ratio(df, "text").collect()
+    }
+    assert got[1] == pytest.approx(1.0 - 1.0 / 4.0)  # 4 grams, 1 distinct
+    assert got[2] == 0.0
