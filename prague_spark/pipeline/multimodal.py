@@ -163,3 +163,49 @@ def frame_sample_plan(
     ).withColumn(
         "ts_ms", (F.col("frame_idx") * dur / F.lit(n_frames)).cast("long")
     )
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    height: int,
+    width: int,
+    decoder: Callable[[bytes], np.ndarray] = default_image_decoder,
+) -> DataFrame:
+    """Decode + resize via mapInPandas (Arrow batches): nearest-neighbor
+    box sampling to (height, width) in pure NumPy — the resize stage
+    itself needs no media library, only the decoder does (swap in a real
+    one when the runtime has it; the deterministic fake decoder keeps the
+    Spark plumbing testable here).
+
+    Output: (id, height, width, n_channels, pixels) with ``pixels`` the
+    row-major flattened resized image as array<double> — the shape a
+    downstream embedding/vision stage consumes."""
+    out_schema = (
+        f"{id_col} long, height int, width int, n_channels int, "
+        "pixels array<double>"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                arr = decoder(bytes(row[payload_col]))
+                if arr.ndim == 2:
+                    arr = arr[:, :, np.newaxis]
+                h0, w0, c = arr.shape
+                ri = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+                ci = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+                resized = arr[np.ix_(ri, ci)]
+                rows.append(
+                    (
+                        int(row[id_col]), height, width, int(c),
+                        [float(x) for x in resized.ravel()],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "height", "width", "n_channels", "pixels"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, out_schema)
