@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .text import tokens_expr
+from .text import ngrams_expr, tokens_expr
 
 # Mersenne prime modulus for the universal hash family h_i(x) = (a_i x + b_i) mod P.
 # 31-bit on purpose: a*x + b then stays < 2^62, so the arithmetic is exact
@@ -55,17 +55,12 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingles_expr(text, n: int = 3):
-    """Distinct word n-gram shingles of the lowercased text."""
+    """Distinct word n-gram shingles of the lowercased text (the shared
+    sliding-window construction lives in text.ngrams_expr)."""
     toks = tokens_expr(text)
     if n == 1:
         return F.array_distinct(toks)
-    # sliding window via transform over indices
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
+    return F.array_distinct(ngrams_expr(toks, n))
 
 
 def ngram_jaccard_pairs(
@@ -361,13 +356,19 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # localCheckpoint per iteration: materializes the new labels eagerly
+    # (so unpersisting the previous generation never forces a recompute)
+    # AND truncates the lineage, which would otherwise double per
+    # iteration. Executor-local blocks — on executor loss the component
+    # labels recompute from the re-run; acceptable for a batch operator.
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("cluster_id", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     try:
+        converged = False
         for _ in range(max_iter):
             neigh = (
                 edges.join(labels, edges["dst"] == labels["node"])
@@ -384,15 +385,20 @@ def connected_components(
                         F.coalesce(F.col("_nl"), F.col("cluster_id")),
                     ).alias("cluster_id"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = updated.filter(F.col("cluster_id") < F.col("_old")).count()
-            old = labels
-            labels = updated.select("node", "cluster_id").persist()
-            updated.unpersist()
-            old.unpersist()
+            labels = updated.select("node", "cluster_id")
             if changed == 0:
+                converged = True
                 break
-        return labels.select("node", "cluster_id")
+        if not converged:
+            raise ValueError(
+                f"connected_components did not converge in {max_iter} "
+                "iterations (graph diameter exceeds the budget) — raise "
+                "max_iter; returning partial labels would split clusters "
+                "silently"
+            )
+        return labels
     finally:
         edges.unpersist()

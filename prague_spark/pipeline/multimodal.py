@@ -174,10 +174,10 @@ def resize_images(
     decoder: Callable[[bytes], np.ndarray] = default_image_decoder,
 ) -> DataFrame:
     """Decode + resize via mapInPandas (Arrow batches): nearest-neighbor
-    box sampling to (height, width) in pure NumPy — the resize stage
-    itself needs no media library, only the decoder does (swap in a real
-    one when the runtime has it; the deterministic fake decoder keeps the
-    Spark plumbing testable here).
+    point sampling to (height, width) in pure NumPy (no box averaging /
+    antialiasing — swap in a real resampler along with a real decoder
+    when the runtime has media libraries; the deterministic fake decoder
+    keeps the Spark plumbing testable here).
 
     Output: (id, height, width, n_channels, pixels) with ``pixels`` the
     row-major flattened resized image as array<double> — the shape a

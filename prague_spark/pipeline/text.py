@@ -41,6 +41,19 @@ def tokens_expr(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
+def ngrams_expr(toks: Column, n: int) -> Column:
+    """Sliding word n-grams of a token array (WITH duplicates — callers
+    wanting shingle sets wrap in array_distinct). One window per start
+    index 0..max(len-n, 0); documents shorter than n tokens emit a
+    single partial gram. DuckDB mirror:
+    list_transform(range(1, greatest(len(toks)-n, 0)+2),
+                   i -> array_to_string(toks[i:i+n-1], ' '))."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
 def token_count(df: DataFrame, text_col: str, out: str = "n_tokens") -> DataFrame:
     """Whitespace token count plus a BPE-ish regex token count."""
     toks = tokens_expr(F.col(text_col))
@@ -186,13 +199,16 @@ def winnow_fingerprint(
 
 
 # PII-ish surface patterns for training-data scrubbing triage. Kept to a
-# regex subset (character classes, +, {m,}, alternation-free) that Java
-# regex (Spark) and RE2 (DuckDB) interpret identically, so the counts are
-# cross-engine hash-verifiable.
+# regex subset (explicit character classes, +, {m,}, alternation-free)
+# that Java regex (Spark) and RE2 (DuckDB) interpret identically, so the
+# counts are cross-engine hash-verifiable. Whitespace is spelled as an
+# explicit class — \s itself differs between the engines (Java includes
+# vertical tab \x0B, RE2 does not).
+_WS = r" \t\n\f\r"
 PII_PATTERNS = {
     "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "n_urls": r"https?://[^\s]+",
-    "n_phones": r"\+?[0-9][0-9()\s.-]{7,}[0-9]",
+    "n_urls": rf"https?://[^{_WS}]+",
+    "n_phones": rf"\+?[0-9][0-9().{_WS}-]{{7,}}[0-9]",
 }
 
 
@@ -216,11 +232,7 @@ def repetition_ratio(
     fraction (1 - distinct/total n-grams) — the Gopher-style repetition
     filter used to drop boilerplate/spam documents from training data.
     Pure array expressions over one tokenization, no shuffle."""
-    toks = tokens_expr(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    grams = ngrams_expr(tokens_expr(F.col(text_col)), n)
     total = F.size(grams)
     ratio = F.when(
         total > 0, F.lit(1.0) - F.size(F.array_distinct(grams)) / total

@@ -1052,9 +1052,12 @@ def q_dedup_cc(spark, sf_dir):
     )
 
 
-SQL_DEDUP_MINHASH_LSH = (
-    _MH_SIG_SQL
-    + """, banded AS (
+# shared banding + candidate-pair CTE block (2 bands x 2 rows over the
+# 4-hash signature) — ONE definition appended to every oracle that
+# consumes the LSH pairs, so the banding config can never drift between
+# them while the Spark side builds pairs from the single
+# minhash_lsh_candidates implementation
+_MH_PAIRS_SQL = """, banded AS (
         SELECT doc_id, 0 AS band, md5(h0::VARCHAR || ',' || h1::VARCHAR) AS key FROM sig
         UNION ALL
         SELECT doc_id, 1, md5(h2::VARCHAR || ',' || h3::VARCHAR) FROM sig
@@ -1062,7 +1065,12 @@ SQL_DEDUP_MINHASH_LSH = (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    )
+    )"""
+
+SQL_DEDUP_MINHASH_LSH = (
+    _MH_SIG_SQL
+    + _MH_PAIRS_SQL
+    + """
     SELECT p.id_a::BIGINT AS id_a, p.id_b::BIGINT AS id_b,
            round(((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END)
                 + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END)
@@ -1078,15 +1086,8 @@ SQL_DEDUP_MINHASH_LSH = (
 
 SQL_DEDUP_CC = (
     _MH_SIG_SQL.replace("WITH toks AS", "WITH RECURSIVE toks AS", 1)
-    + """, banded AS (
-        SELECT doc_id, 0 AS band, md5(h0::VARCHAR || ',' || h1::VARCHAR) AS key FROM sig
-        UNION ALL
-        SELECT doc_id, 1, md5(h2::VARCHAR || ',' || h3::VARCHAR) FROM sig
-    ), pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN banded b
-          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    ), und AS (
+    + _MH_PAIRS_SQL
+    + """, und AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION SELECT id_b, id_a FROM pairs
     ), reach(node, lbl) AS (
