@@ -306,23 +306,81 @@ def prox_newton(
 class GramData:
     """Gaussian sufficient statistics: one distributed pass captures
     everything the gaussian path needs (reference's one-time factorization,
-    ``src/owl.cpp:178-203``)."""
+    ``src/owl.cpp:178-203``).
 
-    gram: np.ndarray  # X^T X, (p, p)
+    Two representations:
+    - dense: ``gram`` holds X'X (p, p);
+    - low-rank (the reference's Woodbury / matrix-inversion-lemma form for
+      wide data, ``src/families/gaussian.h:88-93``, ``src/owl.cpp:183-187``):
+      ``gram`` is None and (v_factor, w_factor) hold the rank-r
+      eigenfactorization X'X = V diag(w) V' with V (p, r) orthonormal,
+      built from the n x n kernel XX' when p > n — O(n^2 p + n^3) instead
+      of O(p^2 n + p^3)."""
+
+    gram: np.ndarray | None  # X^T X, (p, p); None for the low-rank form
     xty: np.ndarray  # X^T y, (p,)
     yty: float  # y^T y
     n: int
 
+    v_factor: np.ndarray | None = None  # (p, r) orthonormal columns
+    w_factor: np.ndarray | None = None  # (r,) eigenvalues
+
     _eig: tuple[np.ndarray, np.ndarray] | None = None
 
+    @property
+    def low_rank(self) -> bool:
+        return self.gram is None
+
+    @property
+    def p(self) -> int:
+        return self.v_factor.shape[0] if self.low_rank else self.gram.shape[0]
+
+    @classmethod
+    def from_xy(cls, X: np.ndarray, Y: np.ndarray) -> "GramData":
+        """Build from in-core arrays, choosing the kernel route when the
+        design is wide (p > n)."""
+        X = np.asarray(X, dtype=np.float64)
+        n, p = X.shape
+        xty = (X.T @ Y).ravel()
+        yty = float(np.sum(np.asarray(Y) ** 2))
+        if p <= n:
+            return cls(gram=X.T @ X, xty=xty, yty=yty, n=n)
+        K = X @ X.T  # (n, n)
+        wk, U = np.linalg.eigh(K)
+        keep = wk > max(float(wk.max()), 1.0) * 1e-12 if wk.size else wk > 0
+        wk, U = wk[keep], U[:, keep]
+        V = (X.T @ U) / np.sqrt(wk)[np.newaxis, :]
+        return cls(gram=None, xty=xty, yty=yty, n=n, v_factor=V, w_factor=wk)
+
     def eigh(self):
+        if self.low_rank:
+            return self.w_factor, self.v_factor
         if self._eig is None:
             w, v = np.linalg.eigh(self.gram)
             self._eig = (w, v)
         return self._eig
 
+    def matvec(self, b: np.ndarray) -> np.ndarray:
+        if self.low_rank:
+            return self.v_factor @ (self.w_factor * (self.v_factor.T @ b))
+        return self.gram @ b
+
+    def quad(self, b: np.ndarray) -> float:
+        if self.low_rank:
+            t = self.v_factor.T @ b
+            return float(t @ (self.w_factor * t))
+        return float(b @ (self.gram @ b))
+
     def subset(self, idx: np.ndarray) -> "GramData":
         idx = np.asarray(idx)
+        if self.low_rank:
+            # screening active sets are small: densify the sub-block
+            # exactly (V_idx diag(w) V_idx' == (X'X)[idx, idx])
+            Vi = self.v_factor[idx]
+            return GramData(
+                gram=(Vi * self.w_factor[np.newaxis, :]) @ Vi.T,
+                xty=self.xty[idx], yty=self.yty, n=self.n,
+            )
         return GramData(
             gram=self.gram[np.ix_(idx, idx)], xty=self.xty[idx], yty=self.yty, n=self.n
         )
@@ -350,7 +408,7 @@ def admm_gaussian(
     — but expressed so that *no* n-sized object is ever touched).
     """
     alpha = 1.5  # over-relaxation, src/families/gaussian.h:14-15
-    p = gram.gram.shape[0]
+    p = gram.p
     n = gram.n
     lam = np.asarray(lam, dtype=np.float64).ravel()
 
@@ -370,7 +428,13 @@ def admm_gaussian(
     while passes < max_passes:
         passes += 1
         q = gram.xty + rho * (z - u)
-        beta = v @ ((v.T @ q) / denom)
+        if gram.low_rank:
+            # Woodbury in eigen form: (G + rho I)^-1 q with G = V W V'
+            # splits into the range of V and its complement (eigenvalue 0)
+            t = v.T @ q
+            beta = v @ (t / denom) + (q - v @ t) / rho
+        else:
+            beta = v @ ((v.T @ q) / denom)
 
         z_old = z.copy()
         beta_hat = alpha * beta + (1.0 - alpha) * z_old
@@ -400,7 +464,7 @@ def admm_gaussian(
             break
 
     # deviance = 2 * (0.5 ||y - Xz||^2) from Gram identities
-    deviance = gram.yty - 2.0 * float(z @ gram.xty) + float(z @ gram.gram @ z)
+    deviance = gram.yty - 2.0 * float(z @ gram.xty) + gram.quad(z)
     return FitResult(
         beta=z[:, np.newaxis], passes=passes, deviance=deviance,
         primals=primals, duals=duals, time=times,

@@ -81,12 +81,10 @@ class LocalDesign:
         return LocalDesign(self.X[:, np.asarray(idx)], self.Y, self.family)
 
     def gram(self) -> GramData:
-        return GramData(
-            gram=self.X.T @ self.X,
-            xty=(self.X.T @ self.Y).ravel(),
-            yty=float(np.sum(self.Y * self.Y)),
-            n=self.n,
-        )
+        # from_xy picks the reference's Woodbury / kernel route when the
+        # design is wide (p > n): the n x n eigenfactorization replaces
+        # the p x p one (src/families/gaussian.h:88-93, owl.cpp:183-187)
+        return GramData.from_xy(self.X, self.Y)
 
 
 class GramGaussianDesign:
@@ -100,12 +98,12 @@ class GramGaussianDesign:
     def __init__(self, gram_data: GramData, m: int = 1):
         self.g = gram_data
         self.n = gram_data.n
-        self.p = gram_data.gram.shape[0]
+        self.p = gram_data.p
         self.m = 1
 
     def eval(self, beta):
         b = np.ravel(beta)
-        gb = self.g.gram @ b
+        gb = self.g.matvec(b)
         btgb = float(b @ gb)
         bxty = float(b @ self.g.xty)
         primal = 0.5 * (self.g.yty - 2.0 * bxty + btgb)
@@ -116,11 +114,11 @@ class GramGaussianDesign:
     def primal(self, beta):
         b = np.ravel(beta)
         return 0.5 * (
-            self.g.yty - 2.0 * float(b @ self.g.xty) + float(b @ (self.g.gram @ b))
+            self.g.yty - 2.0 * float(b @ self.g.xty) + self.g.quad(b)
         )
 
     def full_gradient(self, beta):
-        return (self.g.gram @ np.ravel(beta) - self.g.xty)[:, np.newaxis]
+        return (self.g.matvec(np.ravel(beta)) - self.g.xty)[:, np.newaxis]
 
     def subset(self, idx):
         return GramGaussianDesign(self.g.subset(np.asarray(idx)))

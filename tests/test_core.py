@@ -243,3 +243,34 @@ def test_interpolate_coefficients():
     # on-grid requests return exact slices
     out2 = interpolate_coefficients(betas, penalty, np.array([2.0, 1.0]))
     np.testing.assert_allclose(out2[:, 0, 0], [1.0, 3.0])
+
+
+def test_admm_low_rank_kernel_matches_dense():
+    # the Woodbury / kernel GramData (p > n) must produce the same ADMM
+    # solution as the dense p x p Gram — exact algebraic equivalence
+    import numpy as np
+
+    from prague_spark.core.lambdas import lambda_sequence
+    from prague_spark.core.solver import GramData, admm_gaussian, admm_rho
+
+    rng = np.random.default_rng(3)
+    n, p = 50, 120
+    X = rng.normal(size=(n, p))
+    y = X[:, 0] - 0.5 * X[:, 1] + rng.normal(scale=0.1, size=n)
+
+    dense = GramData(gram=X.T @ X, xty=X.T @ y, yty=float(y @ y), n=n)
+    lowr = GramData.from_xy(X, y)
+    assert lowr.low_rank and lowr.p == p
+
+    lam = lambda_sequence(p, n, "gaussian", 0.2) * 0.01
+    out = []
+    for gd in (dense, lowr):
+        w, _ = gd.eigh()
+        rho = admm_rho(float(w.max()), float(lam.max()))
+        res, z, _ = admm_gaussian(
+            gd, np.zeros(p), np.zeros(p), np.zeros(p), lam, rho,
+            max_passes=10**5, tol_abs=1e-9, tol_rel=1e-8,
+        )
+        out.append((z, res.deviance))
+    np.testing.assert_allclose(out[0][0], out[1][0], rtol=1e-6, atol=1e-8)
+    assert abs(out[0][1] - out[1][1]) <= 1e-6 * max(1.0, abs(out[0][1]))
