@@ -122,16 +122,24 @@ class Poisson(Family):
 
     name = "poisson"
 
-    def primal(self, y, lin_pred):
-        from math import lgamma
+    @staticmethod
+    def _lgamma1p(y: np.ndarray) -> np.ndarray:
+        if not y.size:
+            return y
+        try:
+            from scipy.special import gammaln  # vectorized C
+        except ImportError:  # pragma: no cover
+            from math import lgamma
 
-        lg = np.vectorize(lgamma)(y + 1.0) if y.size else y
+            return np.vectorize(lgamma)(y + 1.0)
+        return gammaln(y + 1.0)
+
+    def primal(self, y, lin_pred):
+        lg = self._lgamma1p(y)
         return -float(np.sum(y * lin_pred - trunc_exp(lin_pred) - lg))
 
     def dual(self, y, lin_pred):
-        from math import lgamma
-
-        lg = np.vectorize(lgamma)(y + 1.0) if y.size else y
+        lg = self._lgamma1p(y)
         return -float(np.sum(trunc_exp(lin_pred) * (lin_pred - 1.0) - lg))
 
     def pseudo_gradient(self, y, lin_pred):

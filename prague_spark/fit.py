@@ -34,7 +34,7 @@ from .design import GramData, GramGaussianDesign, LocalDesign, SparkGlmDesign
 from .design.linalg import glm_setup_pass, gram_xty_pass
 from .model import SlopeModel
 from .ops.features import assemble_features
-from .ops.response import Y_COL, preprocess_response
+from .ops.response import Y_COL, preprocess_response, preprocess_response_local
 from .ops.standardize import StandardizerModel, fit_standardizer
 
 X_COL = "_x_features"
@@ -62,6 +62,44 @@ def _collect_xy(sdf: DataFrame, p: int, m: int):
     else:
         Y = tbl.column(Y_COL).to_numpy(zero_copy_only=False).astype(np.float64)[:, np.newaxis]
     return X, Y
+
+
+def _collect_raw_xy(df, features, label: str, family: str):
+    """Collect the RAW (pre-standardization) feature columns plus the raw
+    label to the driver via one Arrow transfer. Plain double columns (no
+    array assembly projection) — the cheapest possible scan. The label
+    comes back as strings for the classification families so class
+    discovery + encoding can run driver-side too."""
+    as_str = family in ("binomial", "multinomial")
+    tbl = df.select(
+        *[F.col(c).cast("double").alias(c) for c in features],
+        F.col(label).cast("string" if as_str else "double").alias("_lbl"),
+    ).toArrow()
+    X = np.column_stack(
+        [
+            tbl.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in features
+        ]
+    )
+    y_col = tbl.column("_lbl")
+    y_vals = y_col if as_str else y_col.to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(X), y_vals
+
+
+def _local_raw_setup(X: np.ndarray, Y: np.ndarray, fam) -> dict:
+    """Driver-side NumPy equivalent of ``glm_setup_pass`` over already
+    collected raw arrays (same dict contract, xtx omitted — the in-core
+    solvers use backtracking line search, not the global Lipschitz bound)."""
+    return dict(
+        xtx=None,
+        xty=X.T @ Y,
+        sums_x=X.sum(axis=0),
+        sumsq_x=(X * X).sum(axis=0),
+        sums_y=Y.sum(axis=0),
+        sumsq_y=(Y * Y).sum(axis=0),
+        primal0=float(fam.primal(Y, np.zeros_like(Y))),
+        n=int(X.shape[0]),
+    )
 
 
 def _lambda_max_from_stats(family, xty, sums_x, sums_y, n, intercept):
@@ -218,10 +256,7 @@ def fit(
             y_scale=np.atleast_1d(res["y_scale"]),
         )
 
-    # ---- response + features + standardization (DataFrame plane) ----
-    df2, rinfo = preprocess_response(df, label, family)
-    m = rinfo.n_targets
-
+    # ---- response + features + standardization ----
     # For moment-derivable scales, ONE fused raw scan supplies the
     # standardizer, the lambda_max cross-moments, the null deviance, and
     # (when needed) the Gram/Lipschitz curvature — the staged families'
@@ -229,26 +264,67 @@ def fit(
     # two-scan setup only for l1/max scales.
     raw_setup = None
     p_feat = len(features)
+    p_total = p_feat + (1 if intercept else 0)
+    n_unpen = 1 if intercept else 0
+    p_pen = p_total - n_unpen
+    gram_route = (
+        family == "gaussian"
+        and solver in ("auto", "gram")
+        and p_feat + 1 <= GRAM_P_LIMIT
+    )
+
+    # ---- in-core fast path: ONE Arrow collect replaces every scan ----
+    # When the raw design fits on the driver (the reference's own regime),
+    # collect the raw columns AND the raw label once; class discovery,
+    # response encoding, standardizer moments, lambda_max cross-moments,
+    # the null deviance, and the solver design all derive driver-side —
+    # the whole fit costs one column-pruned count() plus one Arrow
+    # transfer, zero distributed wide scans.
+    X_raw = Y_raw = None
+    df2 = rinfo = None
+    if (
+        scale in ("l2", "sd", "none")
+        and not gram_route
+        and solver in ("auto", "incore")
+    ):
+        n_cheap = df.count()
+        if solver == "incore" or n_cheap * p_total * 8 <= incore_limit:
+            X_raw, y_vals = _collect_raw_xy(df, features, label, family)
+            rinfo, Y_raw = preprocess_response_local(y_vals, family)
+            if (
+                solver == "auto"
+                and n_cheap * p_total * 8 * max(rinfo.n_targets, 1) > incore_limit
+            ):
+                # the one-hot multinomial payload blows the in-core budget
+                # after all — release and take the distributed plane
+                X_raw = Y_raw = rinfo = None
+            else:
+                raw_setup = _local_raw_setup(X_raw, Y_raw, fam)
+    if rinfo is None:
+        df2, rinfo = preprocess_response(df, label, family)
+    m = rinfo.n_targets
+
     if scale in ("l2", "sd", "none"):
-        # p_feat + 1 == p_total when intercept; use the inclusive bound so
-        # this agrees EXACTLY with the Gram-design route below — a
-        # mismatch would build GramData(gram=None) and crash in eigh
-        gram_ok = p_feat + 1 <= GRAM_P_LIMIT
-        raw_need_xtx = (
-            family == "gaussian" and solver in ("auto", "gram") and gram_ok
-        ) or (
-            solver == "spark_fista"
-            and family in ("binomial", "multinomial")
-            and gram_ok
-        )
-        xdf_raw = df2.select(
-            F.array(*[F.col(c).cast("double") for c in features]).alias("_xr"),
-            Y_COL,
-        )
-        raw_setup = glm_setup_pass(
-            xdf_raw, "_xr", Y_COL, p_feat, m,
-            need_xtx=raw_need_xtx, need_xsq=True, family=fam,
-        )
+        if raw_setup is None:
+            # p_feat + 1 == p_total when intercept; use the inclusive bound
+            # so this agrees EXACTLY with the Gram-design route below — a
+            # mismatch would build GramData(gram=None) and crash in eigh
+            gram_ok = p_feat + 1 <= GRAM_P_LIMIT
+            raw_need_xtx = (
+                family == "gaussian" and solver in ("auto", "gram") and gram_ok
+            ) or (
+                solver == "spark_fista"
+                and family in ("binomial", "multinomial")
+                and gram_ok
+            )
+            xdf_raw = df2.select(
+                F.array(*[F.col(c).cast("double") for c in features]).alias("_xr"),
+                Y_COL,
+            )
+            raw_setup = glm_setup_pass(
+                xdf_raw, "_xr", Y_COL, p_feat, m,
+                need_xtx=raw_need_xtx, need_xsq=True, family=fam,
+            )
         n = raw_setup["n"]
         std = StandardizerModel(
             cols=list(features), do_center=center, scale_type=scale, n=n
@@ -264,26 +340,6 @@ def fit(
                 std.scale[c] = 1.0 if v == 0.0 else float(v)
     else:
         std = fit_standardizer(df2, list(features), center=center, scale=scale)
-    df3 = std.transform(df2)
-    # row count rides along with the one-scan standardizer when available;
-    # the cache then materializes on the first design pass instead of a
-    # dedicated count scan
-    n = std.n if std.n is not None else df3.count()
-    # Precondition the intercept column to unit l2 norm (1/sqrt(n) entries):
-    # with l2-scaled features this keeps the Hessian condition number O(1)
-    # instead of O(n), so FISTA pass counts stay flat as data grows. Exact
-    # reparameterization (intercept is unpenalized); undone after the path.
-    icol = 1.0 / np.sqrt(n) if (intercept and scale == "l2") else 1.0
-    # cache the ASSEMBLED array column: every solver scan then reads the
-    # materialized arrays instead of re-running the standardize + assemble
-    # projection per pass
-    base = assemble_features(
-        df3, list(features), out=X_COL, intercept=intercept, intercept_value=icol
-    ).select(X_COL, Y_COL).persist(StorageLevel.MEMORY_AND_DISK)
-    sdf = base
-    p_total = len(features) + (1 if intercept else 0)
-    n_unpen = 1 if intercept else 0
-    p_pen = p_total - n_unpen
 
     x_center = np.array([std.center.get(c, 0.0) for c in features]) if center else np.zeros(len(features))
     x_scale = (
@@ -292,14 +348,45 @@ def fit(
         else np.ones(len(features))
     )
 
-    # ---- choose the design ----
-    est_bytes = n * p_total * 8 * max(m, 1)
+    # ---- route decision + (when needed) the Spark-side data plane ----
+    if X_raw is not None:
+        n = raw_setup["n"]
+        incore_route = True
+        distributed_route = False
+        base = sdf = None
+    else:
+        df3 = std.transform(df2)
+        # row count rides along with the one-scan standardizer when
+        # available; the cache then materializes on the first design pass
+        # instead of a dedicated count scan
+        n = std.n if std.n is not None else df3.count()
+        est_bytes = n * p_total * 8 * max(m, 1)
+        incore_route = not gram_route and (
+            solver == "incore" or (solver == "auto" and est_bytes <= incore_limit)
+        )
+        distributed_route = not gram_route and not incore_route
+    # Precondition the intercept column to unit l2 norm (1/sqrt(n) entries):
+    # with l2-scaled features this keeps the Hessian condition number O(1)
+    # instead of O(n), so FISTA pass counts stay flat as data grows. Exact
+    # reparameterization (intercept is unpenalized); undone after the path.
+    icol = 1.0 / np.sqrt(n) if (intercept and scale == "l2") else 1.0
+    if X_raw is None:
+        # cache the ASSEMBLED array column ONLY for the distributed design:
+        # each prox-Newton/FISTA scan then reads materialized arrays
+        # instead of re-running the standardize + assemble projection per
+        # pass. The Gram and in-core routes read the frame exactly once,
+        # where a cache write is pure overhead (it cost the in-core bench
+        # fit 2x in r3).
+        base = assemble_features(
+            df3, list(features), out=X_COL, intercept=intercept, intercept_value=icol
+        ).select(X_COL, Y_COL)
+        if distributed_route:
+            base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        sdf = base
+
+    # ---- choose the design (routes decided above, pre-persist) ----
     xty_gaussian = None
-    if (
-        family == "gaussian"
-        and solver in ("auto", "gram")
-        and p_feat + 1 <= GRAM_P_LIMIT
-    ):
+    if gram_route:
         if raw_setup is not None:
             # Gram sufficient statistics derived from the raw scan — the
             # staged gaussian route is one pass too
@@ -313,9 +400,22 @@ def fit(
         design = GramGaussianDesign(GramData(gram=gram, xty=xty, yty=yty, n=n))
         xty_gaussian = xty
         use_admm = True
-    elif solver == "incore" or (solver == "auto" and est_bytes <= incore_limit):
-        X, Y = _collect_xy(sdf, p_total, m)
-        design = LocalDesign(X, Y, fam)
+    elif incore_route:
+        if X_raw is not None:
+            # standardize + assemble driver-side from the raw collect —
+            # same affine map the Spark projection applies
+            Xs = X_raw - x_center if center else X_raw
+            if scale != "none":
+                Xs = Xs / x_scale
+            X = (
+                np.concatenate([np.full((n, 1), icol), Xs], axis=1)
+                if intercept
+                else Xs
+            )
+            design = LocalDesign(np.ascontiguousarray(X), Y_raw, fam)
+        else:
+            X, Y = _collect_xy(sdf, p_total, m)
+            design = LocalDesign(X, Y, fam)
         use_admm = family == "gaussian"
     else:
         design = SparkGlmDesign(sdf, X_COL, Y_COL, fam, p_total, m, n=n)
@@ -337,8 +437,16 @@ def fit(
     lipschitz_lr = None
     col_sq_std = None
     if isinstance(design, SparkGlmDesign):
-        # prox-Newton needs no Lipschitz bound; skip the p^2 payload
-        need_xtx = family in ("binomial", "multinomial") and not use_newton
+        # prox-Newton needs no Lipschitz bound; skip the p^2 payload.
+        # The p-guard mirrors the raw-scan route's gram_ok: past
+        # GRAM_P_LIMIT the p^2 XTX partials per partition are exactly the
+        # payload the guard exists to prevent — those fits use the trace
+        # bound / backtracking instead.
+        need_xtx = (
+            family in ("binomial", "multinomial")
+            and not use_newton
+            and p_total <= GRAM_P_LIMIT
+        )
         if raw_setup is not None:
             # derived from the raw scan — no additional pass
             setup = _std_setup_from_raw(
@@ -570,7 +678,8 @@ def fit(
             break
         k += 1
 
-    base.unpersist()
+    if distributed_route:
+        base.unpersist()
 
     # truncate to the realized path and rescale to original units.
     # Deviances were computed on the internally scaled response; convert

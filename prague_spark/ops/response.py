@@ -121,3 +121,84 @@ def preprocess_response(
         return out, ResponseInfo(family, np.array([0.0]), np.array([1.0]), 1, 1)
 
     raise ValueError(f"unknown family {family!r}")
+
+
+def _factorize_labels(y):
+    """(sorted class list, per-row sorted-rank codes int64, per-class
+    counts in sorted order) from an Arrow string array/chunked-array or
+    any Python/NumPy sequence of labels."""
+    try:
+        import pyarrow as pa
+    except ImportError:  # pragma: no cover
+        pa = None
+    if pa is not None and isinstance(y, (pa.Array, pa.ChunkedArray)):
+        arr = y.combine_chunks() if isinstance(y, pa.ChunkedArray) else y
+        enc = arr.dictionary_encode()
+        seen = [str(v) for v in enc.dictionary.to_pylist()]
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        labels = np.asarray([str(v) for v in y], dtype=object)
+        seen_arr, codes = np.unique(labels, return_inverse=True)
+        seen = [str(c) for c in seen_arr]
+    order = sorted(range(len(seen)), key=seen.__getitem__)
+    rank = np.empty(len(seen), dtype=np.int64)
+    for r, i in enumerate(order):
+        rank[i] = r
+    ranked = rank[codes]
+    counts_sorted = np.bincount(ranked, minlength=len(seen))
+    return [seen[i] for i in order], ranked, counts_sorted
+
+
+def preprocess_response_local(y, family: str) -> tuple[ResponseInfo, np.ndarray]:
+    """NumPy twin of :func:`preprocess_response` for the in-core fast path:
+    identical validation and encoding over an already-collected label array
+    (strings for the classification families, doubles otherwise). Returns
+    ``(info, Y)`` with Y shaped (n, n_targets) float64."""
+    if family == "gaussian":
+        yv = np.asarray(y, dtype=np.float64)
+        y_center = float(yv.mean())
+        s = float(yv.std(ddof=1)) if yv.size > 1 else 0.0
+        y_scale = s if np.isfinite(s) and s > 0 else 1.0
+        info = ResponseInfo(family, np.array([y_center]), np.array([y_scale]), 1, 1)
+        return info, ((yv - y_center) / y_scale)[:, np.newaxis]
+
+    if family in ("binomial", "multinomial"):
+        # class discovery on the dictionary, not the rows: Arrow
+        # dictionary_encode is vectorized C++; ranks then map per-row codes
+        # to sorted-class order without ever touching Python strings
+        classes_l, ranked, counts_sorted = _factorize_labels(y)
+        n_classes = len(classes_l)
+        if family == "binomial":
+            if n_classes > 2:
+                raise ValueError("more than two classes in response")
+            if n_classes < 2:
+                raise ValueError("only one class in response.")
+            min_class = int(counts_sorted.min())
+            if min_class <= 1:
+                raise ValueError(f"one class only has {min_class} observations.")
+            Y = np.where(ranked == 0, -1.0, 1.0)[:, np.newaxis]
+            return ResponseInfo(
+                family, np.array([0.0]), np.array([1.0]), 1, 1, classes_l
+            ), Y
+        if n_classes == 2:
+            raise ValueError(
+                "only two classes in response. Are you looking for family='binomial'?"
+            )
+        if n_classes < 2:
+            raise ValueError("only one class in response")
+        if int(counts_sorted.min()) <= 1:
+            raise ValueError(f"one class only has {int(counts_sorted.min())} observations.")
+        n_targets = n_classes - 1
+        Y = (ranked[:, np.newaxis] == np.arange(n_targets)[np.newaxis, :]).astype(np.float64)
+        return ResponseInfo(
+            family, np.zeros(n_targets), np.ones(n_targets),
+            n_classes, n_targets, classes_l,
+        ), Y
+
+    if family == "poisson":
+        yv = np.asarray(y, dtype=np.float64)
+        if yv.size and float(yv.min()) < 0:
+            raise ValueError("cannot have negative responses in poisson model")
+        return ResponseInfo(family, np.array([0.0]), np.array([1.0]), 1, 1), yv[:, np.newaxis]
+
+    raise ValueError(f"unknown family {family!r}")
