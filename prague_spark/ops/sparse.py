@@ -23,6 +23,13 @@ from pyspark.sql import DataFrame, functions as F
 
 _EXP_MAX = 709.78  # trunc_exp clamp, mirrors core.families
 
+# budget for any triplet self-join on row_id: its output volume is
+# sum over rows of nnz_row^2, so a few dense rows (nnz_i ~ p) detonate it
+# regardless of total nnz. Shared by the one-time gaussian Gram build and
+# the per-outer-iteration prox-Newton Hessian (which is the more dangerous
+# consumer — it pays the volume EVERY iteration).
+PAIR_VOLUME_LIMIT = 2e8
+
 
 def sparse_scales(
     triplets: DataFrame,
@@ -598,16 +605,22 @@ def fit_sparse(
 
     # ---- gaussian Gram fast path: one self-join, then a zero-scan path --
     gram = None
-    if family == "gaussian" and n_cols <= gram_limit:
-        # self-join output size = sum over rows of nnz_row^2; guard it
-        nnz_sq = (
+    nnz_sq = None
+
+    def _pair_volume():
+        # self-join output size = sum over rows of nnz_row^2; measured
+        # once per design (the fits below reuse it)
+        return (
             trip.groupBy(row_col)
             .agg(F.count(F.lit(1)).alias("_c"))
             .agg(F.sum(F.col("_c") * F.col("_c")))
             .first()[0]
         )
+
+    if family == "gaussian" and n_cols <= gram_limit:
+        nnz_sq = _pair_volume()
         design.scans += 1
-        if nnz_sq is not None and float(nnz_sq) <= 2e8:
+        if nnz_sq is not None and float(nnz_sq) <= PAIR_VOLUME_LIMIT:
             a, b = trip.alias("_a"), trip.alias("_b")
             G = np.zeros((n_cols + 1, n_cols + 1))
             for r in (
@@ -637,6 +650,18 @@ def fit_sparse(
         factor = {"gaussian": 1.0, "binomial": 4.0, "multinomial": 2.0}[family]
         trace = float(col_sq.sum())
         lr = factor / trace if trace > 0 else None
+
+    # pair-volume guard for the prox-Newton route: eval_hessian's triplet
+    # self-join pays sum_i nnz_i^2 on EVERY outer iteration (the gaussian
+    # Gram path pays it once, and only after passing this same budget).
+    # Past the budget those fits take the trace-bound FISTA fallback,
+    # whose per-iteration joins stay O(nnz).
+    pair_volume_ok = True
+    if gram is None:
+        if nnz_sq is None:
+            nnz_sq = _pair_volume()
+            design.scans += 1
+        pair_volume_ok = nnz_sq is not None and float(nnz_sq) <= PAIR_VOLUME_LIMIT
 
     if gram is not None:
         null_deviance = yty  # 2 * primal(0) = y'y for centered/scaled y
@@ -682,8 +707,8 @@ def fit_sparse(
             return res
         # iterative families: prox-Newton (3 O(nnz) jobs per outer
         # iteration, 2-6 outer iterations) unless the Hessian payload
-        # would be too wide
-        if (len(idx) * m) ** 2 <= hess_cell_guard:
+        # would be too wide or the self-join pair volume too large
+        if pair_volume_ok and (len(idx) * m) ** 2 <= hess_cell_guard:
             return prox_newton(
                 design_sub, beta_init, lam_scaled, n_unpenalized=1,
                 max_passes=max_passes, tol_rel_gap=tol_rel_gap,
@@ -801,6 +826,8 @@ def fit_sparse(
             primals=[], duals=[], time=[],
             sparse_scans=design.scans,
             scans_per_path_point=design.scans / max(k, 1),
+            hessian_pair_volume=None if nnz_sq is None else float(nnz_sq),
+            pair_volume_ok=pair_volume_ok,
         ),
     )
 

@@ -361,11 +361,34 @@ def connected_components(
     # AND truncates the lineage, which would otherwise double per
     # iteration. Executor-local blocks — on executor loss the component
     # labels recompute from the re-run; acceptable for a batch operator.
-    labels = (
+    #
+    # DataFrame.unpersist() is a NO-OP on a checkpointed frame (its blocks
+    # belong to the internal RDD, not the cache manager), so superseded
+    # generations are freed through the JVM RDD handle: each _ckpt call
+    # records the persistent-RDD ids it created, and _free unpersists
+    # them once the next generation has materialized. Without this a deep
+    # graph holds every generation in executor storage simultaneously.
+    sc = pairs.sparkSession.sparkContext
+
+    def _live_ids():
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _ckpt(df):
+        before = _live_ids()
+        out = df.localCheckpoint(eager=True)
+        return out, _live_ids() - before
+
+    def _free(ids):
+        jmap = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            rdd = jmap.get(i)
+            if rdd is not None:
+                rdd.unpersist(False)
+
+    labels, labels_ids = _ckpt(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("cluster_id", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     try:
         converged = False
@@ -375,7 +398,7 @@ def connected_components(
                 .groupBy("src")
                 .agg(F.min("cluster_id").alias("_nl"))
             )
-            updated = (
+            updated, updated_ids = _ckpt(
                 labels.join(neigh, labels["node"] == neigh["src"], "left")
                 .select(
                     F.col("node"),
@@ -385,10 +408,12 @@ def connected_components(
                         F.coalesce(F.col("_nl"), F.col("cluster_id")),
                     ).alias("cluster_id"),
                 )
-                .localCheckpoint(eager=True)
             )
             changed = updated.filter(F.col("cluster_id") < F.col("_old")).count()
-            labels = updated.select("node", "cluster_id")
+            # the new generation is materialized and lineage-truncated —
+            # the previous generation's blocks are dead weight now
+            _free(labels_ids)
+            labels, labels_ids = updated.select("node", "cluster_id"), updated_ids
             if changed == 0:
                 converged = True
                 break

@@ -290,3 +290,25 @@ def test_resize_images_plumbing(spark):
     a = {int(r["doc_id"]): r["pixels"] for r in out}
     b = {int(r["doc_id"]): r["pixels"] for r in again}
     assert a == b
+
+
+def test_connected_components_frees_superseded_generations(spark):
+    from prague_spark.pipeline.dedup import connected_components
+
+    sc = spark.sparkContext
+
+    def live():
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = live()
+    # a length-6 chain needs several label-propagation iterations
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs)
+    created = live() - before
+    # exactly ONE labels generation (the returned frame) may stay live;
+    # every superseded checkpoint and the edge cache must be gone
+    assert len(created) == 1, f"leaked generations: {created}"
+    assert {int(r["cluster_id"]) for r in out.collect()} == {1}
+

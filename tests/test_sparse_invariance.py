@@ -270,3 +270,42 @@ def test_sparse_wide_p_hessian_guard_falls_back_to_fista(spark, monkeypatch):
         screening=False, max_passes=200,
     )
     assert np.all(np.isfinite(m.betas))
+
+
+def test_sparse_pair_volume_guard_falls_back_to_fista(spark, monkeypatch):
+    # eval_hessian's triplet self-join ships sum_i nnz_i^2 rows per
+    # prox-Newton outer iteration; a design with a few dense rows must
+    # route to the trace-bound FISTA fallback even when p itself is small
+    # (the hess_cell_guard would never trigger). prox_newton is poisoned
+    # to prove the fallback is the path taken.
+    import sys
+
+    sparse_mod = sys.modules["prague_spark.ops.sparse"]
+    solver_mod = sys.modules["prague_spark.core.solver"]
+
+    def _boom(*a, **kw):
+        raise AssertionError("prox_newton must not run past the pair-volume guard")
+
+    monkeypatch.setattr(solver_mod, "prox_newton", _boom)
+    monkeypatch.setattr(sparse_mod, "PAIR_VOLUME_LIMIT", 1_000.0)
+
+    rng = np.random.default_rng(17)
+    n, p = 120, 30
+    X = np.where(rng.random((n, p)) < 0.1, rng.normal(size=(n, p)), 0.0)
+    X[:5, :] = rng.normal(size=(5, p))  # a few dense rows: nnz_i = p
+    lp = 3.0 * X[:, 0]
+    y = np.where(rng.random(n) < 1.0 / (1.0 + np.exp(-lp)), "pos", "neg")
+    rows, cols_idx = np.nonzero(X)
+    trip = spark.createDataFrame(
+        [(int(r), int(c), float(X[r, c])) for r, c in zip(rows, cols_idx)],
+        "row_id long, col_id int, value double",
+    )
+    ydf = spark.createDataFrame(
+        [(int(i), str(y[i])) for i in range(n)], "row_id long, y string"
+    )
+    m = sparse_mod.fit_sparse(
+        trip, ydf, "y", "binomial", n_cols=p, n_sigma=2, lambda_min_ratio=0.5,
+    )
+    assert np.all(np.isfinite(m.betas))
+    assert m.diagnostics["pair_volume_ok"] is False
+    assert m.diagnostics["hessian_pair_volume"] > 1_000.0
