@@ -151,11 +151,34 @@ class SparkGlmDesign:
 
     ``active_idx`` restricts the linear algebra to a column subset without
     rewriting the cached data (NumPy fancy-indexing inside the Arrow batch).
+
+    Two evaluation engines behind one ``_scan`` contract:
+
+    - **JVM codegen route** (``_scan_jvm``, p*m small): every family term
+      (primal, dual, per-column gradient, Hessian cells) is a Spark SQL
+      Column expression, so the whole evaluation is ONE whole-stage-codegen
+      aggregate over the cached frame — no Python workers, no Arrow IPC.
+      The plan is assembled as SQL text (see ``_scan_jvm``) so the py4j
+      boundary is a handful of calls per evaluation. At sf0.1/local[32]
+      this is ~2x faster per evaluation than the Arrow route and cuts
+      the 5-point binomial path fit from ~4.6s to ~1.7s; on a cluster it
+      additionally avoids shipping rows to Python workers entirely.
+    - **Arrow route** (wide designs): the original ``mapInArrow`` partial
+      aggregation; past ``JVM_GRAD_PM_LIMIT`` the O(pm) gradient (or
+      O(pm^2) Hessian) expression tree would blow up Catalyst codegen, so
+      vectorized NumPy over Arrow batches wins there.
     """
+
+    # sum-expression budgets for the codegen route: grad scans emit
+    # 2 + pm sums, Hessian scans add pm*(pm+1)/2 more. Past these the
+    # generated Java method would exceed JIT-friendly size.
+    JVM_GRAD_PM_LIMIT = 64
+    JVM_HESS_PM_LIMIT = 16
 
     def __init__(self, df, x_col: str, y_col: str, family: Family,
                  p_full: int, m: int = 1, n: int | None = None,
-                 active_idx: np.ndarray | None = None):
+                 active_idx: np.ndarray | None = None,
+                 lgamma_const: float | None = None):
         self.df = df
         self.x_col = x_col
         self.y_col = y_col
@@ -167,8 +190,167 @@ class SparkGlmDesign:
         if n is None:
             n = df.count()
         self.n = n
+        # poisson: sum(lgamma(y_i + 1)) is beta-independent; the JVM route
+        # adds it driver-side (Spark SQL has no vectorized lgamma). Computed
+        # once per fit via groupBy(y).count() and inherited by subsets.
+        self._lgamma_const = lgamma_const
+
+    def _poisson_lgamma_const(self) -> float:
+        if self._lgamma_const is None:
+            from ..core.families import Poisson
+
+            rows = self.df.groupBy(self.y_col).count().collect()
+            ys = np.array([float(r[self.y_col]) for r in rows])
+            cts = np.array([float(r["count"]) for r in rows])
+            self._lgamma_const = float(np.sum(cts * Poisson._lgamma1p(ys)))
+        return self._lgamma_const
+
+    def _scan_jvm(self, beta, need_grad: bool, need_hess: bool):
+        """One whole-stage-codegen aggregate producing the same
+        (primal, dual[, grad[, hessian]]) bundle as the Arrow route.
+
+        The plan is assembled as SQL TEXT through a handful of
+        ``selectExpr`` calls: building the same tree out of ``Column``
+        objects costs one py4j round-trip per expression node (~0.4s per
+        evaluation for a 30-node tree), which would dominate the scan
+        itself. String assembly is driver-side Python (microseconds) and
+        the JVM parses it once per call."""
+        fam = self.family.name
+        p_act, m = self.p, self.m
+        pm = p_act * m
+        idx = (
+            self.active_idx
+            if self.active_idx is not None
+            else np.arange(self.p_full, dtype=np.intp)
+        )
+        beta = np.ascontiguousarray(beta, dtype=np.float64).reshape(p_act, m)
+        bflat = beta.ravel(order="F")
+
+        EXP_MAX = "709.78D"
+        TINY = repr(float(np.finfo(np.float64).tiny)) + "D"
+        HUGE = repr(float(np.finfo(np.float64).max)) + "D"
+
+        def lit(v: float) -> str:
+            return f"{float(v)!r}D"
+
+        def texp(v: str) -> str:
+            return f"EXP(LEAST({v}, {EXP_MAX}))"
+
+        def tlog(v: str) -> str:
+            return f"LN(LEAST(GREATEST({v}, {TINY}), {HUGE}))"
+
+        # stage 1: active feature elements + response scalar(s)
+        proj1 = [f"{self.x_col}[{int(idx[i])}] AS _f{i}" for i in range(p_act)]
+        if m == 1:
+            proj1.append(f"CAST({self.y_col} AS DOUBLE) AS _yv")
+        else:
+            proj1 += [f"{self.y_col}[{k}] AS _yk{k}" for k in range(m)]
+        # stage 2: linear predictors (referencing _f columns once each)
+        lp_exprs = []
+        for k in range(m):
+            terms = " + ".join(
+                f"_f{i} * {lit(bflat[i + p_act * k])}" for i in range(p_act)
+            )
+            lp_exprs.append(f"({terms}) AS _lp{k}")
+        stages = [proj1, ["*"] + lp_exprs]
+
+        lgamma_add = 0.0
+        if fam == "gaussian":
+            primal = "0.5D * (_yv - _lp0) * (_yv - _lp0)"
+            dual = "0.5D * _yv * _yv - 0.5D * _lp0 * _lp0"
+            pgs = ["(_lp0 - _yv)"]
+            ws = {(0, 0): "1.0D"}
+        elif fam == "binomial":
+            # y in {-1, +1} (core/families.py Binomial)
+            stages.append(
+                [
+                    "*",
+                    f"1.0D / (1.0D + {texp('_yv * _lp0')}) AS _rr",
+                    f"1.0D / (1.0D + {texp('-_lp0')}) AS _s",
+                ]
+            )
+            primal = tlog(f"1.0D + {texp('-_yv * _lp0')}")
+            dual = (
+                f"(_rr - 1.0D) * {tlog('1.0D - _rr')} - _rr * {tlog('_rr')}"
+            )
+            pgs = ["(-_yv * _rr)"]
+            ws = {(0, 0): "(_s * (1.0D - _s))"}
+        elif fam == "poisson":
+            stages.append(["*", f"{texp('_lp0')} AS _mu"])
+            primal = "-(_yv * _lp0 - _mu)"
+            dual = "-(_mu * (_lp0 - 1.0D))"
+            pgs = ["(_mu - _yv)"]
+            ws = {(0, 0): "_mu"}
+            lgamma_add = self._poisson_lgamma_const()
+        elif fam == "multinomial":
+            lp_max = (
+                "_lp0" if m == 1 else "GREATEST(" + ", ".join(f"_lp{k}" for k in range(m)) + ")"
+            )
+            lse_in = " + ".join(
+                [texp(f"-({lp_max})")] + [texp(f"_lp{k} - ({lp_max})") for k in range(m)]
+            )
+            stages.append(["*", f"({tlog(lse_in)} + {lp_max}) AS _lse"])
+            stages.append(
+                ["*"] + [f"{texp(f'_lp{k} - _lse')} AS _pk{k}" for k in range(m)]
+            )
+            primal = "_lse - (" + " + ".join(f"_yk{k} * _lp{k}" for k in range(m)) + ")"
+            dual = "_lse - (" + " + ".join(f"_lp{k} * _pk{k}" for k in range(m)) + ")"
+            pgs = [f"(_pk{k} - _yk{k})" for k in range(m)]
+            ws = {}
+            for k in range(m):
+                for q in range(k, m):
+                    delta = "1.0D" if k == q else "0.0D"
+                    ws[(k, q)] = f"(_pk{k} * ({delta} - _pk{q}))"
+        else:  # pragma: no cover - families are closed set
+            raise ValueError(fam)
+
+        aggs = [f"SUM({primal}) AS _pr", f"SUM({dual}) AS _du"]
+        if need_grad:
+            for k in range(m):
+                for i in range(p_act):
+                    aggs.append(f"SUM(_f{i} * {pgs[k]}) AS _g_{i}_{k}")
+        if need_hess:
+            # upper triangle of the (pm, pm) Hessian in F-ravel coordinates
+            # (index = i + p*k); symmetrized driver-side
+            for a in range(pm):
+                ia, ka = a % p_act, a // p_act
+                for bb in range(a, pm):
+                    ib, kb = bb % p_act, bb // p_act
+                    wkey = (min(ka, kb), max(ka, kb))
+                    aggs.append(
+                        f"SUM(_f{ia} * _f{ib} * {ws[wkey]}) AS _h_{a}_{bb}"
+                    )
+        q = self.df
+        for stage in stages:
+            q = q.selectExpr(*stage)
+        row = q.selectExpr(*aggs).first()
+        primal_v = float(row["_pr"]) + lgamma_add
+        dual_v = float(row["_du"]) + lgamma_add
+        grad = None
+        if need_grad:
+            grad = np.empty((p_act, m), dtype=np.float64)
+            for k in range(m):
+                for i in range(p_act):
+                    v = row[f"_g_{i}_{k}"]
+                    grad[i, k] = 0.0 if v is None else float(v)
+        if need_hess:
+            H = np.empty((pm, pm), dtype=np.float64)
+            for a in range(pm):
+                for bb in range(a, pm):
+                    v = row[f"_h_{a}_{bb}"]
+                    H[a, bb] = H[bb, a] = 0.0 if v is None else float(v)
+            return primal_v, dual_v, grad, H
+        return primal_v, dual_v, grad
 
     def _scan(self, beta, need_grad: bool, need_hess: bool = False):
+        pm_act = self.p * self.m
+        if pm_act <= self.JVM_GRAD_PM_LIMIT and (
+            not need_hess or pm_act <= self.JVM_HESS_PM_LIMIT
+        ):
+            return self._scan_jvm(beta, need_grad, need_hess)
+        return self._scan_arrow(beta, need_grad, need_hess)
+
+    def _scan_arrow(self, beta, need_grad: bool, need_hess: bool = False):
         x_col, y_col = self.x_col, self.y_col
         p_full, m = self.p_full, self.m
         idx = self.active_idx
@@ -231,4 +413,5 @@ class SparkGlmDesign:
         return SparkGlmDesign(
             self.df, self.x_col, self.y_col, self.family,
             self.p_full, self.m, n=self.n, active_idx=base,
+            lgamma_const=self._lgamma_const,
         )

@@ -127,10 +127,12 @@ def auc(df: DataFrame, prob_col: str, pos_indicator, weight_col: str | None = No
 
     Scale plan: probabilities reduce via groupBy(p) (map-side combine);
     the cumulative negative count then runs in TWO levels — per-bucket
-    totals (AUC_BUCKETS coarse buckets over [0, 1]) collect to the driver
-    for an exact prefix sum, and the within-bucket cumsum is a window
-    PARTITIONED by bucket. No single-task global window anywhere, so the
-    whole computation stays parallel at any data size.
+    totals (AUC_BUCKETS coarse buckets over [0, 1]) flow through one
+    un-partitioned window over <= AUC_BUCKETS rows (bounded by the
+    constant, not the data, so the single task is fine at any size), and
+    the within-bucket cumsum is a window PARTITIONED by bucket. The whole
+    statistic is ONE job — no driver round-trip; the grouped frame's
+    shuffle feeds both levels via Spark's ReuseExchange.
     """
     wcol = F.col(weight_col) if weight_col else F.lit(1.0)
     grouped = (
@@ -149,19 +151,13 @@ def auc(df: DataFrame, prob_col: str, pos_indicator, weight_col: str | None = No
                 F.lit(AUC_BUCKETS - 1),
             ).cast("int"),
         )
-        .persist()
     )
-    totals = {
-        int(r["bucket"]): (float(r["t0"]))
-        for r in grouped.groupBy("bucket").agg(F.sum("n0_g").alias("t0")).collect()
-    }
-    prefix, acc = {}, 0.0
-    for b in sorted(totals):
-        prefix[b] = acc
-        acc += totals[b]
-    spark = df.sparkSession
-    prefix_df = spark.createDataFrame(
-        [(b, v) for b, v in prefix.items()], "bucket int, n0_before double"
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefix_df = (
+        grouped.groupBy("bucket")
+        .agg(F.sum("n0_g").alias("_t0"))
+        .withColumn("n0_before", F.coalesce(F.sum("_t0").over(wb), F.lit(0.0)))
+        .drop("_t0")
     )
     w = (
         Window.partitionBy("bucket")
@@ -177,7 +173,6 @@ def auc(df: DataFrame, prob_col: str, pos_indicator, weight_col: str | None = No
         F.sum("n1_g").alias("n1"),
         F.sum("n0_g").alias("n0"),
     ).first()
-    grouped.unpersist()
     return float(row["u"] / (row["n1"] * row["n0"]))
 
 

@@ -427,3 +427,54 @@ def connected_components(
         return labels
     finally:
         edges.unpersist()
+
+
+def contamination(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Train/eval contamination check (the GPT-3-style n-gram
+    decontamination pass): flag every training document that shares at
+    least one winnowing fingerprint minimum (character ``k``-gram rolling
+    hash, window ``w`` — see ``text.winnow_minima``) with any eval
+    document.
+
+    Returns one row per contaminated training document:
+    ``(id, n_shared, n_eval_docs, contamination)`` where ``n_shared``
+    counts the distinct shared minima, ``n_eval_docs`` the distinct eval
+    documents hit, and ``contamination`` = n_shared / |train doc minima|.
+
+    Scale design: both sides reduce to their winnowing-minima inverted
+    index (|minima| << |k-grams| — winnowing keeps ~1/w of positions,
+    distinct-collapsed), and the check is an equi-join on the minimum
+    hash followed by one groupBy(train id). Sub-quadratic: no document
+    ever meets a document it shares no fingerprint with. The eval side of
+    a real decontamination run is small (benchmarks), so Spark broadcasts
+    it and the train side never shuffles."""
+    from .text import winnow_minima
+
+    t = winnow_minima(train_df, id_col, text_col, k, w).alias("t")
+    e = (
+        winnow_minima(eval_df, id_col, text_col, k, w)
+        .select(F.col(id_col).alias("_eval_id"), "wmin")
+        .alias("e")
+    )
+    sizes = t.groupBy(id_col).agg(F.count("*").alias("_n_minima"))
+    hits = (
+        t.join(e, "wmin")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("wmin").alias("n_shared"),
+            F.countDistinct("_eval_id").alias("n_eval_docs"),
+        )
+    )
+    return hits.join(sizes, id_col).select(
+        id_col,
+        "n_shared",
+        "n_eval_docs",
+        F.round(F.col("n_shared") / F.col("_n_minima"), 6).alias("contamination"),
+    )

@@ -143,6 +143,46 @@ def content_hash(df: DataFrame, text_col: str, out: str = "content_md5") -> Data
     return df.withColumn(out, F.md5(F.col(text_col)))
 
 
+def _winnow_stage(df: DataFrame, text_col: str, k: int, w: int) -> DataFrame:
+    """Shared winnowing pipeline: adds ``_wset`` (sorted distinct window
+    minima) to ``df``. Each stage is materialized as a real column before
+    the next refers to it: Catalyst does NOT common-subexpression-
+    eliminate inside higher-order-function lambdas, so inlining the
+    k-gram hashes into the window-minimum transform would recompute the
+    whole hash array once per window — O(len^2) md5 calls per row."""
+    txt = F.lower(F.col(text_col))
+    n_grams = F.greatest(F.length(txt) - k + 1, F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(
+            F.substring(F.md5(txt.substr(i, F.lit(k))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    stage = df.withColumn("_wgrams", grams)
+    minima = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(F.col("_wgrams")) - w + 1, F.lit(1))
+        ),
+        lambda j: F.array_min(F.slice(F.col("_wgrams"), j, w)),
+    )
+    return stage.withColumn("_wmin", minima).withColumn(
+        "_wset", F.sort_array(F.array_distinct(F.col("_wmin")))
+    )
+
+
+def winnow_minima(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Exploded winnowing minima: one row per (doc, distinct window-minimum
+    hash). This is the inverted-index form of :func:`winnow_fingerprint` —
+    the join key for cross-corpus contamination checks (see
+    ``prague_spark.pipeline.dedup.contamination``)."""
+    stage = _winnow_stage(df, text_col, k, w)
+    return stage.select(
+        F.col(id_col), F.explode(F.col("_wset")).alias("wmin")
+    )
+
+
 def winnow_fingerprint(
     df: DataFrame,
     text_col: str,
@@ -161,29 +201,7 @@ def winnow_fingerprint(
     Pure JVM expressions (no UDF): one transform per k-gram, one per
     window — O(len * w) per row, no shuffle. md5-derived hashes keep it
     engine-portable (DuckDB-SQL oracle in the query registry)."""
-    # Each stage is materialized as a real column before the next refers
-    # to it: Catalyst does NOT common-subexpression-eliminate inside
-    # higher-order-function lambdas, so inlining ``grams`` into the
-    # window-minimum transform would recompute the whole k-gram hash
-    # array once per window — O(len^2) md5 calls per row.
-    txt = F.lower(F.col(text_col))
-    n_grams = F.greatest(F.length(txt) - k + 1, F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.conv(
-            F.substring(F.md5(txt.substr(i, F.lit(k))), 1, 8), 16, 10
-        ).cast("long"),
-    )
-    stage = df.withColumn("_wgrams", grams)
-    minima = F.transform(
-        F.sequence(
-            F.lit(1), F.greatest(F.size(F.col("_wgrams")) - w + 1, F.lit(1))
-        ),
-        lambda j: F.array_min(F.slice(F.col("_wgrams"), j, w)),
-    )
-    stage = stage.withColumn("_wmin", minima).withColumn(
-        "_wset", F.sort_array(F.array_distinct(F.col("_wmin")))
-    )
+    stage = _winnow_stage(df, text_col, k, w)
     return (
         stage.withColumn(
             out,
@@ -238,3 +256,64 @@ def repetition_ratio(
         total > 0, F.lit(1.0) - F.size(F.array_distinct(grams)) / total
     ).otherwise(F.lit(0.0))
     return df.withColumn(out, ratio)
+
+
+def pack_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    capacity: int = 64,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    batch layout: documents are (logically) concatenated in a
+    deterministic order and the token stream is cut into fixed
+    ``capacity``-token packs; a document may span pack boundaries.
+
+    Returns one row per (document, pack) span:
+    ``(id, shard, pack_id, n_tokens, tok_start, tok_len)`` where
+    ``tok_start``/``tok_len`` address the document's own token array.
+
+    Scale design: packing is a prefix-sum, which would serialize on a
+    single task under a global window. Instead documents are first
+    assigned to ``n_shards`` deterministic shards (``id % n_shards``) and
+    each shard packs independently — the pack key is (shard, pack_id).
+    That is how a 1000-executor run packs 100 TB: one window per shard
+    (shuffle by shard, sort within), then a pure map-side explode of each
+    document into the packs it straddles. Zero-token documents are
+    dropped (they occupy no span)."""
+    d = df.select(
+        F.col(id_col),
+        F.size(tokens_expr(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    d = d.withColumn("shard", F.pmod(F.col(id_col), F.lit(n_shards)).cast("int"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    cap = F.lit(int(capacity)).cast("long")
+    d = d.withColumn(
+        "pack_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / cap),
+                F.floor((F.col("start") + F.col("n_tokens") - 1) / cap),
+            )
+        ),
+    )
+    span_s = F.greatest(F.col("start"), F.col("pack_id") * cap)
+    span_e = F.least(
+        F.col("start") + F.col("n_tokens"), (F.col("pack_id") + 1) * cap
+    )
+    return d.select(
+        F.col(id_col),
+        "shard",
+        F.col("pack_id").cast("long").alias("pack_id"),
+        "n_tokens",
+        (span_s - F.col("start")).alias("tok_start"),
+        (span_e - span_s).alias("tok_len"),
+    )

@@ -427,29 +427,15 @@ SQL_Q5_MULTINOMIAL = f"""
 """
 
 
-def q_q8_score_mse_mae(spark, sf_dir):
-    """MSE / MAE of the fixed-coefficient prediction vs the standardized
-    response (R/score.R:29-41)."""
-    z = _zdf(spark, sf_dir)
-    err = _lp_expr() - F.col("ys")
-    return z.agg(
-        F.round(F.avg(err * err), 4).alias("mse"),
-        F.round(F.avg(F.abs(err)), 4).alias("mae"),
-    )
-
-
-SQL_Q8_MSE_MAE = f"""
-    WITH z AS ({_Z_SQL}), j AS (
-        SELECT {_LP_SQL} - ys AS err FROM z
-    )
-    SELECT round(avg(err*err), 4) AS mse, round(avg(abs(err)), 4) AS mae FROM j
-"""
-
-
-def q_q9_score_binomial(spark, sf_dir):
-    """Clipped binomial deviance + misclassification (R/score.R:45-78)."""
+def q_q8_q9_score(spark, sf_dir):
+    """Q8 + Q9 in one row (registry merge, round 4 — same _zdf fixture,
+    same linear predictor): gaussian MSE/MAE of the fixed-coefficient
+    prediction vs the standardized response (R/score.R:29-41) AND the
+    clipped binomial deviance + misclassification (R/score.R:45-78).
+    ONE aggregation scan computes all four measures."""
     z = _zdf(spark, sf_dir)
     lp = _lp_expr()
+    err = lp - F.col("ys")
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-lp))
     probc = F.least(F.greatest(prob, F.lit(1e-5)), F.lit(1.0 - 1e-5))
     y2 = F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
@@ -459,21 +445,26 @@ def q_q9_score_binomial(spark, sf_dir):
         prob <= 0.5, 1.0
     ).otherwise(0.0)
     return z.agg(
+        F.round(F.avg(err * err), 4).alias("mse"),
+        F.round(F.avg(F.abs(err)), 4).alias("mae"),
         F.round(F.avg(dev), 4).alias("deviance"),
         F.round(F.avg(mis), 4).alias("misclass"),
     )
 
 
-SQL_Q9_BINOMIAL = f"""
+SQL_Q8_Q9_SCORE = f"""
     WITH z AS ({_Z_SQL}), s AS (
-        SELECT 1.0/(1.0 + exp(-{_LP_SQL})) AS prob,
+        SELECT {_LP_SQL} - ys AS err,
+               1.0/(1.0 + exp(-{_LP_SQL})) AS prob,
                CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y2
         FROM z
     ), c AS (
-        SELECT least(greatest(prob, 1e-5), 1.0 - 1e-5) AS probc, prob, y2, 1.0 - y2 AS y1
+        SELECT err, least(greatest(prob, 1e-5), 1.0 - 1e-5) AS probc,
+               prob, y2, 1.0 - y2 AS y1
         FROM s
     )
-    SELECT round(avg(-2.0*(y1*ln(1.0-probc) + y2*ln(probc))), 4) AS deviance,
+    SELECT round(avg(err*err), 4) AS mse, round(avg(abs(err)), 4) AS mae,
+           round(avg(-2.0*(y1*ln(1.0-probc) + y2*ln(probc))), 4) AS deviance,
            round(avg(y1*(CASE WHEN prob > 0.5 THEN 1.0 ELSE 0.0 END)
                    + y2*(CASE WHEN prob <= 0.5 THEN 1.0 ELSE 0.0 END)), 4) AS misclass
     FROM c
@@ -719,34 +710,6 @@ SQL_DEDUP_JACCARD = """
 
 _MH_N = 4
 _MH_A, _MH_B = dedup._minhash_params(_MH_N, seed=42)
-
-
-def q_dedup_minhash(spark, sf_dir):
-    """MinHash signatures (4 hashes, unigram shingles) with the universal
-    hash family h_i(x) = (a_i x + b_i) mod (2^31 - 1), x = md5-derived."""
-    docs = load(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=_MH_N, shingle_n=1)
-    return sig.select(
-        "doc_id", *[F.col("signature")[i].alias(f"h{i}") for i in range(_MH_N)]
-    )
-
-
-SQL_DEDUP_MINHASH = (
-    """
-    WITH toks AS (
-        SELECT DISTINCT doc_id, t.tok FROM documents,
-        LATERAL unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-                                   x -> x != '')) AS t(tok)
-    ), hx AS (
-        SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS x FROM toks
-    )
-    SELECT doc_id, """
-    + ", ".join(
-        f"min(({_MH_A[i]}*x + {_MH_B[i]}) % 2147483647)::BIGINT AS h{i}"
-        for i in range(_MH_N)
-    )
-    + " FROM hx GROUP BY doc_id"
-)
 
 
 _SH_BITS = 16
@@ -1001,20 +964,35 @@ SQL_DEDUP_NGRAM3 = """
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH banding candidate pairs (2 bands x 2 rows over the
-    4-hash unigram signature: documents sharing >= 1 band key) PLUS the
-    verify step: the estimated Jaccard (fraction of equal signature
-    slots) for each candidate pair — the full sub-quadratic MinHash dedup
-    pipeline in one output."""
+    """The full sub-quadratic MinHash dedup pipeline in one tagged tall
+    output (registry merge, round 4 — absorbs the former dedup_minhash
+    signature check): 'sig' rows carry the raw per-document MinHash
+    signature slots (universal hash family h_i(x) = (a_i x + b_i) mod
+    (2^31 - 1), x md5-derived), 'pair' rows the LSH banding candidate
+    pairs (2 bands x 2 rows: documents sharing >= 1 band key) with the
+    verify step's estimated Jaccard (fraction of equal signature slots).
+    Columns: (part, id_a, id_b, v) — for 'sig', id_b is the hash index
+    and v the signature value; for 'pair', v is the Jaccard estimate."""
     docs = load(spark, sf_dir, "documents")
     sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=_MH_N, shingle_n=1)
     pairs = dedup.minhash_lsh_candidates(sig, "doc_id", bands=2, rows_per_band=2)
     out = dedup.minhash_jaccard_estimate(sig, pairs)
-    return out.select(
+    sig_rows = sig.select(
+        F.col("doc_id").cast("bigint").alias("id_a"),
+        F.posexplode(F.array(*[F.col("signature")[i] for i in range(_MH_N)])),
+    ).select(
+        F.lit("sig").alias("part"),
+        "id_a",
+        F.col("pos").cast("bigint").alias("id_b"),
+        F.col("col").cast("double").alias("v"),
+    )
+    pair_rows = out.select(
+        F.lit("pair").alias("part"),
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
-        F.round("jaccard_est", 6).alias("jaccard_est"),
+        F.round("jaccard_est", 6).alias("v"),
     )
+    return sig_rows.unionByName(pair_rows)
 
 
 _MH_SIG_SQL = (
@@ -1071,16 +1049,24 @@ SQL_DEDUP_MINHASH_LSH = (
     _MH_SIG_SQL
     + _MH_PAIRS_SQL
     + """
-    SELECT p.id_a::BIGINT AS id_a, p.id_b::BIGINT AS id_b,
+    SELECT 'pair' AS part, p.id_a::BIGINT AS id_a, p.id_b::BIGINT AS id_b,
            round(((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END)
                 + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END)
                 + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END)
                 + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END))::DOUBLE / 4.0, 6)
-           AS jaccard_est
+           AS v
     FROM pairs p
     JOIN sig sa ON sa.doc_id = p.id_a
     JOIN sig sb ON sb.doc_id = p.id_b
 """
+    + "".join(
+        f"""
+    UNION ALL
+    SELECT 'sig' AS part, doc_id::BIGINT AS id_a, {i}::BIGINT AS id_b,
+           h{i}::DOUBLE AS v
+    FROM sig"""
+        for i in range(_MH_N)
+    )
 )
 
 
@@ -2096,9 +2082,14 @@ SQL_EVENTS_SESSIONIZE = """
 
 def q_sparse_ingest(spark, sf_dir):
     """Sparse long-format ingest + scale-only standardization
-    (src/standardize.h:42-71: no centering for sparse) + densification.
-    Triplets derived deterministically from events."""
-    from .ops.sparse import long_to_features, sparse_scales
+    (src/standardize.h:42-71: no centering for sparse) + densification,
+    PLUS the wide-p sparse gradient X^T v computed directly on long-format
+    triplets (join on row_id + groupBy col_id — the scale path when p is
+    too large to densify). Registry merge, round 4: both sections share
+    the events-derived triplet fixture; unioned as a tagged tall frame
+    ('ingest' rows key on row_id with the densified x0..x2, 'xtv' rows
+    key on col_id with the gradient entry in x0)."""
+    from .ops.sparse import long_to_features, sparse_scales, sparse_xtv
 
     ev = load(spark, sf_dir, "events")
     trip = ev.select(
@@ -2109,12 +2100,30 @@ def q_sparse_ingest(spark, sf_dir):
     n_rows = ev.count()
     scales = sparse_scales(trip, n_rows, scale="l2")
     dense = long_to_features(trip, 3, scales=scales)
-    return dense.select(
-        "row_id",
+    ingest = dense.select(
+        F.lit("ingest").alias("part"),
+        F.col("row_id").alias("key"),
         F.round(F.col("features")[0], 6).alias("x0"),
         F.round(F.col("features")[1], 6).alias("x1"),
         F.round(F.col("features")[2], 6).alias("x2"),
     )
+    trip7 = ev.select(
+        F.col("event_id").alias("row_id"),
+        (F.col("event_id") % 7).cast("int").alias("col_id"),
+        F.col("value").alias("value"),
+    )
+    v = ev.select(
+        F.col("event_id").alias("row_id"),
+        (F.col("value") - 1.0).alias("v"),
+    )
+    xtv = sparse_xtv(trip7, v).select(
+        F.lit("xtv").alias("part"),
+        F.col("col_id").cast("bigint").alias("key"),
+        F.round("xtv", 4).alias("x0"),
+        F.lit(0.0).alias("x1"),
+        F.lit(0.0).alias("x2"),
+    )
+    return ingest.unionByName(xtv)
 
 
 SQL_SPARSE_INGEST = """
@@ -2127,46 +2136,21 @@ SQL_SPARSE_INGEST = """
         SELECT t.row_id, t.col_id,
                t.value / (CASE WHEN s.sc = 0 OR s.sc IS NULL THEN 1.0 ELSE s.sc END) AS v
         FROM trip t JOIN s USING (col_id)
+    ), trip7 AS (
+        SELECT event_id AS row_id, (event_id % 7)::INTEGER AS col_id, value
+        FROM events
+    ), vv AS (
+        SELECT event_id AS row_id, value - 1.0 AS v FROM events
     )
-    SELECT row_id,
+    SELECT 'ingest' AS part, row_id AS key,
            round(coalesce(max(CASE WHEN col_id = 0 THEN v END), 0.0), 6) AS x0,
            round(coalesce(max(CASE WHEN col_id = 1 THEN v END), 0.0), 6) AS x1,
            round(coalesce(max(CASE WHEN col_id = 2 THEN v END), 0.0), 6) AS x2
     FROM scaled GROUP BY row_id
-"""
-
-
-def q_sparse_xtv(spark, sf_dir):
-    """Wide-p sparse gradient: X^T v computed directly on long-format
-    triplets (join on row_id + groupBy col_id) — the scale path when p is
-    too large to densify. Triplets and v derived from events."""
-    from .ops.sparse import sparse_xtv
-
-    ev = load(spark, sf_dir, "events")
-    trip = ev.select(
-        F.col("event_id").alias("row_id"),
-        (F.col("event_id") % 7).cast("int").alias("col_id"),
-        F.col("value").alias("value"),
-    )
-    v = ev.select(
-        F.col("event_id").alias("row_id"),
-        (F.col("value") - 1.0).alias("v"),
-    )
-    out = sparse_xtv(trip, v)
-    return out.select(
-        "col_id", F.round("xtv", 4).alias("xtv")
-    )
-
-
-SQL_SPARSE_XTV = """
-    WITH trip AS (
-        SELECT event_id AS row_id, (event_id % 7)::INTEGER AS col_id, value
-        FROM events
-    ), v AS (
-        SELECT event_id AS row_id, value - 1.0 AS v FROM events
-    )
-    SELECT t.col_id, round(sum(t.value * v.v), 4) AS xtv
-    FROM trip t JOIN v USING (row_id) GROUP BY t.col_id
+    UNION ALL
+    SELECT 'xtv' AS part, t.col_id::BIGINT AS key,
+           round(sum(t.value * vv.v), 4) AS x0, 0.0 AS x1, 0.0 AS x2
+    FROM trip7 t JOIN vv USING (row_id) GROUP BY t.col_id
 """
 
 
@@ -2523,6 +2507,128 @@ def _v_plot_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# pipeline extensions round 4: sequence packing, decontamination,
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+def q_text_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence packing (capacity 32 tokens, 8 shards):
+    the LLM-pretraining batch layout. One row per (document, pack) span;
+    prefix-sum per deterministic shard so packing parallelizes — no
+    global window (see pipeline.text.pack_chunks)."""
+    docs = load(spark, sf_dir, "documents")
+    return text.pack_chunks(docs, "doc_id", "text", capacity=32, n_shards=8)
+
+
+SQL_TEXT_PACK = """
+    WITH d AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x != ''))::BIGINT AS n_tokens,
+               (doc_id % 8)::INTEGER AS shard
+        FROM documents
+    ), dd AS (
+        SELECT * FROM d WHERE n_tokens > 0
+    ), c AS (
+        SELECT doc_id, shard, n_tokens,
+               coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0)::BIGINT AS pstart
+        FROM dd
+    ), e AS (
+        SELECT doc_id, shard, n_tokens, pstart, p.pack_id
+        FROM c, LATERAL (
+            SELECT unnest(range(pstart // 32, (pstart + n_tokens - 1) // 32 + 1))
+                   AS pack_id
+        ) p
+    )
+    SELECT doc_id, shard, pack_id::BIGINT AS pack_id, n_tokens,
+           (greatest(pstart, pack_id * 32) - pstart)::BIGINT AS tok_start,
+           (least(pstart + n_tokens, (pack_id + 1) * 32)
+            - greatest(pstart, pack_id * 32))::BIGINT AS tok_len
+    FROM e
+"""
+
+
+def q_text_decontaminate(spark, sf_dir):
+    """Train/eval contamination check: training docs (source != 'src0')
+    sharing >= 1 winnowing-fingerprint minimum (k=8, w=4 — the same
+    definition text_fingerprint hash-verifies) with the eval corpus
+    (source = 'src0'). Inverted-index equi-join on the minima — the
+    GPT-3-style decontamination pass, sub-quadratic at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    ev = docs.filter(F.col("source") == "src0")
+    return dedup.contamination(train, ev, "doc_id", "text", k=8, w=4)
+
+
+SQL_TEXT_DECONTAMINATE = """
+    WITH g AS (
+        SELECT doc_id, p.i,
+               ('0x' || substr(md5(substr(lower(text), p.i, 8)), 1, 8))::BIGINT AS h,
+               greatest(length(text) - 8 + 1, 1) AS n_grams
+        FROM documents,
+        LATERAL (SELECT unnest(range(1, greatest(length(text) - 8 + 1, 1) + 1)) AS i) p
+    ), m AS (
+        SELECT doc_id, i,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+               n_grams
+        FROM g
+    ), sel AS (
+        SELECT DISTINCT doc_id, wmin FROM m
+        WHERE i <= greatest(n_grams - 4 + 1, 1)
+    ), src AS (
+        SELECT doc_id, source FROM documents
+    ), t AS (
+        SELECT s.doc_id, s.wmin FROM sel s JOIN src USING (doc_id)
+        WHERE src.source != 'src0'
+    ), e AS (
+        SELECT s.doc_id AS eval_id, s.wmin FROM sel s JOIN src USING (doc_id)
+        WHERE src.source = 'src0'
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_minima FROM t GROUP BY doc_id
+    ), hits AS (
+        SELECT t.doc_id, count(DISTINCT t.wmin) AS n_shared,
+               count(DISTINCT e.eval_id) AS n_eval_docs
+        FROM t JOIN e USING (wmin) GROUP BY t.doc_id
+    )
+    SELECT h.doc_id, h.n_shared, h.n_eval_docs,
+           round(h.n_shared::DOUBLE / s.n_minima, 6) AS contamination
+    FROM hits h JOIN sizes s USING (doc_id)
+"""
+
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "zh": 0.4}
+_SAMPLE_DEFAULT = 0.1
+
+
+def q_docs_sample_stratified(spark, sf_dir):
+    """Deterministic hash-threshold stratified sampling (per-language
+    mixture fractions): keep iff md5(doc_id)[0:8]/2^32 < frac(lang).
+    Repeatable across engines/partitionings — the corpus-mixing knob of
+    training-data curation. Zero shuffle (pure codegen filter)."""
+    from .pipeline.sample import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "doc_id", "lang", _SAMPLE_FRACTIONS, _SAMPLE_DEFAULT
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+SQL_DOCS_SAMPLE = f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 <
+          CASE lang
+              WHEN 'en' THEN {_SAMPLE_FRACTIONS['en']!r}
+              WHEN 'de' THEN {_SAMPLE_FRACTIONS['de']!r}
+              WHEN 'zh' THEN {_SAMPLE_FRACTIONS['zh']!r}
+              ELSE {_SAMPLE_DEFAULT!r}
+          END
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2534,6 +2640,13 @@ def _v_plot_sql() -> str:
 # langid -> text_stats, winnow -> text_fingerprint, audio ->
 # multimodal_features; sim_ivf_cells was a pure projection of
 # sim_ivf_assign and is gone).
+#
+# Round-4 merges (freeing slots for the packing / decontamination /
+# sampling operators, every hash check preserved inside the merged
+# output): Q8 + Q9 -> q8_q9_score (one row, all four measures);
+# sparse_xtv -> sparse_ingest (tagged tall union over the shared events
+# triplet fixture); dedup_minhash signatures -> dedup_minhash_lsh
+# ('sig'-tagged rows alongside the 'pair' candidate rows).
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,
@@ -2549,8 +2662,7 @@ QUERIES = {
     "q5_predict_multinomial": q_q5_predict_multinomial,
     "q6_coef_interpolation": q_q6_coef_interpolation,
     "q7_deviance": q_q7_deviance,
-    "q8_score_mse_mae": q_q8_score_mse_mae,
-    "q9_score_binomial": q_q9_score_binomial,
+    "q8_q9_score": q_q8_q9_score,
     "q10_score_auc": q_q10_score_auc,
     "q11_score_multinomial": q_q11_score_multinomial,
     "q12_path_summary": q_q12_path_summary,
@@ -2571,7 +2683,6 @@ QUERIES = {
     "v_plot_data": q_v_plot_data,
     # sparse path (S2/P3)
     "sparse_ingest": q_sparse_ingest,
-    "sparse_xtv": q_sparse_xtv,
     "sparse_fit": q_sparse_fit,
     # streaming-compatible event ops
     "events_windowed_agg": q_events_windowed_agg,
@@ -2580,7 +2691,6 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_token_jaccard": q_dedup_token_jaccard,
     "dedup_ngram3_jaccard": q_dedup_ngram3_jaccard,
-    "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_cc": q_dedup_cc,
     "dedup_simhash": q_dedup_simhash,
@@ -2591,6 +2701,9 @@ QUERIES = {
     "sim_ivf_topk": q_sim_ivf_topk,
     "text_stats": q_text_stats,
     "text_fingerprint": q_text_fingerprint,
+    "text_pack_chunks": q_text_pack_chunks,
+    "text_decontaminate": q_text_decontaminate,
+    "docs_sample_stratified": q_docs_sample_stratified,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_plan": q_multimodal_frame_plan,
 }
@@ -2606,8 +2719,7 @@ _RAW_ORACLES = {
     "q3_q4_predict_response": SQL_Q3_Q4_RESPONSE,
     "q5_predict_multinomial": SQL_Q5_MULTINOMIAL,
     "q7_deviance": SQL_Q7_DEVIANCE,
-    "q8_score_mse_mae": SQL_Q8_MSE_MAE,
-    "q9_score_binomial": SQL_Q9_BINOMIAL,
+    "q8_q9_score": SQL_Q8_Q9_SCORE,
     "q10_score_auc": SQL_Q10_AUC,
     "q11_score_multinomial": SQL_Q11_MULTINOMIAL,
     "q12_path_summary": SQL_Q12_PATH,
@@ -2617,7 +2729,6 @@ _RAW_ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_token_jaccard": SQL_DEDUP_JACCARD,
     "dedup_ngram3_jaccard": SQL_DEDUP_NGRAM3,
-    "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_cc": SQL_DEDUP_CC,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
@@ -2625,10 +2736,12 @@ _RAW_ORACLES = {
     "sim_cosine_topk": SQL_SIM_TOPK,
     "text_stats": _text_stats_sql(),
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "text_pack_chunks": SQL_TEXT_PACK,
+    "text_decontaminate": SQL_TEXT_DECONTAMINATE,
+    "docs_sample_stratified": SQL_DOCS_SAMPLE,
     "events_windowed_agg": SQL_EVENTS_WINDOW,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "sparse_ingest": SQL_SPARSE_INGEST,
-    "sparse_xtv": SQL_SPARSE_XTV,
     "multimodal_frame_plan": SQL_MM_FRAME_PLAN,
     "model_sink": SQL_MODEL_SINK,
     "v_plot_data": _v_plot_sql(),

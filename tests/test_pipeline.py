@@ -312,3 +312,63 @@ def test_connected_components_frees_superseded_generations(spark):
     assert len(created) == 1, f"leaked generations: {created}"
     assert {int(r["cluster_id"]) for r in out.collect()} == {1}
 
+
+
+def test_pack_chunks_partitions_tokens(docs):
+    """Every pack except each shard's last is filled to exactly the
+    capacity, and each document's spans tile its own token count."""
+    cap = 32
+    out = text.pack_chunks(docs, "doc_id", "text", capacity=cap, n_shards=4)
+    pdf = out.toPandas()
+    # doc-level: spans partition the document
+    per_doc = pdf.groupby("doc_id").agg(
+        total=("tok_len", "sum"), n_tok=("n_tokens", "first")
+    )
+    assert (per_doc["total"] == per_doc["n_tok"]).all()
+    # pack-level: all but the final pack of a shard hold exactly `cap`
+    per_pack = pdf.groupby(["shard", "pack_id"])["tok_len"].sum().reset_index()
+    last = per_pack.groupby("shard")["pack_id"].transform("max")
+    full = per_pack[per_pack["pack_id"] != last]
+    assert (full["tok_len"] == cap).all()
+    # spans are in-range
+    assert (pdf["tok_start"] >= 0).all()
+    assert ((pdf["tok_start"] + pdf["tok_len"]) <= pdf["n_tokens"]).all()
+
+
+def test_contamination_self_is_total(docs):
+    """A corpus checked against itself is 100% contaminated: every doc
+    shares ALL its minima with the eval side (itself)."""
+    sub = docs.limit(30).cache()
+    out = dedup.contamination(sub, sub, "doc_id", "text").toPandas()
+    assert len(out) == 30
+    assert (out["contamination"] == 1.0).all()
+    sub.unpersist()
+
+
+def test_contamination_disjoint_alphabet(spark):
+    """Character-disjoint corpora share no k-gram, hence no minima."""
+    tr = spark.createDataFrame(
+        [(1, "aaaa bbbb cccc dddd eeee ffff")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(2, "gggg hhhh iiii jjjj kkkk llll")], "doc_id long, text string"
+    )
+    assert dedup.contamination(tr, ev, "doc_id", "text").count() == 0
+
+
+def test_stratified_sample_deterministic_and_calibrated(docs):
+    from prague_spark.pipeline.sample import stratified_sample
+
+    fr = {"en": 0.5, "de": 0.0}
+    a = stratified_sample(docs, "doc_id", "lang", fr, 0.2)
+    b = stratified_sample(docs.repartition(7), "doc_id", "lang", fr, 0.2)
+    ids_a = {r["doc_id"] for r in a.select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in b.select("doc_id").collect()}
+    assert ids_a == ids_b  # partitioning-independent membership
+    counts = {r["lang"]: r["count"] for r in a.groupBy("lang").count().collect()}
+    base = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert "de" not in counts  # fraction 0 drops the stratum entirely
+    # en keeps roughly half (binomial tolerance at n >= 50)
+    if base.get("en", 0) >= 50:
+        frac_en = counts.get("en", 0) / base["en"]
+        assert 0.3 < frac_en < 0.7
