@@ -67,6 +67,12 @@ def main() -> None:
     ).count()
     text_ops.quality_score(docs_s, "text").agg(F.avg("q_score")).collect()
     text_ops.fingerprint(docs_s, "text").count()
+    text_ops.pack_chunks(docs_s, "doc_id", "text", capacity=2048,
+                         n_shards=CPUS).count()
+    dedup.contamination(
+        docs_s.filter(F.col("source") != "src0"),
+        docs_s.filter(F.col("source") == "src0"), "doc_id", "text",
+    ).count()
     for c in (li_s, docs_s, emb_s):
         c.unpersist()
 
@@ -213,6 +219,17 @@ def main() -> None:
         text_ops.fingerprint(docs, "text").select(
             F.count(F.col("fingerprint"))
         ).collect()
+
+    @bench("text_pack")
+    def _():
+        text_ops.pack_chunks(docs, "doc_id", "text", capacity=2048,
+                             n_shards=CPUS).agg(F.sum("tok_len")).collect()
+
+    @bench("text_decontaminate")
+    def _():
+        tr = docs.filter(F.col("source") != "src0")
+        ev = docs.filter(F.col("source") == "src0")
+        dedup.contamination(tr, ev, "doc_id", "text").count()
 
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else None

@@ -82,11 +82,14 @@ def ngram_jaccard_pairs(
     (potentially quadratic) variant. Dropped shingles are logged."""
     import logging
 
+    # explode_outer + null-filter: plain explode's implicit size()>0
+    # predicate gets pushed down with the shingle expression re-inlined,
+    # doubling the tokenize+ngram work (see text.winnow_minima)
     sh = (
         df.select(
             F.col(id_col).alias("doc"),
-            F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"),
-        )
+            F.explode_outer(shingles_expr(F.col(text_col), n)).alias("shingle"),
+        ).filter(F.col("shingle").isNotNull())
     )
     sh = sh.persist()  # consumed by sizes + both sides of the self-join
     sizes = sh.groupBy("doc").agg(F.count("*").alias("set_size"))
@@ -145,10 +148,16 @@ def minhash_signatures(
     ``num_hashes`` min() aggregates — a single shuffle whose width is the
     signature, independent of document length."""
     a, b = _minhash_params(num_hashes, seed)
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("shingle"),
-    ).withColumn("x", _token_int_expr(F.col("shingle")))
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode_outer(
+                shingles_expr(F.col(text_col), shingle_n)
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .withColumn("x", _token_int_expr(F.col("shingle")))
+    )
     aggs = [
         F.min((F.lit(int(a[i])) * F.col("x") + F.lit(int(b[i]))) % MERSENNE)
         .cast("long")
@@ -249,10 +258,14 @@ def simhash(
     """
     if bits > 32:
         raise ValueError("bits must be <= 32 (md5-derived 32-bit pattern)")
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(tokens_expr(F.col(text_col))).alias("tok"),
-    ).withColumn("x", _token_int32_expr(F.col("tok")))
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode_outer(tokens_expr(F.col(text_col))).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        .withColumn("x", _token_int32_expr(F.col("tok")))
+    )
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -444,37 +457,44 @@ def contamination(
     document.
 
     Returns one row per contaminated training document:
-    ``(id, n_shared, n_eval_docs, contamination)`` where ``n_shared``
-    counts the distinct shared minima, ``n_eval_docs`` the distinct eval
-    documents hit, and ``contamination`` = n_shared / |train doc minima|.
+    ``(id, n_shared, max_eval_df, contamination)`` where ``n_shared``
+    counts the distinct shared minima, ``contamination`` =
+    n_shared / |train doc minima|, and ``max_eval_df`` is the largest
+    per-minimum eval document frequency among the shared minima (1 means
+    every shared fingerprint is specific to a single eval doc — a strong
+    contamination signal; a high value means the overlap is boilerplate).
 
     Scale design: both sides reduce to their winnowing-minima inverted
     index (|minima| << |k-grams| — winnowing keeps ~1/w of positions,
-    distinct-collapsed), and the check is an equi-join on the minimum
-    hash followed by one groupBy(train id). Sub-quadratic: no document
-    ever meets a document it shares no fingerprint with. The eval side of
-    a real decontamination run is small (benchmarks), so Spark broadcasts
-    it and the train side never shuffles."""
+    distinct-collapsed), and the eval side COLLAPSES TO ONE ROW PER
+    DISTINCT MINIMUM (with its eval-doc count pre-aggregated) before the
+    join. That makes the join output at most |train minima| rows —
+    linear, never the train-count x eval-count cross product a
+    boilerplate-heavy minimum would otherwise produce (a shared
+    ubiquitous n-gram must not explode the pass; at web scale it
+    otherwise would, catastrophically). The collapsed eval index of a
+    real decontamination run (benchmark suites) is small, so Spark
+    broadcasts it and the train side never shuffles for the join."""
     from .text import winnow_minima
 
     t = winnow_minima(train_df, id_col, text_col, k, w).alias("t")
-    e = (
+    e_idx = (
         winnow_minima(eval_df, id_col, text_col, k, w)
-        .select(F.col(id_col).alias("_eval_id"), "wmin")
-        .alias("e")
+        .groupBy("wmin")
+        .agg(F.count("*").alias("_eval_df"))
     )
     sizes = t.groupBy(id_col).agg(F.count("*").alias("_n_minima"))
     hits = (
-        t.join(e, "wmin")
+        t.join(e_idx, "wmin")
         .groupBy(id_col)
         .agg(
-            F.countDistinct("wmin").alias("n_shared"),
-            F.countDistinct("_eval_id").alias("n_eval_docs"),
+            F.count("*").alias("n_shared"),
+            F.max("_eval_df").alias("max_eval_df"),
         )
     )
     return hits.join(sizes, id_col).select(
         id_col,
         "n_shared",
-        "n_eval_docs",
+        "max_eval_df",
         F.round(F.col("n_shared") / F.col("_n_minima"), 6).alias("contamination"),
     )

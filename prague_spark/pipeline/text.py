@@ -176,11 +176,18 @@ def winnow_minima(
     """Exploded winnowing minima: one row per (doc, distinct window-minimum
     hash). This is the inverted-index form of :func:`winnow_fingerprint` —
     the join key for cross-corpus contamination checks (see
-    ``prague_spark.pipeline.dedup.contamination``)."""
+    ``prague_spark.pipeline.dedup.contamination``).
+
+    ``explode_outer`` + null-filter instead of plain ``explode``: explode
+    emits an implicit ``size(arr) > 0`` predicate that Catalyst pushes
+    below the staged projections with the ENTIRE winnowing expression
+    re-inlined — evaluated interpretively per row, it made this path
+    ~130x slower (83s -> 0.6s at sf0.1). explode_outer emits no such
+    predicate, so the staged columns stay staged."""
     stage = _winnow_stage(df, text_col, k, w)
     return stage.select(
-        F.col(id_col), F.explode(F.col("_wset")).alias("wmin")
-    )
+        F.col(id_col), F.explode_outer(F.col("_wset")).alias("wmin")
+    ).filter(F.col("wmin").isNotNull())
 
 
 def winnow_fingerprint(

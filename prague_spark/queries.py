@@ -2583,17 +2583,16 @@ SQL_TEXT_DECONTAMINATE = """
     ), t AS (
         SELECT s.doc_id, s.wmin FROM sel s JOIN src USING (doc_id)
         WHERE src.source != 'src0'
-    ), e AS (
-        SELECT s.doc_id AS eval_id, s.wmin FROM sel s JOIN src USING (doc_id)
-        WHERE src.source = 'src0'
+    ), e_idx AS (
+        SELECT s.wmin, count(*) AS eval_df FROM sel s JOIN src USING (doc_id)
+        WHERE src.source = 'src0' GROUP BY s.wmin
     ), sizes AS (
         SELECT doc_id, count(*) AS n_minima FROM t GROUP BY doc_id
     ), hits AS (
-        SELECT t.doc_id, count(DISTINCT t.wmin) AS n_shared,
-               count(DISTINCT e.eval_id) AS n_eval_docs
-        FROM t JOIN e USING (wmin) GROUP BY t.doc_id
+        SELECT t.doc_id, count(*) AS n_shared, max(e.eval_df) AS max_eval_df
+        FROM t JOIN e_idx e USING (wmin) GROUP BY t.doc_id
     )
-    SELECT h.doc_id, h.n_shared, h.n_eval_docs,
+    SELECT h.doc_id, h.n_shared, h.max_eval_df,
            round(h.n_shared::DOUBLE / s.n_minima, 6) AS contamination
     FROM hits h JOIN sizes s USING (doc_id)
 """
