@@ -540,54 +540,152 @@ def fit_sparse(
     ydf = ydf2.select(F.col(row_col), *ycols).persist()
     n = ydf.count()
 
-    scales = sparse_scales(triplets, n, scale=scale,
+    raw = triplets.select(row_col, col_col, val_col)
+    scales = sparse_scales(raw, n, scale=scale,
                            row_col=row_col, col_col=col_col, val_col=val_col)
-    sdf = spark.createDataFrame(
-        [(int(k), float(v)) for k, v in scales.items()], f"{col_col} int, _s double"
-    )
-    trip = (
-        triplets.select(row_col, col_col, val_col)
-        .join(F.broadcast(sdf), col_col)
-        .withColumn(val_col, F.col(val_col) / F.col("_s"))
-        .drop("_s")
-        .persist()
-    )
-    trip.count()
+    # per-column scale vector (index 1.. = feature columns; 0 = intercept)
+    s_vec = np.ones(n_cols + 1)
+    for k_, v_ in scales.items():
+        s_vec[1 + int(k_)] = float(v_)
 
     icol = 1.0 / np.sqrt(n) if (intercept and scale == "l2") else 1.0
-    design = SparseLongDesign(trip, ydf, family, n_cols, n, icol, m=m,
-                              row_col=row_col, col_col=col_col, val_col=val_col)
 
-    # ONE setup pass: lambda_max cross-moments + column sums + per-column
-    # sum of squares (trace Lipschitz bound) ride the same aggregation
     xty = np.zeros((n_cols + 1, m))
     sums_x = np.zeros(n_cols + 1)
     col_sq = np.zeros(n_cols + 1)
-    for r in (
-        trip.join(ydf, row_col)
-        .groupBy(col_col)
-        .agg(
-            *[F.sum(F.col(val_col) * F.col(f"_y{t}")).alias(f"_xy{t}")
-              for t in range(m)],
-            F.sum(val_col).alias("_sx"),
-            F.sum(F.col(val_col) * F.col(val_col)).alias("_sq"),
+    sums_y = np.zeros(m)
+    yty = 0.0
+    gram = None
+    nnz_sq = None
+
+    def _pair_volume():
+        # self-join output size = sum over rows of nnz_row^2; measured
+        # once per design (the fits below reuse it)
+        return (
+            raw.groupBy(row_col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(F.sum(F.col("_c") * F.col("_c")))
+            .first()[0]
         )
-        .collect()
-    ):
-        for t in range(m):
-            xty[1 + int(r[col_col]), t] = float(r[f"_xy{t}"])
-        sums_x[1 + int(r[col_col])] = float(r["_sx"])
-        col_sq[1 + int(r[col_col])] = float(r["_sq"])
-    head = ydf.agg(
-        *[F.sum(f"_y{t}").alias(f"_sy{t}") for t in range(m)],
-        F.sum(F.col("_y0") * F.col("_y0")).alias("_yy"),
-    ).first()
-    sums_y = np.array([float(head[f"_sy{t}"]) for t in range(m)])
-    yty = float(head["_yy"])
-    xty[0, :] = icol * sums_y
-    sums_x[0] = n * icol
-    col_sq[0] = n * icol * icol
-    design.scans += 2
+
+    gram_route = family == "gaussian" and n_cols <= gram_limit and m == 1
+    if gram_route:
+        nnz_sq = _pair_volume()
+        gram_route = nnz_sq is not None and float(nnz_sq) <= PAIR_VOLUME_LIMIT
+
+    if gram_route:
+        # The gaussian Gram route never scans the data again after setup,
+        # so the scaled-triplet cache is never built: the self-join runs
+        # on the RAW triplets and the standardization is applied to the
+        # collected statistics driver-side (G /= s_i s_j). That removes
+        # the broadcast-join + persist materialization pass entirely.
+        trip = raw
+    else:
+        sdf = spark.createDataFrame(
+            [(int(k), float(v)) for k, v in scales.items()],
+            f"{col_col} int, _s double",
+        )
+        trip = (
+            raw.join(F.broadcast(sdf), col_col)
+            .withColumn(val_col, F.col(val_col) / F.col("_s"))
+            .drop("_s")
+            .persist()
+        )
+
+    design = SparseLongDesign(trip, ydf, family, n_cols, n, icol, m=m,
+                              row_col=row_col, col_col=col_col, val_col=val_col)
+    if nnz_sq is not None:
+        design.scans += 1
+
+    if gram_route:
+        # FUSED moments + Gram: extend the triplets with two pseudo-columns
+        # — an all-ones column (id 0) and the response (id 1); the single
+        # row_id self-join then yields EVERY setup statistic at once:
+        # (0,0) -> n, (0,c) -> column sums, (0,1) -> sum y, (1,1) -> y'y,
+        # (1,c) -> X'y, (c,c') -> X'X. One shuffle replaces the three
+        # separate moment/y/Gram passes (pair volume grows by (nnz+2)^2 -
+        # nnz^2 per row, covered by the same PAIR_VOLUME_LIMIT budget).
+        ext = (
+            raw.select(
+                F.col(row_col),
+                (F.col(col_col) + F.lit(2)).alias("_ec"),
+                F.col(val_col).alias("_ev"),
+            )
+            .unionByName(
+                ydf.select(
+                    F.col(row_col), F.lit(0).alias("_ec"),
+                    F.lit(1.0).alias("_ev"),
+                )
+            )
+            .unionByName(
+                ydf.select(
+                    F.col(row_col), F.lit(1).alias("_ec"),
+                    F.col("_y0").alias("_ev"),
+                )
+            )
+        )
+        a, b = ext.alias("_a"), ext.alias("_b")
+        G = np.zeros((n_cols + 1, n_cols + 1))
+        for r in (
+            a.join(b, F.col(f"_a.{row_col}") == F.col(f"_b.{row_col}"))
+            .filter(F.col("_a._ec") <= F.col("_b._ec"))
+            .groupBy(
+                F.col("_a._ec").alias("_ci"), F.col("_b._ec").alias("_cj")
+            )
+            .agg(F.sum(F.col("_a._ev") * F.col("_b._ev")).alias("_g"))
+            .collect()
+        ):
+            ci, cj, g = int(r["_ci"]), int(r["_cj"]), float(r["_g"])
+            if ci == 0 and cj == 0:
+                pass  # n, already known
+            elif ci == 0 and cj == 1:
+                sums_y[0] = g
+            elif ci == 0:
+                sums_x[cj - 1] = g / s_vec[cj - 1]
+            elif ci == 1 and cj == 1:
+                yty = g
+            elif ci == 1:
+                xty[cj - 1, 0] = g / s_vec[cj - 1]
+            else:
+                gs = g / (s_vec[ci - 1] * s_vec[cj - 1])
+                G[ci - 1, cj - 1] = G[cj - 1, ci - 1] = gs
+        col_sq[1:] = np.diag(G)[1:]
+        G[0, 0] = n * icol * icol
+        G[0, 1:] = icol * sums_x[1:]
+        G[1:, 0] = icol * sums_x[1:]
+        xty[0, 0] = icol * sums_y[0]
+        sums_x[0] = n * icol
+        col_sq[0] = n * icol * icol
+        gram = GramData(gram=G, xty=xty[:, 0].copy(), yty=yty, n=n)
+        design.scans += 1
+    else:
+        # ONE setup pass: lambda_max cross-moments + column sums + per-
+        # column sum of squares (trace Lipschitz bound) in one aggregation
+        for r in (
+            trip.join(ydf, row_col)
+            .groupBy(col_col)
+            .agg(
+                *[F.sum(F.col(val_col) * F.col(f"_y{t}")).alias(f"_xy{t}")
+                  for t in range(m)],
+                F.sum(val_col).alias("_sx"),
+                F.sum(F.col(val_col) * F.col(val_col)).alias("_sq"),
+            )
+            .collect()
+        ):
+            for t in range(m):
+                xty[1 + int(r[col_col]), t] = float(r[f"_xy{t}"])
+            sums_x[1 + int(r[col_col])] = float(r["_sx"])
+            col_sq[1 + int(r[col_col])] = float(r["_sq"])
+        head = ydf.agg(
+            *[F.sum(f"_y{t}").alias(f"_sy{t}") for t in range(m)],
+            F.sum(F.col("_y0") * F.col("_y0")).alias("_yy"),
+        ).first()
+        sums_y = np.array([float(head[f"_sy{t}"]) for t in range(m)])
+        yty = float(head["_yy"])
+        xty[0, :] = icol * sums_y
+        sums_x[0] = n * icol
+        col_sq[0] = n * icol * icol
+        design.scans += 2
     lambda_max = _lambda_max_from_stats(
         family, xty, sums_x, sums_y, n, intercept=True
     )
@@ -602,46 +700,6 @@ def fit_sparse(
         sig = np.atleast_1d(np.asarray(sigma, dtype=np.float64))
         lm_sorted = np.sort(np.abs(lambda_max))[::-1]
         sigma_max = float(np.max(np.cumsum(lm_sorted) / np.cumsum(lam)))
-
-    # ---- gaussian Gram fast path: one self-join, then a zero-scan path --
-    gram = None
-    nnz_sq = None
-
-    def _pair_volume():
-        # self-join output size = sum over rows of nnz_row^2; measured
-        # once per design (the fits below reuse it)
-        return (
-            trip.groupBy(row_col)
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .agg(F.sum(F.col("_c") * F.col("_c")))
-            .first()[0]
-        )
-
-    if family == "gaussian" and n_cols <= gram_limit:
-        nnz_sq = _pair_volume()
-        design.scans += 1
-        if nnz_sq is not None and float(nnz_sq) <= PAIR_VOLUME_LIMIT:
-            a, b = trip.alias("_a"), trip.alias("_b")
-            G = np.zeros((n_cols + 1, n_cols + 1))
-            for r in (
-                a.join(b, F.col(f"_a.{row_col}") == F.col(f"_b.{row_col}"))
-                .filter(F.col(f"_a.{col_col}") <= F.col(f"_b.{col_col}"))
-                .groupBy(
-                    F.col(f"_a.{col_col}").alias("_ci"),
-                    F.col(f"_b.{col_col}").alias("_cj"),
-                )
-                .agg(
-                    F.sum(F.col(f"_a.{val_col}") * F.col(f"_b.{val_col}")).alias("_g")
-                )
-                .collect()
-            ):
-                i, j = 1 + int(r["_ci"]), 1 + int(r["_cj"])
-                G[i, j] = G[j, i] = float(r["_g"])
-            G[0, 0] = n * icol * icol
-            G[0, 1:] = icol * sums_x[1:]
-            G[1:, 0] = icol * sums_x[1:]
-            gram = GramData(gram=G, xty=xty[:, 0].copy(), yty=yty, n=n)
-            design.scans += 1
 
     # fixed Lipschitz step from the trace bound (no extra scan); poisson
     # has no global bound and keeps the backtracking line search
