@@ -199,7 +199,24 @@ class SparkGlmDesign:
         if self._lgamma_const is None:
             from ..core.families import Poisson
 
-            rows = self.df.groupBy(self.y_col).count().collect()
+            # count responses have few distinct values, so this collect is
+            # O(distinct y). The limit guards against a continuous-valued
+            # response (distinct ~ n) silently OOMing the driver — same
+            # guard as the sparse design (ops/sparse.py SparseLongDesign).
+            max_distinct = 1_000_000
+            rows = (
+                self.df.groupBy(self.y_col)
+                .count()
+                .limit(max_distinct + 1)
+                .collect()
+            )
+            if len(rows) > max_distinct:
+                raise ValueError(
+                    "poisson fit: response has more than "
+                    f"{max_distinct} distinct values — not a count "
+                    "response; the lgamma(y+1) constant cannot be set up "
+                    "driver-side"
+                )
             ys = np.array([float(r[self.y_col]) for r in rows])
             cts = np.array([float(r["count"]) for r in rows])
             self._lgamma_const = float(np.sum(cts * Poisson._lgamma1p(ys)))

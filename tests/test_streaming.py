@@ -195,3 +195,67 @@ def test_sessionize_stream_matches_batch(spark, events_stream_dir):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_streaming_minhash_matches_batch(spark, sf_dir):
+    """The stateless minhash projection on a stream must produce the
+    exact signatures of the batch explode+groupBy implementation."""
+    from prague_spark.pipeline.dedup import minhash_signatures
+    from prague_spark.streaming.dedup import minhash_signatures_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = tempfile.mkdtemp(prefix="prague_mh_stream_")
+    docs.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    out = minhash_signatures_stream(stream, "doc_id", "text", num_hashes=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mh_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["doc_id"]: list(r["signature"])
+        for r in spark.sql("SELECT * FROM mh_stream").collect()
+    }
+    want = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(docs, "doc_id", "text", num_hashes=8,
+                                    shingle_n=1).collect()
+    }
+    assert got == want
+
+
+def test_streaming_exact_dedup_bounded_state(spark):
+    """dropDuplicatesWithinWatermark on the content hash: duplicates
+    inside the watermark horizon are dropped; each distinct text is
+    emitted exactly once when all data is within the horizon."""
+    from prague_spark.streaming.dedup import exact_dedup_stream
+
+    rows = [
+        (1, "alpha beta", "2024-01-01 00:00:00"),
+        (2, "alpha beta", "2024-01-01 00:00:30"),   # dup within horizon
+        (3, "gamma delta", "2024-01-01 00:01:00"),
+        (4, "alpha beta", "2024-01-01 00:01:30"),   # dup within horizon
+        (5, "gamma delta", "2024-01-01 00:02:00"),  # dup within horizon
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = tempfile.mkdtemp(prefix="prague_dedup_stream_")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    out = exact_dedup_stream(stream, "text", "ts", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.sql("SELECT text FROM dedup_stream").collect()
+    texts = sorted(r["text"] for r in got)
+    assert texts == ["alpha beta", "gamma delta"]
