@@ -1,5 +1,8 @@
 """Generate PLANS.md: physical-plan audit of every registry query."""
 import re
+import sys
+
+sys.path.insert(0, "/root/repo")
 
 import prague_spark as ps
 from prague_spark import queries as Q
@@ -31,15 +34,18 @@ for name in sorted(Q.QUERIES):
 with open("/root/repo/PLANS.md", "w") as f:
     f.write("""# PLANS — physical-plan audit of the query registry
 
-Generated against sf0.001 (`python /tmp/gen_plans.py`; plan *shape* is
+Generated against sf0.001 (`python tools/gen_plans.py`; plan *shape* is
 scale-independent). Columns: shuffle Exchanges (excl. broadcast),
 BroadcastExchanges, WholeStageCodegen spans, Arrow/Pandas python stages,
 and the widest parquet ReadSchema the query touches (column-pruning
 check — lineitem has 16 columns, documents 3, events 6).
 
 Driver-side fit/CV queries show the *final output* plan; their data-plane
-passes (Gram / gradient aggregations) are mapInArrow partial aggregations
-over a cached projection, by construction one scan each.
+passes (Gram / gradient / Hessian aggregations) are, for small p*m, ONE
+whole-stage-codegen SQL aggregate per solver evaluation (SparkGlmDesign's
+JVM route — no Python workers in the scan) and, for wide designs,
+mapInArrow partial aggregations over a cached projection — by
+construction one scan each either way.
 
 | query | shuffles | broadcasts | codegen spans | py stages | widest read |
 |---|---|---|---|---|---|
