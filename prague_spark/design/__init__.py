@@ -361,8 +361,14 @@ class SparkGlmDesign:
 
     def _scan(self, beta, need_grad: bool, need_hess: bool = False):
         pm_act = self.p * self.m
-        if pm_act <= self.JVM_GRAD_PM_LIMIT and (
-            not need_hess or pm_act <= self.JVM_HESS_PM_LIMIT
+        if (
+            pm_act <= self.JVM_GRAD_PM_LIMIT
+            and (not need_hess or pm_act <= self.JVM_HESS_PM_LIMIT)
+            # a non-finite iterate (diverged line-search probe) would
+            # render as 'infD'/'nanD' in the SQL text and raise a
+            # ParseException; the Arrow route propagates NaN through the
+            # NumPy math instead, which the solvers reject gracefully
+            and np.isfinite(np.asarray(beta, dtype=np.float64)).all()
         ):
             return self._scan_jvm(beta, need_grad, need_hess)
         return self._scan_arrow(beta, need_grad, need_hess)

@@ -87,17 +87,21 @@ def _collect_raw_xy(df, features, label: str, family: str):
 
 
 def _local_raw_setup(X: np.ndarray, Y: np.ndarray, fam) -> dict:
-    """Driver-side NumPy equivalent of ``glm_setup_pass`` over already
-    collected raw arrays (same dict contract, xtx omitted — the in-core
-    solvers use backtracking line search, not the global Lipschitz bound)."""
+    """Driver-side NumPy stand-in for ``glm_setup_pass`` over already
+    collected raw arrays (same dict keys). Only the standardizer inputs
+    (column sums / sums of squares / n) are materialized: the in-core
+    route always builds a LocalDesign, so the cross-moment consumers of
+    the Spark-produced dict (``_std_setup_from_raw``, the Gram branch)
+    are unreachable here — computing X'Y and the null primal would be a
+    wasted full design evaluation per fit."""
     return dict(
         xtx=None,
-        xty=X.T @ Y,
+        xty=None,
         sums_x=X.sum(axis=0),
         sumsq_x=(X * X).sum(axis=0),
-        sums_y=Y.sum(axis=0),
-        sumsq_y=(Y * Y).sum(axis=0),
-        primal0=float(fam.primal(Y, np.zeros_like(Y))),
+        sums_y=None,
+        sumsq_y=None,
+        primal0=None,
         n=int(X.shape[0]),
     )
 
@@ -287,10 +291,23 @@ def fit(
         and not gram_route
         and solver in ("auto", "incore")
     ):
-        n_cheap = df.count()
-        if solver == "incore" or n_cheap * p_total * 8 <= incore_limit:
+        if solver == "incore":
+            n_cheap = None  # explicit route: no probe needed, count after
+            fits_incore = True
+        else:
+            # bounded probe, NOT a full count: scan at most cap+1 rows to
+            # learn whether the design fits the in-core budget. A full
+            # df.count() would add one whole pass to every LARGE
+            # distributed fit just to discover it is large (the
+            # distributed setup scan supplies n anyway).
+            cap = max(int(incore_limit // max(p_total * 8, 1)), 1)
+            n_cheap = df.limit(cap + 1).count()
+            fits_incore = n_cheap <= cap
+        if fits_incore:
             X_raw, y_vals = _collect_raw_xy(df, features, label, family)
             rinfo, Y_raw = preprocess_response_local(y_vals, family)
+            if n_cheap is None:
+                n_cheap = int(X_raw.shape[0])
             if (
                 solver == "auto"
                 and n_cheap * p_total * 8 * max(rinfo.n_targets, 1) > incore_limit

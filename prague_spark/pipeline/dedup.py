@@ -387,6 +387,12 @@ def connected_components(
         return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
 
     def _ckpt(df):
+        # id-diff attribution assumes no concurrent thread persists RDDs
+        # in the same SparkContext during the (synchronous, eager)
+        # checkpoint call — a foreign id landing in the window would be
+        # freed with this generation. Acceptable for a batch operator;
+        # callers running CC concurrently with other cached work should
+        # serialize it.
         before = _live_ids()
         out = df.localCheckpoint(eager=True)
         return out, _live_ids() - before
@@ -438,6 +444,12 @@ def connected_components(
                 "silently"
             )
         return labels
+    except Exception:
+        # nothing is returned on an error path (non-convergence included),
+        # so the live generation's checkpoint blocks would leak for the
+        # rest of the session — free them before re-raising
+        _free(labels_ids)
+        raise
     finally:
         edges.unpersist()
 
@@ -477,7 +489,10 @@ def contamination(
     broadcasts it and the train side never shuffles for the join."""
     from .text import winnow_minima
 
-    t = winnow_minima(train_df, id_col, text_col, k, w).alias("t")
+    # persisted: consumed by BOTH the per-doc sizes aggregation and the
+    # hits join — without it the O(len*w) md5 winnowing scan of the whole
+    # training corpus runs twice (same pattern as ngram_jaccard_pairs)
+    t = winnow_minima(train_df, id_col, text_col, k, w).alias("t").persist()
     e_idx = (
         winnow_minima(eval_df, id_col, text_col, k, w)
         .groupBy("wmin")

@@ -43,3 +43,26 @@ def stratified_sample(
     return df.withColumn("_u", hash_unit(id_col)).filter(
         F.col("_u") < frac
     ).drop("_u")
+
+
+def stratified_topk(
+    df: DataFrame, id_col: str, strata_col: str, k: int
+) -> DataFrame:
+    """EXACTLY k rows per stratum (fewer if the stratum is smaller),
+    selected as the k smallest id-hashes — the deterministic way to carve
+    a fixed-size eval set per language/source: membership is stable under
+    reruns and ingestion order, and adding documents later only evicts
+    the largest-hash members.
+
+    One shuffle (window partitioned by stratum). A pathologically large
+    stratum makes its sort the straggler; for fraction-style downsampling
+    at that scale use :func:`stratified_sample`, which is shuffle-free."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy("_u", id_col)
+    return (
+        df.withColumn("_u", hash_unit(id_col))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_u", "_rk")
+    )

@@ -72,10 +72,15 @@ def minhash_signatures_stream(
     seed: int = 42,
 ) -> DataFrame:
     """Per-document MinHash signatures on a stream (stateless projection;
-    see minhash_signature_expr)."""
-    return stream_df.select(
+    see minhash_signature_expr). Token-less documents (null/empty/
+    whitespace-only text) are dropped, matching the batch
+    ``pipeline.dedup.minhash_signatures`` — without the filter their
+    all-NULL signatures would collide into one giant bogus LSH bucket
+    downstream."""
+    out = stream_df.select(
         F.col(id_col),
         minhash_signature_expr(
             F.col(text_col), num_hashes=num_hashes, seed=seed
         ).alias("signature"),
     )
+    return out.filter(F.col("signature")[0].isNotNull())

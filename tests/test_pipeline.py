@@ -372,3 +372,28 @@ def test_stratified_sample_deterministic_and_calibrated(docs):
     if base.get("en", 0) >= 50:
         frac_en = counts.get("en", 0) / base["en"]
         assert 0.3 < frac_en < 0.7
+
+
+def test_stratified_topk_matches_duckdb(docs, sf_dir):
+    from prague_spark.pipeline.sample import stratified_topk
+
+    got = sorted(
+        (r["lang"], r["doc_id"])
+        for r in stratified_topk(docs, "doc_id", "lang", 5)
+        .select("lang", "doc_id").collect()
+    )
+    want = sorted(
+        (lang, doc_id)
+        for lang, doc_id in duckdb.sql(f"""
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                                    / 4294967296.0, doc_id
+                       ) AS rk
+                FROM '{sf_dir}/documents.parquet'
+            ) WHERE rk <= 5
+        """).fetchall()
+    )
+    assert got == want and len(got) == 25  # 5 langs x 5

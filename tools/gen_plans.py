@@ -1,8 +1,10 @@
 """Generate PLANS.md: physical-plan audit of every registry query."""
 import re
 import sys
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 
 import prague_spark as ps
 from prague_spark import queries as Q
@@ -31,7 +33,7 @@ for name in sorted(Q.QUERIES):
     except Exception as e:
         rows.append((name, "-", "-", "-", "-", f"err: {str(e)[:40]}"))
 
-with open("/root/repo/PLANS.md", "w") as f:
+with open(REPO / "PLANS.md", "w") as f:
     f.write("""# PLANS — physical-plan audit of the query registry
 
 Generated against sf0.001 (`python tools/gen_plans.py`; plan *shape* is
