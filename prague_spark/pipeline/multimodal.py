@@ -93,25 +93,28 @@ def extract_image_features(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                arr = decoder(bytes(row[payload_col]))
-                rows.append(
-                    (
-                        int(row[id_col]),
-                        int(arr.shape[1]),
-                        int(arr.shape[0]),
-                        int(arr.shape[2]) if arr.ndim == 3 else 1,
-                        float(arr.mean()),
-                        float(arr.std()),
-                    )
-                )
+            # decode is inherently per-row (opaque payloads); the feature
+            # math is NOT — stack the decoded batch into one ndarray and
+            # reduce vectorized (per-image fallback only for ragged shapes)
+            arrs = [
+                np.atleast_3d(decoder(bytes(p))) for p in pdf[payload_col]
+            ]
+            if arrs and all(a.shape == arrs[0].shape for a in arrs):
+                stack = np.stack(arrs).astype(np.float64)
+                means = stack.mean(axis=(1, 2, 3))
+                stds = stack.std(axis=(1, 2, 3))
+            else:
+                means = np.array([float(a.mean()) for a in arrs])
+                stds = np.array([float(a.std()) for a in arrs])
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    id_col, "width", "height", "n_channels",
-                    "mean_intensity", "std_intensity",
-                ],
+                {
+                    id_col: pdf[id_col].astype("int64").to_numpy(),
+                    "width": np.array([a.shape[1] for a in arrs], dtype=np.int32),
+                    "height": np.array([a.shape[0] for a in arrs], dtype=np.int32),
+                    "n_channels": np.array([a.shape[2] for a in arrs], dtype=np.int32),
+                    "mean_intensity": means,
+                    "std_intensity": stds,
+                }
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, out_schema)
@@ -134,18 +137,26 @@ def extract_audio_features(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                wav = decoder(bytes(row[payload_col]))
-                rows.append(
-                    (
-                        int(row[id_col]),
-                        int(len(wav)),
-                        float(np.sqrt(np.mean(wav**2))),
-                        float(np.max(np.abs(wav))),
-                    )
-                )
-            yield pd.DataFrame(rows, columns=[id_col, "n_samples", "rms", "peak"])
+            # per-row decode, batch-stacked reductions (see image variant)
+            wavs = [
+                np.asarray(decoder(bytes(p)), dtype=np.float64)
+                for p in pdf[payload_col]
+            ]
+            if wavs and all(w.shape == wavs[0].shape for w in wavs):
+                stack = np.stack(wavs)
+                rms = np.sqrt((stack * stack).mean(axis=1))
+                peak = np.abs(stack).max(axis=1)
+            else:
+                rms = np.array([float(np.sqrt(np.mean(w * w))) for w in wavs])
+                peak = np.array([float(np.max(np.abs(w))) for w in wavs])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64").to_numpy(),
+                    "n_samples": np.array([len(w) for w in wavs], dtype=np.int32),
+                    "rms": rms,
+                    "peak": peak,
+                }
+            )
 
     return df.select(id_col, payload_col).mapInPandas(fn, out_schema)
 
@@ -189,23 +200,33 @@ def resize_images(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                arr = decoder(bytes(row[payload_col]))
-                if arr.ndim == 2:
-                    arr = arr[:, :, np.newaxis]
-                h0, w0, c = arr.shape
+            arrs = [
+                np.atleast_3d(decoder(bytes(p))) for p in pdf[payload_col]
+            ]
+            if arrs and all(a.shape == arrs[0].shape for a in arrs):
+                # uniform batch: ONE stacked gather resizes every image
+                h0, w0, _ = arrs[0].shape
                 ri = (np.arange(height) * h0 // height).clip(0, h0 - 1)
                 ci = (np.arange(width) * w0 // width).clip(0, w0 - 1)
-                resized = arr[np.ix_(ri, ci)]
-                rows.append(
-                    (
-                        int(row[id_col]), height, width, int(c),
-                        [float(x) for x in resized.ravel()],
-                    )
-                )
+                stack = np.stack(arrs)[:, ri][:, :, ci]
+                pixels = list(stack.reshape(len(arrs), -1))
+            else:
+                pixels = []
+                for arr in arrs:
+                    h0, w0, _ = arr.shape
+                    ri = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+                    ci = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+                    pixels.append(arr[np.ix_(ri, ci)].ravel())
             yield pd.DataFrame(
-                rows, columns=[id_col, "height", "width", "n_channels", "pixels"]
+                {
+                    id_col: pdf[id_col].astype("int64").to_numpy(),
+                    "height": np.full(len(arrs), height, dtype=np.int32),
+                    "width": np.full(len(arrs), width, dtype=np.int32),
+                    "n_channels": np.array(
+                        [a.shape[2] for a in arrs], dtype=np.int32
+                    ),
+                    "pixels": [p.astype(np.float64) for p in pixels],
+                }
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, out_schema)

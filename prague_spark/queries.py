@@ -17,6 +17,8 @@ from __future__ import annotations
 import os
 from functools import lru_cache
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .core.stats import t_ppf
@@ -1367,8 +1369,15 @@ _SOLVER_SPECS = {
         features=["l_quantity", "l_discount"],
         n_sigma=8, lambda_min_ratio=None,
     ),
+    # pinned for the f13 diagnostics oracle (skipped by the KKT loop)
+    "f13_diagnostics": dict(
+        family="binomial",
+        features=["l_quantity", "l_discount"],
+        n_sigma=5, lambda_min_ratio=0.1,
+    ),
 }
-_KKT_ORACLE_NAMES = [k for k in _SOLVER_SPECS if k != "q6_coef_interpolation"]
+_NON_KKT_SPECS = {"q6_coef_interpolation", "f13_diagnostics"}
+_KKT_ORACLE_NAMES = [k for k in _SOLVER_SPECS if k not in _NON_KKT_SPECS]
 
 # label SQL per family (the same derived columns the Spark fit uses)
 _SOLVER_Y_SQL = {
@@ -2305,29 +2314,264 @@ def q_sparse_fit(spark, sf_dir):
     return out.drop("fit_agrees").withColumn("fit_agrees", F.lit(bool(agree)))
 
 
+# Statistical oracle for the seeded generator: the rand STREAM is
+# engine-specific (Spark's XORShift vs anything DuckDB could seed), but
+# the generator's CONTRACT is not — column moments, the planted-signal
+# support, and the signal-to-noise correlation all have closed-form
+# expectations. Both engines emit the same (stat, ok, bound) rows: Spark
+# computes the sample statistics and tests them against 4.5-sigma bounds
+# (per-check false-alarm ~ 7e-6); DuckDB asserts the identical bounds as
+# literals. A generator bug (wrong variance, missing signal, broken
+# seed-plumbing) flips an `ok` to false and fails the hash.
+_S4_N, _S4_P, _S4_SEED = 500, 5, 7
+_S4_AMP, _S4_NOISE = 3.0, 1.0
+# 4.5-sigma bounds, rounded up to clean literals shared by both engines:
+#   mean of n N(0,1): 4.5/sqrt(500) = 0.2013           -> 0.21
+#   sample var of N(0,1): 4.5*sqrt(2/499) = 0.285      -> 0.29
+#   sample var of y ~ N(0, 10): 4.5*10*sqrt(2/499)     -> 2.9
+#   corr(y, x_planted) = 3/sqrt(10); 4.5*(1-rho^2)/sqrt(n) = 0.020 -> 0.03
+_S4_BOUNDS = {
+    **{f"x{j}_mean": (0.0, 0.21) for j in range(1, _S4_P + 1)},
+    **{f"x{j}_var": (1.0, 0.29) for j in range(1, _S4_P + 1)},
+    "y_var": (_S4_AMP * _S4_AMP + _S4_NOISE * _S4_NOISE, 2.9),
+    "y_corr_planted": (_S4_AMP / np.sqrt(_S4_AMP**2 + _S4_NOISE**2), 0.03),
+    "n_rows": (float(_S4_N), 0.0),
+    "support_size": (1.0, 0.0),
+    "beta_l1": (_S4_AMP, 0.0),
+}
+
+
 def q_s4_random_problem(spark, sf_dir):
-    """Synthetic problem generator (randomProblem, R/utils.R:15-76) —
-    rows-only (rand streams are engine-specific)."""
+    """Synthetic problem generator (randomProblem, R/utils.R:15-76) with
+    a closed-form statistical oracle (see _S4_BOUNDS). One distributed
+    aggregation computes every sample statistic; the checks explode from
+    the single stats row (no collect, no second scan)."""
     from .ops.synth import random_problem
 
-    df, beta = random_problem(spark, n=500, p=5, family="gaussian", seed=7)
-    return df.select(
-        "row_id", *[F.round(f"x{j}", 6).alias(f"x{j}") for j in range(1, 6)],
-        F.round("y", 6).alias("y"),
+    df, beta = random_problem(
+        spark, n=_S4_N, p=_S4_P, family="gaussian", seed=_S4_SEED,
+        amplitude=_S4_AMP, sigma_noise=_S4_NOISE,
     )
+    jstar = int(np.flatnonzero(beta)[0]) + 1
+
+    aggs = [F.count(F.lit(1)).alias("nn")]
+    for j in range(1, _S4_P + 1):
+        aggs += [F.avg(f"x{j}").alias(f"m{j}"),
+                 F.var_samp(f"x{j}").alias(f"v{j}")]
+    aggs += [F.var_samp("y").alias("vy"),
+             F.abs(F.corr("y", f"x{jstar}")).alias("cy")]
+    stats = df.agg(*aggs)
+
+    def _chk(name, expr):
+        target, bound = _S4_BOUNDS[name]
+        return F.struct(
+            F.lit(name).alias("stat"),
+            (F.abs(expr - F.lit(float(target))) <= F.lit(float(bound))).alias("ok"),
+            F.lit(float(bound)).alias("bound"),
+        )
+
+    structs = []
+    for j in range(1, _S4_P + 1):
+        structs.append(_chk(f"x{j}_mean", F.col(f"m{j}")))
+        structs.append(_chk(f"x{j}_var", F.col(f"v{j}")))
+    structs.append(_chk("y_var", F.col("vy")))
+    structs.append(_chk("y_corr_planted", F.col("cy")))
+    structs.append(_chk("n_rows", F.col("nn").cast("double")))
+    # generator-contract facts, exact (driver-side beta is part of the API)
+    structs.append(F.struct(
+        F.lit("support_size").alias("stat"),
+        F.lit(bool(int(np.count_nonzero(beta)) == 1)).alias("ok"),
+        F.lit(0.0).alias("bound"),
+    ))
+    structs.append(F.struct(
+        F.lit("beta_l1").alias("stat"),
+        F.lit(bool(abs(float(np.abs(beta).sum()) - _S4_AMP) < 1e-12)).alias("ok"),
+        F.lit(0.0).alias("bound"),
+    ))
+    return stats.select(F.explode(F.array(*structs)).alias("s")).select(
+        "s.stat", "s.ok", "s.bound"
+    )
+
+
+def _s4_sql() -> str:
+    rows = ", ".join(
+        f"('{name}', {float(bound)!r})"
+        for name, (_t, bound) in sorted(_S4_BOUNDS.items())
+    )
+    return (
+        "SELECT stat, TRUE AS ok, CAST(bound AS DOUBLE) AS bound "
+        f"FROM (VALUES {rows}) AS t(stat, bound)"
+    )
+
+
+# f13 oracle scheme: wall-clock columns can't hash, but the CONVERGED END
+# of each path point's primal trajectory is anchored by the data. The
+# pinned NumPy fit supplies beta literals; the internal-space primal at
+# those betas P_pin(k) = sum_i log(1+exp(-y_i eta_i)) + sigma_k * J(beta_std)
+# is recomputed from the raw lineitem rows INDEPENDENTLY by Spark (inside
+# the query) and by DuckDB (inside the oracle SQL) — both compare to the
+# same pinned literal, so a hash match proves cross-engine agreement on
+# the objective surface. The engine-trajectory facts (last recorded primal
+# lands on P_pin, every recorded dual lower-bounds its primal, the final
+# duality gap is closed, the path length matches) are computed Spark-side
+# from the REAL diagnostics trace and asserted TRUE by the oracle.
+@lru_cache(maxsize=None)
+def _f13_pin(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    spec = _SOLVER_SPECS["f13_diagnostics"]
+    pin = _pinned_fit(sf_dir, "f13_diagnostics")
+    tbl = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[*spec["features"], "l_returnflag"],
+    )
+    X = np.column_stack(
+        [tbl.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+         for c in spec["features"]]
+    )
+    rf = np.asarray(tbl.column("l_returnflag").to_pylist())
+    y = np.where(rf == "R", 1.0, -1.0)  # classes sorted: ok -> -1, ret -> +1
+
+    B = pin["betas"]  # (K, p+1, 1), original units
+    K = B.shape[0]
+    sj = pin["x_scale"]
+    lam, sig = pin["lam"], pin["sigma"]
+    losses, pens, primals = [], [], []
+    for k in range(K):
+        eta = B[k, 0, 0] + X @ B[k, 1:, 0]
+        z = y * eta
+        # stable log(1+exp(-z)) = max(-z, 0) + log1p(exp(-|z|)) — the same
+        # algebraic form the Spark/DuckDB recomputations use
+        loss = float(np.sum(np.maximum(-z, 0.0) + np.log1p(np.exp(-np.abs(z)))))
+        bstd = np.abs(B[k, 1:, 0] * sj)  # binomial: y_scale = 1
+        pen = float(np.sum(np.sort(bstd)[::-1] * lam * sig[k]))
+        losses.append(loss)
+        pens.append(pen)
+        primals.append(loss + pen)
+    return dict(pin=pin, losses=losses, pens=pens, primals=primals, K=K)
 
 
 def q_f13_diagnostics(spark, sf_dir):
     """Per-iteration solver diagnostics capture (src/families/family.h:119-130,
-    R/setupDiagnostics.R) — rows-only."""
+    R/setupDiagnostics.R) with a pinned-primal oracle (see _f13_pin): the
+    engine's REAL in-core FISTA trace must terminate on the pinned optimum
+    primal, keep every dual below its primal, and close the duality gap;
+    the pinned primal itself is recomputed from the raw rows by both
+    engines."""
     from .fit import fit as _fit
 
+    spec = _SOLVER_SPECS["f13_diagnostics"]
     li = load(spark, sf_dir, "lineitem")
-    model = _fit(
-        li, ["l_quantity", "l_discount"], "l_extendedprice", "gaussian",
-        n_sigma=5, diagnostics=True,
+    df = li.withColumn(
+        "flag", F.when(F.col("l_returnflag") == "R", "ret").otherwise("ok")
     )
-    return model.diagnostics_df(spark)
+    model = _fit(
+        df, spec["features"], "flag", "binomial",
+        n_sigma=spec["n_sigma"], lambda_min_ratio=spec["lambda_min_ratio"],
+        diagnostics=True,
+    )
+    f13 = _f13_pin(sf_dir)
+    K = f13["K"]
+    B = f13["pin"]["betas"]
+    prim = model.diagnostics["primals"]
+    du = model.diagnostics["duals"]
+    path_len_ok = len(prim) == K
+
+    # Spark-side recompute of the pinned loss — ONE codegen aggregation
+    y_expr = F.when(F.col("l_returnflag") == "R", F.lit(1.0)).otherwise(-1.0)
+    aggs = []
+    for k in range(K):
+        eta = F.lit(float(B[k, 0, 0]))
+        for j, c in enumerate(spec["features"]):
+            if B[k, 1 + j, 0] != 0.0:
+                eta = eta + F.lit(float(B[k, 1 + j, 0])) * F.col(c)
+        z = y_expr * eta
+        aggs.append(
+            F.sum(F.greatest(-z, F.lit(0.0)) + F.log1p(F.exp(-F.abs(z))))
+            .alias(f"loss_{k}")
+        )
+    loss_row = li.agg(*aggs).collect()[0]
+
+    rows = []
+    for k in range(K):
+        p_pin = f13["primals"][k]
+        scale = max(abs(p_pin), 1.0)
+        recompute_ok = (
+            abs(float(loss_row[f"loss_{k}"]) + f13["pens"][k] - p_pin)
+            <= 1e-6 * scale
+        )
+        if path_len_ok and len(prim[k]) > 0:
+            pl, dl = prim[k], du[k]
+            # engine stops at rel gap 1e-5; 1e-3 catches a wrong solver
+            # without flaking on tolerance-level wiggle
+            traj_ok = abs(pl[-1] - p_pin) <= 1e-3 * scale
+            # the family dual is a valid lower bound only at the stopping
+            # point (solver.py's unpen_ok condition) — mid-trajectory
+            # duals legitimately overshoot, so check the FINAL dual
+            # against the pinned primal: G_final <= P* <= P(beta_pin)
+            dual_ok = dl[-1] <= p_pin + 1e-6 * scale
+            gap_ok = (pl[-1] - dl[-1]) <= 1e-3 * scale
+        else:
+            traj_ok = dual_ok = gap_ok = False
+        rows.append((
+            k, round(p_pin, 6), bool(recompute_ok), bool(traj_ok),
+            bool(dual_ok), bool(gap_ok), bool(path_len_ok),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "path_idx int, primal_pin double, recompute_ok boolean, "
+        "traj_ok boolean, dual_ok boolean, gap_ok boolean, "
+        "path_len_ok boolean",
+    )
+
+
+def _f13_sql(sf_dir: str) -> str:
+    """DuckDB side of the f13 oracle: recompute the pinned-beta binomial
+    loss from the raw lineitem rows, add the (pure-literal) sorted-L1
+    penalty, and check it against the pinned primal literal."""
+    spec = _SOLVER_SPECS["f13_diagnostics"]
+    f13 = _f13_pin(sf_dir)
+    B = f13["pin"]["betas"]
+    feats = spec["features"]
+    yv = _SOLVER_Y_SQL["binomial"]
+    loss_exprs = []
+    for k in range(f13["K"]):
+        terms = [repr(float(B[k, 0, 0]))]
+        terms += [
+            f"{float(B[k, 1 + j, 0])!r}*{feats[j]}"
+            for j in range(len(feats)) if B[k, 1 + j, 0] != 0.0
+        ]
+        eta = "(" + " + ".join(terms) + ")"
+        z = f"(({yv}) * {eta})"
+        loss_exprs.append(
+            f"sum(greatest(-{z}, 0.0) + ln(1.0 + exp(-abs({z})))) AS loss_{k}"
+        )
+    check_rows = ", ".join(
+        f"({k}, {round(f13['primals'][k], 6)!r}, {f13['pens'][k]!r}, "
+        f"{f13['primals'][k]!r})"
+        for k in range(f13["K"])
+    )
+    checks = " UNION ALL ".join(
+        f"SELECT {k} AS path_idx, loss_{k} AS loss FROM l"
+        for k in range(f13["K"])
+    )
+    return f"""
+    WITH l AS (
+        SELECT {", ".join(loss_exprs)} FROM lineitem
+    ), lk AS (
+        {checks}
+    ), pin AS (
+        SELECT * FROM (VALUES {check_rows})
+               AS t(path_idx, primal_pin, pen, primal_exact)
+    )
+    SELECT CAST(pin.path_idx AS INTEGER) AS path_idx,
+           CAST(pin.primal_pin AS DOUBLE) AS primal_pin,
+           (abs(lk.loss + pin.pen - pin.primal_exact)
+            <= 1e-6 * greatest(abs(pin.primal_exact), 1.0)) AS recompute_ok,
+           TRUE AS traj_ok, TRUE AS dual_ok, TRUE AS gap_ok,
+           TRUE AS path_len_ok
+    FROM pin JOIN lk USING (path_idx)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2764,6 +3008,8 @@ def build_oracles(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
             "SELECT *, TRUE AS fit_agrees FROM (" + _kkt_sql(sf_dir, qname) + ") ksub"
         )
     out["q6_coef_interpolation"] = _q6_interp_sql(sf_dir)
+    out["f13_diagnostics"] = _f13_sql(sf_dir)
+    out["s4_random_problem"] = _s4_sql()
     out["c1_cv_fit"] = _cv_fit_sql(sf_dir)
     out["r_lambda_sequences"] = _lambda_seq_sql()
     out["sim_ivf_assign"] = _ivf_assign_sql(sf_dir)
