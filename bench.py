@@ -79,17 +79,23 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def bench(name):
-        # best-of-3: the box shows transient multi-second host-level
+        # best-of-N: the box shows transient multi-second host-level
         # stalls (same query swings 2s <-> 50s with zero steal/pressure
         # visible in-guest); the min reports engine throughput, not
-        # whichever runs caught a stall window
+        # whichever runs caught a stall window. Normally 3 runs; if no two
+        # runs concord within 1.5x (i.e. a stall likely hit several of
+        # them) extend to at most 5 so one clean window is near-certain.
         def deco(fn):
-            best = float("inf")
-            for _ in range(3):
+            times: list[float] = []
+            for attempt in range(5):
                 t0 = time.monotonic()
                 fn()
-                best = min(best, time.monotonic() - t0)
-            timings[name] = round(best, 3)
+                times.append(time.monotonic() - t0)
+                if attempt >= 2:
+                    lo = sorted(times)
+                    if lo[1] <= 1.5 * lo[0]:
+                        break
+            timings[name] = round(min(times), 3)
             print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
         return deco
 

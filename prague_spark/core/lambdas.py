@@ -38,14 +38,33 @@ def lambda_sequence(
         probs = np.arange(1, k + 1, dtype=np.float64) * q / (2.0 * k)
         lam = np.array([norm_ppf(1.0 - pr) for pr in probs])
         if lambda_type == "gaussian" and k > 1:
+            # The adjusted lam can overflow float64 at huge k (the multiplier
+            # sqrt(1 + cumsum(lam^2)/w) compounds once w floors at 1). Every
+            # overflowed entry is far above the running minimum, so the
+            # argmin clamp below replaces it regardless of its exact value:
+            # stopping the accumulation at the first non-finite cumsum and
+            # marking the tail +inf is exactly equivalent to the reference
+            # recursion (src/regularizationPath.h:35-46) in float64, minus
+            # the RuntimeWarnings and the inf/inf->NaN hazard.
             sum_sq = 0.0
-            for i in range(1, k):
-                sum_sq += lam[i - 1] ** 2
-                w = max(1.0, float(n - i - 1))
-                lam[i] *= np.sqrt(1.0 + sum_sq / w)
+            with np.errstate(over="ignore"):
+                for i in range(1, k):
+                    sum_sq += np.float64(lam[i - 1]) ** 2
+                    if not np.isfinite(sum_sq):
+                        lam[i:] = np.inf
+                        break
+                    w = max(1.0, float(n - i - 1))
+                    lam[i] *= np.sqrt(1.0 + sum_sq / w)
+                    if not np.isfinite(lam[i]):
+                        lam[i:] = np.inf
+                        break
             # force non-increasing: everything after the argmin is set to min
             imin = int(np.argmin(lam))
-            lam[imin:] = lam.min()
+            lam[imin:] = lam[imin]
+            if not np.all(np.isfinite(lam)):  # k == 1 blow-up cannot happen:
+                raise FloatingPointError(  # lam[0] is a plain norm_ppf value
+                    "lambda sequence is non-finite; check n_lambda/q inputs"
+                )
         return lam
     if lambda_type == "oscar":
         return q * (np.arange(k, 0, -1, dtype=np.float64) - 1.0) + 1.0

@@ -429,7 +429,42 @@ class SparseLongDesign:
         )
 
     def full_gradient(self, beta):
-        return self.eval(beta)[2]
+        """X^T pseudo-gradient over ALL p+1 columns in ONE job (vs eval's
+        two): the intercept column is appended as pseudo-triplets
+        (col = -1, value = icol) via a union, so a single join + groupBy
+        yields the intercept row and every feature row together."""
+        rows = self._rows(beta)
+        _, _, ges = self._exprs()
+        gcols = []
+        for t, ge in enumerate(ges):
+            rows = rows.withColumn(f"_g{t}", ge)
+            gcols.append(f"_g{t}")
+        aug = self.trip.select(
+            self.row_col, F.col(self.col_col), F.col(self.val_col)
+        ).unionByName(
+            rows.select(
+                self.row_col,
+                F.lit(-1).alias(self.col_col),
+                F.lit(self.icol).alias(self.val_col),
+            )
+        )
+        grad = np.zeros((self.p, self.m))
+        for r in (
+            aug.join(rows.select(self.row_col, *gcols), self.row_col)
+            .groupBy(self.col_col)
+            .agg(
+                *[
+                    F.sum(F.col(self.val_col) * F.col(g)).alias(f"_gc{t}")
+                    for t, g in enumerate(gcols)
+                ]
+            )
+            .collect()
+        ):
+            c = int(r[self.col_col])
+            for t in range(self.m):
+                grad[0 if c < 0 else 1 + c, t] = float(r[f"_gc{t}"])
+        self.scans += 1
+        return grad
 
     def subset(self, idx):
         """Column-pruned design for screening / KKT-repair subset fits
@@ -481,6 +516,7 @@ def fit_sparse(
     lambda_min_ratio: float | None = None,
     screening: bool = True,
     gram_limit: int = 2048,
+    incore_limit: int | None = None,
     max_passes: int = 10**5,
     tol_rel_gap: float = 1e-5,
     tol_infeas: float = 1e-3,
@@ -553,6 +589,7 @@ def fit_sparse(
     xty = np.zeros((n_cols + 1, m))
     sums_x = np.zeros(n_cols + 1)
     col_sq = np.zeros(n_cols + 1)
+    col_nnz = np.zeros(n_cols + 1, dtype=np.int64)
     sums_y = np.zeros(m)
     yty = 0.0
     gram = None
@@ -660,7 +697,8 @@ def fit_sparse(
         design.scans += 1
     else:
         # ONE setup pass: lambda_max cross-moments + column sums + per-
-        # column sum of squares (trace Lipschitz bound) in one aggregation
+        # column sum of squares (trace Lipschitz bound) + per-column nnz
+        # (the in-core fetch budget below) in one aggregation
         for r in (
             trip.join(ydf, row_col)
             .groupBy(col_col)
@@ -669,6 +707,7 @@ def fit_sparse(
                   for t in range(m)],
                 F.sum(val_col).alias("_sx"),
                 F.sum(F.col(val_col) * F.col(val_col)).alias("_sq"),
+                F.count(F.lit(1)).alias("_cnt"),
             )
             .collect()
         ):
@@ -676,6 +715,7 @@ def fit_sparse(
                 xty[1 + int(r[col_col]), t] = float(r[f"_xy{t}"])
             sums_x[1 + int(r[col_col])] = float(r["_sx"])
             col_sq[1 + int(r[col_col])] = float(r["_sq"])
+            col_nnz[1 + int(r[col_col])] = int(r["_cnt"])
         head = ydf.agg(
             *[F.sum(f"_y{t}").alias(f"_sy{t}") for t in range(m)],
             F.sum(F.col("_y0") * F.col("_y0")).alias("_yy"),
@@ -689,6 +729,88 @@ def fit_sparse(
     lambda_max = _lambda_max_from_stats(
         family, xty, sums_x, sums_y, n, intercept=True
     )
+
+    # ---- in-core subset-fit state (the glmnet regime, kept honest at
+    # cluster scale): screening prunes to active sets of tens of columns,
+    # so the ACTIVE columns — never the p-wide design — usually fit on the
+    # driver. Collect y once, fetch active columns incrementally (one
+    # filtered collect per NEW column batch, cached across path points),
+    # and solve each subset problem driver-side: zero distributed jobs per
+    # inner iteration, so scans per path point collapse to the screening /
+    # KKT gradients. Budget-guarded end to end (y payload, per-column
+    # fetch volume from the setup pass's nnz counts, the dense subset
+    # materialization, and the prox-Newton Hessian square); any breach
+    # falls back to the distributed subset solvers below.
+    from ..core.families import setup_family
+    from ..design import LocalDesign
+    from ..fit import DEFAULT_INCORE_LIMIT
+
+    fam_obj = setup_family(family)
+    incore = None
+    if gram is None:
+        limit = DEFAULT_INCORE_LIMIT if incore_limit is None else int(incore_limit)
+        if limit > 0 and n * max(m, 1) * 8 * 4 <= limit:
+            yrows = ydf.collect()  # persisted above; budget-checked
+            design.scans += 1
+            rid_raw = np.array([r[row_col] for r in yrows])
+            order = np.argsort(rid_raw, kind="stable")
+            rid_sorted = rid_raw[order]
+            Y_loc = np.empty((n, m))
+            for t in range(m):
+                Y_loc[:, t] = np.asarray(
+                    [float(r[f"_y{t}"]) for r in yrows], dtype=np.float64
+                )[order]
+            incore = dict(
+                row_ids=rid_sorted, Y=Y_loc, cols={},
+                bytes=rid_sorted.nbytes + Y_loc.nbytes, limit=limit,
+            )
+
+    def _incore_design(idx):
+        """LocalDesign over the active columns, or None when any budget
+        would be breached. Fetches only not-yet-cached columns, as ONE
+        broadcast-pruned collect."""
+        need = [int(j) - 1 for j in idx if j >= 1]
+        missing = [c for c in need if c not in incore["cols"]]
+        fetch_bytes = (
+            int(col_nnz[[1 + c for c in missing]].sum()) * 16 if missing else 0
+        )
+        dense_bytes = n * len(idx) * 8
+        hess_bytes = (len(idx) * m) ** 2 * 8
+        if incore["bytes"] + fetch_bytes + dense_bytes + hess_bytes > incore["limit"]:
+            return None
+        if missing:
+            mdf = spark.createDataFrame(
+                [(int(c),) for c in missing], f"{col_col} int"
+            )
+            fetched = (
+                trip.join(F.broadcast(mdf), col_col)
+                .select(col_col, row_col, val_col)
+                .collect()
+            )
+            design.scans += 1
+            by_col: dict[int, list] = {c: [] for c in missing}
+            for r in fetched:
+                by_col[int(r[col_col])].append((r[row_col], float(r[val_col])))
+            rid = incore["row_ids"]
+            for c in missing:
+                pairs = by_col[c]
+                if pairs:
+                    rr = np.array([pp[0] for pp in pairs])
+                    vv = np.array([pp[1] for pp in pairs], dtype=np.float64)
+                    pos = np.searchsorted(rid, rr)
+                    pos_c = np.minimum(pos, len(rid) - 1)
+                    ok = rid[pos_c] == rr  # drop triplets outside the row
+                    entry = (pos_c[ok].astype(np.intp), vv[ok])  # universe
+                else:
+                    entry = (np.empty(0, dtype=np.intp), np.empty(0))
+                incore["cols"][c] = entry
+                incore["bytes"] += entry[0].nbytes + entry[1].nbytes
+        X = np.zeros((n, len(idx)))
+        X[:, 0] = icol
+        for out_j, c in enumerate(need, start=1):
+            pos, vv = incore["cols"][c]
+            X[pos, out_j] = vv
+        return LocalDesign(X, incore["Y"], fam_obj)
 
     lam = lambda_sequence(n_cols * m, n, lambda_type, q)
     sigma_is_auto = sigma is None
@@ -713,16 +835,27 @@ def fit_sparse(
     # self-join pays sum_i nnz_i^2 on EVERY outer iteration (the gaussian
     # Gram path pays it once, and only after passing this same budget).
     # Past the budget those fits take the trace-bound FISTA fallback,
-    # whose per-iteration joins stay O(nnz).
-    pair_volume_ok = True
-    if gram is None:
-        if nnz_sq is None:
-            nnz_sq = _pair_volume()
-            design.scans += 1
-        pair_volume_ok = nnz_sq is not None and float(nnz_sq) <= PAIR_VOLUME_LIMIT
+    # whose per-iteration joins stay O(nnz). Measured LAZILY — only when a
+    # fit actually routes to the distributed prox-Newton (the in-core
+    # subset route above never needs it, so its scan is never paid there).
+    _pv = {"nnz_sq": nnz_sq, "ok": True if gram is not None else None}
+
+    def _pair_volume_ok():
+        if _pv["ok"] is None:
+            if _pv["nnz_sq"] is None:
+                _pv["nnz_sq"] = _pair_volume()
+                design.scans += 1
+            _pv["ok"] = (
+                _pv["nnz_sq"] is not None
+                and float(_pv["nnz_sq"]) <= PAIR_VOLUME_LIMIT
+            )
+        return _pv["ok"]
 
     if gram is not None:
         null_deviance = yty  # 2 * primal(0) = y'y for centered/scaled y
+    elif incore is not None:
+        # y is already on the driver: the null primal needs no scan
+        null_deviance = 2.0 * fam_obj.primal(incore["Y"], np.zeros((n, m)))
     else:
         null_deviance = 2.0 * design.primal(np.zeros((n_cols + 1, m)))
 
@@ -763,10 +896,20 @@ def fit_sparse(
             z[idx] = z_s
             u[idx] = u_s
             return res
+        # in-core subset solve: the whole fit is driver-side NumPy — zero
+        # distributed jobs beyond the (cached) column fetch
+        if incore is not None:
+            ld = _incore_design(idx)
+            if ld is not None:
+                return prox_newton(
+                    ld, beta_init, lam_scaled, n_unpenalized=1,
+                    max_passes=max_passes, tol_rel_gap=tol_rel_gap,
+                    tol_infeas=tol_infeas, tol_abs=tol_abs, tol_rel=tol_rel,
+                )
         # iterative families: prox-Newton (3 O(nnz) jobs per outer
         # iteration, 2-6 outer iterations) unless the Hessian payload
         # would be too wide or the self-join pair volume too large
-        if pair_volume_ok and (len(idx) * m) ** 2 <= hess_cell_guard:
+        if (len(idx) * m) ** 2 <= hess_cell_guard and _pair_volume_ok():
             return prox_newton(
                 design_sub, beta_init, lam_scaled, n_unpenalized=1,
                 max_passes=max_passes, tol_rel_gap=tol_rel_gap,
@@ -884,8 +1027,11 @@ def fit_sparse(
             primals=[], duals=[], time=[],
             sparse_scans=design.scans,
             scans_per_path_point=design.scans / max(k, 1),
-            hessian_pair_volume=None if nnz_sq is None else float(nnz_sq),
-            pair_volume_ok=pair_volume_ok,
+            hessian_pair_volume=(
+                None if _pv["nnz_sq"] is None else float(_pv["nnz_sq"])
+            ),
+            pair_volume_ok=_pv["ok"],
+            incore_subset_fits=incore is not None,
         ),
     )
 

@@ -129,3 +129,94 @@ def random_problem(
         raise ValueError(family)
 
     return df.drop("_lp"), beta
+
+
+def _hash_uniform(*cols) -> Column:
+    """Deterministic uniform in (0,1) from a 64-bit hash of ``cols`` —
+    reproducible regardless of partitioning (unlike ``F.randn(seed)``,
+    whose stream is keyed on the partition layout)."""
+    h = F.xxhash64(*cols)
+    return (F.pmod(h, F.lit(2**52)).cast("double") + 0.5) / float(2**52)
+
+
+def random_sparse_problem(
+    spark: SparkSession,
+    n: int = 10_000,
+    p: int = 5_000,
+    nnz_per_row: int = 20,
+    q: float = 0.02,
+    family: str = "gaussian",
+    amplitude: float = 2.0,
+    sigma_noise: float = 1.0,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame, np.ndarray]:
+    """Wide-p sparse synthetic problem in LONG (triplet) format — the
+    input shape of :func:`prague_spark.ops.sparse.fit_sparse`.
+
+    Returns ``(triplets(row_id, col_id, value), ydf(row_id, y),
+    planted_beta)``. The reference's ``randomProblem`` (``R/utils.R:15-76``)
+    only emits dense matrices; this is its long-format analogue for the
+    p-beyond-array-row regime.
+
+    Design points (all fully distributed, zero Python UDFs):
+
+    - Row ``r``'s nonzero columns are ``(h(r) + k*stride) % p`` for
+      ``k < nnz_per_row`` with ``stride = p // nnz_per_row`` — distinct by
+      construction (no (row, col) duplicates, no dedup shuffle needed) and
+      spread over all of [0, p) so every column gets ~n*nnz/p entries.
+    - Values and noise come from ``norm_ppf(hash_uniform(row, col))`` —
+      whole-stage-codegen column expressions, deterministic independent of
+      partitioning, so the planted linear predictor can be recomputed
+      exactly by any consumer (the correctness tests rely on this).
+    - ``nnz_per_row`` must be <= p.
+    """
+    if nnz_per_row > p:
+        raise ValueError("nnz_per_row must be <= p")
+    rng = np.random.default_rng(seed)
+    k = max(1, int(np.floor(q * p)))
+    beta = np.zeros(p)
+    idx = rng.choice(p, size=k, replace=False)
+    beta[idx] = amplitude * np.where(np.arange(k) % 2 == 0, 1.0, -1.0)
+
+    stride = max(1, p // nnz_per_row)
+    base = spark.range(n * nnz_per_row)
+    row = (F.col("id") / nnz_per_row).cast("long").alias("row_id")
+    slot = F.col("id") % nnz_per_row
+    offset = F.pmod(F.xxhash64(row, F.lit(seed)), F.lit(p))
+    col = F.pmod(offset + slot * stride, F.lit(p)).cast("int").alias("col_id")
+    trip = base.select(row, col).withColumn(
+        "value",
+        norm_ppf_expr(
+            _hash_uniform(F.col("row_id"), F.col("col_id"), F.lit(seed + 1))
+        ),
+    )
+
+    # planted linear predictor: one broadcast join on the k nonzero betas
+    # + one groupBy(row) — cost O(n * nnz), never densified
+    bdf = spark.createDataFrame(
+        [(int(j), float(beta[j])) for j in idx], "col_id int, _b double"
+    )
+    lp = (
+        trip.join(F.broadcast(bdf), "col_id")
+        .groupBy("row_id")
+        .agg(F.sum(F.col("value") * F.col("_b")).alias("_lp"))
+    )
+    ydf = (
+        spark.range(n)
+        .withColumnRenamed("id", "row_id")
+        .join(lp, "row_id", "left")
+        .withColumn("_lp", F.coalesce(F.col("_lp"), F.lit(0.0)))
+    )
+    noise_u = _hash_uniform(F.col("row_id"), F.lit(seed + 2))
+    if family == "gaussian":
+        ydf = ydf.withColumn(
+            "y", F.col("_lp") + F.lit(sigma_noise) * norm_ppf_expr(noise_u)
+        )
+    elif family == "binomial":
+        prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_lp")))
+        ydf = ydf.withColumn(
+            "y", F.when(noise_u < prob, "pos").otherwise("neg")
+        )
+    else:
+        raise ValueError(f"random_sparse_problem: unsupported family {family!r}")
+    return trip, ydf.drop("_lp"), beta

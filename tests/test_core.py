@@ -97,6 +97,33 @@ def test_gaussian_sequence_nonincreasing():
     assert np.all(np.diff(lam) <= 1e-12)
 
 
+def test_gaussian_sequence_huge_p_finite():
+    # At huge k relative to n the adjustment multiplier compounds past
+    # float64 range; the guarded accumulation must clamp overflowed entries
+    # to the running min (they would be clamped by the argmin step anyway)
+    # and never warn or emit inf/NaN.
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning -> test failure
+        lam = lambda_sequence(100_000, 500, "gaussian", q=0.2)
+    assert np.all(np.isfinite(lam))
+    assert np.all(np.diff(lam) <= 1e-12)
+    assert np.all(lam >= 0)
+    # the head must still match the unguarded recursion + argmin clamp:
+    # at this k/n the multiplier overtakes the BH decay at i=2, so the
+    # argmin is at index 1 and everything after is clamped to it
+    probs = np.arange(1, 6, dtype=np.float64) * 0.2 / (2 * 100_000)
+    bh = np.array([norm_ppf(1 - pr) for pr in probs])
+    sum_sq, exp = 0.0, bh.copy()
+    for i in range(1, 5):
+        sum_sq += exp[i - 1] ** 2
+        exp[i] *= np.sqrt(1.0 + sum_sq / max(1.0, 500.0 - i - 1))
+    assert exp[2] > exp[1] < exp[0]  # increasing from i=2 -> argmin == 1
+    np.testing.assert_allclose(lam[:2], exp[:2], rtol=1e-12)
+    np.testing.assert_allclose(lam[2:], lam[1], rtol=0)
+
+
 def test_oscar_sequence():
     lam = lambda_sequence(5, 100, "oscar", q=0.5)
     np.testing.assert_allclose(lam, [3.0, 2.5, 2.0, 1.5, 1.0])

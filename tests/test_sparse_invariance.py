@@ -265,9 +265,11 @@ def test_sparse_wide_p_hessian_guard_falls_back_to_fista(spark, monkeypatch):
     # binomial label so the gaussian Gram path (which needs no Hessian)
     # does not apply; large sigma converges in a few fixed-step passes
     yb = ydf.selectExpr("row_id", "CASE WHEN y > 0 THEN 'a' ELSE 'b' END AS y")
+    # incore_limit=0 forces the distributed regime this test targets (the
+    # in-core subset route would otherwise absorb a fixture this small)
     m = sparse_mod.fit_sparse(
         trip, yb, "y", "binomial", n_cols=p, sigma=[5.0],
-        screening=False, max_passes=200,
+        screening=False, max_passes=200, incore_limit=0,
     )
     assert np.all(np.isfinite(m.betas))
 
@@ -305,7 +307,61 @@ def test_sparse_pair_volume_guard_falls_back_to_fista(spark, monkeypatch):
     )
     m = sparse_mod.fit_sparse(
         trip, ydf, "y", "binomial", n_cols=p, n_sigma=2, lambda_min_ratio=0.5,
+        incore_limit=0,  # force the distributed regime this test targets
     )
     assert np.all(np.isfinite(m.betas))
     assert m.diagnostics["pair_volume_ok"] is False
     assert m.diagnostics["hessian_pair_volume"] > 1_000.0
+
+
+def test_random_sparse_problem_deterministic_and_duplicate_free(spark):
+    from prague_spark.ops.synth import random_sparse_problem
+
+    trip, ydf, beta = random_sparse_problem(
+        spark, n=300, p=80, nnz_per_row=6, seed=5
+    )
+    assert trip.count() == 300 * 6
+    assert ydf.count() == 300
+    assert trip.groupBy("row_id", "col_id").count().filter("count > 1").count() == 0
+    # hash-based draws: identical values regardless of partitioning
+    a = {(r["row_id"], r["col_id"]): r["value"] for r in trip.collect()}
+    b = {
+        (r["row_id"], r["col_id"]): r["value"]
+        for r in trip.repartition(7).collect()
+    }
+    assert a == b
+    # planted y is exactly reproducible from the triplets + beta
+    import numpy as _np
+
+    lp = {}
+    for (r, c), v in a.items():
+        lp[r] = lp.get(r, 0.0) + v * beta[c]
+    got = {r["row_id"]: r["y"] for r in ydf.collect()}
+    resid = _np.array([got[r] - lp.get(r, 0.0) for r in range(300)])
+    assert _np.all(_np.isfinite(resid))
+    assert abs(float(resid.mean())) < 0.2  # ~N(0, 1/sqrt(300))
+
+
+@pytest.mark.parametrize("family", ["gaussian", "binomial"])
+def test_sparse_incore_subset_route_matches_distributed(spark, family):
+    # the in-core subset solve (screen -> fetch active columns -> driver
+    # prox-Newton) must agree with the fully distributed route to solver
+    # tolerance, while issuing far fewer distributed jobs
+    from prague_spark.ops.sparse import fit_sparse
+    from prague_spark.ops.synth import random_sparse_problem
+
+    trip, ydf, _ = random_sparse_problem(
+        spark, n=500, p=120, nnz_per_row=8, seed=3, family=family
+    )
+    trip, ydf = trip.cache(), ydf.cache()
+    kw = dict(n_cols=120, n_sigma=4, lambda_min_ratio=0.3, gram_limit=8)
+    m1 = fit_sparse(trip, ydf, "y", family, **kw)
+    m2 = fit_sparse(trip, ydf, "y", family, incore_limit=0, **kw)
+    assert m1.diagnostics["incore_subset_fits"] is True
+    assert m2.diagnostics["incore_subset_fits"] is False
+    np.testing.assert_allclose(m1.betas, m2.betas, atol=5e-5)
+    assert (
+        m1.diagnostics["scans_per_path_point"]
+        < m2.diagnostics["scans_per_path_point"]
+    )
+    assert m1.diagnostics["scans_per_path_point"] <= 4.0
