@@ -59,7 +59,8 @@ def main() -> None:
     _ws = dedup.minhash_signatures(docs_s, "doc_id", "text", num_hashes=32)
     dedup.minhash_lsh_candidates(_ws, "doc_id", bands=8, rows_per_band=4).count()
     dedup.simhash(docs_s, "doc_id", "text").count()
-    dedup.embedding_cosine_pairs(emb_s, "vec_id", "vec", 0.3, n_planes=8).count()
+    dedup.embedding_cosine_pairs(emb_s, "vec_id", "vec", 0.3, n_planes=4,
+                                 n_bands=12).count()
     _wq = emb_s.limit(1).select("vec_id", "vec").collect()
     similarity.cosine_topk(
         emb_s, "vec_id", "vec",
@@ -73,6 +74,20 @@ def main() -> None:
         docs_s.filter(F.col("source") != "src0"),
         docs_s.filter(F.col("source") == "src0"), "doc_id", "text",
     ).count()
+    # wide-p sparse inputs (generated once, cached; the bench times the
+    # FIT, not the generator) + a small warmup through the same route
+    from prague_spark.ops.sparse import fit_sparse as _fs
+    from prague_spark.ops.synth import random_sparse_problem as _rsp
+
+    wide_trip, wide_y, _wb = _rsp(spark, n=10_000, p=5_000,
+                                  nnz_per_row=16, seed=7)
+    wide_trip = wide_trip.repartition(8).cache()
+    wide_y = wide_y.cache()
+    wide_trip.count(), wide_y.count()
+    _wt, _wy, _ = _rsp(spark, n=500, p=100, nnz_per_row=8, seed=1)
+    _fs(_wt, _wy, "y", "gaussian", n_cols=100, n_sigma=3,
+        lambda_min_ratio=0.3, gram_limit=8)
+    wide_holder: dict = {}
     for c in (li_s, docs_s, emb_s):
         c.unpersist()
 
@@ -177,6 +192,28 @@ def main() -> None:
         fit_sparse(trip, ydf, "y", "gaussian", n_cols=50, n_sigma=10,
                    lambda_min_ratio=0.1)
 
+    @bench("fit_sparse_wide")
+    def _():
+        # the flagship 100x-scale route: p = 5000 (far beyond gram_limit),
+        # long-format triplets through strong-rule screening; subset
+        # problems solve in-core off budget-guarded column fetches, so the
+        # distributed cost is ~3 O(nnz) jobs per path point (logged below)
+        from prague_spark.ops.sparse import fit_sparse
+
+        m = fit_sparse(
+            wide_trip, wide_y, "y", "gaussian", n_cols=5000,
+            n_sigma=5, lambda_min_ratio=0.15,
+        )
+        wide_holder["scans_per_path_point"] = (
+            m.diagnostics["scans_per_path_point"]
+        )
+
+    print(
+        "[bench] fit_sparse_wide scans_per_path_point:"
+        f" {wide_holder['scans_per_path_point']}",
+        file=sys.stderr, flush=True,
+    )
+
     @bench("dedup_exact")
     def _():
         dedup.exact_dedup(docs, "text", "doc_id").count()
@@ -193,8 +230,11 @@ def main() -> None:
 
     @bench("dedup_embedding_lsh")
     def _():
+        # banded OR-amplified hyperplane LSH (12 x 4-bit): slim signature
+        # band join -> distinct candidates -> exact cosine; recall ~0.8 at
+        # threshold 0.3 vs the single-band signature's ~0.01
         dedup.embedding_cosine_pairs(
-            emb, "vec_id", "vec", threshold=0.3, n_planes=8
+            emb, "vec_id", "vec", threshold=0.3, n_planes=4, n_bands=12
         ).count()
 
     @bench("sim_cosine_topk")

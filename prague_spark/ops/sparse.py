@@ -765,52 +765,106 @@ def fit_sparse(
                 bytes=rid_sorted.nbytes + Y_loc.nbytes, limit=limit,
             )
 
+    def _incore_fetch(cols_needed) -> bool:
+        """Ensure the given feature columns (0-based) are cached driver-
+        side; fetches the missing ones as ONE broadcast-pruned collect.
+        Returns False (fetching nothing) when the fetch would break the
+        budget."""
+        missing = [c for c in cols_needed if c not in incore["cols"]]
+        if not missing:
+            return True
+        fetch_bytes = int(col_nnz[[1 + c for c in missing]].sum()) * 16
+        if incore["bytes"] + fetch_bytes > incore["limit"]:
+            return False
+        mdf = spark.createDataFrame(
+            [(int(c),) for c in missing], f"{col_col} int"
+        )
+        fetched = (
+            trip.join(F.broadcast(mdf), col_col)
+            .select(col_col, row_col, val_col)
+            .collect()
+        )
+        design.scans += 1
+        by_col: dict[int, list] = {c: [] for c in missing}
+        for r in fetched:
+            by_col[int(r[col_col])].append((r[row_col], float(r[val_col])))
+        rid = incore["row_ids"]
+        for c in missing:
+            pairs = by_col[c]
+            if pairs:
+                rr = np.array([pp[0] for pp in pairs])
+                vv = np.array([pp[1] for pp in pairs], dtype=np.float64)
+                pos = np.searchsorted(rid, rr)
+                pos_c = np.minimum(pos, len(rid) - 1)
+                ok = rid[pos_c] == rr  # drop triplets outside the row
+                entry = (pos_c[ok].astype(np.intp), vv[ok])  # universe
+            else:
+                entry = (np.empty(0, dtype=np.intp), np.empty(0))
+            incore["cols"][c] = entry
+            incore["bytes"] += entry[0].nbytes + entry[1].nbytes
+        return True
+
     def _incore_design(idx):
         """LocalDesign over the active columns, or None when any budget
-        would be breached. Fetches only not-yet-cached columns, as ONE
-        broadcast-pruned collect."""
+        would be breached."""
         need = [int(j) - 1 for j in idx if j >= 1]
-        missing = [c for c in need if c not in incore["cols"]]
-        fetch_bytes = (
-            int(col_nnz[[1 + c for c in missing]].sum()) * 16 if missing else 0
-        )
         dense_bytes = n * len(idx) * 8
         hess_bytes = (len(idx) * m) ** 2 * 8
-        if incore["bytes"] + fetch_bytes + dense_bytes + hess_bytes > incore["limit"]:
+        if incore["bytes"] + dense_bytes + hess_bytes > incore["limit"]:
             return None
-        if missing:
-            mdf = spark.createDataFrame(
-                [(int(c),) for c in missing], f"{col_col} int"
-            )
-            fetched = (
-                trip.join(F.broadcast(mdf), col_col)
-                .select(col_col, row_col, val_col)
-                .collect()
-            )
-            design.scans += 1
-            by_col: dict[int, list] = {c: [] for c in missing}
-            for r in fetched:
-                by_col[int(r[col_col])].append((r[row_col], float(r[val_col])))
-            rid = incore["row_ids"]
-            for c in missing:
-                pairs = by_col[c]
-                if pairs:
-                    rr = np.array([pp[0] for pp in pairs])
-                    vv = np.array([pp[1] for pp in pairs], dtype=np.float64)
-                    pos = np.searchsorted(rid, rr)
-                    pos_c = np.minimum(pos, len(rid) - 1)
-                    ok = rid[pos_c] == rr  # drop triplets outside the row
-                    entry = (pos_c[ok].astype(np.intp), vv[ok])  # universe
-                else:
-                    entry = (np.empty(0, dtype=np.intp), np.empty(0))
-                incore["cols"][c] = entry
-                incore["bytes"] += entry[0].nbytes + entry[1].nbytes
+        if not _incore_fetch(need):
+            return None
         X = np.zeros((n, len(idx)))
         X[:, 0] = icol
         for out_j, c in enumerate(need, start=1):
             pos, vv = incore["cols"][c]
             X[pos, out_j] = vv
         return LocalDesign(X, incore["Y"], fam_obj)
+
+    def _full_gradient(beta):
+        """Full p+1 gradient X^T g(beta). When the in-core state holds every
+        active column, the per-row pseudo-gradient g is computed driver-side
+        (lp from the cached sparse columns) and shipped as a broadcast n-row
+        frame, so the distributed part is ONE map-side-combined
+        join + groupBy(col) — no lp shuffle join, roughly 3x cheaper than
+        the generic SparseLongDesign.full_gradient job at wide p."""
+        if incore is not None:
+            B = np.asarray(beta, dtype=np.float64).reshape(n_cols + 1, m)
+            nz = np.flatnonzero(np.any(B[1:] != 0, axis=1))
+            if all(int(c) in incore["cols"] for c in nz):
+                lp = np.tile(icol * B[0], (n, 1))
+                for c in nz:
+                    pos, vv = incore["cols"][int(c)]
+                    lp[pos] += vv[:, np.newaxis] * B[1 + c]
+                g = fam_obj.pseudo_gradient(incore["Y"], lp)
+                if g.ndim == 1:
+                    g = g[:, np.newaxis]
+                import pandas as pd
+
+                gdf = spark.createDataFrame(
+                    pd.DataFrame(
+                        {row_col: incore["row_ids"],
+                         **{f"_g{t}": g[:, t] for t in range(m)}}
+                    )
+                )
+                grad = np.zeros((n_cols + 1, m))
+                grad[0] = icol * g.sum(axis=0)
+                for r in (
+                    trip.join(F.broadcast(gdf), row_col)
+                    .groupBy(col_col)
+                    .agg(
+                        *[
+                            F.sum(F.col(val_col) * F.col(f"_g{t}")).alias(f"_gc{t}")
+                            for t in range(m)
+                        ]
+                    )
+                    .collect()
+                ):
+                    for t in range(m):
+                        grad[1 + int(r[col_col]), t] = float(r[f"_gc{t}"])
+                design.scans += 1
+                return grad
+        return design.full_gradient(beta)
 
     lam = lambda_sequence(n_cols * m, n, lambda_type, q)
     sigma_is_auto = sigma is None
@@ -901,6 +955,25 @@ def fit_sparse(
         if incore is not None:
             ld = _incore_design(idx)
             if ld is not None:
+                if family == "gaussian":
+                    # exact quadratic: one Gram + warm-started ADMM (the
+                    # same shape as the p<=gram_limit route, but over the
+                    # active columns only) — cheaper than nesting ADMM
+                    # inside prox-Newton outer iterations
+                    gd = ld.gram()
+                    w_eig, _ = gd.eigh()
+                    rho = admm_rho(
+                        float(w_eig.max()),
+                        float(lam_scaled.max()) if lam_scaled.size else 1.0,
+                    )
+                    res, z_s, u_s = admm_gaussian(
+                        gd, beta_init.ravel(), z[idx], u[idx], lam_scaled,
+                        rho, max_passes=max_passes, tol_abs=tol_abs,
+                        tol_rel=tol_rel,
+                    )
+                    z[idx] = z_s
+                    u[idx] = u_s
+                    return res
                 return prox_newton(
                     ld, beta_init, lam_scaled, n_unpenalized=1,
                     max_passes=max_passes, tol_rel_gap=tol_rel_gap,
@@ -936,7 +1009,7 @@ def fit_sparse(
         else:
             gradient_prev = (
                 grad_cache if grad_cache is not None
-                else design.full_gradient(beta_prev)
+                else _full_gradient(beta_prev)
             )
             sigma_prev = sigma_max if k == 0 else sig[k - 1]
             strong_set = strong_rule_active_set(
@@ -962,7 +1035,7 @@ def fit_sparse(
                 beta = np.zeros((p_total, m))
                 beta[active_set] = res.beta.reshape(len(active_set), m)
 
-                gradient_full = design.full_gradient(beta)
+                gradient_full = _full_gradient(beta)
                 grad_cache = gradient_full
                 possible = kkt_check(
                     gradient_full, beta, lam * sig[k], tol_infeas, True

@@ -293,6 +293,7 @@ def embedding_cosine_pairs(
     threshold: float = 0.4,
     n_planes: int | None = None,
     seed: int = 42,
+    n_bands: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine >= threshold).
 
@@ -300,11 +301,18 @@ def embedding_cosine_pairs(
     cosine as a JVM-side higher-order-function expression). Quadratic: the
     oracle-verifiable baseline, fine up to ~10^4 vectors.
 
-    ``n_planes=k`` — random-hyperplane LSH blocking: both sides get a
+    ``n_planes=k`` — random-hyperplane LSH blocking: each vector gets a
     k-bit bucket signature, the self-join is an equi-join on the bucket,
     and only within-bucket pairs pay the exact cosine. Sub-quadratic with
-    recall < 1 — the 100 TB scale path (same design as MinHash banding)."""
-    from .similarity import cosine_expr, hyperplane_lsh_buckets
+    recall < 1 — the 100 TB scale path (same design as MinHash banding).
+
+    ``n_bands=b > 1`` — OR-amplification: b INDEPENDENT k-bit signatures;
+    a pair is a candidate if it collides in ANY band (recall
+    1-(1-p^k)^b vs the single band's p^k, p = 1 - angle/pi). The exploded
+    (id, band, bucket) rows carry no vectors, so the band equi-join
+    shuffles only slim signature rows; candidate ids are de-duplicated
+    BEFORE the vectors are joined back for the exact cosine."""
+    from .similarity import hyperplane_lsh_buckets
 
     base = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
@@ -316,6 +324,61 @@ def embedding_cosine_pairs(
             )
         ),
     )
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    if n_planes is not None and n_bands > 1:
+        for k in range(n_bands):
+            base = hyperplane_lsh_buckets(
+                base, "_v", n_planes=n_planes, seed=seed + 7919 * k,
+                out=f"_bkt{k}",
+            )
+        base = base.persist()
+        sig = base.select(
+            "_id",
+            F.posexplode(
+                F.array(*[F.col(f"_bkt{k}") for k in range(n_bands)])
+            ).alias("_band", "_bkt"),
+        )
+        cand = (
+            sig.alias("sa")
+            .join(
+                sig.alias("sb"),
+                (F.col("sa._band") == F.col("sb._band"))
+                & (F.col("sa._bkt") == F.col("sb._bkt"))
+                & (F.col("sa._id") < F.col("sb._id")),
+            )
+            .select(
+                F.col("sa._id").alias("_ida"), F.col("sb._id").alias("_idb")
+            )
+            .distinct()
+        )
+        va = base.select(
+            F.col("_id").alias("_ida"),
+            F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+        )
+        vb = base.select(
+            F.col("_id").alias("_idb"),
+            F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return (
+            cand.join(va, "_ida")
+            .join(vb, "_idb")
+            .withColumn("cosine", dot / (F.col("_na") * F.col("_nb")))
+            .filter(F.col("cosine") >= threshold)
+            .select(
+                F.col("_ida").alias("id_a"),
+                F.col("_idb").alias("id_b"),
+                "cosine",
+            )
+        )
     if n_planes is not None:
         base = hyperplane_lsh_buckets(base, "_v", n_planes=n_planes, seed=seed, out="_bkt")
     base = base.persist()
@@ -323,14 +386,9 @@ def embedding_cosine_pairs(
     cond = F.col("a._id") < F.col("b._id")
     if n_planes is not None:
         cond = (F.col("a._bkt") == F.col("b._bkt")) & cond
-    dot = F.aggregate(
-        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     return (
         a.join(b, cond)
-        .withColumn("cosine", dot / (F.col("a._n") * F.col("b._n")))
+        .withColumn("cosine", dot_ab / (F.col("a._n") * F.col("b._n")))
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col("a._id").alias("id_a"),

@@ -1117,17 +1117,60 @@ SQL_DEDUP_EMBEDDING = """
 """
 
 
+_LSH_RECALL_BOUND = 0.7  # measured 0.799 (sf0.01) / 0.826 (sf0.001) with
+# r=4 planes x b=12 bands at threshold 0.3; deterministic (fixed planes +
+# fixed data), so the bound cannot drift between runs
+
+
 def q_dedup_embedding_lsh(spark, sf_dir):
-    """LSH-blocked embedding near-dup (8 hyperplanes -> bucket equi-join ->
-    exact cosine within buckets) — rows-only: recall < 1 by design, so no
-    exact SQL oracle; this is the plan shape that survives 100 TB."""
+    """Banded hyperplane-LSH embedding near-dup (12 independent 4-bit
+    signatures -> band+bucket equi-join on slim signature rows -> distinct
+    candidate ids -> exact cosine), the plan shape that survives 100 TB.
+
+    Recall < 1 by design, so instead of pair-row equality the oracle
+    asserts the LSH output's CONTRACT: every emitted pair is a true pair
+    (subset_ok — zero spurious), recall against the exact all-pairs
+    baseline meets the pinned bound (recall_ok), and both engines agree on
+    the exact-pair universe size (n_exact, recomputed independently by
+    DuckDB)."""
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "vec", F.transform("embedding", lambda x: x.cast("double"))
     )
-    out = dedup.embedding_cosine_pairs(
-        emb, "vec_id", "vec", threshold=0.3, n_planes=8
+    lsh = dedup.embedding_cosine_pairs(
+        emb, "vec_id", "vec", threshold=0.3, n_planes=4, n_bands=12
+    ).select("id_a", "id_b")
+    exact = dedup.embedding_cosine_pairs(
+        emb, "vec_id", "vec", threshold=0.3
+    ).select("id_a", "id_b")
+    hits = exact.join(lsh.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left")
+    agg = hits.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
     )
-    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    spurious = lsh.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_spurious")
+    )
+    return agg.crossJoin(spurious).select(
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (F.col("n_hit") / F.col("n_exact") >= F.lit(_LSH_RECALL_BOUND)).alias(
+            "recall_ok"
+        ),
+        (F.col("n_spurious") == 0).alias("subset_ok"),
+        F.lit(_LSH_RECALL_BOUND).alias("recall_bound"),
+    )
+
+
+SQL_DEDUP_EMBEDDING_LSH = f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           TRUE AS recall_ok,
+           TRUE AS subset_ok,
+           {_LSH_RECALL_BOUND!r} AS recall_bound
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2010,16 +2053,65 @@ def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing, image AND audio: binary payloads (from
     document text bytes) -> Arrow-batched mapInPandas feature extraction
     (image width/height/channels/intensity stats + audio n_samples/rms/
-    peak), joined per doc — rows-only (decoders are the deterministic
-    stubs; the runtime has no media libs)."""
+    peak), joined per doc.
+
+    Hash oracle: the deterministic fake decoders are pure byte arithmetic
+    on the payload (image: payload tiled to 48 bytes, first 16 doubled;
+    audio: samples (byte-127.5)/127.5 tiled x8), so on docs whose first 32
+    chars are single-byte (ASCII) the SAME features are recomputable from
+    character codes in plain SQL — DuckDB re-derives every value from
+    first principles while Spark runs the real mapInPandas decode path."""
     from .pipeline import multimodal as mm
 
-    docs = load(spark, sf_dir, "documents").withColumn(
-        "payload", F.encode(F.substring("text", 1, 32), "utf-8")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.substring("text", 1, 32).rlike(r"^[\x01-\x7f]{32}$"))
+        .withColumn("payload", F.encode(F.substring("text", 1, 32), "utf-8"))
     )
     img = mm.extract_image_features(docs, "doc_id", "payload", decoder=mm.fake_image_decoder)
     aud = mm.extract_audio_features(docs, "doc_id", "payload", decoder=mm.fake_audio_decoder)
-    return img.join(aud, "doc_id")
+    return img.join(aud, "doc_id").select(
+        "doc_id", "width", "height", "n_channels",
+        F.round("mean_intensity", 5).alias("mean_intensity"),
+        F.round("std_intensity", 5).alias("std_intensity"),
+        "n_samples",
+        F.round("rms", 5).alias("rms"),
+        F.round("peak", 5).alias("peak"),
+    )
+
+
+# image fake decoder: bytes tiled to 48 (the 32-byte payload repeats, so
+# bytes 0..15 appear twice) -> weight 2 for j<16 else 1; audio fake
+# decoder: payload x8 -> 256 samples = each byte 8 times, so per-byte
+# stats over the 32 distinct bytes are exact
+SQL_MULTIMODAL_FEATURES = """
+    WITH d AS (
+        SELECT doc_id, substring(text, 1, 32) AS s
+        FROM documents
+        WHERE regexp_matches(substring(text, 1, 32), '^[\\x01-\\x7f]{32}$')
+    ), b AS (
+        SELECT doc_id,
+               ascii(substring(s, CAST(i AS INTEGER) + 1, 1)) AS a,
+               CASE WHEN i < 16 THEN 2 ELSE 1 END AS w
+        FROM d, range(32) t(i)
+    ), agg AS (
+        SELECT doc_id,
+               SUM(w * a) AS w1,
+               SUM(w * a * a) AS w2,
+               SUM(((a - 127.5) / 127.5) * ((a - 127.5) / 127.5)) AS xsq,
+               MAX(ABS((a - 127.5) / 127.5)) AS pk
+        FROM b GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           4 AS width, 4 AS height, 3 AS n_channels,
+           round(w1 / 48.0, 5) AS mean_intensity,
+           round(sqrt(w2 / 48.0 - (w1 / 48.0) * (w1 / 48.0)), 5)
+               AS std_intensity,
+           256 AS n_samples,
+           round(sqrt(xsq / 32.0), 5) AS rms,
+           round(pk, 5) AS peak
+    FROM agg
+"""
 
 
 def q_events_windowed_agg(spark, sf_dir):
@@ -2976,7 +3068,9 @@ _RAW_ORACLES = {
     "dedup_cc": SQL_DEDUP_CC,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_LSH,
     "sim_cosine_topk": SQL_SIM_TOPK,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "text_stats": _text_stats_sql(),
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_pack_chunks": SQL_TEXT_PACK,

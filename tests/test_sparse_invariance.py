@@ -359,7 +359,9 @@ def test_sparse_incore_subset_route_matches_distributed(spark, family):
     m2 = fit_sparse(trip, ydf, "y", family, incore_limit=0, **kw)
     assert m1.diagnostics["incore_subset_fits"] is True
     assert m2.diagnostics["incore_subset_fits"] is False
-    np.testing.assert_allclose(m1.betas, m2.betas, atol=5e-5)
+    # agreement is to solver stopping tolerance (ADMM tol_rel=1e-4 on the
+    # in-core gaussian route vs the distributed prox-Newton), not bitwise
+    np.testing.assert_allclose(m1.betas, m2.betas, atol=5e-4)
     assert (
         m1.diagnostics["scans_per_path_point"]
         < m2.diagnostics["scans_per_path_point"]
