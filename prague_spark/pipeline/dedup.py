@@ -171,20 +171,19 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def lsh_band_keys(
     signatures: DataFrame,
     id_col: str,
     bands: int = 8,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs: documents sharing >= 1 LSH band.
-
-    Band key = md5 of the band's signature slice; join is on (band_idx,
-    band_key) so only same-band collisions shuffle together. The banded
-    table is persisted so the self-join doesn't recompute the signature
-    pipeline on both sides."""
-    signatures = signatures.persist()
-    banded = signatures.select(
+    """(doc, band, key) rows: band key = md5 of the band's signature
+    slice. The shared banding projection of the batch self-join
+    (:func:`minhash_lsh_candidates`) and the streaming stream-static join
+    (``streaming.dedup.minhash_lsh_candidates_stream``) — one definition so
+    stream and corpus keys can never drift. Pure projection + explode: no
+    shuffle, streaming-safe."""
+    return signatures.select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.array(
@@ -206,6 +205,22 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("doc", "bk.band", "bk.key")
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: documents sharing >= 1 LSH band.
+
+    Band key = md5 of the band's signature slice; join is on (band_idx,
+    band_key) so only same-band collisions shuffle together. The banded
+    table is persisted so the self-join doesn't recompute the signature
+    pipeline on both sides."""
+    signatures = signatures.persist()
+    banded = lsh_band_keys(signatures, id_col, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

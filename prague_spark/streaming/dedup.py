@@ -84,3 +84,49 @@ def minhash_signatures_stream(
         ).alias("signature"),
     )
     return out.filter(F.col("signature")[0].isNotNull())
+
+
+def minhash_lsh_candidates_stream(
+    stream_signatures: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Incremental LSH dedup: candidate pairs between NEW (streaming)
+    documents and an already-indexed static corpus.
+
+    ``stream_signatures``: streaming (id, signature) rows — the output of
+    :func:`minhash_signatures_stream`. ``corpus_index``: the static corpus
+    as (doc, band, key) rows from ``pipeline.dedup.lsh_band_keys`` applied
+    to the corpus signatures (persist it — every micro-batch probes it);
+    building both sides from the SAME ``lsh_band_keys`` projection
+    guarantees stream and corpus band keys can never drift.
+
+    The stream side explodes each new document into its band keys (pure
+    projection) and inner-joins the static index on (band, key) — a
+    stream-static equi-join, which Structured Streaming executes
+    STATELESSLY, so this runs unbounded with zero state store. A pair
+    colliding in several bands is emitted once per band: stream-global
+    dropDuplicates would need unbounded state, so de-dupe per micro-batch
+    in the sink (foreachBatch) if exactly-once pairs are needed.
+
+    Output: (id_new, id_corpus) candidate rows, append-mode compatible."""
+    from ..pipeline.dedup import lsh_band_keys
+
+    new_banded = lsh_band_keys(
+        stream_signatures, id_col, bands=bands, rows_per_band=rows_per_band
+    )
+    return (
+        new_banded.alias("s")
+        .join(
+            corpus_index.alias("c"),
+            (F.col("s.band") == F.col("c.band"))
+            & (F.col("s.key") == F.col("c.key"))
+            & (F.col("s.doc") != F.col("c.doc")),
+        )
+        .select(
+            F.col("s.doc").alias("id_new"),
+            F.col("c.doc").alias("id_corpus"),
+        )
+    )

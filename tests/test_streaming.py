@@ -259,3 +259,69 @@ def test_streaming_exact_dedup_bounded_state(spark):
     got = spark.sql("SELECT text FROM dedup_stream").collect()
     texts = sorted(r["text"] for r in got)
     assert texts == ["alpha beta", "gamma delta"]
+
+
+def test_streaming_lsh_banding_matches_batch(spark, sf_dir):
+    """Stream-static LSH banding: candidates between streamed NEW docs and
+    the indexed static corpus must equal (as a set) the batch banding
+    job's cross pairs over the same signatures."""
+    from prague_spark.pipeline.dedup import lsh_band_keys, minhash_lsh_candidates
+    from prague_spark.streaming.dedup import (
+        minhash_lsh_candidates_stream, minhash_signature_expr,
+        minhash_signatures_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    corpus = docs.filter(F.col("source") != "src0")
+    new = docs.filter(F.col("source") == "src0")
+    assert new.count() > 0 and corpus.count() > 0
+
+    # corpus index: SAME signature family as the stream, pre-banded
+    corpus_sigs = corpus.select(
+        "doc_id",
+        minhash_signature_expr(F.col("text"), num_hashes=16).alias("signature"),
+    ).filter(F.col("signature")[0].isNotNull())
+    corpus_index = lsh_band_keys(
+        corpus_sigs, "doc_id", bands=8, rows_per_band=2
+    ).persist()
+
+    d = tempfile.mkdtemp(prefix="prague_lsh_stream_")
+    new.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(new.schema).parquet(d)
+    cands = minhash_lsh_candidates_stream(
+        minhash_signatures_stream(stream, "doc_id", "text", num_hashes=16),
+        corpus_index, "doc_id", bands=8, rows_per_band=2,
+    )
+    q = (
+        cands.writeStream.format("memory")
+        .queryName("lsh_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["id_new"], r["id_corpus"])
+        for r in spark.sql("SELECT * FROM lsh_stream").collect()
+    }
+
+    # batch reference: same signatures over the union, banded self-join,
+    # restricted to (new x corpus) pairs in either orientation
+    all_sigs = docs.select(
+        "doc_id",
+        minhash_signature_expr(F.col("text"), num_hashes=16).alias("signature"),
+    ).filter(F.col("signature")[0].isNotNull())
+    batch_pairs = minhash_lsh_candidates(
+        all_sigs, "doc_id", bands=8, rows_per_band=2
+    )
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    corpus_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    want = set()
+    for r in batch_pairs.collect():
+        a, b = r["id_a"], r["id_b"]
+        if a in new_ids and b in corpus_ids:
+            want.add((a, b))
+        elif b in new_ids and a in corpus_ids:
+            want.add((b, a))
+    assert got == want
+    assert len(want) > 0  # the fixture must actually exercise collisions
