@@ -367,3 +367,43 @@ def test_sparse_incore_subset_route_matches_distributed(spark, family):
         < m2.diagnostics["scans_per_path_point"]
     )
     assert m1.diagnostics["scans_per_path_point"] <= 4.0
+
+
+@pytest.mark.parametrize("family", ["poisson", "multinomial"])
+def test_sparse_incore_subset_route_matches_distributed_pm(spark, family):
+    # the remaining two families through the same in-core subset route
+    # (poisson keeps its lgamma constant consistent across routes; the
+    # multinomial exercises m > 1 Y payloads and Hessian blocks)
+    from prague_spark.ops.sparse import fit_sparse
+
+    rng = np.random.default_rng(31)
+    n, p = 400, 60
+    X = np.where(rng.random((n, p)) < 0.12, rng.normal(size=(n, p)), 0.0)
+    rows, cols_idx = np.nonzero(X)
+    trip = spark.createDataFrame(
+        [(int(r), int(c), float(X[r, c])) for r, c in zip(rows, cols_idx)],
+        "row_id long, col_id int, value double",
+    ).cache()
+    if family == "poisson":
+        lp = 0.8 * X[:, 0] - 0.5 * X[:, 1]
+        y = rng.poisson(np.exp(lp)).astype(float)
+        ydf = spark.createDataFrame(
+            [(int(i), float(y[i])) for i in range(n)], "row_id long, y double"
+        )
+    else:
+        s0 = 2.0 * X[:, 0] + rng.normal(scale=0.5, size=n)
+        s1 = -2.0 * X[:, 1] + rng.normal(scale=0.5, size=n)
+        y = np.where(s0 > np.maximum(s1, 0), "a", np.where(s1 > 0, "b", "c"))
+        ydf = spark.createDataFrame(
+            [(int(i), str(y[i])) for i in range(n)], "row_id long, y string"
+        )
+    kw = dict(n_cols=p, n_sigma=3, lambda_min_ratio=0.3)
+    m1 = fit_sparse(trip, ydf, "y", family, **kw)
+    m2 = fit_sparse(trip, ydf, "y", family, incore_limit=0, **kw)
+    assert m1.diagnostics["incore_subset_fits"] is True
+    assert m2.diagnostics["incore_subset_fits"] is False
+    np.testing.assert_allclose(m1.betas, m2.betas, atol=5e-5)
+    assert (
+        m1.diagnostics["scans_per_path_point"]
+        < m2.diagnostics["scans_per_path_point"]
+    )
