@@ -527,6 +527,28 @@ def connected_components(
         edges.unpersist()
 
 
+def eval_minima_index(
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Collapsed decontamination index: ONE row per distinct eval-set
+    winnowing minimum, with its eval-document count pre-aggregated
+    (``wmin``, ``_eval_df``). Shared by the batch :func:`contamination`
+    join and the streaming probe
+    (``streaming.dedup.contamination_stream`` — collect this index for
+    it); one definition so batch and stream keys can never drift."""
+    from .text import winnow_minima
+
+    return (
+        winnow_minima(eval_df, id_col, text_col, k, w)
+        .groupBy("wmin")
+        .agg(F.count("*").alias("_eval_df"))
+    )
+
+
 def contamination(
     train_df: DataFrame,
     eval_df: DataFrame,
@@ -566,11 +588,7 @@ def contamination(
     # hits join — without it the O(len*w) md5 winnowing scan of the whole
     # training corpus runs twice (same pattern as ngram_jaccard_pairs)
     t = winnow_minima(train_df, id_col, text_col, k, w).alias("t").persist()
-    e_idx = (
-        winnow_minima(eval_df, id_col, text_col, k, w)
-        .groupBy("wmin")
-        .agg(F.count("*").alias("_eval_df"))
-    )
+    e_idx = eval_minima_index(eval_df, id_col, text_col, k, w)
     sizes = t.groupBy(id_col).agg(F.count("*").alias("_n_minima"))
     hits = (
         t.join(e_idx, "wmin")

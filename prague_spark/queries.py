@@ -2982,6 +2982,13 @@ SQL_DOCS_SAMPLE = f"""
 # sparse_xtv -> sparse_ingest (tagged tall union over the shared events
 # triplet fixture); dedup_minhash signatures -> dedup_minhash_lsh
 # ('sig'-tagged rows alongside the 'pair' candidate rows).
+#
+# Round 5: no additions or merges (still exactly 50); the two remaining
+# no_oracle entries gained oracles in place — multimodal_features is now
+# a full per-doc value-hash oracle (DuckDB re-derives the deterministic
+# fake-decoder byte math from character codes), dedup_embedding_lsh is a
+# contract oracle (subset_ok / recall >= pinned bound / cross-engine
+# exact-pair count) over the new banded OR-amplified LSH.
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,

@@ -18,6 +18,7 @@ must bound its state. Two building blocks:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..pipeline.dedup import MERSENNE, _minhash_params, _token_int_expr
@@ -129,4 +130,60 @@ def minhash_lsh_candidates_stream(
             F.col("s.doc").alias("id_new"),
             F.col("c.doc").alias("id_corpus"),
         )
+    )
+
+
+def contamination_stream(
+    stream_df: DataFrame,
+    eval_index: dict,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Incremental train/eval decontamination: probe STREAMING training
+    documents against a driver-collected eval-set index — the streaming
+    twin of ``pipeline.dedup.contamination`` with identical per-document
+    output (``id, n_shared, max_eval_df, contamination``; only
+    contaminated docs are emitted).
+
+    ``eval_index``: ``{wmin: eval_doc_count}`` — the collapsed index from
+    ``pipeline.dedup.eval_minima_index(...)`` collected to the driver.
+    Real decontamination eval sets are benchmark suites, so the collapsed
+    index is small by construction (the batch path already relies on it
+    being broadcast-sized); it ships to executors once as a broadcast
+    read-only dict.
+
+    The probe is a pure per-row projection (winnowing minima are computed
+    by the same staged column expressions as the batch side, then looked
+    up in the dict inside ONE Arrow-batched pandas UDF) — no shuffle, no
+    state store, so the stream runs unbounded in append mode at source
+    parallelism."""
+    from ..pipeline.text import _winnow_stage
+
+    idx = {int(m): int(c) for m, c in dict(eval_index).items()}
+
+    @F.pandas_udf("array<bigint>")
+    def _probe(wsets: pd.Series) -> pd.Series:
+        out = []
+        for ws in wsets:
+            n = 0
+            mx = 0
+            for m in ws:
+                d = idx.get(int(m))
+                if d is not None:
+                    n += 1
+                    if d > mx:
+                        mx = d
+            out.append([n, mx])
+        return pd.Series(out)
+
+    stage = _winnow_stage(stream_df, text_col, k, w).withColumn(
+        "_hit", _probe(F.col("_wset"))
+    )
+    return stage.filter(F.col("_hit")[0] > 0).select(
+        F.col(id_col),
+        F.col("_hit")[0].alias("n_shared"),
+        F.col("_hit")[1].alias("max_eval_df"),
+        F.round(F.col("_hit")[0] / F.size("_wset"), 6).alias("contamination"),
     )

@@ -325,3 +325,42 @@ def test_streaming_lsh_banding_matches_batch(spark, sf_dir):
             want.add((b, a))
     assert got == want
     assert len(want) > 0  # the fixture must actually exercise collisions
+
+
+def test_streaming_contamination_matches_batch(spark, sf_dir):
+    """The streaming decontamination probe (broadcast eval-index dict +
+    Arrow-batched lookup) must reproduce the batch contamination rows
+    exactly on the shared fixture."""
+    from prague_spark.pipeline.dedup import contamination, eval_minima_index
+    from prague_spark.streaming.dedup import contamination_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    train = docs.filter(F.col("source") != "src0")
+    evl = docs.filter(F.col("source") == "src0")
+
+    idx = {
+        int(r["wmin"]): int(r["_eval_df"])
+        for r in eval_minima_index(evl, "doc_id", "text").collect()
+    }
+    d = tempfile.mkdtemp(prefix="prague_contam_stream_")
+    train.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(train.schema).parquet(d)
+    q = (
+        contamination_stream(stream, idx, "doc_id", "text")
+        .writeStream.format("memory")
+        .queryName("contam_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["n_shared"], r["max_eval_df"], r["contamination"])
+        for r in spark.sql("SELECT * FROM contam_stream").collect()
+    }
+    want = {
+        (r["doc_id"], r["n_shared"], r["max_eval_df"], r["contamination"])
+        for r in contamination(train, evl, "doc_id", "text").collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the fixture must actually exercise overlaps
