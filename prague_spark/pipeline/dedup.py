@@ -604,3 +604,51 @@ def contamination(
         "max_eval_df",
         F.round(F.col("n_shared") / F.col("_n_minima"), 6).alias("contamination"),
     )
+
+
+def canonical_by_score(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    score_col: str,
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Pick the KEEPER of each duplicate cluster by quality, not by id.
+
+    ``connected_components`` canonicalizes on the minimum id — fine for
+    dedup bookkeeping, wrong for corpus curation, where the cluster's
+    highest-QUALITY member should survive (e.g. ``text.quality_score``).
+    Joins the (node, cluster_id) assignment with a per-doc score and keeps
+    the argmax per cluster (score desc, id asc tie-break, so the result is
+    deterministic).
+
+    Returns (cluster_id, id, score, n_members).
+
+    Scale shape: one broadcast-or-shuffle join on id + ONE window over
+    cluster_id (clusters are near-dup groups — a handful of members each,
+    so no skewed-partition risk; a pathological mega-cluster signals a
+    banding bug upstream, not a curation input)."""
+    from pyspark.sql import Window
+
+    scored = clusters.join(
+        docs.select(
+            F.col(id_col).alias(node_col), F.col(score_col).alias("_score")
+        ),
+        node_col,
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col("_score").desc(), F.col(node_col).asc()
+    )
+    cnt = Window.partitionBy(cluster_col)
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(cnt))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col(cluster_col),
+            F.col(node_col).alias(id_col),
+            F.col("_score").alias(score_col),
+            "n_members",
+        )
+    )

@@ -397,3 +397,22 @@ def test_stratified_topk_matches_duckdb(docs, sf_dir):
         """).fetchall()
     )
     assert got == want and len(got) == 25  # 5 langs x 5
+
+
+def test_canonical_by_score_picks_best_per_cluster(spark):
+    from prague_spark.pipeline.dedup import canonical_by_score
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "node long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.1)],
+        "doc_id long, q_score double",
+    )
+    out = {
+        r["cluster_id"]: (r["doc_id"], r["q_score"], r["n_members"])
+        for r in canonical_by_score(clusters, docs, "doc_id", "q_score").collect()
+    }
+    # cluster 1: score tie 2 vs 3 -> lower id wins; cluster 10: 10 wins
+    assert out == {1: (2, 0.9, 3), 10: (10, 0.5, 2)}
