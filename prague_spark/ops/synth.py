@@ -60,6 +60,8 @@ def random_problem(
     sigma_noise: float = 1.0,
     n_classes: int = 3,
     seed: int = 42,
+    rho: float = 0.0,
+    n_groups: int | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """Returns (df with x1..xp + y, planted beta).
 
@@ -68,22 +70,43 @@ def random_problem(
     gaussian y = x.beta + N(0, sigma); binomial y = sign rule; poisson
     y ~ Poisson(exp(x.beta)) (approximated by inverse-CDF of a uniform for
     determinism); multinomial by softmax argmax of noisy scores.
-    """
+
+    ``rho`` plants an equicorrelated design exactly as the reference
+    (``R/utils.R:34-35``): ONE shared per-row N(0,1) draw scaled by
+    sqrt(rho/(1-rho)) is added to every column, giving pairwise column
+    correlation rho after the implied rescale. ``n_groups`` switches the
+    support from random columns to the reference's grouped layout
+    (``R/utils.R:37-41``): columns are blocked into n_groups contiguous
+    groups and the first max(floor(n_groups*q), 1) groups are active —
+    the fixture for group-correlated SLOPE clustering behavior."""
     rng = np.random.default_rng(seed)
-    k = max(1, int(np.floor(q * p)))
     beta = np.zeros(p)
-    idx = rng.choice(p, size=k, replace=False)
-    beta[idx] = amplitude * np.where(np.arange(k) % 2 == 0, 1.0, -1.0)
+    if n_groups is not None:
+        groups = np.repeat(
+            np.arange(n_groups), int(np.ceil(p / n_groups))
+        )[:p]
+        active_groups = max(int(np.floor(n_groups * q)), 1)
+        idx = np.flatnonzero(groups < active_groups)
+    else:
+        idx = rng.choice(p, size=max(1, int(np.floor(q * p))), replace=False)
+    beta[idx] = amplitude * np.where(np.arange(len(idx)) % 2 == 0, 1.0, -1.0)
 
     df = spark.range(n).withColumnRenamed("id", "row_id")
     # one withColumns projection: per-column withColumn chaining nests a
     # Project node per feature and overflows Catalyst's recursive
     # analysis past ~1000 columns
+    common = (
+        F.lit(float(np.sqrt(rho / (1.0 - rho)))) * F.randn(seed + 999)
+        if rho > 0
+        else None
+    )
     xcols = {}
     for j in range(p):
         x = F.randn(seed + 1000 + j)
         if density < 1.0:
             x = F.when(F.rand(seed + 2000 + j) < density, x).otherwise(0.0)
+        if common is not None:
+            x = x + common
         xcols[f"x{j + 1}"] = x
     df = df.withColumns(xcols)
 

@@ -1132,7 +1132,15 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     (subset_ok — zero spurious), recall against the exact all-pairs
     baseline meets the pinned bound (recall_ok), and both engines agree on
     the exact-pair universe size (n_exact, recomputed independently by
-    DuckDB)."""
+    DuckDB).
+
+    Parameter note: threshold 0.3 on near-random synthetic vectors is the
+    ADVERSARIAL regime for hyperplane LSH (collision prob/plane ~0.6), so
+    hitting recall 0.8 needs aggressive 4-bit bands whose candidate volume
+    approaches all-pairs on a large fixture. Production near-dup
+    thresholds (cosine >= 0.9, p ~0.86/plane) reach recall ~0.99 with
+    8-bit bands and SPARSE candidates — tune (n_planes, n_bands) to the
+    threshold; the plan shape is identical."""
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "vec", F.transform("embedding", lambda x: x.cast("double"))
     )

@@ -301,3 +301,27 @@ def test_admm_low_rank_kernel_matches_dense():
         out.append((z, res.deviance))
     np.testing.assert_allclose(out[0][0], out[1][0], rtol=1e-6, atol=1e-8)
     assert abs(out[0][1] - out[1][1]) <= 1e-6 * max(1.0, abs(out[0][1]))
+
+
+def test_random_problem_rho_and_groups(spark):
+    from pyspark.sql import functions as F
+
+    from prague_spark.ops.synth import random_problem
+
+    df, beta = random_problem(
+        spark, n=4000, p=6, q=0.5, family="gaussian", seed=3,
+        rho=0.5, n_groups=3,
+    )
+    # grouped support: ceil(6/3)=2 per group, floor(3*0.5)=1 active group
+    # -> exactly columns 0,1 active
+    assert set(np.flatnonzero(beta)) == {0, 1}
+    # equicorrelated design: corr(x_i, x_j) ~ rho for i != j
+    r = df.select(
+        F.corr("x1", "x4").alias("c14"), F.corr("x2", "x5").alias("c25")
+    ).first()
+    assert abs(r["c14"] - 0.5) < 0.06
+    assert abs(r["c25"] - 0.5) < 0.06
+    # rho=0 default leaves columns uncorrelated
+    df0, _ = random_problem(spark, n=4000, p=4, q=0.5, seed=3)
+    r0 = df0.select(F.corr("x1", "x3").alias("c")).first()["c"]
+    assert abs(r0) < 0.06
