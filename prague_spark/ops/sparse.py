@@ -542,16 +542,23 @@ def fit_sparse(
       which the ENTIRE path is driver-side ADMM — zero per-path-point
       scans (the reference's one-time factorization, src/owl.cpp:178-203,
       carried over to the sparse entry).
-    - iterative families run FISTA with a FIXED Lipschitz step derived
-      from the trace bound eigmax(X'X) <= trace(X'X) = sum of squared
-      standardized column norms (piggybacked on the setup pass — no extra
-      scan), so no line-search probe scans; poisson has no global
-      Lipschitz bound and keeps backtracking.
-    - strong-rule screening + KKT repair (``src/screening.h``,
-      ``src/kktCheck.h``) prune the triplets to the active columns before
-      the per-iteration joins — the sparse analogue of the dense path's
-      column pruning. Scan counts are recorded in
-      ``model.diagnostics["sparse_scans"]``.
+    - past ``gram_limit`` (the wide-p regime), strong-rule screening +
+      KKT repair (``src/screening.h``, ``src/kktCheck.h``) prune each
+      path point to a small active set, and the ACTIVE COLUMNS — never
+      the p-wide design — are fetched into a budget-guarded driver cache
+      (``incore_limit``; per-column nnz from the setup pass prices every
+      fetch in advance): each subset problem then solves in-core with
+      zero distributed jobs, so the per-path-point cluster cost collapses
+      to one fused KKT-gradient job plus an occasional column fetch
+      (~2-3 scans/point, see ``diagnostics["scans_per_path_point"]``).
+    - when a subset breaches the in-core budgets, the distributed
+      fallbacks take over: prox-Newton (3 O(nnz) jobs/outer iteration)
+      under the Hessian-payload and pair-volume guards, else FISTA with a
+      FIXED Lipschitz step from the trace bound eigmax(X'X) <=
+      trace(X'X) (piggybacked on the setup pass — no extra scan), so no
+      line-search probe scans; poisson has no global Lipschitz bound and
+      keeps backtracking.
+    - scan counts are recorded in ``model.diagnostics["sparse_scans"]``.
 
     ``triplets``: (row_col, col_col, val_col) with col ids in [0, n_cols);
     ``y_df``: (row_col, label) with one row per observation (the row
