@@ -38,9 +38,22 @@ def score(
     if path_idx is None:
         path_idx = model.n_path - 1
     fam = model.family
+    out_col = {"binomial": "_prob", "multinomial": "_probs"}.get(fam, "_pred")
+    pred = predict(df, model, path_idx, type="response", out=out_col)
+    return measure_from_pred(pred, label, measure, fam, model.class_names)
 
+
+def measure_from_pred(
+    pred: DataFrame,
+    label: str,
+    measure: str,
+    fam: str,
+    class_names,
+) -> float:
+    """Measure arithmetic over a response-prediction frame (``_pred`` /
+    ``_prob`` / ``_probs`` per family) — shared by the dense :func:`score`
+    and the long-format ``ops.sparse.score_sparse``; R/score.R semantics."""
     if fam in ("gaussian", "poisson"):
-        pred = predict(df, model, path_idx, type="response", out="_pred")
         err = F.col("_pred") - F.col(label).cast("double")
         if measure == "mse":
             return float(pred.agg(F.avg(err * err)).first()[0])
@@ -49,8 +62,7 @@ def score(
         raise ValueError(f"measure {measure!r} invalid for {fam}")
 
     if fam == "binomial":
-        c1, c2 = model.class_names
-        pred = predict(df, model, path_idx, type="response", out="_prob")
+        c1, c2 = class_names
         y2 = F.when(F.col(label).cast("string") == F.lit(c2), 1.0).otherwise(0.0)
         y1 = F.lit(1.0) - y2
         ph = F.col("_prob")
@@ -76,10 +88,8 @@ def score(
         raise ValueError(f"measure {measure!r} invalid for binomial")
 
     if fam == "multinomial":
-        classes = model.class_names
-        pred = predict(df, model, path_idx, type="response", out="_probs")
         per_class = []
-        for i, cls in enumerate(classes):
+        for i, cls in enumerate(class_names):
             yk = F.when(F.col(label).cast("string") == F.lit(cls), 1.0).otherwise(0.0)
             pk = F.col("_probs")[i]
             if measure == "mse":
@@ -95,7 +105,7 @@ def score(
         for e in per_class[1:]:
             total = total + e
         if measure in ("mse", "mae"):
-            total = total / float(len(classes))
+            total = total / float(len(class_names))
         return float(pred.agg(F.avg(total)).first()[0])
 
     raise ValueError(fam)

@@ -1212,6 +1212,42 @@ def predict_sparse(
     raise ValueError(f"type {type!r} not supported for multinomial")
 
 
+def score_sparse(
+    triplets: DataFrame,
+    y_df: DataFrame,
+    model,
+    label: str,
+    measure: str = "mse",
+    *,
+    path_idx: int | None = None,
+    row_col: str = "row_id",
+    col_col: str = "col_id",
+    val_col: str = "value",
+) -> float:
+    """Score one path slice directly on long-format triplets — the sparse
+    leg of ``R/score.R`` (completes fit_sparse -> predict_sparse ->
+    score_sparse so a sparse-input user never densifies).
+
+    ``y_df`` supplies both the row universe (all-zero rows predict the
+    intercept, exactly as the dense path sees them) and the labels.
+    Measures per family as the dense :func:`prague_spark.ops.score.score`
+    (shared ``measure_from_pred`` arithmetic): gaussian/poisson mse|mae,
+    binomial mse|mae|deviance|misclass|auc, multinomial mse|mae|deviance.
+    Cost: one broadcast coef join + one groupBy(row) + the measure
+    aggregation — O(nnz)."""
+    from .score import measure_from_pred
+
+    fam = model.family
+    out_col = {"binomial": "_prob", "multinomial": "_probs"}.get(fam, "_pred")
+    preds = predict_sparse(
+        triplets, model, rows=y_df.select(row_col), path_idx=path_idx,
+        type="response", row_col=row_col, col_col=col_col, val_col=val_col,
+        out=out_col,
+    )
+    pred = preds.join(y_df.select(F.col(row_col), F.col(label)), row_col)
+    return measure_from_pred(pred, label, measure, fam, model.class_names)
+
+
 def sparse_xtv(
     triplets: DataFrame,
     v: DataFrame,

@@ -407,3 +407,48 @@ def test_sparse_incore_subset_route_matches_distributed_pm(spark, family):
         m1.diagnostics["scans_per_path_point"]
         < m2.diagnostics["scans_per_path_point"]
     )
+
+
+def test_score_sparse_matches_dense_score(spark):
+    # sparse-leg scoring (triplets + y frame) must agree with the dense
+    # score of the same data and model, for every shared measure
+    from prague_spark.ops.sparse import fit_sparse, score_sparse
+
+    rng = np.random.default_rng(19)
+    n, p = 300, 20
+    X = np.where(rng.random((n, p)) < 0.2, rng.normal(size=(n, p)), 0.0)
+    y = X @ np.r_[2.0, -2.0, np.zeros(p - 2)] + rng.normal(scale=0.3, size=n)
+    rows, cols_idx = np.nonzero(X)
+    trip = spark.createDataFrame(
+        [(int(r), int(c), float(X[r, c])) for r, c in zip(rows, cols_idx)],
+        "row_id long, col_id int, value double",
+    ).cache()
+    ydf = spark.createDataFrame(
+        [(int(i), float(y[i])) for i in range(n)], "row_id long, y double"
+    ).cache()
+    m = fit_sparse(trip, ydf, "y", "gaussian", n_cols=p, n_sigma=3,
+                   lambda_min_ratio=0.3)
+    dense = spark.createDataFrame(
+        [tuple([float(v) for v in X[i]] + [float(y[i])]) for i in range(n)],
+        ", ".join([f"x{j} double" for j in range(p)] + ["y double"]),
+    )
+    for meas in ("mse", "mae"):
+        s_sparse = score_sparse(trip, ydf, m, "y", meas)
+        s_dense = ps.score(dense, m, "y", meas)
+        assert s_sparse == pytest.approx(s_dense, rel=1e-9), meas
+
+    # binomial: auc + misclass through the same sparse leg
+    yb = np.where(X @ np.r_[3.0, np.zeros(p - 1)] > 0, "pos", "neg")
+    ybdf = spark.createDataFrame(
+        [(int(i), str(yb[i])) for i in range(n)], "row_id long, y string"
+    ).cache()
+    mb = fit_sparse(trip, ybdf, "y", "binomial", n_cols=p, n_sigma=2,
+                    lambda_min_ratio=0.5)
+    denseb = spark.createDataFrame(
+        [tuple([float(v) for v in X[i]] + [str(yb[i])]) for i in range(n)],
+        ", ".join([f"x{j} double" for j in range(p)] + ["y string"]),
+    )
+    for meas in ("auc", "misclass", "deviance"):
+        s_sparse = score_sparse(trip, ybdf, mb, "y", meas)
+        s_dense = ps.score(denseb, mb, "y", meas)
+        assert s_sparse == pytest.approx(s_dense, rel=1e-9), meas
