@@ -197,20 +197,44 @@ def score_path_spark(
     length. Returns {measure: [value per path point]}."""
     from .predict import linear_predictor_expr
 
-    fam = model.family
-    n_path = model.n_path
+    def lp_fn(i: int, t: int = 0):
+        return linear_predictor_expr(model, i, target=t)
+
+    return score_path_from_lp(
+        df, lp_fn, label, measures, model.family, model.class_names,
+        model.n_path, model.n_targets,
+    )
+
+
+def score_path_from_lp(
+    df: DataFrame,
+    lp_fn,
+    label: str,
+    measures: list[str],
+    fam: str,
+    class_names,
+    n_path: int,
+    n_targets: int,
+) -> dict:
+    """Path scoring over any linear-predictor provider: ``lp_fn(i, t)``
+    returns the lp Column of path point ``i``, target ``t`` against
+    ``df``'s columns. The dense path folds coefficients into the
+    projection (:func:`score_path_spark`); the sparse path pre-joins per-
+    row lp columns (``ops.sparse.score_path_sparse``). One aggregation
+    covers every (path point x measure); auc adds one rank pass per
+    slice."""
     y = F.col(label)
     avg_measures = [m for m in measures if m != "auc"]
     aggs = []
     for i in range(n_path):
         if fam in ("gaussian", "poisson"):
-            lp = linear_predictor_expr(model, i)
+            lp = lp_fn(i)
             pred = F.exp(lp) if fam == "poisson" else lp
             err = pred - y.cast("double")
             exprs = {"mse": F.avg(err * err), "mae": F.avg(F.abs(err))}
         elif fam == "binomial":
-            c1, c2 = model.class_names
-            lp = linear_predictor_expr(model, i)
+            c1, c2 = class_names
+            lp = lp_fn(i)
             ph = F.lit(1.0) / (F.lit(1.0) + F.exp(-lp))
             y2 = F.when(y.cast("string") == F.lit(c2), 1.0).otherwise(0.0)
             y1 = F.lit(1.0) - y2
@@ -225,9 +249,9 @@ def score_path_spark(
                 ),
             }
         else:  # multinomial
-            classes = model.class_names
-            m = model.n_targets
-            lps = [linear_predictor_expr(model, i, target=t) for t in range(m)]
+            classes = class_names
+            m = n_targets
+            lps = [lp_fn(i, t) for t in range(m)]
             lps_full = lps + [F.lit(0.0)]
             mx = F.greatest(*lps_full)
             es = [F.exp(e - mx) for e in lps_full]
@@ -260,10 +284,10 @@ def score_path_spark(
         for meas in avg_measures:
             out[meas] = [float(row[f"_{meas}_{i}"]) for i in range(n_path)]
     if "auc" in measures:
-        c1, c2 = model.class_names
+        c1, c2 = class_names
         y2 = F.when(y.cast("string") == F.lit(c2), 1.0).otherwise(0.0)
         for i in range(n_path):
-            lp = linear_predictor_expr(model, i)
+            lp = lp_fn(i)
             ph = F.lit(1.0) / (F.lit(1.0) + F.exp(-lp))
             out["auc"][i] = auc(df.select(ph.alias("_p"), y2.alias("_y2")), "_p", F.col("_y2"))
     return out

@@ -1248,6 +1248,164 @@ def score_sparse(
     return measure_from_pred(pred, label, measure, fam, model.class_names)
 
 
+def score_path_sparse(
+    triplets: DataFrame,
+    y_df: DataFrame,
+    model,
+    label: str,
+    measures: list[str],
+    *,
+    row_col: str = "row_id",
+    col_col: str = "col_id",
+    val_col: str = "value",
+) -> dict:
+    """Score EVERY path slice for every measure on long-format triplets in
+    TWO distributed jobs total (the sparse analogue of
+    ``ops.score.score_path_spark``): ONE broadcast coef join + groupBy(row)
+    emits every path point's linear predictor as columns of a per-row
+    frame, then the shared path-measure aggregation
+    (``score_path_from_lp``) reduces all (path point x measure) cells in
+    one scan of it. auc adds one rank pass per slice. Used by
+    ``ops.cv.cv_fit_sparse``. Returns {measure: [value per path point]}."""
+    from .score import score_path_from_lp
+
+    spark = triplets.sparkSession
+    n_path = model.n_path
+    m = model.n_targets
+    start = 1 if model.intercept else 0
+    B = np.asarray(model.betas, dtype=np.float64)  # (n_path, p_tot, m)
+    pen = B[:, start:, :]
+    b0 = B[:, 0, :] if model.intercept else np.zeros((n_path, m))
+
+    nz = np.flatnonzero(np.any(pen != 0, axis=(0, 2)))
+    names = [f"_lp_{i}_{t}" for i in range(n_path) for t in range(m)]
+    if len(nz):
+        bdf = spark.createDataFrame(
+            [
+                (
+                    int(j),
+                    *[
+                        float(pen[i, j, t])
+                        for i in range(n_path)
+                        for t in range(m)
+                    ],
+                )
+                for j in nz
+            ],
+            f"{col_col} int, " + ", ".join(f"_b{c} double" for c in names),
+        )
+        agg = (
+            triplets.join(F.broadcast(bdf), col_col)
+            .groupBy(row_col)
+            .agg(
+                *[
+                    F.sum(F.col(val_col) * F.col(f"_b{c}")).alias(f"_s{c}")
+                    for c in names
+                ]
+            )
+        )
+        rows = y_df.join(agg, row_col, "left")
+        for i in range(n_path):
+            for t in range(m):
+                c = f"_lp_{i}_{t}"
+                rows = rows.withColumn(
+                    c,
+                    F.coalesce(F.col(f"_s{c}"), F.lit(0.0))
+                    + F.lit(float(b0[i, t])),
+                )
+    else:
+        rows = y_df
+        for i in range(n_path):
+            for t in range(m):
+                rows = rows.withColumn(
+                    f"_lp_{i}_{t}", F.lit(float(b0[i, t]))
+                )
+
+    def lp_fn(i: int, t: int = 0):
+        return F.col(f"_lp_{i}_{t}")
+
+    return score_path_from_lp(
+        rows, lp_fn, label, measures, model.family, model.class_names,
+        n_path, m,
+    )
+
+
+def cv_fit_sparse(
+    triplets: DataFrame,
+    y_df: DataFrame,
+    label: str,
+    family: str = "gaussian",
+    *,
+    n_cols: int,
+    q_values=(0.2,),
+    n_folds: int = 5,
+    n_repeats: int = 1,
+    measures: list[str] | None = None,
+    seed: int = 42,
+    row_col: str = "row_id",
+    col_col: str = "col_id",
+    val_col: str = "value",
+    **fit_kwargs,
+):
+    """Repeated k-fold CV on the long-format sparse input path — trainOwl
+    (``R/trainOwl.R:44-201``) for designs that never densify. Mirrors
+    ``ops.cv.cv_fit``: an initial full fit freezes the sigma grid, each
+    (q, repeat, fold) cell refits on the train rows and scores the whole
+    path on the test rows, and the aggregation/optima logic is shared.
+
+    Fold assignment hashes ``row_col`` (xxhash64, seeded per repeat), so
+    the SAME expression filters both the triplets and the y frame without
+    a join, deterministically under any partitioning. Each cell's fit
+    takes the wide-p screening + in-core subset route when within budget
+    (scans per path point stay ~2-3); test scoring is two jobs per cell
+    (``score_path_sparse``)."""
+    from .cv import _OK_MEASURES, _aggregate
+
+    ok = _OK_MEASURES[family]
+    measures = [mm for mm in (measures or ok[:1]) if mm in ok]
+    if not measures:
+        raise ValueError(f"measure needs to be one of {ok}")
+
+    base = fit_sparse(
+        triplets, y_df, label, family, n_cols=n_cols, q=q_values[0],
+        row_col=row_col, col_col=col_col, val_col=val_col, **fit_kwargs,
+    )
+    sigma = base.sigma
+
+    triplets = triplets.persist()
+    y_df = y_df.persist()
+    cells = []
+    for rep in range(n_repeats):
+        fold_of = F.pmod(
+            F.xxhash64(F.col(row_col), F.lit(seed + rep)), F.lit(n_folds)
+        )
+        for fold in range(n_folds):
+            tr_t = triplets.filter(fold_of != fold)
+            tr_y = y_df.filter(fold_of != fold)
+            te_t = triplets.filter(fold_of == fold)
+            te_y = y_df.filter(fold_of == fold)
+            for qv in q_values:
+                mdl = fit_sparse(
+                    tr_t, tr_y, label, family, n_cols=n_cols, q=qv,
+                    sigma=sigma, row_col=row_col, col_col=col_col,
+                    val_col=val_col, **fit_kwargs,
+                )
+                per_meas = score_path_sparse(
+                    te_t, te_y, mdl, label, measures,
+                    row_col=row_col, col_col=col_col, val_col=val_col,
+                )
+                for meas in measures:
+                    vals = per_meas[meas]
+                    for si in range(min(len(vals), mdl.n_path)):
+                        cells.append(
+                            dict(q=qv, rep=rep, fold=fold, sigma_idx=si,
+                                 measure=meas, value=float(vals[si]))
+                        )
+    triplets.unpersist()
+    y_df.unpersist()
+    return _aggregate(cells, sigma, q_values, measures, n_folds, n_repeats, base)
+
+
 def sparse_xtv(
     triplets: DataFrame,
     v: DataFrame,

@@ -452,3 +452,35 @@ def test_score_sparse_matches_dense_score(spark):
         s_sparse = score_sparse(trip, ybdf, mb, "y", meas)
         s_dense = ps.score(denseb, mb, "y", meas)
         assert s_sparse == pytest.approx(s_dense, rel=1e-9), meas
+
+
+def test_score_path_sparse_and_cv_fit_sparse(spark):
+    # the two-job path scorer must agree with per-point score_sparse, and
+    # sparse CV must aggregate into the shared CvResult shape
+    from prague_spark.ops.sparse import (
+        cv_fit_sparse, fit_sparse, score_path_sparse, score_sparse,
+    )
+    from prague_spark.ops.synth import random_sparse_problem
+
+    trip, ydf, _ = random_sparse_problem(
+        spark, n=600, p=60, nnz_per_row=8, seed=13
+    )
+    trip, ydf = trip.cache(), ydf.cache()
+    m = fit_sparse(trip, ydf, "y", "gaussian", n_cols=60, n_sigma=4,
+                   lambda_min_ratio=0.3)
+    path_vals = score_path_sparse(trip, ydf, m, "y", ["mse", "mae"])
+    for i in range(m.n_path):
+        assert path_vals["mse"][i] == pytest.approx(
+            score_sparse(trip, ydf, m, "y", "mse", path_idx=i), rel=1e-9
+        )
+        assert path_vals["mae"][i] == pytest.approx(
+            score_sparse(trip, ydf, m, "y", "mae", path_idx=i), rel=1e-9
+        )
+
+    res = cv_fit_sparse(trip, ydf, "y", "gaussian", n_cols=60, n_folds=3,
+                        measures=["mse"], n_sigma=4, lambda_min_ratio=0.3)
+    assert len(res.summary) == 4  # one row per sigma
+    assert res.optima[0]["measure"] == "mse"
+    assert res.model.n_path == 4
+    # each summary row aggregates all 3 folds
+    assert all(r["se"] >= 0.0 for r in res.summary)
