@@ -16,18 +16,23 @@ from .model import SlopeModel
 from .ops.cv import cv_fit
 from .ops.predict import predict, predict_path
 from .ops.score import auc, score, score_path, score_path_spark
-from .ops.sparse import fit_sparse, predict_sparse
+from .ops.sparse import (
+    cv_fit_sparse, fit_sparse, predict_sparse, score_path_sparse, score_sparse,
+)
 from .session import get_spark
 
 __all__ = [
     "fit",
     "SlopeModel",
     "cv_fit",
+    "cv_fit_sparse",
     "predict",
     "predict_path",
     "score",
     "score_path",
     "score_path_spark",
+    "score_path_sparse",
+    "score_sparse",
     "fit_sparse",
     "predict_sparse",
     "auc",
