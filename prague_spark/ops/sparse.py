@@ -589,6 +589,13 @@ def fit_sparse(
     # per-column scale vector (index 1.. = feature columns; 0 = intercept)
     s_vec = np.ones(n_cols + 1)
     for k_, v_ in scales.items():
+        if not 0 <= int(k_) < n_cols:
+            # explicit: a negative id would otherwise SILENTLY corrupt the
+            # scale vector through Python negative indexing, and an
+            # overflowing one dies with an opaque IndexError
+            raise ValueError(
+                f"triplet col_id {int(k_)} outside [0, n_cols={n_cols})"
+            )
         s_vec[1 + int(k_)] = float(v_)
 
     icol = 1.0 / np.sqrt(n) if (intercept and scale == "l2") else 1.0

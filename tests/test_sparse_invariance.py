@@ -484,3 +484,18 @@ def test_score_path_sparse_and_cv_fit_sparse(spark):
     assert res.model.n_path == 4
     # each summary row aggregates all 3 folds
     assert all(r["se"] >= 0.0 for r in res.summary)
+
+
+def test_fit_sparse_rejects_out_of_range_col_ids(spark):
+    from prague_spark.ops.sparse import fit_sparse
+
+    ydf = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "row_id long, y double"
+    )
+    for bad in (-1, 5):
+        trip = spark.createDataFrame(
+            [(0, bad, 1.0), (1, 2, 1.0)], "row_id long, col_id int, value double"
+        )
+        with pytest.raises(ValueError, match="col_id"):
+            fit_sparse(trip, ydf, "y", "gaussian", n_cols=5, n_sigma=2,
+                       lambda_min_ratio=0.5)
