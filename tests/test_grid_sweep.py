@@ -11,13 +11,20 @@ from prague_spark.ops.synth import random_problem
 
 
 @pytest.mark.parametrize(
-    "n,p,density",
-    [(2000, 20, 1.0), (300, 60, 1.0), (1000, 40, 0.5)],
-    ids=["tall", "wide_n_lt_p", "sparse_design"],
+    "n,p,density,rho",
+    [
+        (2000, 20, 1.0, 0.0),
+        (300, 60, 1.0, 0.0),
+        (1000, 40, 0.5, 0.0),
+        # equicorrelated design (the regime SLOPE's coefficient clustering
+        # targets): screening invariance must hold under correlation too
+        (1500, 30, 1.0, 0.6),
+    ],
+    ids=["tall", "wide_n_lt_p", "sparse_design", "correlated"],
 )
-def test_grid_screening_invariance(spark, n, p, density):
+def test_grid_screening_invariance(spark, n, p, density, rho):
     df, beta = random_problem(spark, n=n, p=p, family="gaussian",
-                              density=density, seed=11)
+                              density=density, seed=11, rho=rho)
     feats = [f"x{j}" for j in range(1, p + 1)]
     kw = dict(n_sigma=6, lambda_min_ratio=0.05, diagnostics=True)  # staged path (screening lives there)
     m_on = ps.fit(df, feats, "y", "gaussian", screening=True, **kw)
