@@ -499,3 +499,32 @@ def test_fit_sparse_rejects_out_of_range_col_ids(spark):
         with pytest.raises(ValueError, match="col_id"):
             fit_sparse(trip, ydf, "y", "gaussian", n_cols=5, n_sigma=2,
                        lambda_min_ratio=0.5)
+
+
+def test_score_sparse_multinomial_matches_dense(spark):
+    from prague_spark.ops.sparse import fit_sparse, score_sparse
+
+    rng = np.random.default_rng(29)
+    n, p = 300, 12
+    X = np.where(rng.random((n, p)) < 0.25, rng.normal(size=(n, p)), 0.0)
+    s0 = 2.5 * X[:, 0] + rng.normal(scale=0.4, size=n)
+    s1 = -2.5 * X[:, 1] + rng.normal(scale=0.4, size=n)
+    y = np.where(s0 > np.maximum(s1, 0), "a", np.where(s1 > 0, "b", "c"))
+    rows, cols_idx = np.nonzero(X)
+    trip = spark.createDataFrame(
+        [(int(r), int(c), float(X[r, c])) for r, c in zip(rows, cols_idx)],
+        "row_id long, col_id int, value double",
+    ).cache()
+    ydf = spark.createDataFrame(
+        [(int(i), str(y[i])) for i in range(n)], "row_id long, y string"
+    ).cache()
+    m = fit_sparse(trip, ydf, "y", "multinomial", n_cols=p, n_sigma=3,
+                   lambda_min_ratio=0.3)
+    dense = spark.createDataFrame(
+        [tuple([float(v) for v in X[i]] + [str(y[i])]) for i in range(n)],
+        ", ".join([f"x{j} double" for j in range(p)] + ["y string"]),
+    )
+    for meas in ("mse", "deviance"):
+        s_sp = score_sparse(trip, ydf, m, "y", meas)
+        s_de = ps.score(dense, m, "y", meas)
+        assert s_sp == pytest.approx(s_de, rel=1e-9), meas
