@@ -524,6 +524,7 @@ def fit_sparse(
     tol_rel: float = 1e-4,
     tol_dev_change: float = 1e-5,
     tol_dev_ratio: float = 0.995,
+    max_variables: int | None = None,
 ):
     """End-to-end SLOPE path fit on a long-format sparse design WITHOUT
     densification — the wide-p scale path (p far beyond what array rows
@@ -1016,6 +1017,19 @@ def fit_sparse(
     k = 0
     grad_cache = None  # full gradient at beta_prev, carried from the KKT
     # check of the previous path point (same beta) — saves 2 scans/point
+    # pre-fit dense-regime guard (only with an explicit max_variables):
+    # once the screening/repair set grows past this many ACTIVE columns,
+    # the point's solution is far denser than the requested support budget
+    # and would be discarded by the max_variables rule below — but fitting
+    # it distributed costs thousands of O(nnz) passes first. Abandon the
+    # path instead. Semantic delta vs the reference (which has no such
+    # guard because its in-core fit of the dense point is cheap): a point
+    # with > 4*max_variables active columns that SLOPE-clusters back under
+    # max_variables unique values would have been kept by the reference;
+    # with the cap unset the loop is reference-exact.
+    abandon_limit = None if max_variables is None else 4 * int(max_variables)
+
+    abandoned = False
     while k < len(sig):
         if not screening_on:
             res = _fit_at(design, beta, lam * sig[k], all_idx)
@@ -1033,6 +1047,12 @@ def fit_sparse(
             ever_active = np.union1d(ever_active, prev_active).astype(np.intp)
             active_set = ever_active
             while True:
+                if (
+                    abandon_limit is not None
+                    and len(active_set) - 1 > abandon_limit
+                ):
+                    abandoned = True
+                    break
                 if len(active_set) >= p_total:
                     active_set = all_idx
                     res = _fit_at(design, beta, lam * sig[k], all_idx)
@@ -1062,6 +1082,9 @@ def fit_sparse(
                     break
                 active_set = np.union1d(check_failures, active_set).astype(np.intp)
 
+        if abandoned:
+            break  # path truncated at k-1; point k not recorded
+
         betas[k] = beta
         beta_prev = beta.copy()
         deviances.append(res.deviance)
@@ -1073,6 +1096,16 @@ def fit_sparse(
             if change < tol_dev_change or dev_ratios[k] > tol_dev_ratio:
                 k += 1
                 break
+        # max_variables stop (src/owl.cpp:358-359, same order as the dense
+        # path): the point whose unique-|coef| count exceeds the cap is
+        # computed but EXCLUDED from the model. At wide p this is also the
+        # rule that keeps the path out of the dense-solution regime, where
+        # the active set approaches p and the whole screening + in-core
+        # architecture (correctly) stops applying — set it explicitly for
+        # p >> expected support.
+        n_uni = len(np.unique(np.abs(beta[1:][beta[1:] != 0])))
+        if n_uni > (n * m if max_variables is None else int(max_variables)):
+            break
         k += 1
 
     trip.unpersist()
@@ -1119,6 +1152,7 @@ def fit_sparse(
             ),
             pair_volume_ok=_pv["ok"],
             incore_subset_fits=incore is not None,
+            path_abandoned_dense=abandoned,
         ),
     )
 

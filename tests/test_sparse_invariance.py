@@ -528,3 +528,25 @@ def test_score_sparse_multinomial_matches_dense(spark):
         s_sp = score_sparse(trip, ydf, m, "y", meas)
         s_de = ps.score(dense, m, "y", meas)
         assert s_sp == pytest.approx(s_de, rel=1e-9), meas
+
+
+def test_fit_sparse_max_variables_stops_and_guards_dense_tail(spark):
+    from prague_spark.ops.sparse import fit_sparse
+    from prague_spark.ops.synth import random_sparse_problem
+
+    trip, ydf, _ = random_sparse_problem(
+        spark, n=800, p=400, nnz_per_row=10, q=0.01, seed=17
+    )
+    trip, ydf = trip.cache(), ydf.cache()
+    # uncapped: deep path activates many columns
+    m_full = fit_sparse(trip, ydf, "y", "gaussian", n_cols=400, n_sigma=6,
+                        lambda_min_ratio=0.05)
+    # capped: path stops once the unique-coef count exceeds the budget
+    # (or is abandoned pre-fit when the repair set implies it)
+    m_cap = fit_sparse(trip, ydf, "y", "gaussian", n_cols=400, n_sigma=6,
+                       lambda_min_ratio=0.05, max_variables=5)
+    assert m_cap.n_path < m_full.n_path  # the cap truncated the path
+    # every recorded capped point equals the uncapped path prefix
+    np.testing.assert_allclose(
+        m_cap.betas, m_full.betas[: m_cap.n_path], atol=1e-8
+    )
