@@ -713,8 +713,9 @@ def fit_sparse(
     else:
         # ONE setup pass: lambda_max cross-moments + column sums + per-
         # column sum of squares (trace Lipschitz bound) + per-column nnz
-        # (the in-core fetch budget below) in one aggregation
-        for r in (
+        # (the in-core fetch budget below) in one aggregation; the p-row
+        # result lands via Arrow and scatters vectorized
+        spdf = (
             trip.join(ydf, row_col)
             .groupBy(col_col)
             .agg(
@@ -724,13 +725,14 @@ def fit_sparse(
                 F.sum(F.col(val_col) * F.col(val_col)).alias("_sq"),
                 F.count(F.lit(1)).alias("_cnt"),
             )
-            .collect()
-        ):
-            for t in range(m):
-                xty[1 + int(r[col_col]), t] = float(r[f"_xy{t}"])
-            sums_x[1 + int(r[col_col])] = float(r["_sx"])
-            col_sq[1 + int(r[col_col])] = float(r["_sq"])
-            col_nnz[1 + int(r[col_col])] = int(r["_cnt"])
+            .toPandas()
+        )
+        ci = 1 + spdf[col_col].to_numpy(dtype=np.int64)
+        for t in range(m):
+            xty[ci, t] = spdf[f"_xy{t}"].to_numpy(dtype=np.float64)
+        sums_x[ci] = spdf["_sx"].to_numpy(dtype=np.float64)
+        col_sq[ci] = spdf["_sq"].to_numpy(dtype=np.float64)
+        col_nnz[ci] = spdf["_cnt"].to_numpy(dtype=np.int64)
         head = ydf.agg(
             *[F.sum(f"_y{t}").alias(f"_sy{t}") for t in range(m)],
             F.sum(F.col("_y0") * F.col("_y0")).alias("_yy"),
@@ -765,16 +767,14 @@ def fit_sparse(
     if gram is None:
         limit = DEFAULT_INCORE_LIMIT if incore_limit is None else int(incore_limit)
         if limit > 0 and n * max(m, 1) * 8 * 4 <= limit:
-            yrows = ydf.collect()  # persisted above; budget-checked
+            ypdf = ydf.toPandas()  # Arrow transfer; budget-checked above
             design.scans += 1
-            rid_raw = np.array([r[row_col] for r in yrows])
+            rid_raw = ypdf[row_col].to_numpy()
             order = np.argsort(rid_raw, kind="stable")
             rid_sorted = rid_raw[order]
             Y_loc = np.empty((n, m))
             for t in range(m):
-                Y_loc[:, t] = np.asarray(
-                    [float(r[f"_y{t}"]) for r in yrows], dtype=np.float64
-                )[order]
+                Y_loc[:, t] = ypdf[f"_y{t}"].to_numpy(dtype=np.float64)[order]
             incore = dict(
                 row_ids=rid_sorted, Y=Y_loc, cols={},
                 bytes=rid_sorted.nbytes + Y_loc.nbytes, limit=limit,
@@ -794,21 +794,19 @@ def fit_sparse(
         mdf = spark.createDataFrame(
             [(int(c),) for c in missing], f"{col_col} int"
         )
-        fetched = (
+        pdf = (
             trip.join(F.broadcast(mdf), col_col)
             .select(col_col, row_col, val_col)
-            .collect()
+            .toPandas()  # Arrow transfer, then one vectorized groupby
         )
         design.scans += 1
-        by_col: dict[int, list] = {c: [] for c in missing}
-        for r in fetched:
-            by_col[int(r[col_col])].append((r[row_col], float(r[val_col])))
         rid = incore["row_ids"]
+        grouped = dict(iter(pdf.groupby(col_col))) if len(pdf) else {}
         for c in missing:
-            pairs = by_col[c]
-            if pairs:
-                rr = np.array([pp[0] for pp in pairs])
-                vv = np.array([pp[1] for pp in pairs], dtype=np.float64)
+            grp = grouped.get(c)
+            if grp is not None and len(grp):
+                rr = grp[row_col].to_numpy()
+                vv = grp[val_col].to_numpy(dtype=np.float64)
                 pos = np.searchsorted(rid, rr)
                 pos_c = np.minimum(pos, len(rid) - 1)
                 ok = rid[pos_c] == rr  # drop triplets outside the row
@@ -864,7 +862,7 @@ def fit_sparse(
                 )
                 grad = np.zeros((n_cols + 1, m))
                 grad[0] = icol * g.sum(axis=0)
-                for r in (
+                gpdf = (
                     trip.join(F.broadcast(gdf), row_col)
                     .groupBy(col_col)
                     .agg(
@@ -873,10 +871,11 @@ def fit_sparse(
                             for t in range(m)
                         ]
                     )
-                    .collect()
-                ):
-                    for t in range(m):
-                        grad[1 + int(r[col_col]), t] = float(r[f"_gc{t}"])
+                    .toPandas()  # p rows via Arrow, vectorized scatter
+                )
+                gi = 1 + gpdf[col_col].to_numpy(dtype=np.int64)
+                for t in range(m):
+                    grad[gi, t] = gpdf[f"_gc{t}"].to_numpy(dtype=np.float64)
                 design.scans += 1
                 return grad
         return design.full_gradient(beta)
