@@ -223,6 +223,11 @@ def score_path_from_lp(
     row lp columns (``ops.sparse.score_path_sparse``). One aggregation
     covers every (path point x measure); auc adds one rank pass per
     slice."""
+    if n_path <= 0:
+        # a fully truncated path (max_variables / dense-tail abandon can
+        # leave zero points, e.g. a CV cell refit) would otherwise build an
+        # aggregation with no expressions — an opaque analysis error
+        return {m: [] for m in measures}
     y = F.col(label)
     avg_measures = [m for m in measures if m != "auc"]
     aggs = []

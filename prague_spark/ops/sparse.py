@@ -80,10 +80,22 @@ def long_to_features(
     supplies the full row universe so all-zero rows are kept."""
     t = triplets
     if scales:
-        mapping = F.create_map(
-            *[x for k, s in scales.items() for x in (F.lit(int(k)), F.lit(float(s)))]
+        # broadcast-join on a scales frame, NOT a 2p-literal create_map: at
+        # p ~ 10^4+ a literal map is a giant Catalyst expression tree
+        # (analysis-time blowup); the join is the same plan fit_sparse uses.
+        # A column without a scale entry keeps its raw value (scale 1.0,
+        # matching sparse_scales' zero-norm convention).
+        sdf = triplets.sparkSession.createDataFrame(
+            [(int(k), float(s)) for k, s in scales.items()],
+            f"{col_col} int, _s double",
         )
-        t = t.withColumn(val_col, F.col(val_col) / mapping[F.col(col_col)])
+        t = (
+            t.join(F.broadcast(sdf), col_col, "left")
+            .withColumn(
+                val_col, F.col(val_col) / F.coalesce(F.col("_s"), F.lit(1.0))
+            )
+            .drop("_s")
+        )
     pairs = t.groupBy(row_col).agg(
         F.map_from_arrays(
             F.collect_list(F.col(col_col).cast("int")),
@@ -796,6 +808,13 @@ def fit_sparse(
         )
         pdf = (
             trip.join(F.broadcast(mdf), col_col)
+            # restrict to the row universe BEFORE collecting: col_nnz (the
+            # price) comes from the setup aggregation, which joins on ydf
+            # and so counts only in-universe triplets — without this semi
+            # join a triplet frame with extra rows could ship a driver
+            # payload larger than what was budgeted (the scatter below
+            # would drop those rows anyway, so semantics are unchanged)
+            .join(ydf.select(row_col), row_col, "leftsemi")
             .select(col_col, row_col, val_col)
             .toPandas()  # Arrow transfer, then one vectorized groupby
         )
@@ -831,7 +850,10 @@ def fit_sparse(
         X[:, 0] = icol
         for out_j, c in enumerate(need, start=1):
             pos, vv = incore["cols"][c]
-            X[pos, out_j] = vv
+            # np.add.at, not fancy-index assignment: duplicate (row, col)
+            # triplets must SUM here exactly as the distributed joins sum
+            # them via groupBy, or the two routes silently diverge
+            np.add.at(X[:, out_j], pos, vv)
         return LocalDesign(X, incore["Y"], fam_obj)
 
     def _full_gradient(beta):
@@ -848,7 +870,9 @@ def fit_sparse(
                 lp = np.tile(icol * B[0], (n, 1))
                 for c in nz:
                     pos, vv = incore["cols"][int(c)]
-                    lp[pos] += vv[:, np.newaxis] * B[1 + c]
+                    # summing accumulate (duplicate-triplet parity with the
+                    # distributed groupBy route — see _incore_design)
+                    np.add.at(lp, pos, vv[:, np.newaxis] * B[1 + c])
                 g = fam_obj.pseudo_gradient(incore["Y"], lp)
                 if g.ndim == 1:
                     g = g[:, np.newaxis]
@@ -860,10 +884,17 @@ def fit_sparse(
                          **{f"_g{t}": g[:, t] for t in range(m)}}
                     )
                 )
+                # the per-row g frame is n x (1+m) doubles; broadcast is the
+                # map-side win only while it is comfortably small — near the
+                # in-core budget n can reach ~16M rows, where a broadcast
+                # approaches executor/driver memory and Spark's hard cap.
+                # Past 64 MiB let the join shuffle instead of risking the job.
+                if n * (1 + m) * 8 <= 64 * 1024 * 1024:
+                    gdf = F.broadcast(gdf)
                 grad = np.zeros((n_cols + 1, m))
                 grad[0] = icol * g.sum(axis=0)
                 gpdf = (
-                    trip.join(F.broadcast(gdf), row_col)
+                    trip.join(gdf, row_col)
                     .groupBy(col_col)
                     .agg(
                         *[

@@ -59,8 +59,15 @@ def test_oracle_match(name, spark, sf_dir, duck):
 
 SOLVER_KEYS = [k for k in Q.QUERIES if k not in Q.ORACLES]
 
+# Guarded: with full oracle coverage SOLVER_KEYS is empty and an empty
+# parametrize would report a permanent (benign but noisy) skip.
+if SOLVER_KEYS:
 
-@pytest.mark.parametrize("name", SOLVER_KEYS)
-def test_rows_only_queries_run(name, spark, sf_dir):
-    df = Q.QUERIES[name](spark, sf_dir)
-    assert df.count() > 0
+    @pytest.mark.parametrize("name", SOLVER_KEYS)
+    def test_rows_only_queries_run(name, spark, sf_dir):
+        df = Q.QUERIES[name](spark, sf_dir)
+        assert df.count() > 0
+
+
+def test_every_query_has_an_oracle():
+    assert not SOLVER_KEYS, f"queries without oracle SQL: {SOLVER_KEYS}"

@@ -550,3 +550,47 @@ def test_fit_sparse_max_variables_stops_and_guards_dense_tail(spark):
     np.testing.assert_allclose(
         m_cap.betas, m_full.betas[: m_cap.n_path], atol=1e-8
     )
+
+
+def test_duplicate_triplets_sum_identically_in_both_routes(spark):
+    """Duplicate (row_id, col_id) triplets must SUM — and do so identically
+    whether the fit runs the in-core subset route (driver NumPy scatter)
+    or the distributed joins (groupBy sums them naturally)."""
+    from prague_spark.ops.sparse import fit_sparse
+    from prague_spark.ops.synth import random_sparse_problem
+
+    trip, ydf, _ = random_sparse_problem(
+        spark, n=300, p=40, nnz_per_row=8, q=0.05, seed=23
+    )
+    # duplicate a slice of the triplets (value halved twice = original sum)
+    dup = trip.filter(F.col("col_id") % 5 == 0).withColumn(
+        "value", F.col("value") / 2.0
+    )
+    trip_dup = trip.filter(F.col("col_id") % 5 != 0).unionByName(
+        dup
+    ).unionByName(dup).cache()
+    ydf = ydf.cache()
+    kw = dict(n_cols=40, n_sigma=4, lambda_min_ratio=0.2, gram_limit=0)
+    m_incore = fit_sparse(trip_dup, ydf, "y", "gaussian", **kw)
+    m_dist = fit_sparse(trip_dup, ydf, "y", "gaussian", incore_limit=0, **kw)
+    assert m_incore.diagnostics["incore_subset_fits"]
+    assert not m_dist.diagnostics["incore_subset_fits"]
+    np.testing.assert_allclose(m_incore.betas, m_dist.betas, atol=5e-4)
+
+
+def test_long_to_features_wide_p_scales_smoke(spark):
+    """p = 50k scale map: long_to_features must not build p-proportional
+    literal expressions (broadcast-join path); analysis + execution stay
+    fast and values match value/scale."""
+    p = 50_000
+    trip = spark.createDataFrame(
+        [(0, 7, 3.0), (0, 49_999, 8.0), (1, 123, 5.0)],
+        "row_id long, col_id int, value double",
+    )
+    scales = {j: 2.0 for j in range(p)}
+    out = long_to_features(trip, p, scales=scales).collect()
+    rows = {r["row_id"]: r["features"] for r in out}
+    assert rows[0][7] == pytest.approx(1.5)
+    assert rows[0][49_999] == pytest.approx(4.0)
+    assert rows[1][123] == pytest.approx(2.5)
+    assert rows[1][7] == 0.0
