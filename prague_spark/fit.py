@@ -515,7 +515,16 @@ def fit(
         sigma_max = float(np.max(np.cumsum(lm_sorted) / np.cumsum(lam)))
     n_sig = len(sig)
     if max_variables is None:
-        max_variables = n * m
+        # reference default n*m (R/owl.R:288); with a USER-SUPPLIED sigma
+        # grid the reference disables the rule by raising the cap to the
+        # unreachable (p + intercept)*m (R/owl.R:390) — mirror that so
+        # frozen-sigma refits (CV cells) never truncate paths the
+        # reference would complete. An explicit max_variables is honored
+        # either way (documented delta: it doubles as the wide-p scale
+        # guard).
+        max_variables = (
+            n * m if sigma_is_auto else (p_pen + int(intercept)) * m
+        )
 
     # ---- path loop (driver control plane, ``src/owl.cpp:146-364``) ----
     if isinstance(design, SparkGlmDesign):
@@ -682,10 +691,10 @@ def fit(
         beta_prev = beta.copy()
         active_sets.append(np.asarray(active_set).copy())
         n_coefs = int(np.count_nonzero(np.any(beta != 0, axis=1)))
-        # penalized rows only — the intercept is outside the sorted-L1
-        # penalty, so it cannot form a magnitude cluster
-        bp = beta[n_unpen:]
-        n_unique[k] = len(np.unique(np.abs(bp[bp != 0])))
+        # the FULL beta including the (unpenalized, preconditioned)
+        # intercept — the reference counts unique(abs(nonzeros(beta))) over
+        # the whole vector (src/owl.cpp:338); gram_path already matches
+        n_unique[k] = len(np.unique(np.abs(beta[beta != 0])))
 
         if n_coefs > 0 and k > 0 and sigma_is_auto:
             if deviance_change < tol_dev_change or dev_ratio > tol_dev_ratio:

@@ -967,6 +967,7 @@ def fit_sparse(
     deviances: list[float] = []
     dev_ratios: list[float] = []
     passes: list[int] = []
+    n_unique_path: list[int] = []
 
     ever_active = np.array([0], dtype=np.intp)
     all_idx = np.arange(p_total, dtype=np.intp)
@@ -1120,6 +1121,11 @@ def fit_sparse(
         deviances.append(res.deviance)
         dev_ratios.append(1.0 - res.deviance / null_deviance)
         passes.append(res.passes)
+        # cluster count of the FULL internal-space beta incl. intercept
+        # (src/owl.cpp:338) — recorded for every kept point, BEFORE any
+        # stop check, so the model's n_unique aligns with its path
+        n_uni = len(np.unique(np.abs(beta[beta != 0])))
+        n_unique_path.append(n_uni)
         if k > 0 and sigma_is_auto and np.any(beta != 0):
             prev = deviances[k - 1]
             change = abs((prev - res.deviance) / prev) if prev != 0 else 0.0
@@ -1128,13 +1134,23 @@ def fit_sparse(
                 break
         # max_variables stop (src/owl.cpp:358-359, same order as the dense
         # path): the point whose unique-|coef| count exceeds the cap is
-        # computed but EXCLUDED from the model. At wide p this is also the
-        # rule that keeps the path out of the dense-solution regime, where
-        # the active set approaches p and the whole screening + in-core
-        # architecture (correctly) stops applying — set it explicitly for
-        # p >> expected support.
-        n_uni = len(np.unique(np.abs(beta[1:][beta[1:] != 0])))
-        if n_uni > (n * m if max_variables is None else int(max_variables)):
+        # computed but EXCLUDED from the model. The count covers the FULL
+        # beta including the intercept (unique(abs(nonzeros(beta))),
+        # src/owl.cpp:338). The default cap is n*m (R/owl.R:288) — but with
+        # a USER-SUPPLIED sigma grid the reference disables the rule
+        # entirely (R/owl.R:390), so frozen-sigma refits (cv_fit_sparse
+        # cells) never truncate; an EXPLICIT max_variables is honored
+        # either way (documented delta — at wide p it is the rule that
+        # keeps the path out of the dense-solution regime, where the
+        # active set approaches p and the screening + in-core architecture
+        # correctly stops applying).
+        if max_variables is not None:
+            cap = int(max_variables)
+        elif sigma_is_auto:
+            cap = n * m
+        else:
+            cap = (n_cols + 1) * m  # unreachable: rule disabled
+        if n_uni > cap:
             break
         k += 1
 
@@ -1148,7 +1164,6 @@ def fit_sparse(
         betas, np.zeros(n_cols), x_scale, rinfo.y_center, rinfo.y_scale, True
     )
     dev_scale = float(np.prod(np.asarray(rinfo.y_scale) ** 2))
-    bp = betas[:, 1:, :]
     return SlopeModel(
         family=family,
         feature_names=[f"x{j}" for j in range(n_cols)],
@@ -1161,9 +1176,7 @@ def fit_sparse(
         deviance_ratios=np.asarray(dev_ratios[:k]),
         passes=np.asarray(passes[:k], dtype=int),
         active_sets=[np.flatnonzero(np.any(b != 0, axis=1)) for b in out],
-        n_unique=np.array(
-            [len(np.unique(np.abs(b[b != 0]))) for b in bp], dtype=int
-        ),
+        n_unique=np.asarray(n_unique_path[:k], dtype=int),
         class_names=rinfo.class_names,
         n_targets=m,
         x_center=np.zeros(n_cols),

@@ -392,3 +392,41 @@ def test_wide_p_gaussian_avoids_gram(spark):
         sigma=[5.0], max_passes=300,
     )
     assert np.all(np.isfinite(m.betas))
+
+
+def test_user_sigma_disables_default_max_variables(spark):
+    """Reference parity (R/owl.R:390): with a user-supplied sigma grid the
+    default max_variables rule is disabled — a tiny-n / wider-p problem
+    whose unique-|coef| count exceeds n*m must still complete the full
+    user grid (it previously truncated); an EXPLICIT max_variables is
+    honored either way."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(5)
+    n, p = 2, 10
+    X = rng.normal(size=(n, p))
+    y = X[:, 0] * 3.0 + rng.normal(size=n) * 0.1
+    df = spark.createDataFrame(
+        [tuple(float(v) for v in row) + (float(yy),) for row, yy in zip(X, y)],
+        ", ".join([f"x{j} double" for j in range(p)] + ["y double"]),
+    )
+    feats = [f"x{j}" for j in range(p)]
+    base = ps.fit(df, feats, "y", "gaussian", n_sigma=12,
+                  lambda_min_ratio=1e-3, solver="spark", screening=False,
+                  center=False, scale="l2")
+    deep = [float(s) for s in base.sigma] + [float(base.sigma[-1]) / 10.0]
+    m_user = ps.fit(df, feats, "y", "gaussian", sigma=deep,
+                    solver="spark", screening=False, center=False, scale="l2")
+    # a user-supplied grid is never truncated by a DEFAULT cap
+    # (R/owl.R:390 disables the rule when sigma is user-supplied)
+    assert m_user.n_path == len(deep)
+    # n_unique counts the full beta incl. the intercept (src/owl.cpp:338):
+    # the deep interpolating points carry the intercept plus >=1 coef
+    assert int(m_user.n_unique[-1]) >= 2
+    # an EXPLICIT cap is still honored with a user grid (the documented
+    # wide-p scale-guard delta)
+    m_cap = ps.fit(df, feats, "y", "gaussian", sigma=deep,
+                   solver="spark", screening=False, center=False,
+                   scale="l2", max_variables=1)
+    assert m_cap.n_path < len(deep)
