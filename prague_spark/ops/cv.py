@@ -182,7 +182,11 @@ def cv_fit(
 
 def _aggregate(cells, sigma, q_values, measures, n_folds, n_repeats, base) -> CvResult:
     """mean / se / 95% t-CI per (q, sigma, measure) + per-measure argmin
-    (R/trainOwl.R:146-166)."""
+    (R/trainOwl.R:146-166). NOTE: argmin applies to EVERY measure —
+    including auc, where higher is better — because the reference's
+    ``which.min(x$mean)`` (R/trainOwl.R:165) does exactly that on the raw
+    values. Reference-exact by design; callers tuning on auc should read
+    ``summary`` directly."""
     n_cells = n_folds * n_repeats
     tq = t_ppf(0.975, n_cells - 1) if n_cells > 1 else 0.0
     summary = []

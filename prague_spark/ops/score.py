@@ -186,15 +186,86 @@ def auc(df: DataFrame, prob_col: str, pos_indicator, weight_col: str | None = No
     return float(row["u"] / (row["n1"] * row["n0"]))
 
 
+def _auc_all_slices(df: DataFrame, prob_exprs: list, y2_expr) -> list[float]:
+    """Unweighted AUC for EVERY path slice in ONE distributed job — the
+    batched form of :func:`auc` for path scoring (auc is a rank statistic,
+    not an avg, so it can't ride the shared mean-aggregation; running it
+    per-slice would issue one rank job per path point, n_sigma extra jobs
+    per CV cell).
+
+    The slice probabilities ride as one array column; ``posexplode`` keys
+    every (slice, p) pair and the same two-level bucketed cumulative
+    machinery as :func:`auc` runs with the slice index joined into every
+    partition key. Cost: ONE scan of ``df`` (the explode's x n_path row
+    blow-up collapses in the map-side combine of the groupBy — shuffle
+    volume is distinct (slice, p) pairs, the same total as the per-slice
+    jobs shuffled, minus n_path-1 scans)."""
+    n_s = len(prob_exprs)
+    if n_s == 0:
+        return []
+    long = df.select(
+        y2_expr.alias("y2"),
+        F.posexplode(F.array(*prob_exprs)).alias("i", "p"),
+    )
+    grouped = (
+        long.groupBy("i", "p")
+        .agg(
+            F.sum("y2").alias("n1_g"),
+            F.sum(F.lit(1.0) - F.col("y2")).alias("n0_g"),
+        )
+        .withColumn(
+            "bucket",
+            F.least(
+                F.greatest(F.floor(F.col("p") * AUC_BUCKETS), F.lit(0)),
+                F.lit(AUC_BUCKETS - 1),
+            ).cast("int"),
+        )
+    )
+    wb = Window.partitionBy("i").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix_df = (
+        grouped.groupBy("i", "bucket")
+        .agg(F.sum("n0_g").alias("_t0"))
+        .withColumn("n0_before", F.coalesce(F.sum("_t0").over(wb), F.lit(0.0)))
+        .drop("_t0")
+    )
+    w = (
+        Window.partitionBy("i", "bucket")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = grouped.join(F.broadcast(prefix_df), ["i", "bucket"]).withColumn(
+        "cum_n0_below",
+        F.col("n0_before") + F.coalesce(F.sum("n0_g").over(w), F.lit(0.0)),
+    )
+    rows = (
+        scored.groupBy("i")
+        .agg(
+            F.sum(
+                F.col("n1_g") * (F.col("cum_n0_below") + F.col("n0_g") / 2.0)
+            ).alias("u"),
+            F.sum("n1_g").alias("n1"),
+            F.sum("n0_g").alias("n0"),
+        )
+        .collect()
+    )
+    out = [float("nan")] * n_s
+    for r in rows:
+        out[int(r["i"])] = float(r["u"] / (r["n1"] * r["n0"]))
+    return out
+
+
 def score_path_spark(
     df: DataFrame, model: SlopeModel, label: str, measures: list[str]
 ) -> dict:
     """Score EVERY path slice for every measure in ONE distributed
-    aggregation (plus one rank pass per slice for auc, which is not an
-    avg). This is the O(n)-driver-memory-free CV scoring path: the test
-    fold is never collected; each slice's coefficients fold into the
-    projection as literals, so the scan cost is independent of the path
-    length. Returns {measure: [value per path point]}."""
+    aggregation (plus ONE batched rank job for auc across all slices —
+    see :func:`_auc_all_slices`). This is the O(n)-driver-memory-free CV
+    scoring path: the test fold is never collected; each slice's
+    coefficients fold into the projection as literals, so the scan cost is
+    independent of the path length. Returns {measure: [value per path
+    point]}."""
     from .predict import linear_predictor_expr
 
     def lp_fn(i: int, t: int = 0):
@@ -221,8 +292,8 @@ def score_path_from_lp(
     ``df``'s columns. The dense path folds coefficients into the
     projection (:func:`score_path_spark`); the sparse path pre-joins per-
     row lp columns (``ops.sparse.score_path_sparse``). One aggregation
-    covers every (path point x measure); auc adds one rank pass per
-    slice."""
+    covers every (path point x measure); auc adds ONE batched rank job for
+    all slices together (:func:`_auc_all_slices`)."""
     if n_path <= 0:
         # a fully truncated path (max_variables / dense-tail abandon can
         # leave zero points, e.g. a CV cell refit) would otherwise build an
@@ -291,10 +362,10 @@ def score_path_from_lp(
     if "auc" in measures:
         c1, c2 = class_names
         y2 = F.when(y.cast("string") == F.lit(c2), 1.0).otherwise(0.0)
-        for i in range(n_path):
-            lp = lp_fn(i)
-            ph = F.lit(1.0) / (F.lit(1.0) + F.exp(-lp))
-            out["auc"][i] = auc(df.select(ph.alias("_p"), y2.alias("_y2")), "_p", F.col("_y2"))
+        phs = [
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-lp_fn(i))) for i in range(n_path)
+        ]
+        out["auc"] = _auc_all_slices(df, phs, y2)
     return out
 
 

@@ -1349,8 +1349,9 @@ def score_path_sparse(
     emits every path point's linear predictor as columns of a per-row
     frame, then the shared path-measure aggregation
     (``score_path_from_lp``) reduces all (path point x measure) cells in
-    one scan of it. auc adds one rank pass per slice. Used by
-    ``ops.cv.cv_fit_sparse``. Returns {measure: [value per path point]}."""
+    one scan of it. auc adds ONE batched rank job covering every slice.
+    Used by ``ops.cv.cv_fit_sparse``. Returns {measure: [value per path
+    point]}."""
     from .score import score_path_from_lp
 
     spark = triplets.sparkSession

@@ -430,3 +430,35 @@ def test_user_sigma_disables_default_max_variables(spark):
                    solver="spark", screening=False, center=False,
                    scale="l2", max_variables=1)
     assert m_cap.n_path < len(deep)
+
+
+def test_score_path_auc_batched_matches_per_slice(li):
+    """The batched all-slices AUC job must agree exactly with the
+    single-slice rank AUC (and the NumPy average-rank reference) for
+    every path point."""
+    from prague_spark.ops.score import _auc_numpy, auc, score_path_spark
+    from prague_spark.ops.predict import linear_predictor_expr
+
+    df = li.limit(1500).withColumn(
+        "flag", F.when(F.col("l_discount") > 0.05, "hi").otherwise("lo")
+    ).cache()
+    m = ps.fit(df, FEATURES, "flag", "binomial", n_sigma=4,
+               lambda_min_ratio=0.1, solver="incore")
+    batched = score_path_spark(df, m, "flag", ["auc", "mse"])
+    assert len(batched["auc"]) == m.n_path
+    c2 = m.class_names[1]
+    y2 = F.when(F.col("flag").cast("string") == F.lit(c2), 1.0).otherwise(0.0)
+    pdf = df.toPandas()
+    for i in range(m.n_path):
+        lp = linear_predictor_expr(m, i)
+        ph = F.lit(1.0) / (F.lit(1.0) + F.exp(-lp))
+        single = auc(df.select(ph.alias("_p"), y2.alias("_y2")), "_p", F.col("_y2"))
+        assert abs(batched["auc"][i] - single) < 1e-12, i
+    # numpy cross-check on the last slice
+    import numpy as np
+    prob = 1.0 / (1.0 + np.exp(-(
+        m.betas[-1][0, 0]
+        + pdf[FEATURES].to_numpy(float) @ m.betas[-1][1:, 0]
+    )))
+    y2np = (pdf["flag"] == c2).to_numpy().astype(float)
+    assert abs(batched["auc"][-1] - _auc_numpy(y2np, prob)) < 1e-10
