@@ -2294,10 +2294,19 @@ def _pinned_sparse_fit(sf_dir: str):
 
 
 def _sparse_kkt_sql(sf_dir: str) -> str:
-    """KKT-residual oracle for the sparse fit: DuckDB recomputes the
-    scale-only standardized gradient directly from the events-derived
-    triplets (each row has exactly one nonzero feature, col = id % 5) with
-    the pinned betas as literals, then the sorted-cumsum infeasibility."""
+    """KKT-residual + post-fit-surface oracle for the sparse fit (tagged
+    tall union, registry-merge round 6):
+
+    - 'kkt' rows — DuckDB recomputes the scale-only standardized gradient
+      directly from the events-derived triplets (each row has exactly one
+      nonzero feature, col = id % 5) with the pinned betas as literals,
+      then the sorted-cumsum infeasibility;
+    - 'score' rows (one per path point) — mse/mae of the pinned betas
+      recomputed from the raw rows; the Spark query emits the SAME numbers
+      through the REAL ``score_path_sparse`` broadcast-coef join, so the
+      hash match verifies the sparse path-scoring machinery end to end;
+    - one 'pred' row — sum of the final path point's predictions
+      (``predict_sparse`` on the Spark side, plain arithmetic here)."""
     import numpy as np
 
     pin = _pinned_sparse_fit(sf_dir)
@@ -2346,6 +2355,9 @@ def _sparse_kkt_sql(sf_dir: str) -> str:
     gint_selects = " UNION ALL ".join(
         f"SELECT {k} AS k, abs(gint_{k}) AS gi FROM g" for k in range(K)
     )
+    pred_selects = " UNION ALL ".join(
+        f"SELECT {k} AS k, ({lp(k)}) AS pred, y FROM base" for k in range(K)
+    )
     return f"""
     WITH base AS (
         SELECT CAST(event_id % {p} AS INTEGER) AS cid, value,
@@ -2373,12 +2385,27 @@ def _sparse_kkt_sql(sf_dir: str) -> str:
         FROM cum GROUP BY k
     ), meta AS (
         SELECT * FROM (VALUES {meta_rows}) AS t(k, nnz, tol)
+    ), preds AS (
+        {pred_selects}
+    ), sc AS (
+        SELECT k, round(avg((pred - y) * (pred - y)), 6) AS mse,
+               round(avg(abs(pred - y)), 6) AS mae,
+               round(sum(pred), 4) AS psum
+        FROM preds GROUP BY k
     )
-    SELECT CAST(meta.k AS INTEGER) AS path_idx,
+    SELECT 'kkt' AS part, CAST(meta.k AS INTEGER) AS path_idx,
            CAST(meta.nnz AS BIGINT) AS n_nonzero,
-           (inf.infeas <= meta.tol AND gint.gi <= meta.tol) AS kkt_ok,
-           TRUE AS fit_agrees
+           (inf.infeas <= meta.tol AND gint.gi <= meta.tol) AS ok,
+           TRUE AS fit_agrees, 0.0 AS v1, 0.0 AS v2
     FROM inf JOIN meta ON inf.k = meta.k JOIN gint ON gint.k = meta.k
+    UNION ALL
+    SELECT 'score', CAST(k AS INTEGER), CAST(0 AS BIGINT), TRUE, TRUE,
+           mse, mae
+    FROM sc
+    UNION ALL
+    SELECT 'pred', CAST(k AS INTEGER), CAST(0 AS BIGINT), TRUE, TRUE,
+           psum, 0.0
+    FROM sc WHERE k = {K - 1}
 """
 
 
@@ -2389,10 +2416,24 @@ def q_sparse_fit(spark, sf_dir):
     hard KKT-residual oracle scheme as the dense solver queries: both
     engines verify sorted-L1 KKT feasibility of the pinned reference betas
     from the raw data, and fit_agrees checks the engine's sparse fit
-    against them."""
+    against them.
+
+    Registry merge, round 6 — the sparse POST-FIT surface rides as tagged
+    rows: 'score' rows carry per-path-point mse/mae computed by the REAL
+    ``score_path_sparse`` (broadcast coef join + shared measure
+    aggregation) over the pinned-beta model, the 'pred' row the
+    ``predict_sparse`` prediction sum at the last path point; DuckDB
+    recomputes the same values from the pinned betas, so the hash match
+    verifies the sparse prediction/scoring joins value-exactly. ``ok`` on
+    those rows asserts the FITTED model's ``score_sparse`` mse agrees with
+    the pinned-model mse within solver tolerance (the fit -> score
+    composition; ``cv_fit_sparse`` reuses exactly these pieces)."""
     import numpy as np
 
-    from .ops.sparse import fit_sparse
+    from .model import SlopeModel
+    from .ops.sparse import (
+        fit_sparse, predict_sparse, score_path_sparse, score_sparse,
+    )
 
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
     trip = ev.select(
@@ -2409,8 +2450,45 @@ def q_sparse_fit(spark, sf_dir):
     agree = model.betas.shape == pin["betas"].shape and bool(
         np.allclose(model.betas, pin["betas"], rtol=5e-2, atol=5e-3)
     )
+
+    # pinned-beta model: deterministic inputs for the post-fit surface so
+    # DuckDB can recompute the exact values (path metadata is inert here)
+    K = pin["betas"].shape[0]
+    pinned_model = SlopeModel(
+        family="gaussian",
+        feature_names=[f"x{j}" for j in range(_SPARSE_FIT_KW["n_cols"])],
+        intercept=True, betas=pin["betas"], sigma=pin["sigma"],
+        lam=pin["lam"], null_deviance=0.0, deviances=np.zeros(K),
+        deviance_ratios=np.zeros(K), passes=np.zeros(K, dtype=int),
+        active_sets=[], n_unique=np.zeros(K, dtype=int),
+    )
+    sp = score_path_sparse(trip, ydf, pinned_model, "y", ["mse", "mae"])
+    pred_sum = float(
+        predict_sparse(
+            trip, pinned_model, rows=ydf.select("row_id"),
+            path_idx=K - 1, out="_p",
+        ).agg(F.sum("_p")).first()[0]
+    )
+    # fitted-model surface agreement (fit -> score composition)
+    mse_fit = score_sparse(trip, ydf, model, "y", "mse")
+    ki = min(model.n_path, K) - 1
+    surface_ok = bool(
+        abs(mse_fit - sp["mse"][ki]) <= 5e-2 * max(abs(sp["mse"][ki]), 1e-9)
+    )
+
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    out = spark.sql(_sparse_kkt_sql(sf_dir))
+    kkt = spark.sql(_sparse_kkt_sql(sf_dir)).filter(F.col("part") == "kkt")
+    extra_rows = [
+        ("score", k, 0, surface_ok, True,
+         round(float(sp["mse"][k]), 6), round(float(sp["mae"][k]), 6))
+        for k in range(K)
+    ] + [("pred", K - 1, 0, surface_ok, True, round(pred_sum, 4), 0.0)]
+    extra = spark.createDataFrame(
+        extra_rows,
+        "part string, path_idx int, n_nonzero bigint, ok boolean, "
+        "fit_agrees boolean, v1 double, v2 double",
+    )
+    out = kkt.unionByName(extra)
     return out.drop("fit_agrees").withColumn("fit_agrees", F.lit(bool(agree)))
 
 
@@ -2997,6 +3075,15 @@ SQL_DOCS_SAMPLE = f"""
 # fake-decoder byte math from character codes), dedup_embedding_lsh is a
 # contract oracle (subset_ok / recall >= pinned bound / cross-engine
 # exact-pair count) over the new banded OR-amplified LSH.
+#
+# Round-6 merges (still exactly 50): the sparse POST-FIT surface
+# (predict_sparse / score_sparse / score_path_sparse — the pieces
+# cv_fit_sparse composes) rides inside sparse_fit as tagged 'score'/'pred'
+# rows computed by the REAL operators over the pinned-beta model and
+# hash-matched against DuckDB's recomputation; r_lambda_sequences gains
+# 'sigma_grid' / 'prox' / 'strong_rule' / 'kkt_check' tagged rows (R6, F1,
+# F8, F9 — the last pytest-only operators) with first-principles SQL
+# oracles.
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,
