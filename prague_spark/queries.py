@@ -1289,6 +1289,27 @@ SQL_MM_FRAME_PLAN = """
 
 _LSEQ_K, _LSEQ_N, _LSEQ_Q = 20, 1000, 0.2
 
+# Pinned literal inputs for the penalty-machinery micro-oracles merged into
+# r_lambda_sequences (round 6 — the last four pytest-only operators gain
+# hash oracles; see each section of _lambda_seq_sql):
+#   R6 sigma grid       — src/regularizationPath.h:57-71
+#   F1 sorted-L1 prox   — src/prox.h:8-56 (FastProxSL1)
+#   F8 strong rule      — src/screening.h:7-53
+#   F9 KKT check        — src/kktCheck.h:8-37
+# Inputs exercise ties, zeros, and sign mixes; every row also carries the
+# input value in `tail` so the hash pins inputs AND outputs.
+_R6_LM = [abs(((j * 37) % 19) - 9) + 0.25 * j + 0.5 for j in range(_LSEQ_K)]
+_R6_NSIGMA, _R6_RATIO = 8, 0.1
+_F1_V = [1.2, -3.4, 0.0, 3.4, 2.2, -0.7, 0.7, 5.0]
+_F1_LAM = [2.0, 1.5, 1.0, 0.8, 0.5, 0.3, 0.2, 0.1]
+_F8_G = [3.1, -2.4, 2.4, 0.0, 1.7, -0.6, 0.6, 4.5, -0.2, 1.1]
+_F8_LAM = [2.0 - 0.18 * j for j in range(10)]
+_F8_LAM_PREV = [1.25 * (2.0 - 0.18 * j) for j in range(10)]
+_F9_G = _F8_G
+_F9_B = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -2.0, 0.0, 0.0]
+_F9_LAM = [2.5 - 0.1 * j for j in range(10)]  # mixes flagged/unflagged zero-beta features
+_F9_TOL = 1e-3
+
 # Polynomial for log(upper normal tail) on y in [1.25, 2.62] — the range
 # every BH lambda of this fixture lands in — fitted (np.polyfit, degree 12,
 # centered at y=1.9) against statistics.NormalDist; max relative error of
@@ -1316,7 +1337,22 @@ def _lambda_seq_sql() -> str:
     """Oracle for q_r_lambda_sequences: bh quantiles verified through the
     forward CDF; the gaussian sequence's SEQUENTIAL sqrt(1 + cumsum/w)
     adjustment (src/regularizationPath.h:35-46) re-derived from the
-    CDF-verified bh literals with WITH RECURSIVE; oscar by closed formula."""
+    CDF-verified bh literals with WITH RECURSIVE; oscar by closed formula.
+
+    Round-6 merged sections over the pinned literal inputs (_R6_/_F1_/
+    _F8_/_F9_ constants), each a FIRST-PRINCIPLES recomputation:
+    - sigma_grid: sorted-cumsum sigma_max + the exact linspace-in-log
+      arithmetic (src/regularizationPath.h:57-71);
+    - prox: non-increasing isotonic regression via its minimax
+      characterization y_i = min_{a<=i} max_{b>=i} mean(z[a..b]) (the
+      closed form of the PAVA fixed point of src/prox.h:8-56), then
+      clip / re-sign / unsort;
+    - strong_rule: the sequential i/k/s screening loop of
+      src/screening.h:7-53 replayed with WITH RECURSIVE, emitted as
+      per-feature membership;
+    - kkt_check: the sorted-cumsum violation window math of
+      src/kktCheck.h:8-37, per-feature membership with the nonzero-beta
+      mask applied."""
     from .core.lambdas import lambda_sequence
 
     k, n, qq = _LSEQ_K, _LSEQ_N, _LSEQ_Q
@@ -1324,6 +1360,28 @@ def _lambda_seq_sql() -> str:
     assert all(1.25 < float(v) < 2.62 for v in bh), "fixture out of poly range"
     bh_rows = ", ".join(f"({i}, {float(bh[i])!r})" for i in range(k))
     adj = f"b.lam * sqrt(1.0 + g.cum / greatest(1.0, {float(n)!r} - b.idx - 1))"
+
+    lm_rows = ", ".join(f"({j}, {float(v)!r})" for j, v in enumerate(_R6_LM))
+    nsig, ratio = _R6_NSIGMA, float(_R6_RATIO)
+    f1v_rows = ", ".join(f"({i}, {float(v)!r})" for i, v in enumerate(_F1_V))
+    f1l_rows = ", ".join(
+        f"({r + 1}, {float(l)!r})" for r, l in enumerate(_F1_LAM)
+    )
+    f8g_rows = ", ".join(f"({j}, {float(g)!r})" for j, g in enumerate(_F8_G))
+    f8l_rows = ", ".join(
+        f"({r}, {float(a)!r}, {float(b)!r})"
+        for r, (a, b) in enumerate(zip(_F8_LAM, _F8_LAM_PREV))
+    )
+    p8 = len(_F8_G)
+    f9g_rows = ", ".join(
+        f"({j}, {float(g)!r}, {float(b)!r})"
+        for j, (g, b) in enumerate(zip(_F9_G, _F9_B))
+    )
+    f9l_rows = ", ".join(
+        f"({r + 1}, {float(l)!r})" for r, l in enumerate(_F9_LAM)
+    )
+    rh = max(float(np.sqrt(np.finfo(np.float64).eps)), _F9_TOL * _F9_LAM[0])
+
     return f"""
     WITH RECURSIVE bh(idx, lam) AS (
         SELECT * FROM (VALUES {bh_rows}) AS t(idx, lam)
@@ -1339,6 +1397,76 @@ def _lambda_seq_sql() -> str:
         SELECT idx, CASE WHEN idx >= (SELECT am FROM gargmin)
                          THEN (SELECT mn FROM gmin) ELSE lam END AS lam
         FROM gadj
+    ), r6lm(j, val) AS (
+        SELECT * FROM (VALUES {lm_rows}) AS t(j, val)
+    ), r6cs AS (
+        SELECT row_number() OVER (ORDER BY val DESC, j ASC) AS r,
+               sum(val) OVER (ORDER BY val DESC, j ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS clm
+        FROM r6lm
+    ), r6cl AS (
+        SELECT idx + 1 AS r,
+               sum(lam) OVER (ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl
+        FROM bh
+    ), r6smax AS (
+        SELECT max(r6cs.clm / r6cl.cl) AS s FROM r6cs JOIN r6cl USING (r)
+    ), f1v(i, v) AS (
+        SELECT * FROM (VALUES {f1v_rows}) AS t(i, v)
+    ), f1l(r, lam) AS (
+        SELECT * FROM (VALUES {f1l_rows}) AS t(r, lam)
+    ), f1z AS (
+        SELECT rr.r, rr.i, rr.v, rr.av - f1l.lam AS z
+        FROM (
+            SELECT i, v, abs(v) AS av,
+                   row_number() OVER (ORDER BY abs(v) DESC, i ASC) AS r
+            FROM f1v
+        ) rr JOIN f1l ON rr.r = f1l.r
+    ), f1seg AS (
+        SELECT za.r AS a, zb.r AS b, avg(zm.z) AS mu
+        FROM f1z za JOIN f1z zb ON za.r <= zb.r
+        JOIN f1z zm ON zm.r BETWEEN za.r AND zb.r
+        GROUP BY za.r, zb.r
+    ), f1mx AS (
+        SELECT zi.r AS r, s.a AS a, max(s.mu) AS mx
+        FROM f1z zi JOIN f1seg s ON s.a <= zi.r AND s.b >= zi.r
+        GROUP BY zi.r, s.a
+    ), f1iso AS (
+        SELECT r, min(mx) AS y FROM f1mx GROUP BY r
+    ), f8g(j, g) AS (
+        SELECT * FROM (VALUES {f8g_rows}) AS t(j, g)
+    ), f8l(r, lam, lamp) AS (
+        SELECT * FROM (VALUES {f8l_rows}) AS t(r, lam, lamp)
+    ), f8rank AS (
+        SELECT j, g, row_number() OVER (ORDER BY abs(g) DESC, j ASC) - 1 AS r
+        FROM f8g
+    ), f8t AS (
+        SELECT f8rank.r, abs(f8rank.g) + f8l.lamp - 2.0 * f8l.lam AS tmp
+        FROM f8rank JOIN f8l ON f8rank.r = f8l.r
+    ), f8loop(step, i, k, s) AS (
+        SELECT 0, 0, 0, CAST(0.0 AS DOUBLE)
+        UNION ALL
+        SELECT st.step + 1,
+               CASE WHEN st.s + t.tmp >= 0.0 THEN 0 ELSE st.i + 1 END,
+               CASE WHEN st.s + t.tmp >= 0.0 THEN st.k + st.i + 1 ELSE st.k END,
+               CASE WHEN st.s + t.tmp >= 0.0 THEN 0.0 ELSE st.s + t.tmp END
+        FROM f8loop st JOIN f8t t ON t.r = st.k + st.i
+        WHERE st.i + st.k < {p8}
+    ), f8k AS (
+        SELECT k FROM f8loop ORDER BY step DESC LIMIT 1
+    ), f9g(j, g, b) AS (
+        SELECT * FROM (VALUES {f9g_rows}) AS t(j, g, b)
+    ), f9l(r, lam) AS (
+        SELECT * FROM (VALUES {f9l_rows}) AS t(r, lam)
+    ), f9c AS (
+        SELECT rr.j, rr.g, rr.b,
+               sum(rr.ag - f9l.lam) OVER (ORDER BY rr.r
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM (
+            SELECT j, g, b, abs(g) AS ag,
+                   row_number() OVER (ORDER BY abs(g) DESC, j ASC) AS r
+            FROM f9g
+        ) rr JOIN f9l ON rr.r = f9l.r
     )
     SELECT 'bh' AS seq_type, CAST(idx AS INTEGER) AS idx,
            round(lam, 6) AS lam, round({_tail_sql("lam")}, 8) AS tail
@@ -1349,6 +1477,28 @@ def _lambda_seq_sql() -> str:
     SELECT 'oscar', CAST(i AS INTEGER),
            round({qq!r} * ({k} - i - 1) + 1.0, 6), 0.0
     FROM range(0, {k}) AS t(i)
+    UNION ALL
+    SELECT 'sigma_grid', CAST(t.i AS INTEGER),
+           round(exp(ln(s) + t.i * (ln(s * {ratio!r}) - ln(s)) / {nsig - 1}),
+                 6),
+           0.0
+    FROM range(0, {nsig}) AS t(i), r6smax
+    UNION ALL
+    SELECT 'prox', CAST(z.i AS INTEGER),
+           round(CASE WHEN z.v < 0 THEN -greatest(iso.y, 0.0)
+                      ELSE greatest(iso.y, 0.0) END, 6),
+           round(z.v, 6)
+    FROM f1z z JOIN f1iso iso ON z.r = iso.r
+    UNION ALL
+    SELECT 'strong_rule', CAST(j AS INTEGER),
+           CASE WHEN r < (SELECT k FROM f8k) THEN 1.0 ELSE 0.0 END,
+           round(g, 6)
+    FROM f8rank
+    UNION ALL
+    SELECT 'kkt_check', CAST(j AS INTEGER),
+           CASE WHEN cum > {rh!r} AND b = 0.0 THEN 1.0 ELSE 0.0 END,
+           round(g, 6)
+    FROM f9c
 """
 
 
@@ -1360,8 +1510,24 @@ def q_r_lambda_sequences(spark, sf_dir):
     sequence's sequential sqrt(1+cumsum/w) adjustment with WITH RECURSIVE
     from the (CDF-verified) BH values, and checks OSCAR by its closed
     formula. ``tail`` is the upper-tail probability for bh rows, 0 for
-    the other sequences."""
-    from .core.lambdas import lambda_sequence
+    the other sequences.
+
+    Registry merge, round 6 — the remaining penalty-machinery operators
+    ride as tagged rows over pinned literal inputs, each computed by the
+    REAL driver function here and recomputed FROM FIRST PRINCIPLES by
+    DuckDB (see _lambda_seq_sql):
+
+    - 'sigma_grid' (R6): sigma_max = max(cumsum(sort_desc|lm|)/cumsum(lam))
+      + the log-linear grid (src/regularizationPath.h:57-71);
+    - 'prox' (F1): FastProxSL1 vs the minimax characterization of
+      non-increasing isotonic regression (src/prox.h:8-56);
+    - 'strong_rule' (F8): the sequential screening loop re-run with
+      WITH RECURSIVE (src/screening.h:7-53), membership per feature;
+    - 'kkt_check' (F9): sorted-cumsum violation flags vs plain window
+      math (src/kktCheck.h:8-37), membership per feature."""
+    from .core.lambdas import lambda_sequence, sigma_grid
+    from .core.prox import sorted_l1_prox
+    from .core.screening import kkt_check, strong_rule_active_set
 
     k, n, qq = _LSEQ_K, _LSEQ_N, _LSEQ_Q
     rows = []
@@ -1370,6 +1536,40 @@ def q_r_lambda_sequences(spark, sf_dir):
         for i, v in enumerate(lam):
             tail = (i + 1) * qq / (2.0 * k) if seq == "bh" else 0.0
             rows.append((seq, i, round(float(v), 6), round(tail, 8)))
+
+    lam_bh = lambda_sequence(k, n, "bh", qq)
+    grid, _smax = sigma_grid(
+        np.asarray(_R6_LM), lam_bh,
+        n_sigma=_R6_NSIGMA, lambda_min_ratio=_R6_RATIO,
+    )
+    for i, s in enumerate(grid):
+        rows.append(("sigma_grid", i, round(float(s), 6), 0.0))
+
+    pr = sorted_l1_prox(np.asarray(_F1_V), np.asarray(_F1_LAM))
+    for i, (vv, pv) in enumerate(zip(_F1_V, pr)):
+        rows.append(("prox", i, round(float(pv), 6), round(float(vv), 6)))
+
+    act = set(
+        int(j) for j in strong_rule_active_set(
+            np.asarray(_F8_G), np.asarray(_F8_LAM),
+            np.asarray(_F8_LAM_PREV), False,
+        )
+    )
+    for j, gv in enumerate(_F8_G):
+        rows.append(
+            ("strong_rule", j, 1.0 if j in act else 0.0, round(float(gv), 6))
+        )
+
+    vio = set(
+        int(j) for j in kkt_check(
+            np.asarray(_F9_G), np.asarray(_F9_B), np.asarray(_F9_LAM),
+            _F9_TOL, False,
+        )
+    )
+    for j, gv in enumerate(_F9_G):
+        rows.append(
+            ("kkt_check", j, 1.0 if j in vio else 0.0, round(float(gv), 6))
+        )
     return spark.createDataFrame(
         rows, "seq_type string, idx int, lam double, tail double"
     )
