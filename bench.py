@@ -86,6 +86,17 @@ def main() -> None:
     _wt, _wy, _ = _rsp(spark, n=500, p=100, nnz_per_row=8, seed=1)
     _fs(_wt, _wy, "y", "gaussian", n_cols=100, n_sigma=3,
         lambda_min_ratio=0.3, gram_limit=8)
+    # binomial twin (amplitude 3 keeps the path in the sparse regime the
+    # screening architecture targets) + warmup through the prox-Newton route
+    wideb_trip, wideb_y, _ = _rsp(spark, n=10_000, p=5_000, nnz_per_row=16,
+                                  seed=7, family="binomial", amplitude=3.0)
+    wideb_trip = wideb_trip.repartition(8).cache()
+    wideb_y = wideb_y.cache()
+    wideb_trip.count(), wideb_y.count()
+    _wtb, _wyb, _ = _rsp(spark, n=500, p=100, nnz_per_row=8, seed=1,
+                         family="binomial")
+    _fs(_wtb, _wyb, "y", "binomial", n_cols=100, n_sigma=3,
+        lambda_min_ratio=0.3)
     wide_holder: dict = {}
     for c in (li_s, docs_s, emb_s):
         c.unpersist()
@@ -210,6 +221,28 @@ def main() -> None:
     print(
         "[bench] fit_sparse_wide scans_per_path_point:"
         f" {wide_holder['scans_per_path_point']}",
+        file=sys.stderr, flush=True,
+    )
+
+    @bench("fit_sparse_wide_binomial")
+    def _():
+        # the ITERATIVE-family wide-p route (round-6 item): same p = 5000
+        # screening + budget-guarded in-core subset machinery, but every
+        # subset solve is a prox-Newton (no closed-form Gram shortcut) and
+        # every KKT gradient pays the binomial pseudo-gradient join
+        from prague_spark.ops.sparse import fit_sparse
+
+        m = fit_sparse(
+            wideb_trip, wideb_y, "y", "binomial", n_cols=5000,
+            n_sigma=5, lambda_min_ratio=0.35,
+        )
+        wide_holder["scans_per_path_point_binomial"] = (
+            m.diagnostics["scans_per_path_point"]
+        )
+
+    print(
+        "[bench] fit_sparse_wide_binomial scans_per_path_point:"
+        f" {wide_holder['scans_per_path_point_binomial']}",
         file=sys.stderr, flush=True,
     )
 

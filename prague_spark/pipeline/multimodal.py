@@ -57,9 +57,47 @@ def attach_media_metadata(
     )
 
 
+_PIL_AVAILABLE: bool | None = None  # resolved lazily, once per process
+
+
+def pillow_image_decoder(payload: bytes) -> np.ndarray:
+    """Real image decode via Pillow (lazily imported — present only if the
+    runtime gains media libraries; see :func:`default_image_decoder` for
+    the auto-activation hook). Returns (h, w, 3) float64 RGB."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return np.atleast_3d(np.asarray(im.convert("RGB"), dtype=np.float64))
+
+
+def soundfile_audio_decoder(payload: bytes) -> np.ndarray:
+    """Real audio decode via soundfile (lazily imported). Returns a mono
+    float64 waveform (multi-channel payloads are averaged)."""
+    import io
+
+    import soundfile as sf
+
+    data, _sr = sf.read(io.BytesIO(payload), dtype="float64")
+    data = np.asarray(data, dtype=np.float64)
+    return data if data.ndim == 1 else data.mean(axis=1)
+
+
 def default_image_decoder(payload: bytes) -> np.ndarray:
-    """STUB — real decode needs an image library not present in this
-    runtime. Raise so callers must opt into the fake."""
+    """Auto-activating decode hook: Pillow-backed when the runtime has
+    Pillow (checked once per process — the check also runs inside
+    executors, so a cluster with media libs installed decodes for real),
+    otherwise an honest raise so callers must opt into the deterministic
+    fake. THIS runtime has no media libraries; the stub branch is the
+    tested one, with a conditional Pillow test that self-activates."""
+    global _PIL_AVAILABLE
+    if _PIL_AVAILABLE is None:
+        import importlib.util
+
+        _PIL_AVAILABLE = importlib.util.find_spec("PIL") is not None
+    if _PIL_AVAILABLE:
+        return pillow_image_decoder(payload)
     raise NotImplementedError(
         "image decoding requires an image library (e.g. Pillow); "
         "pass decoder=fake_image_decoder for deterministic test output"

@@ -416,3 +416,25 @@ def test_canonical_by_score_picks_best_per_cluster(spark):
     }
     # cluster 1: score tie 2 vs 3 -> lower id wins; cluster 10: 10 wins
     assert out == {1: (2, 0.9, 3), 10: (10, 0.5, 2)}
+
+
+def test_real_image_decoder_self_activates_with_pillow(spark):
+    """Conditional (skips without Pillow — this runtime has no media
+    libs): if the runtime ever gains Pillow, default_image_decoder
+    auto-activates the real decode path and this test starts verifying
+    it end to end through the mapInPandas plumbing."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from prague_spark.pipeline import multimodal as mm
+
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 3), color=(10, 20, 30)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "img_id long, payload binary"
+    )
+    out = mm.extract_image_features(df, "img_id", "payload").collect()[0]
+    assert (out["height"], out["width"], out["n_channels"]) == (3, 5, 3)
+    assert abs(out["mean_intensity"] - 20.0) < 1e-9
