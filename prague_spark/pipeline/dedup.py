@@ -212,15 +212,47 @@ def minhash_lsh_candidates(
     id_col: str,
     bands: int = 8,
     rows_per_band: int = 4,
+    max_bucket: int | None = 5000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: documents sharing >= 1 LSH band.
 
     Band key = md5 of the band's signature slice; join is on (band_idx,
     band_key) so only same-band collisions shuffle together. The banded
     table is persisted so the self-join doesn't recompute the signature
-    pipeline on both sides."""
+    pipeline on both sides.
+
+    ``max_bucket`` (ON by default) drops (band, key) buckets holding more
+    than that many documents before the self-join: ONE degenerate bucket —
+    e.g. a boilerplate/empty-document signature shared by k docs — emits
+    k^2/2 join rows from a single shuffle partition, the classic skew bomb
+    of LSH dedup at 100 TB. Members of a dropped bucket are typically
+    EXACT duplicates of each other (identical signature slice across a
+    whole band), so run :func:`exact_dedup` first and the cap costs no
+    recall in practice; pass ``max_bucket=None`` for the uncapped join.
+    Dropped buckets are logged."""
+    import logging
+
     signatures = signatures.persist()
     banded = lsh_band_keys(signatures, id_col, bands, rows_per_band)
+    if max_bucket is not None:
+        banded = banded.persist()
+        hot = (
+            banded.groupBy("band", "key")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .persist()
+        )
+        n_hot = hot.count()
+        if n_hot:
+            logging.getLogger("prague_spark.dedup").info(
+                "minhash_lsh_candidates: dropping %d LSH buckets with > %d "
+                "members (candidate recall becomes partial for those "
+                "buckets; exact_dedup catches their identical members)",
+                n_hot, max_bucket,
+            )
+        banded = banded.join(
+            F.broadcast(hot.select("band", "key")), ["band", "key"], "left_anti"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -309,6 +341,7 @@ def embedding_cosine_pairs(
     n_planes: int | None = None,
     seed: int = 42,
     n_bands: int = 1,
+    max_bucket: int | None = 5000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine >= threshold).
 
@@ -326,8 +359,19 @@ def embedding_cosine_pairs(
     1-(1-p^k)^b vs the single band's p^k, p = 1 - angle/pi). The exploded
     (id, band, bucket) rows carry no vectors, so the band equi-join
     shuffles only slim signature rows; candidate ids are de-duplicated
-    BEFORE the vectors are joined back for the exact cosine."""
+    BEFORE the vectors are joined back for the exact cosine.
+
+    ``max_bucket`` (ON by default, LSH paths only) drops buckets holding
+    more than that many vectors before the self-join — the same skew
+    guard as :func:`minhash_lsh_candidates`: one degenerate bucket (e.g.
+    the all-zeros bucket every near-zero embedding lands in) turns the
+    equi-join quadratic. Dropped buckets are logged; ``max_bucket=None``
+    restores the uncapped join. The exact all-pairs path ignores it."""
+    import logging
+
     from .similarity import hyperplane_lsh_buckets
+
+    log = logging.getLogger("prague_spark.dedup")
 
     base = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
@@ -357,6 +401,23 @@ def embedding_cosine_pairs(
                 F.array(*[F.col(f"_bkt{k}") for k in range(n_bands)])
             ).alias("_band", "_bkt"),
         )
+        if max_bucket is not None:
+            sig = sig.persist()
+            hot = (
+                sig.groupBy("_band", "_bkt")
+                .count()
+                .filter(F.col("count") > max_bucket)
+                .persist()
+            )
+            if hot.count():
+                log.info(
+                    "embedding_cosine_pairs: dropping over-full LSH buckets "
+                    "(> %d members) before the band self-join", max_bucket,
+                )
+            sig = sig.join(
+                F.broadcast(hot.select("_band", "_bkt")),
+                ["_band", "_bkt"], "left_anti",
+            )
         cand = (
             sig.alias("sa")
             .join(
@@ -397,6 +458,19 @@ def embedding_cosine_pairs(
     if n_planes is not None:
         base = hyperplane_lsh_buckets(base, "_v", n_planes=n_planes, seed=seed, out="_bkt")
     base = base.persist()
+    if n_planes is not None and max_bucket is not None:
+        hot = (
+            base.groupBy("_bkt").count().filter(F.col("count") > max_bucket)
+            .persist()
+        )
+        if hot.count():
+            log.info(
+                "embedding_cosine_pairs: dropping over-full LSH buckets "
+                "(> %d members) before the bucket self-join", max_bucket,
+            )
+        base = base.join(
+            F.broadcast(hot.select("_bkt")), "_bkt", "left_anti"
+        )
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a._id") < F.col("b._id")
     if n_planes is not None:

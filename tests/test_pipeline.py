@@ -438,3 +438,56 @@ def test_real_image_decoder_self_activates_with_pillow(spark):
     out = mm.extract_image_features(df, "img_id", "payload").collect()[0]
     assert (out["height"], out["width"], out["n_channels"]) == (3, 5, 3)
     assert abs(out["mean_intensity"] - 20.0) < 1e-9
+
+
+def test_minhash_lsh_max_bucket_drops_degenerate_bucket(spark):
+    """12 byte-identical docs share every band bucket (one 12-member
+    bucket per band — the skew bomb); a distinct identical pair sits in
+    2-member buckets. The cap kills only the degenerate bucket's pairs;
+    max_bucket=None restores the full quadratic candidate set."""
+    hot = "common boilerplate header repeated verbatim across the corpus"
+    rows = [(i, hot) for i in range(12)]
+    rows += [(100, "rare unique document body one"),
+             (101, "rare unique document body one")]
+    df = spark.createDataFrame(rows, "id long, body string")
+    sigs = dedup.minhash_signatures(df, "id", "body", num_hashes=32, shingle_n=1)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(
+            sigs, "id", bands=8, rows_per_band=4, max_bucket=5
+        ).collect()
+    }
+    assert capped == {(100, 101)}
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(
+            sigs, "id", bands=8, rows_per_band=4, max_bucket=None
+        ).collect()
+    }
+    assert (100, 101) in uncapped
+    assert len(uncapped) == 12 * 11 // 2 + 1
+
+
+def test_embedding_lsh_max_bucket_single_and_banded(spark):
+    """10 copies of u land in one 10-member hyperplane bucket; 2 copies
+    of -u land in the complementary 2-member bucket. Cap=5 keeps only the
+    small bucket's pair, on both the single-band and banded paths."""
+    u = [1.0, 0.5, -0.25, 2.0]
+    neg = [-x for x in u]
+    rows = [(i, u) for i in range(10)] + [(20, neg), (21, neg)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    for kwargs in (dict(n_planes=4), dict(n_planes=4, n_bands=3)):
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.embedding_cosine_pairs(
+                df, "vec_id", "vec", threshold=0.9, max_bucket=5, **kwargs
+            ).collect()
+        }
+        assert capped == {(20, 21)}, kwargs
+        uncapped = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.embedding_cosine_pairs(
+                df, "vec_id", "vec", threshold=0.9, max_bucket=None, **kwargs
+            ).collect()
+        }
+        assert uncapped == {(i, j) for i in range(10) for j in range(i + 1, 10)} | {(20, 21)}, kwargs
