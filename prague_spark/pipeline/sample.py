@@ -45,6 +45,96 @@ def stratified_sample(
     ).drop("_u")
 
 
+def _hash_unit_expr(*cols):
+    """Uniform-[0,1) hash of the ':'-joined column values (exact in any
+    engine with md5 — the DuckDB oracle runs the same arithmetic)."""
+    h = F.md5(F.concat_ws(":", *[c.cast("string") for c in cols]))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+        / F.lit(4294967296.0)
+    )
+
+
+def mix_corpus(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Materialize a training mixture whose per-stratum weights may
+    EXCEED 1 — the upsampling half of data mixing (:func:`stratified_sample`
+    is the downsampling half). Weight w emits floor(w) full copies of
+    every document plus the fractional remainder as a deterministic
+    hash-threshold sample; each copy carries an ``epoch_col`` index so
+    downstream shuffling/packing treats repeats as distinct rows (hash
+    repeats on (id, epoch) — see :func:`shard_assign` — and they spread).
+
+    w = 2.5 -> epochs {0, 1} always, epoch 2 iff
+    hash(id:2) < 0.5; w = 0.25 -> plain 25% sample. Deterministic: the
+    same corpus + weights yields byte-identical mixtures on any engine,
+    partitioning, or rerun.
+
+    Scale: one generator-explode projection, ZERO shuffle; output volume
+    is exactly the mixture size (sum_s w_s * |stratum_s|), never an
+    intermediate blow-up."""
+    w = F.lit(float(default_weight))
+    for key, v in sorted(weights.items()):
+        w = F.when(F.col(strata_col) == key, F.lit(float(v))).otherwise(w)
+    out = (
+        df.withColumn("_w", w)
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(0), F.floor("_w").cast("int"))),
+        )
+        .filter(
+            (F.col(epoch_col) < F.floor("_w").cast("int"))
+            | (
+                _hash_unit_expr(F.col(id_col), F.col(epoch_col))
+                < F.col("_w") - F.floor("_w")
+            )
+        )
+        .drop("_w")
+    )
+    return out
+
+
+def shard_assign(
+    df: DataFrame,
+    id_cols,
+    n_shards: int,
+    salt: str = "",
+    shard_col: str = "shard",
+    order_col: str = "order_key",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the writer
+    primitive for training shards: ``shard`` = md5 bucket in
+    [0, n_shards), ``order_col`` = the md5 hex digest (a uniform random
+    but reproducible sort key). Writing
+    ``df.repartition(n_shards, shard_col).sortWithinPartitions(order_col)``
+    then yields a fully shuffled, byte-reproducible shard layout with NO
+    global sort: shard sizes concentrate tightly at n/n_shards
+    (binomial), and in-shard order is the hash order.
+
+    ``id_cols`` may be a single column name or a list (pass
+    ``[id, epoch]`` for a :func:`mix_corpus` output so upsampled copies
+    of a document scatter across shards instead of clumping). ``salt``
+    re-deals the entire layout — a new shuffle per training epoch from
+    the same corpus."""
+    if isinstance(id_cols, str):
+        id_cols = [id_cols]
+    h = F.md5(
+        F.concat_ws(
+            ":", *[F.col(c).cast("string") for c in id_cols], F.lit(salt)
+        )
+    )
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    return df.withColumn(
+        shard_col, F.pmod(bucket, F.lit(int(n_shards))).cast("int")
+    ).withColumn(order_col, h)
+
+
 def stratified_topk(
     df: DataFrame, id_col: str, strata_col: str, k: int
 ) -> DataFrame:

@@ -3223,29 +3223,89 @@ _SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "zh": 0.4}
 _SAMPLE_DEFAULT = 0.1
 
 
+_MIX_WEIGHTS = {"en": 2.5, "de": 1.0, "zh": 0.25}
+_MIX_DEFAULT = 0.5
+
+
 def q_docs_sample_stratified(spark, sf_dir):
-    """Deterministic hash-threshold stratified sampling (per-language
-    mixture fractions): keep iff md5(doc_id)[0:8]/2^32 < frac(lang).
-    Repeatable across engines/partitionings — the corpus-mixing knob of
-    training-data curation. Zero shuffle (pure codegen filter)."""
-    from .pipeline.sample import stratified_sample
+    """Deterministic sampling / mixing / sharding — the three curation
+    knobs of training-data construction, as a tagged union:
+
+    - 'sample': hash-threshold stratified DOWNSAMPLING — keep iff
+      md5(doc_id)[0:8]/2^32 < frac(lang). Zero shuffle (codegen filter).
+    - 'mixshard': the UPSAMPLING mixture (per-language weights may exceed
+      1 — weight 2.5 = two full epochs + a deterministic 50% third) fed
+      through shard_assign: every (doc, epoch) copy gets an md5 shard in
+      [0,8) and a reproducible in-shard order key, the writer layout of
+      training shards (repartition(shard) + sortWithinPartitions(order))
+      with NO global sort. One generator-explode projection, zero
+      shuffle.
+
+    All three stay byte-reproducible across engines, partitionings and
+    reruns — the oracle recomputes every row from md5 arithmetic."""
+    from .pipeline.sample import mix_corpus, shard_assign, stratified_sample
 
     docs = load(spark, sf_dir, "documents")
-    out = stratified_sample(
+    samp = stratified_sample(
         docs, "doc_id", "lang", _SAMPLE_FRACTIONS, _SAMPLE_DEFAULT
+    ).select(
+        F.lit("sample").alias("tag"), "doc_id", "lang", "source",
+        F.lit(-1).alias("epoch"), F.lit(-1).alias("shard"),
+        F.lit("").alias("order_key"),
     )
-    return out.select("doc_id", "lang", "source")
+    mixed = mix_corpus(
+        docs, "doc_id", "lang", _MIX_WEIGHTS, _MIX_DEFAULT
+    )
+    sharded = shard_assign(
+        mixed, ["doc_id", "epoch"], 8, salt="e0"
+    ).select(
+        F.lit("mixshard").alias("tag"), "doc_id", "lang", "source",
+        F.col("epoch").cast("int").alias("epoch"),
+        F.col("shard").cast("int").alias("shard"), "order_key",
+    )
+    return samp.unionByName(sharded)
 
 
 SQL_DOCS_SAMPLE = f"""
-    SELECT doc_id, lang, source FROM documents
-    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 <
-          CASE lang
-              WHEN 'en' THEN {_SAMPLE_FRACTIONS['en']!r}
-              WHEN 'de' THEN {_SAMPLE_FRACTIONS['de']!r}
-              WHEN 'zh' THEN {_SAMPLE_FRACTIONS['zh']!r}
-              ELSE {_SAMPLE_DEFAULT!r}
-          END
+    WITH samp AS (
+        SELECT 'sample' AS tag, doc_id, lang, source,
+               -1 AS epoch, -1 AS shard, '' AS order_key
+        FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                  / 4294967296.0 <
+              CASE lang
+                  WHEN 'en' THEN {_SAMPLE_FRACTIONS['en']!r}
+                  WHEN 'de' THEN {_SAMPLE_FRACTIONS['de']!r}
+                  WHEN 'zh' THEN {_SAMPLE_FRACTIONS['zh']!r}
+                  ELSE {_SAMPLE_DEFAULT!r}
+              END
+    ), w AS (
+        SELECT doc_id, lang, source,
+               CASE lang
+                   WHEN 'en' THEN {_MIX_WEIGHTS['en']!r}
+                   WHEN 'de' THEN {_MIX_WEIGHTS['de']!r}
+                   WHEN 'zh' THEN {_MIX_WEIGHTS['zh']!r}
+                   ELSE {_MIX_DEFAULT!r}
+               END AS wt
+        FROM documents
+    ), mixed AS (
+        SELECT doc_id, lang, source, e.epoch
+        FROM w, LATERAL (
+            SELECT unnest(range(0, floor(wt)::BIGINT + 1)) AS epoch
+        ) e
+        WHERE e.epoch < floor(wt)
+           OR ('0x' || substr(md5(doc_id::VARCHAR || ':' || e.epoch::VARCHAR),
+                              1, 8))::BIGINT / 4294967296.0 < wt - floor(wt)
+    ), sharded AS (
+        SELECT 'mixshard' AS tag, doc_id, lang, source, epoch::INTEGER AS epoch,
+               (('0x' || substr(h, 1, 8))::BIGINT % 8)::INTEGER AS shard,
+               h AS order_key
+        FROM (
+            SELECT *, md5(doc_id::VARCHAR || ':' || epoch::VARCHAR || ':' || 'e0') AS h
+            FROM mixed
+        )
+    )
+    SELECT * FROM samp UNION ALL SELECT * FROM sharded
 """
 
 
@@ -3283,7 +3343,10 @@ SQL_DOCS_SAMPLE = f"""
 # hash-matched against DuckDB's recomputation; r_lambda_sequences gains
 # 'sigma_grid' / 'prox' / 'strong_rule' / 'kkt_check' tagged rows (R6, F1,
 # F8, F9 — the last pytest-only operators) with first-principles SQL
-# oracles.
+# oracles; docs_sample_stratified gains a 'mixshard' tagged slice — the
+# NEW mix_corpus (epoch upsampling, weights > 1) fed through shard_assign
+# (md5 shard + reproducible order key, the training-shard writer layout),
+# every row recomputed from md5 arithmetic in the oracle.
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,

@@ -1,0 +1,101 @@
+"""Streaming ANN: a stream of query vectors probing a STATIC IVF-indexed
+corpus — the online-retrieval / at-ingest near-dup-check twin of
+``pipeline.similarity.ivf_topk`` (same coarse quantizer, same probed-cell
+pruning), mirroring the stream-static design of ``streaming.dedup``:
+every per-row step is a pure column expression or an equi-join against a
+static frame, so Structured Streaming runs it STATELESSLY in append mode
+with zero state store.
+
+Greenfield (no reference counterpart — the reference is an in-core GLM
+library); the batch/stream parity contract is pinned in
+``tests/test_streaming.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from ..pipeline.similarity import _dot, _norm
+
+
+def ivf_probe_cells(
+    df: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    nprobe: int = 4,
+    out: str = "probe_cell",
+) -> DataFrame:
+    """Explode each vector into its ``nprobe`` nearest centroid cells —
+    the streaming-safe coarse-quantizer lookup: an argsort over literal
+    centroid dot products, built entirely from column expressions
+    (sort_array over (−sim, cell) structs), so it is a pure projection on
+    batch AND streaming frames alike. One output row per (vector, probed
+    cell)."""
+    Cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    vec = F.col(vec_col)
+    scored = F.array(
+        *[
+            F.struct(
+                (-_dot(vec, F.array(*[F.lit(float(x)) for x in c]))
+                 / _norm(vec)).alias("neg_sim"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(Cn)
+        ]
+    )
+    probed = F.slice(F.sort_array(scored), 1, int(nprobe))
+    return df.withColumn(
+        out, F.explode(F.transform(probed, lambda s: s["cell"]))
+    )
+
+
+def ivf_candidates_stream(
+    queries: DataFrame,
+    qid_col: str,
+    qvec_col: str,
+    corpus_with_cells: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    nprobe: int = 4,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Probed ANN candidates for a STREAM of query vectors against a
+    static IVF corpus: each arriving query explodes into its ``nprobe``
+    nearest cells (:func:`ivf_probe_cells`) and stream-static equi-joins
+    the corpus on the cell id — only nprobe/n_cells of the corpus is
+    scanned per query, exactly the batch ``ivf_topk`` pruning. A corpus
+    vector belongs to ONE cell, so every (query, candidate) pair is
+    emitted exactly once — no per-band duplication caveat.
+
+    Output: append-mode (query_id, id, cosine) candidate rows. All of a
+    query's candidates co-arrive in its micro-batch, so exact top-k is a
+    per-batch window in the sink:
+
+        def sink(batch_df, _):
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col(id_col))
+            batch_df.withColumn("rank", F.row_number().over(w)) \\
+                .filter(F.col("rank") <= k)...
+
+    Persist ``corpus_with_cells`` — every micro-batch probes it."""
+    probed = ivf_probe_cells(
+        queries.select(
+            F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("_qv")
+        ),
+        "_qv", centroids, nprobe=nprobe, out="probe_cell",
+    )
+    corpus = corpus_with_cells.select(
+        F.col(id_col), F.col(vec_col).alias("_cv"), F.col(cell_col)
+    )
+    cos = _dot(F.col("_qv"), F.col("_cv")) / (
+        _norm(F.col("_qv")) * _norm(F.col("_cv"))
+    )
+    return (
+        probed.join(corpus, probed["probe_cell"] == corpus[cell_col])
+        .withColumn("cosine", cos)
+        .select("query_id", id_col, "cosine")
+    )

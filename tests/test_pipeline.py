@@ -491,3 +491,57 @@ def test_embedding_lsh_max_bucket_single_and_banded(spark):
             ).collect()
         }
         assert uncapped == {(i, j) for i in range(10) for j in range(i + 1, 10)} | {(20, 21)}, kwargs
+
+
+def test_mix_corpus_epoch_upsampling(docs):
+    from prague_spark.pipeline.sample import mix_corpus
+
+    out = mix_corpus(
+        docs, "doc_id", "lang", {"en": 2.5, "de": 1.0, "zh": 0.25},
+        default_weight=0.0,
+    ).cache()
+    base = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # integer part exact: every en doc appears at epochs 0 and 1
+    en_by_epoch = {r["epoch"]: r["n"] for r in
+                   out.filter(F.col("lang") == "en")
+                   .groupBy("epoch").agg(F.count("*").alias("n")).collect()}
+    assert en_by_epoch[0] == base["en"] and en_by_epoch[1] == base["en"]
+    # fractional epoch ~0.5 of the stratum; zh ~0.25; absent strata dropped
+    assert abs(en_by_epoch.get(2, 0) / base["en"] - 0.5) < 0.15
+    assert got["de"] == base["de"]
+    assert abs(got.get("zh", 0) / base["zh"] - 0.25) < 0.15
+    assert set(got) <= {"en", "de", "zh"}
+    # deterministic under repartitioning
+    out2 = mix_corpus(
+        docs.repartition(7), "doc_id", "lang",
+        {"en": 2.5, "de": 1.0, "zh": 0.25}, default_weight=0.0,
+    )
+    key = lambda df: {(r["doc_id"], r["epoch"]) for r in
+                      df.select("doc_id", "epoch").collect()}
+    assert key(out) == key(out2)
+    out.unpersist()
+
+
+def test_shard_assign_deterministic_balanced_and_salted(docs):
+    from prague_spark.pipeline.sample import shard_assign
+
+    out = shard_assign(docs, "doc_id", 8).cache()
+    sizes = [r["n"] for r in
+             out.groupBy("shard").agg(F.count("*").alias("n")).collect()]
+    n = docs.count()
+    assert len(sizes) == 8 and sum(sizes) == n
+    assert max(sizes) < 2.0 * n / 8  # binomial concentration, no empty bomb
+    # deterministic under repartitioning; order_key is a total order
+    out2 = shard_assign(docs.repartition(5), "doc_id", 8)
+    m1 = {r["doc_id"]: (r["shard"], r["order_key"]) for r in out.collect()}
+    m2 = {r["doc_id"]: (r["shard"], r["order_key"]) for r in out2.collect()}
+    assert m1 == m2
+    assert len({v[1] for v in m1.values()}) == n
+    # a salt re-deals the layout
+    m3 = {r["doc_id"]: (r["shard"], r["order_key"])
+          for r in shard_assign(docs, "doc_id", 8, salt="ep1").collect()}
+    assert m3 != m1
+    out.unpersist()

@@ -364,3 +364,63 @@ def test_streaming_contamination_matches_batch(spark, sf_dir):
     }
     assert got == want
     assert len(want) > 0  # the fixture must actually exercise overlaps
+
+
+def test_streaming_ivf_probe_matches_batch_topk(spark, sf_dir):
+    """Stream-static IVF probe: streamed query vectors against the static
+    cell-assigned corpus must reproduce batch ivf_topk exactly — same
+    probed cells, same candidates, and (after the documented per-batch
+    rank in the sink) the same top-k rows."""
+    import numpy as np
+
+    from prague_spark.pipeline.similarity import (
+        assign_ivf_cells, ivf_topk, train_ivf_centroids,
+    )
+    from prague_spark.streaming.similarity import ivf_candidates_stream
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumnRenamed("embedding", "vec").limit(300)
+    )
+    C = train_ivf_centroids(emb, "vec", n_centroids=8, iters=5)
+    corpus = assign_ivf_cells(emb, "vec", C).persist()
+
+    qrows = emb.orderBy("vec_id").limit(4).collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in qrows]
+    expected = {
+        (r["query_id"], r["vec_id"], round(r["cosine"], 9), r["rank"])
+        for r in ivf_topk(
+            corpus, "vec_id", "vec", C, queries, k=5, nprobe=3
+        ).collect()
+    }
+
+    d = tempfile.mkdtemp(prefix="prague_ivf_stream_")
+    spark.createDataFrame(
+        queries, "query_id long, qvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(
+        "query_id long, qvec array<double>"
+    ).parquet(d)
+    cands = ivf_candidates_stream(
+        stream, "query_id", "qvec", corpus, "vec_id", "vec", C, nprobe=3
+    )
+    q = (
+        cands.writeStream.format("memory")
+        .queryName("ivf_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got_cands = spark.sql("select * from ivf_stream").collect()
+    # the documented sink-side rank (all of a query's candidates co-arrive)
+    by_q: dict = {}
+    for r in got_cands:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    got = set()
+    for qid, cs in by_q.items():
+        cs.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (vid, cos) in enumerate(cs[:5], start=1):
+            got.add((qid, vid, round(cos, 9), rank))
+    assert got == expected
+    corpus.unpersist()
