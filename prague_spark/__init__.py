@@ -12,6 +12,7 @@ Layering:
 """
 
 from .fit import fit
+from .ops.asof import asof_join
 from .model import SlopeModel
 from .ops.cv import cv_fit
 from .ops.predict import predict, predict_path
@@ -23,6 +24,7 @@ from .session import get_spark
 
 __all__ = [
     "fit",
+    "asof_join",
     "SlopeModel",
     "cv_fit",
     "cv_fit_sparse",

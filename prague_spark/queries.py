@@ -2325,24 +2325,75 @@ SQL_MULTIMODAL_FEATURES = """
 def q_events_windowed_agg(spark, sf_dir):
     """Event-time windowed aggregation (streaming-compatible: the same
     ``F.window`` expression runs under readStream with a watermark —
-    see prague_spark.streaming). Batch oracle: date_trunc."""
+    see prague_spark.streaming). Batch oracle: date_trunc.
+
+    Round-6 merge: 'asof' tagged rows pin the NEW as-of join
+    (ops.asof.asof_join — union + ONE window carry, never a range join):
+    every 'view' event attaches its user's most recent 'click' at or
+    before it; the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the two
+    engines' as-of semantics (backward, inclusive ties, null on no
+    match) are pinned against each other row-for-row."""
+    from .ops.asof import asof_join
+
     ev = load(spark, sf_dir, "events")
-    return (
+    windowed = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"), "event_type", "n", "avg_value"
+            F.lit("window").alias("tag"),
+            # epoch micros, not timestamps: the nullable union slices
+            # would otherwise carry NaT, which no exact comparator
+            # (driver hash or pandas !=) treats as equal to itself
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("window_start_us"),
+            "event_type", "n", "avg_value",
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(None).cast("bigint").alias("click_ts_us"),
+            F.lit(None).cast("double").alias("click_value"),
         )
     )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_id"),
+            F.max("value").alias("click_value"),
+        )
+    )
+    attached = asof_join(views, clicks, "ts", "user_id").select(
+        F.lit("asof").alias("tag"),
+        F.lit(None).cast("bigint").alias("window_start_us"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("click_id_r").alias("n"),
+        F.lit(None).cast("double").alias("avg_value"),
+        "event_id",
+        F.unix_micros(F.col("ts_r").cast("timestamp")).alias("click_ts_us"),
+        F.col("click_value_r").alias("click_value"),
+    )
+    return windowed.unionByName(attached)
 
 
 SQL_EVENTS_WINDOW = """
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
-           count(*)::BIGINT AS n, round(avg(value), 4) AS avg_value
-    FROM events GROUP BY 1, 2
+    SELECT 'window' AS tag, epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type, count(*)::BIGINT AS n, round(avg(value), 4) AS avg_value,
+           NULL::BIGINT AS event_id, NULL::BIGINT AS click_ts_us,
+           NULL::DOUBLE AS click_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'asof', NULL, NULL, c.click_id, NULL,
+           v.event_id, epoch_us(c.ts), c.click_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'view') v
+    ASOF LEFT JOIN (
+          SELECT user_id, ts, max(event_id) AS click_id,
+                 max(value) AS click_value
+          FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
+      ON v.user_id = c.user_id AND v.ts >= c.ts
 """
 
 
@@ -3346,7 +3397,10 @@ SQL_DOCS_SAMPLE = f"""
 # oracles; docs_sample_stratified gains a 'mixshard' tagged slice — the
 # NEW mix_corpus (epoch upsampling, weights > 1) fed through shard_assign
 # (md5 shard + reproducible order key, the training-shard writer layout),
-# every row recomputed from md5 arithmetic in the oracle.
+# every row recomputed from md5 arithmetic in the oracle;
+# events_windowed_agg gains an 'asof' tagged slice — the NEW
+# ops.asof.asof_join (union + one window carry, never a range join)
+# pinned against DuckDB's NATIVE ASOF LEFT JOIN.
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,
