@@ -32,6 +32,7 @@ from .linalg import _batch_xy, gram_xty_pass, partial_aggregate, xtv_pass
 
 __all__ = [
     "LocalDesign",
+    "SparseLocalDesign",
     "GramGaussianDesign",
     "SparkGlmDesign",
     "GramData",
@@ -85,6 +86,104 @@ class LocalDesign:
         # design is wide (p > n): the n x n eigenfactorization replaces
         # the p x p one (src/families/gaussian.h:88-93, owl.cpp:183-187)
         return GramData.from_xy(self.X, self.Y)
+
+
+class SparseLocalDesign:
+    """In-core design over SPARSE columns — concatenated COO arrays
+    (row, column-position, value) plus an implicit constant intercept
+    column 0. Every solver callback is an O(nnz) vectorized matvec
+    (``np.add.at`` scatter for X b, ``np.bincount`` reduce for X'r), so
+    the in-core memory budget is the active NNZ, never the (n x p_act)
+    dense product.
+
+    This removes the dense-materialization cliff in ``fit_sparse``'s
+    in-core subset route: a path point whose active set is too wide to
+    densify under the budget (n * p_act * 8 bytes) but whose fetched
+    sparse columns are tiny still solves driver-side — with
+    :meth:`power_eigmax` supplying a TIGHT Lipschitz constant for the
+    fixed-step FISTA (the distributed fallback's trace bound can be
+    orders of magnitude loose at wide p, costing hundreds of passes).
+    Duplicate (row, col) entries sum, matching the distributed groupBy
+    semantics."""
+
+    def __init__(
+        self,
+        rows: np.ndarray,
+        cols: np.ndarray,
+        vals: np.ndarray,
+        n: int,
+        p: int,
+        Y: np.ndarray,
+        family: Family,
+        icol: float = 1.0,
+    ):
+        self.rows = np.asarray(rows, dtype=np.intp)
+        self.cols = np.asarray(cols, dtype=np.intp)  # positions in [1, p)
+        self.vals = np.asarray(vals, dtype=np.float64)
+        Y = np.asarray(Y, dtype=np.float64)
+        self.Y = Y[:, np.newaxis] if Y.ndim == 1 else Y
+        self.n, self.p, self.m = int(n), int(p), self.Y.shape[1]
+        self.family = family
+        self.icol = float(icol)
+
+    def _lp(self, beta):
+        lp = np.tile(self.icol * beta[0], (self.n, 1))
+        if len(self.rows):
+            np.add.at(lp, self.rows, self.vals[:, np.newaxis] * beta[self.cols])
+        return lp
+
+    def _xt(self, R):
+        """X' R for per-row R (n, m): bincount per target + intercept row."""
+        out = np.empty((self.p, self.m))
+        out[0] = self.icol * R.sum(axis=0)
+        for t in range(self.m):
+            out[1:, t] = np.bincount(
+                self.cols - 1,
+                weights=self.vals * R[self.rows, t],
+                minlength=self.p - 1,
+            )
+        return out
+
+    def eval(self, beta):
+        lp = self._lp(beta)
+        g = self.family.primal(self.Y, lp)
+        G = self.family.dual(self.Y, lp)
+        pg = self.family.pseudo_gradient(self.Y, lp)
+        return g, G, self._xt(pg if pg.ndim > 1 else pg[:, np.newaxis])
+
+    def primal(self, beta):
+        return self.family.primal(self.Y, self._lp(beta))
+
+    def full_gradient(self, beta):
+        pg = self.family.pseudo_gradient(self.Y, self._lp(beta))
+        return self._xt(pg if pg.ndim > 1 else pg[:, np.newaxis])
+
+    def power_eigmax(self, iters: int = 60, tol: float = 1e-4, seed: int = 0):
+        """eigmax(X'X) by power iteration on the O(nnz) matvecs — ~iters
+        cheap passes in-core buy a step size the trace bound can't give."""
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(self.p)
+        v /= np.linalg.norm(v)
+        lam = 0.0
+        for _ in range(iters):
+            xv = np.full(self.n, self.icol * v[0])
+            if len(self.rows):
+                np.add.at(xv, self.rows, self.vals * v[self.cols])
+            w = np.empty(self.p)
+            w[0] = self.icol * xv.sum()
+            w[1:] = np.bincount(
+                self.cols - 1, weights=self.vals * xv[self.rows],
+                minlength=self.p - 1,
+            )
+            lam_new = float(np.linalg.norm(w))
+            if lam_new == 0.0:
+                return 0.0
+            v = w / lam_new
+            if abs(lam_new - lam) <= tol * lam_new:
+                lam = lam_new
+                break
+            lam = lam_new
+        return lam
 
 
 class GramGaussianDesign:

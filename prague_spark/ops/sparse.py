@@ -771,7 +771,7 @@ def fit_sparse(
     # materialization, and the prox-Newton Hessian square); any breach
     # falls back to the distributed subset solvers below.
     from ..core.families import setup_family
-    from ..design import LocalDesign
+    from ..design import LocalDesign, SparseLocalDesign
     from ..fit import DEFAULT_INCORE_LIMIT
 
     fam_obj = setup_family(family)
@@ -855,6 +855,35 @@ def fit_sparse(
             # them via groupBy, or the two routes silently diverge
             np.add.at(X[:, out_j], pos, vv)
         return LocalDesign(X, incore["Y"], fam_obj)
+
+    def _incore_sparse_design(idx):
+        """SparseLocalDesign over the active columns — the step between
+        the dense in-core subset and the distributed fallback: when the
+        (n x p_act) DENSE materialization would breach the budget but the
+        fetched sparse columns themselves fit (their cost is the nnz,
+        already priced by _incore_fetch), the subset still solves
+        driver-side on O(nnz) matvecs. Removes the budget cliff where a
+        path point a few hundred columns past the dense limit would
+        otherwise pay a trace-bound distributed FISTA (hundreds of
+        scans)."""
+        need = [int(j) - 1 for j in idx if j >= 1]
+        if not _incore_fetch(need):
+            return None
+        rows_parts, cols_parts, vals_parts = [], [], []
+        for out_j, c in enumerate(need, start=1):
+            pos, vv = incore["cols"][c]
+            if len(pos):
+                rows_parts.append(pos)
+                cols_parts.append(np.full(len(pos), out_j, dtype=np.intp))
+                vals_parts.append(vv)
+        cat = lambda ps, dt: (
+            np.concatenate(ps) if ps else np.empty(0, dtype=dt)
+        )
+        return SparseLocalDesign(
+            cat(rows_parts, np.intp), cat(cols_parts, np.intp),
+            cat(vals_parts, np.float64), n, len(idx), incore["Y"], fam_obj,
+            icol=icol,
+        )
 
     def _full_gradient(beta):
         """Full p+1 gradient X^T g(beta). When the in-core state holds every
@@ -1000,6 +1029,31 @@ def fit_sparse(
         # distributed jobs beyond the (cached) column fetch
         if incore is not None:
             ld = _incore_design(idx)
+            if ld is None:
+                # dense materialization over budget — try the SPARSE
+                # in-core design (budget = active nnz, already fetched):
+                # fixed-step FISTA with a power-iteration eigmax, which is
+                # TIGHT where the distributed fallback's trace bound is
+                # hundreds of times loose at wide p. Poisson has no global
+                # Lipschitz bound; its backtracking probes are in-core
+                # primal evaluations, so they cost no scans either.
+                sld = _incore_sparse_design(idx)
+                if sld is not None:
+                    lr_in = None
+                    if family in ("gaussian", "binomial", "multinomial"):
+                        factor = {
+                            "gaussian": 1.0, "binomial": 4.0,
+                            "multinomial": 2.0,
+                        }[family]
+                        eig = sld.power_eigmax()
+                        # 10% safety margin on the estimate: power
+                        # iteration converges from below
+                        lr_in = factor / (1.1 * eig) if eig > 0 else None
+                    return fista(
+                        sld, beta_init, lam_scaled, n_unpenalized=1,
+                        max_passes=max_passes, tol_rel_gap=tol_rel_gap,
+                        tol_infeas=tol_infeas, fixed_learning_rate=lr_in,
+                    )
             if ld is not None:
                 if family == "gaussian":
                     # exact quadratic: one Gram + warm-started ADMM (the

@@ -594,3 +594,82 @@ def test_long_to_features_wide_p_scales_smoke(spark):
     assert rows[0][49_999] == pytest.approx(4.0)
     assert rows[1][123] == pytest.approx(2.5)
     assert rows[1][7] == 0.0
+
+
+def test_sparse_local_design_matches_dense_local():
+    """SparseLocalDesign's O(nnz) matvec callbacks reproduce LocalDesign
+    exactly (same entries, same family), incl. duplicate-entry summing
+    and the power-iteration eigmax vs the exact eigenvalue."""
+    from prague_spark.core.families import setup_family
+    from prague_spark.design import LocalDesign, SparseLocalDesign
+
+    rng = np.random.default_rng(5)
+    n, p = 60, 9  # p includes the intercept position 0
+    icol = 1.0 / np.sqrt(n)
+    nnz = 150
+    rows = rng.integers(0, n, nnz)
+    cols = rng.integers(1, p, nnz)  # duplicates happen at this density
+    vals = rng.standard_normal(nnz)
+    for fam_name, Y in (
+        ("gaussian", rng.standard_normal(n)),
+        ("binomial", np.where(rng.standard_normal(n) > 0, 1.0, -1.0)),
+    ):
+        fam = setup_family(fam_name)
+        X = np.zeros((n, p))
+        X[:, 0] = icol
+        np.add.at(X, (rows, cols), vals)
+        ld = LocalDesign(X, Y, fam)
+        sld = SparseLocalDesign(rows, cols, vals, n, p, Y, fam, icol=icol)
+        beta = rng.standard_normal((p, 1))
+        g_d, G_d, grad_d = ld.eval(beta)
+        g_s, G_s, grad_s = sld.eval(beta)
+        assert g_s == pytest.approx(g_d)
+        assert G_s == pytest.approx(G_d)
+        np.testing.assert_allclose(grad_s, grad_d, rtol=1e-12, atol=1e-12)
+        assert sld.primal(beta) == pytest.approx(ld.primal(beta))
+        np.testing.assert_allclose(
+            sld.full_gradient(beta), ld.full_gradient(beta), rtol=1e-12
+        )
+        eig_exact = float(np.linalg.eigvalsh(X.T @ X).max())
+        assert sld.power_eigmax() == pytest.approx(eig_exact, rel=1e-3)
+
+
+def test_sparse_incore_route_survives_dense_budget_cliff(spark):
+    """A budget that admits y but NOT the dense (n x p_act) subset must
+    route to the sparse in-core design — and match the unrestricted
+    (dense in-core) fit exactly, not fall off to the slow distributed
+    trace-bound FISTA."""
+    from prague_spark.ops.sparse import fit_sparse
+    from prague_spark.ops.synth import random_sparse_problem
+
+    trip, ydf, _ = random_sparse_problem(
+        spark, n=400, p=60, nnz_per_row=8, seed=9
+    )
+    kw = dict(n_cols=60, n_sigma=4, lambda_min_ratio=0.25, gram_limit=0)
+    m_dense = fit_sparse(trip, ydf, "y", "gaussian", **kw)
+    # y payload = 400*8*4 = 12.8 KB; any >=2-column dense subset adds
+    # 400*3*8 ~ 9.6 KB + hessian — breaches 27 KB, sparse nnz stays tiny
+    m_sparse = fit_sparse(
+        trip, ydf, "y", "gaussian", incore_limit=27_000, **kw
+    )
+    assert m_sparse.diagnostics["incore_subset_fits"]
+    # the sparse route issues no per-iteration scans: same scan count
+    # class as in-core (far below the distributed fallback's)
+    assert (
+        m_sparse.diagnostics["scans_per_path_point"]
+        <= m_dense.diagnostics["scans_per_path_point"] + 2
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_sparse.betas), np.asarray(m_dense.betas), atol=2e-4
+    )
+    trip_b, ydf_b, _ = random_sparse_problem(
+        spark, n=400, p=60, nnz_per_row=8, seed=9, family="binomial"
+    )
+    m_bin_dense = fit_sparse(trip_b, ydf_b, "y", "binomial", **kw)
+    m_bin_sparse = fit_sparse(
+        trip_b, ydf_b, "y", "binomial", incore_limit=27_000, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_bin_sparse.betas), np.asarray(m_bin_dense.betas),
+        atol=2e-3,  # FISTA vs prox-Newton at tol 1e-5: route tolerance
+    )
