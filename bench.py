@@ -286,6 +286,25 @@ def main() -> None:
 
         q_events_sessionize(spark, SF_DIR).count()
 
+    @bench("events_asof")
+    def _():
+        # as-of join: every view attaches its user's most recent click —
+        # union + ONE window carry (single Exchange), never a range join
+        from prague_spark.ops.asof import asof_join
+        from prague_spark.queries import load
+
+        ev = load(spark, SF_DIR, "events")
+        views = ev.filter(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id"),
+            F.col("value").alias("click_value"),
+        )
+        asof_join(views, clicks, "ts", "user_id").agg(
+            F.count("click_id_r")
+        ).collect()
+
     @bench("text_winnow_fingerprint")
     def _():
         text_ops.winnow_fingerprint(docs, "text").agg(
