@@ -265,6 +265,86 @@ def repetition_ratio(
     return df.withColumn(out, ratio)
 
 
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    min_docs: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """The corpus boilerplate index: normalized (lowercased, trimmed)
+    lines occurring in at least ``min_docs`` DISTINCT documents — nav
+    menus, cookie banners, license headers (the C4-style line-frequency
+    cleaner's index). Returns (line_hash, line, n_docs) where line_hash
+    = md5(normalized line): downstream joins ship the 32-char hash, not
+    the line text.
+
+    Scale: one explode + distinct + groupBy — the index is bounded by
+    the number of DISTINCT repeated lines, typically broadcast-sized
+    after the min_docs filter (boilerplate is by definition few distinct
+    strings repeated many times)."""
+    return (
+        df.select(
+            F.monotonically_increasing_id().alias("_did"), F.col(text_col)
+        )
+        .select(
+            "_did", F.explode(F.split(F.col(text_col), sep)).alias("_raw")
+        )
+        .select("_did", F.lower(F.trim(F.col("_raw"))).alias("line"))
+        .filter(F.col("line") != "")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select(F.md5(F.col("line")).alias("line_hash"), "line", "n_docs")
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index: DataFrame,
+    out: str = "clean_text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Rebuild each document with the boilerplate index's lines removed
+    (match on the NORMALIZED line, preserve the original casing and
+    order of what remains). ``index`` is :func:`boilerplate_lines`
+    output — or any (line_hash) frame.
+
+    Plan: posexplode -> broadcast anti-join on the md5 line hash (32
+    chars shuffled, never the text) -> groupBy(doc) re-assembly via
+    sort_array over (pos, line) structs. One shuffle (the re-assembly);
+    documents whose every line is boilerplate come back as ''."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_raw"),
+    ).withColumn("_h", F.md5(F.lower(F.trim(F.col("_raw")))))
+    kept = lines.join(
+        F.broadcast(index.select("line_hash")),
+        lines["_h"] == index["line_hash"],
+        "left_anti",
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", F.col("_raw")))
+                    ),
+                    lambda s: s["_raw"],
+                ),
+                sep,
+            ).alias(out)
+        )
+    )
+    # left join keeps all-boilerplate docs (empty output), same row count
+    return df.join(rebuilt, id_col, "left").withColumn(
+        out, F.coalesce(F.col(out), F.lit(""))
+    )
+
+
 def pack_chunks(
     df: DataFrame,
     id_col: str,

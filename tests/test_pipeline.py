@@ -545,3 +545,34 @@ def test_shard_assign_deterministic_balanced_and_salted(docs):
           for r in shard_assign(docs, "doc_id", 8, salt="ep1").collect()}
     assert m3 != m1
     out.unpersist()
+
+
+def test_boilerplate_index_and_strip(spark):
+    """C4-style line-frequency cleaning: the cookie banner appearing in
+    3 docs is indexed (normalized match) and stripped preserving original
+    casing/order; unique lines survive; an all-boilerplate doc comes back
+    empty but keeps its row."""
+    banner = "Accept cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nReal content one\nmore text"),
+            (2, f"real content two\n  accept cookies to continue  "),
+            (3, f"ACCEPT COOKIES TO CONTINUE\nthird body"),
+            (4, banner),
+            (5, "entirely unique document"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = text.boilerplate_lines(docs, "text", min_docs=3)
+    rows = idx.collect()
+    assert len(rows) == 1
+    assert rows[0]["line"] == banner.lower() and rows[0]["n_docs"] == 4
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in text.strip_boilerplate(docs, "doc_id", "text", idx).collect()
+    }
+    assert out[1] == "Real content one\nmore text"
+    assert out[2] == "real content two"
+    assert out[3] == "third body"
+    assert out[4] == ""          # all-boilerplate doc kept as a row
+    assert out[5] == "entirely unique document"
