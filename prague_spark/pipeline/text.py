@@ -345,6 +345,38 @@ def strip_boilerplate(
     )
 
 
+def strip_boilerplate_projection(
+    df: DataFrame,
+    text_col: str,
+    line_hashes: list[str],
+    out: str = "clean_text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Zero-shuffle, STREAMING-SAFE boilerplate strip: the whole operation
+    is one higher-order-function projection — split, filter lines whose
+    normalized md5 is in the (literal) index, re-join. No explode, no
+    groupBy re-assembly, so it runs identically on batch frames and
+    under ``readStream`` (the streaming twin of :func:`strip_boilerplate`;
+    parity pinned in tests/test_streaming.py).
+
+    ``line_hashes``: the collected ``line_hash`` column of a
+    :func:`boilerplate_lines` index. Literal-array capacity bounds it to
+    ~10^4 hashes — boilerplate indexes are small by nature (few distinct
+    strings repeated many times); past that use the join-based
+    :func:`strip_boilerplate` in batch / foreachBatch."""
+    if not line_hashes:
+        return df.withColumn(out, F.col(text_col))
+    idx = F.array(*[F.lit(h) for h in line_hashes])
+    cleaned = F.array_join(
+        F.filter(
+            F.split(F.col(text_col), sep),
+            lambda ln: ~F.array_contains(idx, F.md5(F.lower(F.trim(ln)))),
+        ),
+        sep,
+    )
+    return df.withColumn(out, cleaned)
+
+
 def pack_chunks(
     df: DataFrame,
     id_col: str,

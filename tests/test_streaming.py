@@ -424,3 +424,44 @@ def test_streaming_ivf_probe_matches_batch_topk(spark, sf_dir):
             got.add((qid, vid, round(cos, 9), rank))
     assert got == expected
     corpus.unpersist()
+
+
+def test_streaming_boilerplate_strip_matches_batch(spark):
+    """The projection-based strip runs unchanged under readStream and
+    matches the batch join-based strip_boilerplate row for row."""
+    from prague_spark.pipeline import text as text_ops
+
+    banner = "subscribe to our newsletter"
+    rows = [
+        (1, f"{banner}\nkeep this line\nand this"),
+        (2, f"other body\n  SUBSCRIBE TO OUR NEWSLETTER  "),
+        (3, banner),
+        (4, "untouched document"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = text_ops.boilerplate_lines(docs, "text", min_docs=2)
+    hashes = [r["line_hash"] for r in idx.collect()]
+
+    expected = {
+        r["doc_id"]: r["clean_text"]
+        for r in text_ops.strip_boilerplate(docs, "doc_id", "text", idx).collect()
+    }
+
+    d = tempfile.mkdtemp(prefix="prague_bp_stream_")
+    docs.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    q = (
+        text_ops.strip_boilerplate_projection(stream, "text", hashes)
+        .select("doc_id", "clean_text")
+        .writeStream.format("memory")
+        .queryName("bp_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in spark.sql("select * from bp_stream").collect()
+    }
+    assert got == expected
