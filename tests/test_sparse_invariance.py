@@ -673,3 +673,48 @@ def test_sparse_incore_route_survives_dense_budget_cliff(spark):
         np.asarray(m_bin_sparse.betas), np.asarray(m_bin_dense.betas),
         atol=2e-3,  # FISTA vs prox-Newton at tol 1e-5: route tolerance
     )
+
+
+def test_sparse_local_design_multinomial_targets():
+    """m > 1 (multinomial m-1 softmax targets): SparseLocalDesign's
+    multi-column matvecs and a full FISTA solve on it must match the
+    dense LocalDesign exactly."""
+    from prague_spark.core.families import setup_family
+    from prague_spark.core.lambdas import lambda_sequence
+    from prague_spark.core.solver import fista
+    from prague_spark.design import LocalDesign, SparseLocalDesign
+
+    rng = np.random.default_rng(17)
+    n, p = 80, 7
+    icol = 1.0 / np.sqrt(n)
+    nnz = 160
+    rows = rng.integers(0, n, nnz)
+    cols = rng.integers(1, p, nnz)
+    vals = rng.standard_normal(nnz)
+    fam = setup_family("multinomial")
+    # m-1 = 2 one-hot targets for 3 classes
+    labels = rng.integers(0, 3, n)
+    Y = np.zeros((n, 2))
+    for t in range(2):
+        Y[:, t] = (labels == t).astype(float)
+    X = np.zeros((n, p))
+    X[:, 0] = icol
+    np.add.at(X, (rows, cols), vals)
+    ld = LocalDesign(X, Y, fam)
+    sld = SparseLocalDesign(rows, cols, vals, n, p, Y, fam, icol=icol)
+
+    beta = rng.standard_normal((p, 2))
+    g_d, G_d, grad_d = ld.eval(beta)
+    g_s, G_s, grad_s = sld.eval(beta)
+    assert g_s == pytest.approx(g_d) and G_s == pytest.approx(G_d)
+    np.testing.assert_allclose(grad_s, grad_d, rtol=1e-12, atol=1e-12)
+
+    lam = lambda_sequence((p - 1) * 2, n, "bh", 0.2) * 0.05
+    eig = sld.power_eigmax()
+    res_s = fista(sld, np.zeros((p, 2)), lam, n_unpenalized=1,
+                  fixed_learning_rate=2.0 / (1.1 * eig))
+    res_d = fista(ld, np.zeros((p, 2)), lam, n_unpenalized=1,
+                  fixed_learning_rate=2.0 / (1.1 * eig))
+    np.testing.assert_allclose(
+        res_s.beta.reshape(p, 2), res_d.beta.reshape(p, 2), atol=1e-6
+    )
