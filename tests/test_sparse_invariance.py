@@ -718,3 +718,32 @@ def test_sparse_local_design_multinomial_targets():
     np.testing.assert_allclose(
         res_s.beta.reshape(p, 2), res_d.beta.reshape(p, 2), atol=1e-6
     )
+
+
+def test_sparse_incore_route_poisson_backtracking(spark):
+    """Poisson has no global Lipschitz bound — the sparse in-core route
+    must take the backtracking FISTA (fixed rate None) and still match
+    the unrestricted dense in-core fit."""
+    from prague_spark.ops.sparse import fit_sparse
+
+    rng = np.random.default_rng(31)
+    n, p, density = 300, 30, 0.15
+    X = np.where(rng.random((n, p)) < density, rng.normal(size=(n, p)), 0.0)
+    lam_true = np.exp(0.4 * X[:, 0] - 0.3 * X[:, 1] + 0.2)
+    y = rng.poisson(lam_true)
+    rows_i, cols_i = np.nonzero(X)
+    trip = spark.createDataFrame(
+        [(int(r), int(c), float(X[r, c])) for r, c in zip(rows_i, cols_i)],
+        "row_id long, col_id int, value double",
+    )
+    ydf = spark.createDataFrame(
+        [(int(i), float(y[i])) for i in range(n)], "row_id long, y double"
+    )
+    kw = dict(n_cols=30, n_sigma=3, lambda_min_ratio=0.3, gram_limit=0)
+    m_dense = fit_sparse(trip, ydf, "y", "poisson", **kw)
+    # y payload 300*8*4 = 9.6 KB; small dense subsets breach ~20 KB fast
+    m_sparse = fit_sparse(trip, ydf, "y", "poisson", incore_limit=20_000, **kw)
+    assert m_sparse.diagnostics["incore_subset_fits"]
+    np.testing.assert_allclose(
+        np.asarray(m_sparse.betas), np.asarray(m_dense.betas), atol=2e-3
+    )
