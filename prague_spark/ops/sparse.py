@@ -1011,6 +1011,11 @@ def fit_sparse(
     # FISTA with the trace-bound fixed step for that fit
     hess_cell_guard = 10**6
 
+    # which route each subset solve took (observability for the plan
+    # audit: dense in-core ADMM/prox-Newton, sparse in-core matvec FISTA,
+    # or a distributed fallback)
+    route_counts = {"incore_dense": 0, "incore_sparse": 0, "distributed": 0}
+
     def _fit_at(design_sub, beta_init, lam_scaled, idx):
         if gram is not None:
             gd = gram if len(idx) == p_total else gram.subset(idx)
@@ -1039,6 +1044,7 @@ def fit_sparse(
                 # primal evaluations, so they cost no scans either.
                 sld = _incore_sparse_design(idx)
                 if sld is not None:
+                    route_counts["incore_sparse"] += 1
                     lr_in = None
                     if family in ("gaussian", "binomial", "multinomial"):
                         factor = {
@@ -1055,6 +1061,7 @@ def fit_sparse(
                         tol_infeas=tol_infeas, fixed_learning_rate=lr_in,
                     )
             if ld is not None:
+                route_counts["incore_dense"] += 1
                 if family == "gaussian":
                     # exact quadratic: one Gram + warm-started ADMM (the
                     # same shape as the p<=gram_limit route, but over the
@@ -1082,6 +1089,7 @@ def fit_sparse(
         # iterative families: prox-Newton (3 O(nnz) jobs per outer
         # iteration, 2-6 outer iterations) unless the Hessian payload
         # would be too wide or the self-join pair volume too large
+        route_counts["distributed"] += 1
         if (len(idx) * m) ** 2 <= hess_cell_guard and _pair_volume_ok():
             return prox_newton(
                 design_sub, beta_init, lam_scaled, n_unpenalized=1,
@@ -1249,6 +1257,7 @@ def fit_sparse(
             ),
             pair_volume_ok=_pv["ok"],
             incore_subset_fits=incore is not None,
+            subset_fit_routes=dict(route_counts),
             path_abandoned_dense=abandoned,
         ),
     )

@@ -650,9 +650,12 @@ def test_sparse_incore_route_survives_dense_budget_cliff(spark):
     # y payload = 400*8*4 = 12.8 KB; any >=2-column dense subset adds
     # 400*3*8 ~ 9.6 KB + hessian — breaches 27 KB, sparse nnz stays tiny
     m_sparse = fit_sparse(
-        trip, ydf, "y", "gaussian", incore_limit=27_000, **kw
+        trip, ydf, "y", "gaussian", incore_limit=13_000, **kw
     )
     assert m_sparse.diagnostics["incore_subset_fits"]
+    # the point of the test: the SPARSE in-core route actually fired
+    assert m_sparse.diagnostics["subset_fit_routes"]["incore_sparse"] > 0
+    assert m_sparse.diagnostics["subset_fit_routes"]["distributed"] == 0
     # the sparse route issues no per-iteration scans: same scan count
     # class as in-core (far below the distributed fallback's)
     assert (
@@ -667,8 +670,9 @@ def test_sparse_incore_route_survives_dense_budget_cliff(spark):
     )
     m_bin_dense = fit_sparse(trip_b, ydf_b, "y", "binomial", **kw)
     m_bin_sparse = fit_sparse(
-        trip_b, ydf_b, "y", "binomial", incore_limit=27_000, **kw
+        trip_b, ydf_b, "y", "binomial", incore_limit=13_000, **kw
     )
+    assert m_bin_sparse.diagnostics["subset_fit_routes"]["incore_sparse"] > 0
     np.testing.assert_allclose(
         np.asarray(m_bin_sparse.betas), np.asarray(m_bin_dense.betas),
         atol=2e-3,  # FISTA vs prox-Newton at tol 1e-5: route tolerance
@@ -742,8 +746,11 @@ def test_sparse_incore_route_poisson_backtracking(spark):
     kw = dict(n_cols=30, n_sigma=3, lambda_min_ratio=0.3, gram_limit=0)
     m_dense = fit_sparse(trip, ydf, "y", "poisson", **kw)
     # y payload 300*8*4 = 9.6 KB; small dense subsets breach ~20 KB fast
+    # 20 KB: fetch budget (~18 KB y + all-column nnz) fits, but the dense
+    # materialization breaches for the 10- and 19-column path points
     m_sparse = fit_sparse(trip, ydf, "y", "poisson", incore_limit=20_000, **kw)
     assert m_sparse.diagnostics["incore_subset_fits"]
+    assert m_sparse.diagnostics["subset_fit_routes"]["incore_sparse"] > 0
     np.testing.assert_allclose(
         np.asarray(m_sparse.betas), np.asarray(m_dense.betas), atol=2e-3
     )
