@@ -1,0 +1,146 @@
+"""Lexical (keyword) search over a document corpus: inverted-index
+postings + BM25 ranking — the retrieval companion to the embedding-side
+:mod:`prague_spark.pipeline.similarity` (beyond-reference extension; the
+standard tool for corpus exploration, dedup triage, and eval-set mining
+in training-data pipelines).
+
+Scale design: the postings list is ONE explode + groupBy of the corpus
+(a shuffle on (doc, term), partial-aggregated map-side). A search never
+rescans the corpus text: query terms are a broadcast-sized frame joined
+INTO the postings (the equi-join prunes every posting not matching a
+query term at the scan — with postings persisted as a parquet/bucketed
+table this is a pushed-down semi-join), document frequencies are
+computed over that pruned slice only, and the per-(query, doc) score
+aggregation plus one small top-k window finish the job. Everything is
+JVM expressions inside whole-stage codegen — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .text import tokens_expr
+
+
+def build_postings(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Inverted-index postings: one row per (doc_id, term) with the term
+    frequency ``tf`` and the document's token length ``doc_len`` (carried
+    denormalized so scoring never joins back to the corpus).
+
+    One tokenizing projection + ONE shuffle (groupBy doc, term). Persist
+    the result (parquet, optionally bucketed by term) to amortize over
+    many searches."""
+    toks = tokens_expr(F.col(text_col))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).cast("bigint").alias("doc_len"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("doc_id", "doc_len", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+
+def corpus_stats(postings: DataFrame) -> tuple[int, float]:
+    """(N docs, average doc length) from a postings frame — one agg over
+    the per-doc distinct (doc_id, doc_len) pairs."""
+    row = (
+        postings.select("doc_id", "doc_len")
+        .distinct()
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("doc_len").alias("avgdl"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"]), float(row["avgdl"] or 0.0)
+
+
+def bm25_search(
+    postings: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """BM25 top-``k`` documents for each query string.
+
+    ``queries``: (query_id, query text) pairs — driver-side and small by
+    nature (they become one broadcast frame). ``n_docs``/``avgdl``
+    override the corpus constants (pass them when the postings frame is
+    a pre-filtered slice of a bigger index); otherwise one aggregation
+    over ``postings`` derives them.
+
+    Scoring is the Lucene BM25 form: ``idf = ln(1 + (N - df + .5)/(df + .5))``,
+    ``tf' = tf*(k1+1) / (tf + k1*(1 - b + b*doc_len/avgdl))``, score =
+    sum over matched query terms of ``idf * tf'``. Ties break on doc_id
+    ascending so results are deterministic.
+
+    Plan: broadcast query terms -> equi-join postings (prunes to query
+    terms at the scan) -> df per term over the pruned slice -> one
+    groupBy (query_id, doc) -> one top-k window per query_id.
+    """
+    spark = postings.sparkSession
+    if n_docs is None or avgdl is None:
+        n_docs, avgdl = corpus_stats(postings)
+    if n_docs == 0:
+        raise ValueError("bm25_search: empty corpus (n_docs == 0)")
+
+    # driver-side tokenization mirrors tokens_expr (lowercase, split on
+    # whitespace, drop empties) so query terms hit index terms exactly
+    qterm_rows = [
+        (int(qid), t)
+        for qid, qtext in queries
+        for t in str(qtext).lower().split()
+        if t
+    ]
+    if not qterm_rows:
+        raise ValueError("bm25_search: no query terms")
+    qterms = spark.createDataFrame(
+        sorted(set(qterm_rows)), "query_id bigint, term string"
+    )
+
+    matched = postings.join(F.broadcast(qterms), "term")
+    # document frequency per term, computed on the pruned slice (df of a
+    # term not in any query is never needed); broadcast back — bounded by
+    # the number of distinct query terms
+    dfreq = (
+        matched.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("doc_len") / F.lit(float(avgdl)))
+    )
+    scored = (
+        matched.join(F.broadcast(dfreq), "term")
+        .withColumn("_contrib", idf * tf_norm)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_contrib").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    """Driver-side reference of the idf formula (tests/oracles)."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))

@@ -265,6 +265,78 @@ def repetition_ratio(
     return df.withColumn(out, ratio)
 
 
+#: the Gopher-rule "must contain 2 of these" stop list (function words a
+#: natural-language document can hardly avoid)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    min_alpha_word_ratio: float = 0.8,
+    max_rep_2gram: float = 0.2,
+    min_stop_hits: int = 2,
+    prefix: str = "gq_",
+) -> DataFrame:
+    """Gopher-style rule-based document quality filter (the Rae et al.
+    heuristic battery every large text-curation pipeline runs first):
+    word-count bounds, mean word length bounds, fraction of words with
+    at least one alphabetic character, duplicate-2-gram fraction, and a
+    minimum count of DISTINCT common stopwords. Emits one boolean column
+    per rule plus the conjunction ``{prefix}keep``.
+
+    Pure codegen projection over ONE tokenization — no shuffle, no UDF;
+    composes with :func:`repetition_ratio` / :func:`quality_score` in
+    the same scan. Thresholds are the published defaults; pass corpus-
+    appropriate ones for short-document fixtures."""
+    toks = tokens_expr(F.col(text_col))
+    n_words = F.size(toks)
+    # mean length of the words themselves (not chars/words of the raw
+    # text - whitespace and punctuation-only tokens are already gone)
+    total_wlen = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    avg_wlen = F.when(
+        n_words > 0, total_wlen.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    alpha_ratio = F.when(
+        n_words > 0, n_alpha_words.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    g2 = ngrams_expr(toks, 2)
+    rep2 = F.when(
+        F.size(g2) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g2)) / F.size(g2),
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+
+    p = prefix
+    df = (
+        df.withColumn(p + "words_ok",
+                      (n_words >= min_words) & (n_words <= max_words))
+        .withColumn(p + "word_len_ok",
+                    (avg_wlen >= min_avg_word_len)
+                    & (avg_wlen <= max_avg_word_len))
+        .withColumn(p + "alpha_ok", alpha_ratio >= min_alpha_word_ratio)
+        .withColumn(p + "rep_ok", rep2 <= max_rep_2gram)
+        .withColumn(p + "stop_ok", stop_hits >= min_stop_hits)
+    )
+    keep = (
+        F.col(p + "words_ok")
+        & F.col(p + "word_len_ok")
+        & F.col(p + "alpha_ok")
+        & F.col(p + "rep_ok")
+        & F.col(p + "stop_ok")
+    )
+    return df.withColumn(p + "keep", keep)
+
+
 def boilerplate_lines(
     df: DataFrame,
     text_col: str,
