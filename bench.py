@@ -286,6 +286,51 @@ def main() -> None:
 
         q_events_sessionize(spark, SF_DIR).count()
 
+    @bench("events_rollup")
+    def _():
+        # hypertable-style multi-grain aggregate: hour + day in ONE
+        # shuffle (grain/date_trunc explode, map-side partial agg per
+        # grain) instead of one pass per resolution
+        from prague_spark.ops.rollup import time_rollup
+        from prague_spark.queries import load
+
+        ev = load(spark, SF_DIR, "events")
+        time_rollup(
+            ev, "ts", grains=("hour", "day"), keys=("event_type",),
+            aggs=[F.count("*").alias("n"), F.avg("value").alias("av")],
+        ).agg(F.sum("n")).collect()
+
+    @bench("events_range_join")
+    def _():
+        # point-in-interval matching as a bucket equi-join (each 12 h
+        # click window explodes over <= 13 one-hour buckets; views hash
+        # to one bucket) - never a BroadcastNestedLoopJoin
+        from prague_spark.ops.rangejoin import range_join
+        from prague_spark.queries import load
+
+        ev = load(spark, SF_DIR, "events")
+        views = ev.filter(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts"
+        )
+        wins = ev.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("e"),
+            F.col("event_id").alias("iid"),
+        )
+        range_join(views, wins, "ts", "s", "e", by="user_id",
+                   bucket=3600).count()
+
+    @bench("text_bm25")
+    def _():
+        # end-to-end lexical search: postings build (one shuffle) +
+        # broadcast query terms + score agg + top-k window
+        from prague_spark.pipeline.search import bm25_search, build_postings
+
+        post = build_postings(docs, "doc_id", "text")
+        bm25_search(
+            post, [(0, "table scan merge"), (1, "window sort hash")], k=10
+        ).count()
+
     @bench("events_asof")
     def _():
         # as-of join: every view attaches its user's most recent click —

@@ -107,7 +107,14 @@ def bm25_search(
         sorted(set(qterm_rows)), "query_id bigint, term string"
     )
 
-    matched = postings.join(F.broadcast(qterms), "term")
+    # literal isin BEFORE the join: semantically identical (the join would
+    # drop the rows anyway) but this predicate pushes into the parquet
+    # scan, so a term-sorted persisted index (write_postings) prunes row
+    # groups by term min/max before a single byte shuffles
+    all_terms = sorted({t for _, t in qterm_rows})
+    matched = postings.filter(F.col("term").isin(all_terms)).join(
+        F.broadcast(qterms), "term"
+    )
     # document frequency per term, computed on the pruned slice (df of a
     # term not in any query is never needed); broadcast back — bounded by
     # the number of distinct query terms
@@ -144,3 +151,23 @@ def bm25_search(
 def bm25_idf(n_docs: int, df: int) -> float:
     """Driver-side reference of the idf formula (tests/oracles)."""
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def write_postings(postings: DataFrame, path: str, n_files: int = 64) -> None:
+    """Persist a postings index term-clustered: range-repartition +
+    sort-within-partitions on ``term`` so every parquet row group covers
+    a narrow term range. A later :func:`bm25_search` pushes its literal
+    term filter into the scan and prunes row groups by the term min/max
+    stats — at 100 TB a search touches only the files containing its
+    query terms, not the corpus-sized index."""
+    (
+        postings.repartitionByRange(n_files, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_postings(spark, path: str) -> DataFrame:
+    """Load a persisted postings index (see :func:`write_postings`)."""
+    return spark.read.parquet(path)

@@ -748,24 +748,56 @@ SQL_DEDUP_SIMHASH = (
 )
 
 
+#: BM25 registry queries: fixed strings over the documents vocabulary.
+#: Terms are distinct within each query (bm25_search scores DISTINCT
+#: query terms — document this is the semantics both engines pin).
+BM25_QUERIES = [(100, "table scan merge"), (101, "window sort hash")]
+
+
 def q_sim_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 for three query vectors taken from the
-    corpus itself (vec_id 0, 1, 2)."""
+    corpus itself (vec_id 0, 1, 2).
+
+    Round-6 merge (session 2): 'bm25' tagged rows pin the NEW lexical
+    retrieval path (pipeline.search: inverted-index postings + Lucene
+    BM25 top-5 over the documents table, query terms broadcast into the
+    postings join). The oracle recomputes idf/tf normalization from
+    first principles in SQL; `score` carries cosine for 'cosine' rows
+    and BM25 for 'bm25' rows, both rounded to 4."""
+    from .pipeline.search import bm25_search, build_postings
+
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "vec", F.transform("embedding", lambda x: x.cast("double"))
     )
     qrows = emb.filter(F.col("vec_id").isin([0, 1, 2])).select("vec_id", "vec").collect()
     queries = [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in qrows]
     out = similarity.cosine_topk(emb, "vec_id", "vec", queries, k=5)
-    return out.select(
+    cos = out.select(
+        F.lit("cosine").alias("tag"),
         F.col("query_id").cast("bigint").alias("query_id"),
         F.col("vec_id").cast("bigint").alias("vec_id"),
-        F.round("cosine", 4).alias("cosine"),
+        F.round("cosine", 4).alias("score"),
         F.col("rank").cast("int").alias("rank"),
     )
+    docs = load(spark, sf_dir, "documents")
+    post = build_postings(docs, "doc_id", "text")
+    bm = bm25_search(post, BM25_QUERIES, k=5).select(
+        F.lit("bm25").alias("tag"),
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("doc_id").cast("bigint").alias("vec_id"),
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    return cos.unionByName(bm)
 
 
-SQL_SIM_TOPK = """
+_BM25_QTERMS_SQL = ", ".join(
+    f"({qid}, '{t}')"
+    for qid, qtext in BM25_QUERIES
+    for t in sorted(set(qtext.lower().split()))
+)
+
+SQL_SIM_TOPK = f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         FROM embeddings WHERE vec_id IN (0, 1, 2)
@@ -778,10 +810,45 @@ SQL_SIM_TOPK = """
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY cosine DESC, vec_id) AS rank
         FROM scored
+    ), d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t != '') AS toks
+        FROM documents
+    ), post AS (
+        SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d)
+        GROUP BY doc_id, dl, term
+    ), stats AS (
+        SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl
+        FROM (SELECT DISTINCT doc_id, dl FROM post)
+    ), bq(query_id, term) AS (VALUES {_BM25_QTERMS_SQL}
+    ), m AS (
+        SELECT bq.query_id, p.doc_id, p.dl, p.term, p.tf
+        FROM post p JOIN bq ON p.term = bq.term
+    ), dfreq AS (
+        SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM m GROUP BY term
+    ), bscored AS (
+        SELECT m.query_id, m.doc_id,
+               sum(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                   * m.tf * 2.2
+                   / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl))) AS score
+        FROM m JOIN dfreq f ON m.term = f.term CROSS JOIN stats s
+        GROUP BY m.query_id, m.doc_id
+    ), branked AS (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM bscored
     )
-    SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
-           round(cosine, 4) AS cosine, rank::INTEGER AS rank
+    SELECT 'cosine' AS tag, query_id::BIGINT AS query_id,
+           vec_id::BIGINT AS vec_id, round(cosine, 4) AS score,
+           rank::INTEGER AS rank
     FROM ranked WHERE rank <= 5
+    UNION ALL
+    SELECT 'bm25', query_id::BIGINT, doc_id::BIGINT, round(score, 4),
+           rank::INTEGER
+    FROM branked WHERE rank <= 5
 """
 
 
@@ -790,13 +857,20 @@ def q_text_stats(spark, sf_dir):
     (whitespace + BPE-ish regex), quality scoring (length / punctuation /
     digit / stopword ratios), n-gram-heuristic language ID, and PII-span
     triage counts (emails / URLs / phone shapes) — all pure codegen
-    column expressions chained over a single documents scan."""
+    column expressions chained over a single documents scan.
+
+    Round-6 merge (session 2): the NEW Gopher-rule battery
+    (text.gopher_quality_flags — word bounds, mean word length,
+    alpha-word ratio, duplicate-2-gram fraction, distinct-stopword
+    floor) rides the same projection as five boolean columns + the
+    conjunction; min_words=20 fits the short synthetic documents."""
     docs = load(spark, sf_dir, "documents")
     out = text.token_count(docs, "text")
     out = text.quality_score(out, "text")
     out = text.lang_id(out, "text")
     out = text.pii_counts(out, "text")
     out = text.repetition_ratio(out, "text")
+    out = text.gopher_quality_flags(out, "text", min_words=20)
     return out.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
@@ -812,6 +886,8 @@ def q_text_stats(spark, sf_dir):
         F.col("n_urls").cast("bigint").alias("n_urls"),
         F.col("n_phones").cast("bigint").alias("n_phones"),
         F.round("rep_ratio", 4).alias("rep_ratio"),
+        "gq_words_ok", "gq_word_len_ok", "gq_alpha_ok",
+        "gq_rep_ok", "gq_stop_ok", "gq_keep",
     )
 
 
@@ -826,6 +902,23 @@ def _text_stats_sql() -> str:
         f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS {name}"
         for name, pat in text.PII_PATTERNS.items()
     )
+    gstop = ", ".join(f"'{s}'" for s in text.GOPHER_STOPWORDS)
+    # Gopher-rule flags recomputed from first principles (g2 below is the
+    # 2-gram list; thresholds mirror q_text_stats' min_words=20 call)
+    gq = f"""
+           (len(toks) >= 20 AND len(toks) <= 100000) AS gq_words_ok,
+           (CASE WHEN len(toks) > 0
+                 THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+                      / len(toks) ELSE 0.0 END BETWEEN 3.0 AND 10.0)
+               AS gq_word_len_ok,
+           (CASE WHEN len(toks) > 0
+                 THEN len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+                      / len(toks) ELSE 0.0 END >= 0.8) AS gq_alpha_ok,
+           (CASE WHEN len(g2) > 0
+                 THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2)
+                 ELSE 0.0 END <= 0.2) AS gq_rep_ok,
+           (len(list_intersect(toks, [{gstop}])) >= 2) AS gq_stop_ok
+    """
     return f"""
     WITH base AS (
         SELECT doc_id, text,
@@ -833,6 +926,9 @@ def _text_stats_sql() -> str:
                list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
         FROM documents
     ), lid AS ({_langid_sql()})
+    SELECT *, (gq_words_ok AND gq_word_len_ok AND gq_alpha_ok
+               AND gq_rep_ok AND gq_stop_ok) AS gq_keep
+    FROM (
     SELECT base.doc_id,
            len(toks)::BIGINT AS n_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens_bpe,
@@ -846,13 +942,18 @@ def _text_stats_sql() -> str:
            {pii},
            round(CASE WHEN len(g3) > 0
                       THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3)
-                      ELSE 0.0 END, 4) AS rep_ratio
+                      ELSE 0.0 END, 4) AS rep_ratio,
+           {gq}
     FROM (
         SELECT *, list_transform(
                    range(1, greatest(len(toks) - 3, 0) + 2),
-                   i -> array_to_string(toks[i:i+2], ' ')) AS g3
+                   i -> array_to_string(toks[i:i+2], ' ')) AS g3,
+               list_transform(
+                   range(1, greatest(len(toks) - 2, 0) + 2),
+                   i -> array_to_string(toks[i:i+1], ' ')) AS g2
         FROM base
     ) base JOIN lid ON base.doc_id = lid.doc_id
+    ) flagged
 """
 
 
@@ -2401,9 +2502,26 @@ def q_events_sessionize(spark, sf_dir):
     """Per-user sessionization with a 30-minute inactivity gap via
     ``F.session_window`` — the canonical stateful-streaming operator; the
     same expression runs under readStream with a watermark. Batch oracle:
-    lag + cumulative session-id. Output: one row per (user, session)."""
+    lag + cumulative session-id.
+
+    Round-6 merge (session 2): two more temporal operators share the
+    events fixture as tagged slices —
+    * 'rollup_hour'/'rollup_day': the NEW ops.rollup.time_rollup
+      (hypertable-style multi-grain aggregate: ONE shuffle for every
+      grain via a (grain, date_trunc) explode); oracle = per-grain
+      GROUP BY recomputation.
+    * 'range': the NEW ops.rangejoin.range_join (point-in-interval as a
+      bucket equi-join, never a theta join): every view event matched to
+      each 12-hour window opened by one of its user's clicks; oracle =
+      DuckDB's native inequality join, pinning the bucket decomposition
+      against the direct formulation row-for-row.
+    Timestamps cross the union as epoch micros (nullable-TIMESTAMP NaT
+    rule, see q_events_windowed_agg)."""
+    from .ops.rangejoin import range_join
+    from .ops.rollup import time_rollup
+
     ev = load(spark, sf_dir, "events")
-    return (
+    sess = (
         ev.groupBy(
             F.session_window("ts", "30 minutes").alias("w"), "user_id"
         )
@@ -2412,12 +2530,51 @@ def q_events_sessionize(spark, sf_dir):
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
+            F.lit("session").alias("tag"),
             "user_id",
-            F.col("w.start").alias("session_start"),
-            "n_events",
+            F.lit(None).cast("string").alias("event_type"),
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("bucket_us"),
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.col("n_events").alias("n"),
             "sum_value",
         )
     )
+    rolled = time_rollup(
+        ev, "ts", grains=("hour", "day"), keys=("event_type",),
+        aggs=[
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+    ).select(
+        F.concat(F.lit("rollup_"), F.col("grain")).alias("tag"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        "event_type",
+        F.unix_micros(F.col("bucket").cast("timestamp")).alias("bucket_us"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "n",
+        "sum_value",
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("e"),
+        F.col("event_id").alias("iid"),
+    )
+    ranged = range_join(
+        views, windows, "ts", "s", "e", by="user_id", bucket=3600
+    ).select(
+        F.lit("range").alias("tag"),
+        "user_id",
+        F.lit(None).cast("string").alias("event_type"),
+        F.unix_micros(F.col("s_r").cast("timestamp")).alias("bucket_us"),
+        "event_id",
+        F.col("iid_r").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return sess.unionByName(rolled).unionByName(ranged)
 
 
 SQL_EVENTS_SESSIONIZE = """
@@ -2434,9 +2591,28 @@ SQL_EVENTS_SESSIONIZE = """
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
         FROM o
     )
-    SELECT user_id, min(ts) AS session_start,
-           count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+    SELECT 'session' AS tag, user_id, NULL::VARCHAR AS event_type,
+           epoch_us(min(ts)) AS bucket_us, NULL::BIGINT AS event_id,
+           count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
     FROM s GROUP BY user_id, sess_id
+    UNION ALL
+    SELECT 'rollup_hour', NULL, event_type,
+           epoch_us(date_trunc('hour', ts)), NULL,
+           count(*)::BIGINT, round(sum(value), 4)
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    UNION ALL
+    SELECT 'rollup_day', NULL, event_type,
+           epoch_us(date_trunc('day', ts)), NULL,
+           count(*)::BIGINT, round(sum(value), 4)
+    FROM events GROUP BY event_type, date_trunc('day', ts)
+    UNION ALL
+    SELECT 'range', v.user_id, NULL, epoch_us(c.s), v.event_id, c.iid, NULL
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'view') v
+    JOIN (SELECT user_id, ts AS s, ts + INTERVAL 12 HOUR AS e,
+                 event_id AS iid
+          FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id AND v.ts >= c.s AND v.ts <= c.e
 """
 
 
@@ -3401,6 +3577,17 @@ SQL_DOCS_SAMPLE = f"""
 # events_windowed_agg gains an 'asof' tagged slice — the NEW
 # ops.asof.asof_join (union + one window carry, never a range join)
 # pinned against DuckDB's NATIVE ASOF LEFT JOIN.
+#
+# Round-6 session-2 merges (still exactly 50): events_sessionize gains
+# 'rollup_hour'/'rollup_day' slices (the NEW ops.rollup.time_rollup —
+# every grain in ONE shuffle via a grain/date_trunc explode; oracle =
+# per-grain GROUP BY) and a 'range' slice (the NEW ops.rangejoin
+# .range_join — point-in-interval as a bucket equi-join; oracle =
+# DuckDB's direct inequality join); sim_cosine_topk gains a 'bm25'
+# slice (the NEW pipeline.search inverted-index + Lucene-BM25 top-k,
+# idf/tf-normalization recomputed from first principles in SQL);
+# text_stats gains the NEW Gopher-rule flag columns (same projection,
+# six boolean columns re-derived in SQL).
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,

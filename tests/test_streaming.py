@@ -465,3 +465,56 @@ def test_streaming_boilerplate_strip_matches_batch(spark):
         for r in spark.sql("select * from bp_stream").collect()
     }
     assert got == expected
+
+
+def test_streaming_rollup_matches_batch(spark, events_stream_dir):
+    """time_rollup_stream (per-grain tumbling windows, watermark-
+    evictable state) must reproduce the batch time_rollup exactly for
+    fixed-duration grains — epoch-aligned windows == date_trunc."""
+    from prague_spark.ops.rollup import time_rollup
+    from prague_spark.streaming.rollup import time_rollup_stream
+
+    batch_df = spark.read.parquet(events_stream_dir)
+    aggs = [
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ]
+    expected = {
+        (r["grain"], r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in time_rollup(
+            batch_df, "ts", grains=("hour", "day"), keys=("event_type",),
+            aggs=aggs,
+        ).collect()
+    }
+
+    streams = time_rollup_stream(
+        spark.readStream.schema(batch_df.schema).parquet(events_stream_dir),
+        "ts", grains=("hour", "day"), keys=("event_type",), aggs=aggs,
+    )
+    got = {}
+    for g, sdf in streams.items():
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(f"roll_{g}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120), f"{g} stream did not finish"
+            for r in spark.sql(f"SELECT * FROM roll_{g}").collect():
+                got[(r["grain"], r["bucket"], r["event_type"])] = (
+                    r["n"], r["sum_value"],
+                )
+        finally:
+            q.stop()
+    assert got == expected
+
+
+def test_streaming_rollup_rejects_calendar_grain(spark, events_stream_dir):
+    from prague_spark.streaming.rollup import time_rollup_stream
+
+    batch_df = spark.read.parquet(events_stream_dir)
+    sdf = spark.readStream.schema(batch_df.schema).parquet(events_stream_dir)
+    with pytest.raises(ValueError, match="no fixed duration"):
+        time_rollup_stream(sdf, "ts", grains=("month",))

@@ -215,3 +215,33 @@ def test_gopher_flags(spark):
     assert out[0]["gq_words_ok"] == (20 <= len(toks) <= 100_000)
     mean_wl = sum(len(w) for w in toks) / len(toks)
     assert out[0]["gq_word_len_ok"] == (3.0 <= mean_wl <= 10.0)
+
+
+def test_postings_index_roundtrip_and_pushdown(spark, tmp_path):
+    """write_postings/read_postings round-trip; bm25 over the persisted
+    index matches the in-memory result, and the literal term filter is
+    pushed into the parquet scan (row-group pruning at scale)."""
+    from prague_spark.pipeline.search import read_postings, write_postings
+
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    post = build_postings(docs, "doc_id", "text")
+    path = str(tmp_path / "postings")
+    write_postings(post, path, n_files=4)
+    loaded = read_postings(spark, path)
+    assert loaded.count() == post.count()
+
+    mem = {
+        (r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+        for r in bm25_search(post, [(1, "spark join")], k=10).collect()
+    }
+    disk_df = bm25_search(loaded, [(1, "spark join")], k=10)
+    disk = {
+        (r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+        for r in disk_df.collect()
+    }
+    assert set(disk) == set(mem)
+    for k in mem:
+        assert disk[k][1] == mem[k][1]
+        assert disk[k][0] == pytest.approx(mem[k][0], rel=1e-12)
+    plan = disk_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "In(term" in plan
