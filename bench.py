@@ -322,13 +322,19 @@ def main() -> None:
 
     @bench("text_bm25")
     def _():
-        # end-to-end lexical search: postings build (one shuffle) +
-        # broadcast query terms + score agg + top-k window
-        from prague_spark.pipeline.search import bm25_search, build_postings
+        # end-to-end lexical search: postings build (one shuffle, term-
+        # pruned by the pushed isin filter) + broadcast query terms +
+        # score agg + top-k window; corpus stats off the raw docs (zero
+        # shuffle) instead of a postings-wide distinct
+        from prague_spark.pipeline.search import (
+            bm25_search, build_postings, corpus_stats_from_docs,
+        )
 
+        n, avgdl = corpus_stats_from_docs(docs, "text")
         post = build_postings(docs, "doc_id", "text")
         bm25_search(
-            post, [(0, "table scan merge"), (1, "window sort hash")], k=10
+            post, [(0, "table scan merge"), (1, "window sort hash")],
+            k=10, n_docs=n, avgdl=avgdl,
         ).count()
 
     @bench("events_asof")

@@ -48,7 +48,10 @@ def build_postings(
 
 def corpus_stats(postings: DataFrame) -> tuple[int, float]:
     """(N docs, average doc length) from a postings frame — one agg over
-    the per-doc distinct (doc_id, doc_len) pairs."""
+    the per-doc distinct (doc_id, doc_len) pairs. Docs with ZERO tokens
+    have no postings and are invisible here; prefer
+    :func:`corpus_stats_from_docs` when the raw corpus is at hand (one
+    shuffle-free projection agg instead of a postings-wide distinct)."""
     row = (
         postings.select("doc_id", "doc_len")
         .distinct()
@@ -58,6 +61,20 @@ def corpus_stats(postings: DataFrame) -> tuple[int, float]:
         )
         .collect()[0]
     )
+    return int(row["n"]), float(row["avgdl"] or 0.0)
+
+
+def corpus_stats_from_docs(
+    df: DataFrame, text_col: str
+) -> tuple[int, float]:
+    """(N docs, average doc length) straight off the corpus: one
+    zero-shuffle projection + agg (counts empty documents too, the
+    conventional BM25 N). Use with ``bm25_search(..., n_docs=, avgdl=)``
+    to skip the postings-wide distinct."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.avg(F.size(tokens_expr(F.col(text_col)))).alias("avgdl"),
+    ).collect()[0]
     return int(row["n"]), float(row["avgdl"] or 0.0)
 
 

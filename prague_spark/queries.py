@@ -764,7 +764,9 @@ def q_sim_cosine_topk(spark, sf_dir):
     postings join). The oracle recomputes idf/tf normalization from
     first principles in SQL; `score` carries cosine for 'cosine' rows
     and BM25 for 'bm25' rows, both rounded to 4."""
-    from .pipeline.search import bm25_search, build_postings
+    from .pipeline.search import (
+        bm25_search, build_postings, corpus_stats_from_docs,
+    )
 
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "vec", F.transform("embedding", lambda x: x.cast("double"))
@@ -780,8 +782,9 @@ def q_sim_cosine_topk(spark, sf_dir):
         F.col("rank").cast("int").alias("rank"),
     )
     docs = load(spark, sf_dir, "documents")
+    n_docs, avgdl = corpus_stats_from_docs(docs, "text")
     post = build_postings(docs, "doc_id", "text")
-    bm = bm25_search(post, BM25_QUERIES, k=5).select(
+    bm = bm25_search(post, BM25_QUERIES, k=5, n_docs=n_docs, avgdl=avgdl).select(
         F.lit("bm25").alias("tag"),
         F.col("query_id").cast("bigint").alias("query_id"),
         F.col("doc_id").cast("bigint").alias("vec_id"),
@@ -820,8 +823,9 @@ SQL_SIM_TOPK = f"""
         FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d)
         GROUP BY doc_id, dl, term
     ), stats AS (
-        SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl
-        FROM (SELECT DISTINCT doc_id, dl FROM post)
+        -- all-docs semantics (corpus_stats_from_docs): N counts empty
+        -- documents too, matching the Spark side's zero-shuffle stats
+        SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM d
     ), bq(query_id, term) AS (VALUES {_BM25_QTERMS_SQL}
     ), m AS (
         SELECT bq.query_id, p.doc_id, p.dl, p.term, p.tf
@@ -2624,8 +2628,15 @@ def q_sparse_ingest(spark, sf_dir):
     too large to densify). Registry merge, round 4: both sections share
     the events-derived triplet fixture; unioned as a tagged tall frame
     ('ingest' rows key on row_id with the densified x0..x2, 'xtv' rows
-    key on col_id with the gradient entry in x0)."""
+    key on col_id with the gradient entry in x0).
+
+    Round-6 merge (session 2): 'hashvec' tagged rows pin the NEW
+    pipeline.vectorize.hashing_vectorizer — the feature-hashing text
+    vectorizer whose output IS this query's long-format triplet
+    contract (documents -> 64-bucket md5 hashing trick -> (row, col,
+    tf)); the oracle recomputes every bucket from md5 arithmetic."""
     from .ops.sparse import long_to_features, sparse_scales, sparse_xtv
+    from .pipeline.vectorize import hashing_vectorizer
 
     ev = load(spark, sf_dir, "events")
     trip = ev.select(
@@ -2659,7 +2670,15 @@ def q_sparse_ingest(spark, sf_dir):
         F.lit(0.0).alias("x1"),
         F.lit(0.0).alias("x2"),
     )
-    return ingest.unionByName(xtv)
+    docs = load(spark, sf_dir, "documents")
+    hashvec = hashing_vectorizer(docs, "doc_id", "text", n_features=64).select(
+        F.lit("hashvec").alias("part"),
+        (F.col("row_id") * 64 + F.col("col_id")).alias("key"),
+        F.col("col_id").cast("double").alias("x0"),
+        F.col("value").alias("x1"),
+        F.lit(0.0).alias("x2"),
+    )
+    return ingest.unionByName(xtv).unionByName(hashvec)
 
 
 SQL_SPARSE_INGEST = """
@@ -2687,6 +2706,20 @@ SQL_SPARSE_INGEST = """
     SELECT 'xtv' AS part, t.col_id::BIGINT AS key,
            round(sum(t.value * vv.v), 4) AS x0, 0.0 AS x1, 0.0 AS x2
     FROM trip7 t JOIN vv USING (row_id) GROUP BY t.col_id
+    UNION ALL
+    SELECT 'hashvec' AS part, row_id * 64 + col_id AS key,
+           col_id::DOUBLE AS x0, count(*)::DOUBLE AS x1, 0.0 AS x2
+    FROM (
+        SELECT doc_id AS row_id,
+               ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS col_id
+        FROM (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       t -> t != '')) AS term
+            FROM documents
+        )
+    ) GROUP BY row_id, col_id
 """
 
 
