@@ -518,3 +518,68 @@ def test_streaming_rollup_rejects_calendar_grain(spark, events_stream_dir):
     sdf = spark.readStream.schema(batch_df.schema).parquet(events_stream_dir)
     with pytest.raises(ValueError, match="no fixed duration"):
         time_rollup_stream(sdf, "ts", grains=("month",))
+
+
+def test_streaming_bm25_matches_batch(spark, sf_dir, tmp_path):
+    """bm25_contributions_stream (stateless stream-static joins) +
+    the documented per-batch groupBy/top-k sink must reproduce the
+    batch bm25_search exactly on real documents."""
+    from pyspark.sql import Window
+
+    from prague_spark.pipeline.search import (
+        bm25_search, build_postings, corpus_stats_from_docs,
+    )
+    from prague_spark.streaming.search import (
+        bm25_contributions_stream, term_idf,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs, avgdl = corpus_stats_from_docs(docs, "text")
+    post = build_postings(docs, "doc_id", "text").cache()
+    queries = [(0, "table scan merge"), (1, "window sort hash")]
+    expected = {
+        (r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+        for r in bm25_search(
+            post, queries, k=5, n_docs=n_docs, avgdl=avgdl
+        ).collect()
+    }
+
+    qdir = str(tmp_path / "queries")
+    spark.createDataFrame(
+        queries, "query_id bigint, qtext string"
+    ).coalesce(1).write.parquet(qdir)
+    qstream = spark.readStream.schema(
+        "query_id bigint, qtext string"
+    ).parquet(qdir)
+    contrib = bm25_contributions_stream(
+        qstream, "query_id", "qtext", post, term_idf(post, n_docs), avgdl
+    )
+    got = {}
+
+    def sink(batch_df, _):
+        s = batch_df.groupBy("query_id", "doc_id").agg(
+            F.sum("contrib").alias("score")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id")
+        )
+        for r in (
+            s.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .collect()
+        ):
+            got[(r["query_id"], r["doc_id"])] = (r["score"], r["rank"])
+
+    q = (
+        contrib.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120), "bm25 stream did not finish"
+    finally:
+        q.stop()
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k][1] == expected[k][1]
+        assert got[k][0] == pytest.approx(expected[k][0], rel=1e-12)
