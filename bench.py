@@ -282,9 +282,21 @@ def main() -> None:
 
     @bench("events_sessionize")
     def _():
-        from prague_spark.queries import q_events_sessionize
+        # pure sessionization (the registry's q_events_sessionize now
+        # carries rollup/range slices timed by their own entries above)
+        from prague_spark.queries import load
 
-        q_events_sessionize(spark, SF_DIR).count()
+        ev = load(spark, SF_DIR, "events")
+        (
+            ev.groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .count()
+        )
 
     @bench("events_rollup")
     def _():

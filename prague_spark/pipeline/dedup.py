@@ -122,6 +122,53 @@ def ngram_jaccard_pairs(
     return out
 
 
+def edit_distance_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_len: int = 2000,
+) -> DataFrame:
+    """Exact-verification tier for candidate pairs (LSH / Jaccard / any
+    blocking stage): join both texts back and compute the Levenshtein
+    edit distance plus the normalized similarity
+    ``1 - dist / max(len_a, len_b)`` — all JVM builtins, no Python.
+
+    Levenshtein is O(len_a x len_b) PER PAIR, so texts are truncated to
+    ``max_len`` chars first (the standard verification-tier compromise:
+    near-dups disagree within the prefix long before 2k chars; raise it
+    deliberately for short-document corpora where exactness matters).
+    Output adds ``edit_dist`` (on the truncated texts) and ``edit_sim``.
+
+    Scale: two hash joins (candidate volume x text payload — the pair
+    list is already sub-quadratic out of the blocking stage); the
+    quadratic-per-pair DP cost is bounded by max_len^2."""
+    ta = docs.select(
+        F.col(id_col).alias(a_col),
+        F.substring(F.col(text_col), 1, max_len).alias("_ta"),
+    )
+    tb = docs.select(
+        F.col(id_col).alias(b_col),
+        F.substring(F.col(text_col), 1, max_len).alias("_tb"),
+    )
+    out = (
+        pairs.join(ta, a_col).join(tb, b_col)
+        .withColumn("edit_dist", F.levenshtein("_ta", "_tb"))
+        .withColumn(
+            "edit_sim",
+            F.when(
+                F.greatest(F.length("_ta"), F.length("_tb")) > 0,
+                1.0
+                - F.col("edit_dist")
+                / F.greatest(F.length("_ta"), F.length("_tb")),
+            ).otherwise(F.lit(1.0)),
+        )
+    )
+    return out.drop("_ta", "_tb")
+
+
 def _minhash_params(num_hashes: int, seed: int = 42):
     """Deterministic (a, b) pairs for the universal hash family."""
     import numpy as np

@@ -449,6 +449,100 @@ def strip_boilerplate_projection(
     return df.withColumn(out, cleaned)
 
 
+def bigram_lm_index(
+    df: DataFrame, text_col: str, min_count: int = 1
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train a count-based bigram language model over the corpus: returns
+    (unigrams (term, c1), bigrams (w1, w2, c12), total unigram count) —
+    the index :func:`lm_logprob` scores against (the CCNet-style
+    perplexity quality filter trains exactly this on a reference corpus).
+
+    ``min_count`` prunes rare bigrams (noise + index size control). Two
+    groupBys over one tokenize/explode each — both map-side-combinable;
+    index size is bounded by vocabulary, not corpus."""
+    toks = tokens_expr(F.col(text_col))
+    uni = (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c1"))
+    )
+    big = (
+        df.select(ngrams_expr(toks, 2).alias("_g"), F.size(toks).alias("_n"))
+        # documents with < 2 tokens emit one partial gram — not a bigram
+        .filter(F.col("_n") >= 2)
+        .select(F.explode("_g").alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").cast("long").alias("c12"))
+        .filter(F.col("c12") >= min_count)
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+            "c12",
+        )
+    )
+    total = int(uni.agg(F.sum("c1")).collect()[0][0] or 0)
+    return uni, big, total
+
+
+def lm_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    total: int,
+    alpha: float = 0.4,
+    out: str = "lm_logprob",
+) -> DataFrame:
+    """Per-document mean log-probability under a stupid-backoff bigram
+    LM (Brants et al.): score(w2|w1) = c12/c1 when the bigram was seen,
+    else ``alpha`` x c2/total (unseen w2 floors at alpha/total). The
+    negated mean is the log-perplexity quality signal — CCNet keeps the
+    low-perplexity (high ``lm_logprob``) head of the distribution.
+
+    Plan: one bigram explode, two vocabulary-bounded hash joins (w1
+    unigram count + left bigram count), one left join for w2's backoff
+    count, one groupBy(doc) mean. Documents with < 2 tokens score NULL
+    (no bigrams — callers decide their fate)."""
+    toks = tokens_expr(F.col(text_col))
+    pairs = (
+        df.select(
+            F.col(id_col),
+            ngrams_expr(toks, 2).alias("_g"),
+            F.size(toks).alias("_n"),
+        )
+        .filter(F.col("_n") >= 2)
+        .select(F.col(id_col), F.explode("_g").alias("bg"))
+        .select(
+            id_col,
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+    )
+    u1 = unigrams.select(F.col("term").alias("w1"), F.col("c1").alias("_c1"))
+    u2 = unigrams.select(F.col("term").alias("w2"), F.col("c1").alias("_c2"))
+    scored = (
+        pairs.join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+        .join(bigrams.withColumnRenamed("c12", "_c12"), ["w1", "w2"], "left")
+        .withColumn(
+            "_lp",
+            F.when(
+                F.col("_c12").isNotNull() & F.col("_c1").isNotNull(),
+                F.log(F.col("_c12") / F.col("_c1")),
+            ).otherwise(
+                F.log(
+                    F.lit(alpha)
+                    * F.coalesce(F.col("_c2"), F.lit(1)).cast("double")
+                    / F.lit(float(total))
+                )
+            ),
+        )
+    )
+    means = scored.groupBy(id_col).agg(F.avg("_lp").alias(out))
+    return df.join(means, id_col, "left")
+
+
 def pack_chunks(
     df: DataFrame,
     id_col: str,

@@ -988,13 +988,22 @@ def q_text_fingerprint(spark, sf_dir):
     """Document fingerprinting, both forms in one projection: the sorted-
     distinct-token content fingerprint AND the rolling-hash winnowing
     fingerprint (k=8 char-grams, window 4: digest of the sorted distinct
-    window-minimum hashes)."""
+    window-minimum hashes).
+
+    Round-6 merge (session 2): the NEW stupid-backoff bigram LM quality
+    score (text.bigram_lm_index + lm_logprob — the CCNet-style
+    perplexity filter, self-trained on this corpus) joins on as the
+    ``lm_logprob`` column; the oracle re-trains the counts and re-scores
+    every bigram from first principles in SQL."""
     docs = load(spark, sf_dir, "documents")
     out = text.fingerprint(docs, "text")
     out = text.winnow_fingerprint(out, "text", k=8, w=4)
+    uni, big, total = text.bigram_lm_index(docs, "text")
+    out = text.lm_logprob(out, "doc_id", "text", uni, big, total)
     return out.select(
         "doc_id", "fingerprint", "winnow_fp",
         F.col("winnow_fp_size").alias("n_minima"),
+        F.round("lm_logprob", 4).alias("lm_logprob"),
     )
 
 
@@ -1024,21 +1033,72 @@ SQL_TEXT_FINGERPRINT = """
                md5(array_to_string(list_sort(list_distinct(
                    list_filter(string_split_regex(lower(text), '\\s+'), t -> t != ''))), ' ')) AS fingerprint
         FROM documents
+    ), d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t != '') AS toks
+        FROM documents
+    ), uni AS (
+        SELECT term, count(*)::BIGINT AS c1
+        FROM (SELECT unnest(toks) AS term FROM d) GROUP BY term
+    ), tot AS (
+        SELECT sum(c1)::DOUBLE AS total FROM uni
+    ), bpairs AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM d, LATERAL (SELECT unnest(range(1, len(toks))) AS i) p
+        WHERE len(toks) >= 2
+    ), big AS (
+        SELECT w1, w2, count(*)::BIGINT AS c12 FROM bpairs GROUP BY w1, w2
+    ), lp AS (
+        SELECT bp.doc_id,
+               CASE WHEN big.c12 IS NOT NULL AND u1.c1 IS NOT NULL
+                    THEN ln(big.c12::DOUBLE / u1.c1)
+                    ELSE ln(0.4 * coalesce(u2.c1, 1)::DOUBLE / tot.total)
+               END AS l
+        FROM bpairs bp
+        LEFT JOIN uni u1 ON u1.term = bp.w1
+        LEFT JOIN uni u2 ON u2.term = bp.w2
+        LEFT JOIN big ON big.w1 = bp.w1 AND big.w2 = bp.w2
+        CROSS JOIN tot
+    ), lm AS (
+        SELECT doc_id, round(avg(l), 4) AS lm_logprob FROM lp GROUP BY doc_id
     )
-    SELECT fp.doc_id, fp.fingerprint, wn.winnow_fp, wn.n_minima
+    SELECT fp.doc_id, fp.fingerprint, wn.winnow_fp, wn.n_minima,
+           lm.lm_logprob
     FROM fp JOIN wn ON fp.doc_id = wn.doc_id
+    LEFT JOIN lm ON lm.doc_id = fp.doc_id
 """
 
 
 def q_dedup_ngram3_jaccard(spark, sf_dir):
     """Word 3-gram shingle Jaccard pairs >= 0.3 with the document-frequency
     cap at its default (the production n-gram dedup config). The operator
-    is exact SQL (inverted index + pre-cap sizes), so the oracle is too."""
+    is exact SQL (inverted index + pre-cap sizes), so the oracle is too.
+
+    Round-6 merge (session 2): 'edit' tagged rows pin the NEW exact-
+    verification tier (dedup.edit_distance_verify — Levenshtein distance
+    + normalized similarity over the SAME candidate pairs, both engines'
+    builtin edit distance pinned against each other). Columns: v1 =
+    jaccard / edit_sim, v2 = null / edit_dist."""
     docs = load(spark, sf_dir, "documents")
-    out = dedup.ngram_jaccard_pairs(
+    pairs = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.3, max_df=100
     )
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    jac = pairs.select(
+        F.lit("jaccard").alias("tag"),
+        "id_a", "id_b",
+        F.round("jaccard", 6).alias("v1"),
+        F.lit(None).cast("bigint").alias("v2"),
+    )
+    edit = dedup.edit_distance_verify(
+        pairs.select("id_a", "id_b"), docs, "doc_id", "text"
+    ).select(
+        F.lit("edit").alias("tag"),
+        "id_a", "id_b",
+        F.round("edit_sim", 6).alias("v1"),
+        F.col("edit_dist").cast("bigint").alias("v2"),
+    )
+    return jac.unionByName(edit)
 
 
 SQL_DEDUP_NGRAM3 = """
@@ -1061,12 +1121,30 @@ SQL_DEDUP_NGRAM3 = """
         FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
-    SELECT id_a, id_b,
-           round(i::DOUBLE / (sa.set_size + sb.set_size - i), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE i::DOUBLE / (sa.set_size + sb.set_size - i) >= 0.3
+    , pairsq AS (
+        SELECT id_a, id_b,
+               round(i::DOUBLE / (sa.set_size + sb.set_size - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i::DOUBLE / (sa.set_size + sb.set_size - i) >= 0.3
+    )
+    SELECT 'jaccard' AS tag, id_a, id_b, jaccard AS v1, NULL::BIGINT AS v2
+    FROM pairsq
+    UNION ALL
+    SELECT 'edit', p.id_a, p.id_b,
+           round(CASE WHEN greatest(length(substr(da.text, 1, 2000)),
+                               length(substr(db.text, 1, 2000))) > 0
+                 THEN 1.0 - levenshtein(substr(da.text, 1, 2000),
+                                        substr(db.text, 1, 2000))::DOUBLE
+                      / greatest(length(substr(da.text, 1, 2000)),
+                                 length(substr(db.text, 1, 2000)))
+                 ELSE 1.0 END, 6),
+           levenshtein(substr(da.text, 1, 2000),
+                       substr(db.text, 1, 2000))::BIGINT
+    FROM pairsq p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
 """
 
 
@@ -3620,7 +3698,13 @@ SQL_DOCS_SAMPLE = f"""
 # slice (the NEW pipeline.search inverted-index + Lucene-BM25 top-k,
 # idf/tf-normalization recomputed from first principles in SQL);
 # text_stats gains the NEW Gopher-rule flag columns (same projection,
-# six boolean columns re-derived in SQL).
+# six boolean columns re-derived in SQL); sparse_ingest gains a
+# 'hashvec' slice (the NEW pipeline.vectorize.hashing_vectorizer,
+# md5-bucket arithmetic recomputed in SQL); dedup_ngram3_jaccard gains
+# an 'edit' slice (the NEW dedup.edit_distance_verify exact-verification
+# tier, both engines' builtin Levenshtein pinned); text_fingerprint
+# gains the NEW stupid-backoff bigram-LM quality column (lm_logprob —
+# counts re-trained and every bigram re-scored in SQL).
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,

@@ -245,3 +245,115 @@ def test_postings_index_roundtrip_and_pushdown(spark, tmp_path):
         assert disk[k][0] == pytest.approx(mem[k][0], rel=1e-12)
     plan = disk_df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "In(term" in plan
+
+
+# -------------------------------------------------- edit-distance verify
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_verify_matches_dp(spark):
+    from prague_spark.pipeline.dedup import edit_distance_verify
+
+    docs = [(0, "the quick brown fox"), (1, "the quick brown fax"),
+            (2, "a completely different sentence"), (3, "")]
+    pairs = [(0, 1), (0, 2), (0, 3), (3, 3)]
+    ddf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    pdf = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    out = {
+        (r["id_a"], r["id_b"]): (r["edit_dist"], r["edit_sim"])
+        for r in edit_distance_verify(pdf, ddf, "doc_id", "text").collect()
+    }
+    texts = dict(docs)
+    for a, b in pairs:
+        d = _lev(texts[a], texts[b])
+        m = max(len(texts[a]), len(texts[b]))
+        sim = 1.0 - d / m if m else 1.0
+        assert out[(a, b)][0] == d
+        assert out[(a, b)][1] == pytest.approx(sim)
+
+
+def test_edit_distance_verify_truncates(spark):
+    from prague_spark.pipeline.dedup import edit_distance_verify
+
+    ddf = spark.createDataFrame(
+        [(0, "ab" * 50), (1, "ab" * 49 + "xx")], "doc_id bigint, text string"
+    )
+    pdf = spark.createDataFrame([(0, 1)], "id_a bigint, id_b bigint")
+    r = edit_distance_verify(pdf, ddf, "doc_id", "text", max_len=10).collect()[0]
+    assert r["edit_dist"] == 0  # identical within the 10-char prefix
+
+
+# ------------------------------------------------------ bigram LM scoring
+
+LM_CORPUS = [
+    (0, "the cat sat on the mat"),
+    (1, "the cat ran on the mat"),
+    (2, "dogs bark at the moon"),
+    (3, "solo"),
+]
+
+
+def _brute_lm(corpus, score_docs, alpha=0.4):
+    uni: dict = {}
+    big: dict = {}
+    for _, t in corpus:
+        ws = t.lower().split()
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    total = sum(uni.values())
+    out = {}
+    for did, t in score_docs:
+        ws = t.lower().split()
+        if len(ws) < 2:
+            out[did] = None
+            continue
+        lps = []
+        for a, b in zip(ws, ws[1:]):
+            if (a, b) in big and a in uni:
+                lps.append(math.log(big[(a, b)] / uni[a]))
+            else:
+                lps.append(math.log(alpha * uni.get(b, 1) / total))
+        out[did] = sum(lps) / len(lps)
+    return out
+
+
+def test_lm_logprob_matches_bruteforce(spark):
+    from prague_spark.pipeline.text import bigram_lm_index, lm_logprob
+
+    docs = spark.createDataFrame(LM_CORPUS, "doc_id bigint, text string")
+    uni, big, total = bigram_lm_index(docs, "text")
+    assert total == sum(len(t.split()) for _, t in LM_CORPUS)
+    score_docs = LM_CORPUS + [(9, "the cat bark unseen words here")]
+    sdf = spark.createDataFrame(score_docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["lm_logprob"]
+        for r in lm_logprob(sdf, "doc_id", "text", uni, big, total).collect()
+    }
+    exp = _brute_lm(LM_CORPUS, score_docs)
+    assert set(got) == set(exp)
+    for d, v in exp.items():
+        if v is None:
+            assert got[d] is None
+        else:
+            assert got[d] == pytest.approx(v, rel=1e-12)
+
+
+def test_lm_index_min_count(spark):
+    from prague_spark.pipeline.text import bigram_lm_index
+
+    docs = spark.createDataFrame(LM_CORPUS, "doc_id bigint, text string")
+    _, big, _ = bigram_lm_index(docs, "text", min_count=2)
+    kept = {(r["w1"], r["w2"]): r["c12"] for r in big.collect()}
+    # only bigrams seen twice survive: 'the cat', 'on the', 'the mat'
+    assert kept == {("the", "cat"): 2, ("on", "the"): 2, ("the", "mat"): 2}
