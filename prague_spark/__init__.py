@@ -13,6 +13,8 @@ Layering:
 
 from .fit import fit
 from .ops.asof import asof_join
+from .ops.rangejoin import range_join
+from .ops.rollup import time_rollup
 from .model import SlopeModel
 from .ops.cv import cv_fit
 from .ops.predict import predict, predict_path
@@ -25,6 +27,8 @@ from .session import get_spark
 __all__ = [
     "fit",
     "asof_join",
+    "range_join",
+    "time_rollup",
     "SlopeModel",
     "cv_fit",
     "cv_fit_sparse",

@@ -199,6 +199,69 @@ def extract_audio_features(
     return df.select(id_col, payload_col).mapInPandas(fn, out_schema)
 
 
+def image_ahash(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    decoder: Callable[[bytes], np.ndarray] = default_image_decoder,
+    grid: int = 7,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) per image: decode, channel-SUM
+    grayscale, pool to a ``grid x grid`` board of block SUMS, set bit k
+    (row-major, MSB first) when cell k exceeds the board mean. Near-dup
+    images differ in a few bits — compare with
+    ``pipeline.dedup.hamming_distance(col_a, col_b, bits=grid*grid)``
+    or bucket on the exact hash for the equality tier.
+
+    SUMS (not means) everywhere: aHash thresholds each cell against the
+    board mean, which is invariant to the common positive scaling a mean
+    would apply — and with integer-valued decoders (uint8 images, the
+    deterministic fake) sums keep every comparison integer-exact, so the
+    oracle can recompute the hash bit-for-bit in SQL
+    (``grid^2 * cell > total`` avoids floats entirely).
+
+    ``grid**2`` must fit a BIGINT's positive range (<= 7x7 = 49 bits);
+    the classic 8x8/64-bit variant would wrap the sign bit. Arrow-batched
+    mapInPandas; decode per row (opaque payloads), hash math vectorized
+    per batch."""
+    if grid * grid > 63:
+        raise ValueError(
+            f"grid={grid} needs {grid * grid} bits; max 7 (49 bits) to "
+            "stay in BIGINT's positive range"
+        )
+    out_schema = f"{id_col} long, ahash long, grid int"
+
+    def _hash_one(arr: np.ndarray) -> int:
+        a = np.atleast_3d(arr)
+        gray = a.sum(axis=2)
+        rows = np.array_split(np.arange(gray.shape[0]), grid)
+        cols = np.array_split(np.arange(gray.shape[1]), grid)
+        board = np.array(
+            [[gray[np.ix_(r, c)].sum() for c in cols] for r in rows]
+        )
+        flat = board.ravel()
+        bits = grid * grid * flat > flat.sum()
+        h = 0
+        n = grid * grid
+        for k, b in enumerate(bits):
+            if b:
+                h |= 1 << (n - 1 - k)
+        return h
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [_hash_one(decoder(bytes(p))) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64").to_numpy(),
+                    "ahash": np.array(hashes, dtype=np.int64),
+                    "grid": np.full(len(hashes), grid, dtype=np.int32),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, out_schema)
+
+
 def frame_sample_plan(
     df: DataFrame, id_col: str, n_frames: int = 4, duration_col: str | None = None
 ) -> DataFrame:

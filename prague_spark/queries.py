@@ -2451,7 +2451,13 @@ def q_multimodal_features(spark, sf_dir):
     audio: samples (byte-127.5)/127.5 tiled x8), so on docs whose first 32
     chars are single-byte (ASCII) the SAME features are recomputable from
     character codes in plain SQL — DuckDB re-derives every value from
-    first principles while Spark runs the real mapInPandas decode path."""
+    first principles while Spark runs the real mapInPandas decode path.
+
+    Round-6 merge (session 2): the NEW perceptual average-hash
+    (multimodal.image_ahash, grid=4 — the image near-dup signature)
+    joins on as the ``ahash`` column; the operator's integer-exact bit
+    rule (16 x cell-sum > board total) lets the oracle recompute every
+    bit from character codes with no floats at all."""
     from .pipeline import multimodal as mm
 
     docs = (
@@ -2461,13 +2467,17 @@ def q_multimodal_features(spark, sf_dir):
     )
     img = mm.extract_image_features(docs, "doc_id", "payload", decoder=mm.fake_image_decoder)
     aud = mm.extract_audio_features(docs, "doc_id", "payload", decoder=mm.fake_audio_decoder)
-    return img.join(aud, "doc_id").select(
+    ah = mm.image_ahash(
+        docs, "doc_id", "payload", decoder=mm.fake_image_decoder, grid=4
+    )
+    return img.join(aud, "doc_id").join(ah.select("doc_id", "ahash"), "doc_id").select(
         "doc_id", "width", "height", "n_channels",
         F.round("mean_intensity", 5).alias("mean_intensity"),
         F.round("std_intensity", 5).alias("std_intensity"),
         "n_samples",
         F.round("rms", 5).alias("rms"),
         F.round("peak", 5).alias("peak"),
+        "ahash",
     )
 
 
@@ -2492,16 +2502,34 @@ SQL_MULTIMODAL_FEATURES = """
                SUM(((a - 127.5) / 127.5) * ((a - 127.5) / 127.5)) AS xsq,
                MAX(ABS((a - 127.5) / 127.5)) AS pk
         FROM b GROUP BY doc_id
+    ), px AS (
+        -- aHash pixels: the tiled-to-48 payload's byte triples, pure ints
+        SELECT doc_id,
+               CAST(k AS INTEGER) AS k,
+               ascii(substring(s, CAST((3 * k) % 32 AS INTEGER) + 1, 1))
+             + ascii(substring(s, CAST((3 * k + 1) % 32 AS INTEGER) + 1, 1))
+             + ascii(substring(s, CAST((3 * k + 2) % 32 AS INTEGER) + 1, 1))
+                 AS sk
+        FROM d, range(16) t(k)
+    ), ah AS (
+        SELECT px.doc_id,
+               SUM(CASE WHEN 16 * sk > tot.ts
+                        THEN (1::BIGINT << (15 - k)) ELSE 0 END)::BIGINT
+                   AS ahash
+        FROM px JOIN (SELECT doc_id, SUM(sk) AS ts FROM px GROUP BY doc_id) tot
+          ON px.doc_id = tot.doc_id
+        GROUP BY px.doc_id
     )
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    SELECT CAST(agg.doc_id AS BIGINT) AS doc_id,
            4 AS width, 4 AS height, 3 AS n_channels,
            round(w1 / 48.0, 5) AS mean_intensity,
            round(sqrt(w2 / 48.0 - (w1 / 48.0) * (w1 / 48.0)), 5)
                AS std_intensity,
            256 AS n_samples,
            round(sqrt(xsq / 32.0), 5) AS rms,
-           round(pk, 5) AS peak
-    FROM agg
+           round(pk, 5) AS peak,
+           ah.ahash
+    FROM agg JOIN ah ON agg.doc_id = ah.doc_id
 """
 
 
@@ -3704,7 +3732,10 @@ SQL_DOCS_SAMPLE = f"""
 # an 'edit' slice (the NEW dedup.edit_distance_verify exact-verification
 # tier, both engines' builtin Levenshtein pinned); text_fingerprint
 # gains the NEW stupid-backoff bigram-LM quality column (lm_logprob —
-# counts re-trained and every bigram re-scored in SQL).
+# counts re-trained and every bigram re-scored in SQL);
+# multimodal_features gains the NEW perceptual average-hash column
+# (multimodal.image_ahash — integer-exact bit rule so the oracle
+# recomputes every bit from character codes, zero floats).
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,

@@ -357,3 +357,44 @@ def test_lm_index_min_count(spark):
     kept = {(r["w1"], r["w2"]): r["c12"] for r in big.collect()}
     # only bigrams seen twice survive: 'the cat', 'on the', 'the mat'
     assert kept == {("the", "cat"): 2, ("on", "the"): 2, ("the", "mat"): 2}
+
+
+# -------------------------------------------------------------- image aHash
+
+def test_image_ahash_matches_byte_math(spark):
+    from prague_spark.pipeline.multimodal import fake_image_decoder, image_ahash
+
+    payloads = [
+        (0, b"abcdefghijklmnopqrstuvwxyz012345"),
+        (1, b"abcdefghijklmnopqrstuvwxyz012346"),
+        (2, bytes(range(32, 64))),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id bigint, payload binary")
+    got = {
+        r["doc_id"]: (r["ahash"], r["grid"])
+        for r in image_ahash(
+            df, "doc_id", "payload", decoder=fake_image_decoder, grid=4
+        ).collect()
+    }
+    for did, p in payloads:
+        tiled = (p * 2)[:48]  # 32-byte payload tiled to 48
+        sk = [sum(tiled[3 * k: 3 * k + 3]) for k in range(16)]
+        total = sum(sk)
+        exp = 0
+        for k, s in enumerate(sk):
+            if 16 * s > total:
+                exp |= 1 << (15 - k)
+        assert got[did] == (exp, 4)
+    # one byte changed -> perceptually near: hamming distance <= 1
+    # (equality allowed: robustness to tiny edits IS the point of aHash)
+    assert bin(got[0][0] ^ got[1][0]).count("1") <= 1
+    # a structurally different payload lands far away
+    assert bin(got[0][0] ^ got[2][0]).count("1") >= 4
+
+
+def test_image_ahash_grid_guard(spark):
+    from prague_spark.pipeline.multimodal import image_ahash
+
+    df = spark.createDataFrame([(0, b"x" * 32)], "doc_id bigint, payload binary")
+    with pytest.raises(ValueError, match="BIGINT"):
+        image_ahash(df, "doc_id", "payload", grid=8)
