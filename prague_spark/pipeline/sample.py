@@ -45,6 +45,42 @@ def stratified_sample(
     ).drop("_u")
 
 
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test (or any named) split: each row gets
+    the label whose cumulative-weight interval contains
+    hash_unit(id || salt) — stable under repartitioning, reruns, engine
+    changes, and corpus growth (a row's split never flips when other
+    rows arrive; change ``salt`` for an independent re-split). Weights
+    are normalized; label intervals follow sorted(label) order so the
+    assignment is a pure function of (id, salt, weights).
+
+    Zero shuffle — one md5 projection; the 100 TB split is free."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    u = _hash_unit_expr(F.col(id_col), F.lit(salt)) if salt else hash_unit(id_col)
+    acc = 0.0
+    expr = None
+    labels = sorted(weights)
+    for lab in labels[:-1]:
+        acc += float(weights[lab]) / total
+        expr = (
+            F.when(u < acc, F.lit(lab))
+            if expr is None
+            else expr.when(u < acc, F.lit(lab))
+        )
+    last = F.lit(labels[-1])
+    return df.withColumn(out, last if expr is None else expr.otherwise(last))
+
+
 def _hash_unit_expr(*cols):
     """Uniform-[0,1) hash of the ':'-joined column values (exact in any
     engine with md5 — the DuckDB oracle runs the same arithmetic)."""

@@ -543,6 +543,49 @@ def lm_logprob(
     return df.join(means, id_col, "left")
 
 
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Sliding-window token chunking — the retrieval/RAG layout (one
+    embedding-sized chunk per window, overlapping so no span falls on a
+    boundary), complementing :func:`pack_chunks`' training layout.
+
+    One row per (document, chunk): ``(id, chunk_id, chunk, chunk_len)``
+    where ``chunk`` is the space-rejoined token window starting at
+    ``chunk_id x (size - overlap)``, the last chunk may be short, and
+    token-less documents emit nothing. Pure projection + explode — zero
+    shuffle, streaming-safe."""
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap}/{size}")
+    stride = size - overlap
+    toks = tokens_expr(F.col(text_col))
+    n = F.size(toks)
+    # chunk starts 0, stride, 2*stride, ... while start < n
+    n_chunks = F.floor((n - 1) / stride) + 1
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.slice(toks, i * stride + 1, size).alias("_w"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), chunks.alias("_c"), n.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(id_col, F.explode("_c").alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.array_join(F.col("c._w"), " ").alias("chunk"),
+            F.size(F.col("c._w")).cast("int").alias("chunk_len"),
+        )
+    )
+
+
 def pack_chunks(
     df: DataFrame,
     id_col: str,

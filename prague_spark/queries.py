@@ -3503,9 +3503,34 @@ def q_text_pack_chunks(spark, sf_dir):
     """Concat-and-chunk sequence packing (capacity 32 tokens, 8 shards):
     the LLM-pretraining batch layout. One row per (document, pack) span;
     prefix-sum per deterministic shard so packing parallelizes — no
-    global window (see pipeline.text.pack_chunks)."""
+    global window (see pipeline.text.pack_chunks).
+
+    Round-6 merge (session 2): 'chunk' tagged rows pin the NEW
+    text.chunk_text (sliding-window token chunking, size 16 / overlap 4
+    — the retrieval/RAG layout, zero-shuffle projection); chunk_id rides
+    pack_id, chunk_len rides n_tokens, the rejoined window text rides
+    ``chunk``."""
     docs = load(spark, sf_dir, "documents")
-    return text.pack_chunks(docs, "doc_id", "text", capacity=32, n_shards=8)
+    packed = text.pack_chunks(
+        docs, "doc_id", "text", capacity=32, n_shards=8
+    ).select(
+        F.lit("pack").alias("tag"),
+        "doc_id", "shard", "pack_id", "n_tokens", "tok_start", "tok_len",
+        F.lit(None).cast("string").alias("chunk"),
+    )
+    chunked = text.chunk_text(
+        docs, "doc_id", "text", size=16, overlap=4
+    ).select(
+        F.lit("chunk").alias("tag"),
+        "doc_id",
+        F.lit(None).cast("int").alias("shard"),
+        F.col("chunk_id").cast("bigint").alias("pack_id"),
+        F.col("chunk_len").cast("bigint").alias("n_tokens"),
+        F.lit(None).cast("bigint").alias("tok_start"),
+        F.lit(None).cast("bigint").alias("tok_len"),
+        "chunk",
+    )
+    return packed.unionByName(chunked)
 
 
 SQL_TEXT_PACK = """
@@ -3530,11 +3555,28 @@ SQL_TEXT_PACK = """
                    AS pack_id
         ) p
     )
-    SELECT doc_id, shard, pack_id::BIGINT AS pack_id, n_tokens,
+    SELECT 'pack' AS tag, doc_id, shard, pack_id::BIGINT AS pack_id,
+           n_tokens,
            (greatest(pstart, pack_id * 32) - pstart)::BIGINT AS tok_start,
            (least(pstart + n_tokens, (pack_id + 1) * 32)
-            - greatest(pstart, pack_id * 32))::BIGINT AS tok_len
+            - greatest(pstart, pack_id * 32))::BIGINT AS tok_len,
+           NULL::VARCHAR AS chunk
     FROM e
+    UNION ALL
+    SELECT 'chunk', doc_id, NULL, i::BIGINT,
+           len(toks[CAST(i * 12 + 1 AS INTEGER):CAST(i * 12 + 16 AS INTEGER)])::BIGINT,
+           NULL, NULL,
+           array_to_string(
+               toks[CAST(i * 12 + 1 AS INTEGER):CAST(i * 12 + 16 AS INTEGER)], ' ')
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x != '') AS toks
+        FROM documents
+    ) dt, LATERAL (
+        SELECT unnest(range(0, (len(toks) - 1) // 12 + 1)) AS i
+    ) ch
+    WHERE len(toks) > 0
 """
 
 
@@ -3607,9 +3649,16 @@ def q_docs_sample_stratified(spark, sf_dir):
       with NO global sort. One generator-explode projection, zero
       shuffle.
 
-    All three stay byte-reproducible across engines, partitionings and
-    reruns — the oracle recomputes every row from md5 arithmetic."""
-    from .pipeline.sample import mix_corpus, shard_assign, stratified_sample
+    All slices stay byte-reproducible across engines, partitionings and
+    reruns — the oracle recomputes every row from md5 arithmetic.
+
+    Round-6 merge (session 2): 'split' tagged rows pin the NEW
+    sample.split_assign (deterministic train/val/test hash split,
+    0.8/0.1/0.1 — sorted-label cumulative intervals over
+    md5(doc_id)/2^32; the label rides ``order_key``)."""
+    from .pipeline.sample import (
+        mix_corpus, shard_assign, split_assign, stratified_sample,
+    )
 
     docs = load(spark, sf_dir, "documents")
     samp = stratified_sample(
@@ -3629,7 +3678,14 @@ def q_docs_sample_stratified(spark, sf_dir):
         F.col("epoch").cast("int").alias("epoch"),
         F.col("shard").cast("int").alias("shard"), "order_key",
     )
-    return samp.unionByName(sharded)
+    split = split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select(
+        F.lit("split").alias("tag"), "doc_id", "lang", "source",
+        F.lit(-1).alias("epoch"), F.lit(-1).alias("shard"),
+        F.col("split").alias("order_key"),
+    )
+    return samp.unionByName(sharded).unionByName(split)
 
 
 SQL_DOCS_SAMPLE = f"""
@@ -3671,7 +3727,18 @@ SQL_DOCS_SAMPLE = f"""
             FROM mixed
         )
     )
+    , splitq AS (
+        SELECT 'split' AS tag, doc_id, lang, source, -1 AS epoch,
+               -1 AS shard,
+               CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                             / 4294967296.0 < 0.1 THEN 'test'
+                    WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                             / 4294967296.0 < 0.9 THEN 'train'
+                    ELSE 'val' END AS order_key
+        FROM documents
+    )
     SELECT * FROM samp UNION ALL SELECT * FROM sharded
+    UNION ALL SELECT * FROM splitq
 """
 
 
@@ -3735,7 +3802,11 @@ SQL_DOCS_SAMPLE = f"""
 # counts re-trained and every bigram re-scored in SQL);
 # multimodal_features gains the NEW perceptual average-hash column
 # (multimodal.image_ahash — integer-exact bit rule so the oracle
-# recomputes every bit from character codes, zero floats).
+# recomputes every bit from character codes, zero floats);
+# text_pack_chunks gains a 'chunk' slice (the NEW text.chunk_text
+# sliding-window RAG chunking, windows re-sliced in SQL);
+# docs_sample_stratified gains a 'split' slice (the NEW
+# sample.split_assign deterministic train/val/test hash split).
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,

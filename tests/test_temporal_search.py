@@ -398,3 +398,72 @@ def test_image_ahash_grid_guard(spark):
     df = spark.createDataFrame([(0, b"x" * 32)], "doc_id bigint, payload binary")
     with pytest.raises(ValueError, match="BIGINT"):
         image_ahash(df, "doc_id", "payload", grid=8)
+
+
+# -------------------------------------------------------- chunking / splits
+
+def test_chunk_text_matches_bruteforce(spark):
+    from prague_spark.pipeline.text import chunk_text
+
+    docs = [
+        (0, " ".join(f"w{i}" for i in range(10))),
+        (1, "only three words"),
+        (2, ""),
+        (3, "one"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk"], r["chunk_len"])
+        for r in chunk_text(df, "doc_id", "text", size=4, overlap=1).collect()
+    }
+    exp = {}
+    for did, t in docs:
+        toks = t.lower().split()
+        stride = 3
+        start, cid = 0, 0
+        while start < len(toks):
+            w = toks[start:start + 4]
+            exp[(did, cid)] = (" ".join(w), len(w))
+            start += stride
+            cid += 1
+    assert got == exp
+
+
+def test_chunk_text_validates(spark):
+    from prague_spark.pipeline.text import chunk_text
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_text(df, "doc_id", "text", size=4, overlap=4)
+
+
+def test_split_assign_deterministic_and_stable(spark):
+    import hashlib
+
+    from prague_spark.pipeline.sample import split_assign
+
+    ids = list(range(2000))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(df, "doc_id", w).collect()
+    }
+    # recompute from first principles (sorted-label cumulative intervals)
+    for i in ids:
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+        exp = "test" if u < 0.1 else ("train" if u < 0.9 else "val")
+        assert got[i] == exp
+    # proportions roughly honored
+    n_train = sum(1 for v in got.values() if v == "train")
+    assert 0.75 < n_train / len(ids) < 0.85
+    # stability: a subset's assignments are unchanged
+    sub = spark.createDataFrame([(i,) for i in ids[:100]], "doc_id bigint")
+    for r in split_assign(sub, "doc_id", w).collect():
+        assert got[r["doc_id"]] == r["split"]
+    # a salt re-splits
+    salted = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(df, "doc_id", w, salt="v2").collect()
+    }
+    assert salted != got
