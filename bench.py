@@ -390,6 +390,27 @@ def main() -> None:
         text_ops.pack_chunks(docs, "doc_id", "text", capacity=2048,
                              n_shards=CPUS).agg(F.sum("tok_len")).collect()
 
+    @bench("text_lm_score")
+    def _():
+        # bigram-LM train (two map-side-combinable groupBys) + per-doc
+        # stupid-backoff scoring (vocab-bounded joins + one groupBy)
+        from prague_spark.pipeline.text import bigram_lm_index, lm_logprob
+
+        uni, big, total = bigram_lm_index(docs, "text")
+        lm_logprob(docs, "doc_id", "text", uni, big, total).agg(
+            F.avg("lm_logprob")
+        ).collect()
+
+    @bench("docs_hashvec")
+    def _():
+        # feature-hashing vectorizer: ONE shuffle from raw text to
+        # fit_sparse-ready triplets (the no-vocab 100 TB vectorizer)
+        from prague_spark.pipeline.vectorize import hashing_vectorizer
+
+        hashing_vectorizer(docs, "doc_id", "text", n_features=2**15).agg(
+            F.sum("value")
+        ).collect()
+
     @bench("text_decontaminate")
     def _():
         tr = docs.filter(F.col("source") != "src0")
