@@ -583,3 +583,37 @@ def test_streaming_bm25_matches_batch(spark, sf_dir, tmp_path):
     for k in expected:
         assert got[k][1] == expected[k][1]
         assert got[k][0] == pytest.approx(expected[k][0], rel=1e-12)
+
+
+def test_streaming_chunk_text_matches_batch(spark, sf_dir, tmp_path):
+    """chunk_text is a pure projection + explode, so the SAME call runs
+    under readStream with no watermark/state — pin exact row parity."""
+    from prague_spark.pipeline.text import chunk_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    d = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(d)
+    batch = spark.read.parquet(d)
+    expected = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk"], r["chunk_len"])
+        for r in chunk_text(batch, "doc_id", "text", size=16, overlap=4).collect()
+    }
+    sdf = spark.readStream.schema(batch.schema).parquet(d)
+    out = chunk_text(sdf, "doc_id", "text", size=16, overlap=4)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("chunk_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120), "chunk stream did not finish"
+        got = {
+            (r["doc_id"], r["chunk_id"]): (r["chunk"], r["chunk_len"])
+            for r in spark.sql("SELECT * FROM chunk_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
