@@ -453,9 +453,14 @@ def bigram_lm_index(
     df: DataFrame, text_col: str, min_count: int = 1
 ) -> tuple[DataFrame, DataFrame, int]:
     """Train a count-based bigram language model over the corpus: returns
-    (unigrams (term, c1), bigrams (w1, w2, c12), total unigram count) —
-    the index :func:`lm_logprob` scores against (the CCNet-style
+    (unigrams (term, c1), bigrams (w1, w2, c12, c1), total unigram count)
+    — the index :func:`lm_logprob` scores against (the CCNet-style
     perplexity quality filter trains exactly this on a reference corpus).
+
+    The bigram table carries w1's unigram count DENORMALIZED (one
+    vocabulary-bounded join here, at train time) so every scoring run
+    saves a third join: stupid backoff only needs c1 alongside a seen
+    bigram, never on the backoff branch.
 
     ``min_count`` prunes rare bigrams (noise + index size control). Two
     groupBys over one tokenize/explode each — both map-side-combinable;
@@ -479,6 +484,7 @@ def bigram_lm_index(
             F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
             "c12",
         )
+        .join(uni.select(F.col("term").alias("w1"), "c1"), "w1")
     )
     total = int(uni.agg(F.sum("c1")).collect()[0][0] or 0)
     return uni, big, total
@@ -500,10 +506,10 @@ def lm_logprob(
     negated mean is the log-perplexity quality signal — CCNet keeps the
     low-perplexity (high ``lm_logprob``) head of the distribution.
 
-    Plan: one bigram explode, two vocabulary-bounded hash joins (w1
-    unigram count + left bigram count), one left join for w2's backoff
-    count, one groupBy(doc) mean. Documents with < 2 tokens score NULL
-    (no bigrams — callers decide their fate)."""
+    Plan: one bigram explode, one left join on the (w1, w2) bigram index
+    (which carries w1's count denormalized from train time), one left
+    join for w2's backoff count, one groupBy(doc) mean. Documents with
+    < 2 tokens score NULL (no bigrams — callers decide their fate)."""
     toks = tokens_expr(F.col(text_col))
     pairs = (
         df.select(
@@ -519,12 +525,13 @@ def lm_logprob(
             F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
         )
     )
-    u1 = unigrams.select(F.col("term").alias("w1"), F.col("c1").alias("_c1"))
     u2 = unigrams.select(F.col("term").alias("w2"), F.col("c1").alias("_c2"))
+    bidx = bigrams.withColumnRenamed("c12", "_c12").withColumnRenamed(
+        "c1", "_c1"
+    )
     scored = (
-        pairs.join(u1, "w1", "left")
-        .join(u2, "w2", "left")
-        .join(bigrams.withColumnRenamed("c12", "_c12"), ["w1", "w2"], "left")
+        pairs.join(u2, "w2", "left")
+        .join(bidx, ["w1", "w2"], "left")
         .withColumn(
             "_lp",
             F.when(

@@ -467,3 +467,40 @@ def test_split_assign_deterministic_and_stable(spark):
         for r in split_assign(df, "doc_id", w, salt="v2").collect()
     }
     assert salted != got
+
+
+# --------------------------------------------------------------- plan audit
+
+def test_plan_audit_counts_known_shapes(spark):
+    from prague_spark.plan_audit import assert_scale_shape, audit
+
+    rows = [(i, _ts(i % 5), "t" + str(i % 2), float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "id int, ts timestamp, typ string, v double")
+    # rollup: exactly one shuffle, no python stages, no nested loops
+    a = assert_scale_shape(
+        time_rollup(df, "ts", grains=("hour", "day"), keys=("typ",)),
+        max_shuffles=1, max_py_stages=0,
+    )
+    assert a.shuffles == 1 and a.nested_loops == 0 and a.cartesians == 0
+    # a deliberate theta join trips the nested-loop guard
+    spark.conf.set("spark.sql.crossJoin.enabled", "true")
+    bad = df.alias("a").join(
+        df.alias("b"), F.col("a.v") < F.col("b.v")
+    )
+    with pytest.raises(AssertionError, match="NestedLoop|Cartesian"):
+        assert_scale_shape(bad)
+    # range_join over the same semantics stays inside the budget
+    ints = df.select("typ", (F.col("v") - 1).alias("lo"),
+                     (F.col("v") + 1).alias("hi"))
+    ok = range_join(df, ints, "v", "lo", "hi", by="typ", bucket=1.0)
+    assert_scale_shape(ok, forbid_nested_loop=True, forbid_cartesian=True)
+    assert audit(ok).nested_loops == 0
+
+
+def test_plan_audit_shuffle_budget_violation(spark):
+    from prague_spark.plan_audit import assert_scale_shape
+
+    df = spark.createDataFrame([(1, "a")], "id int, k string")
+    two = df.groupBy("k").count().groupBy("count").count()
+    with pytest.raises(AssertionError, match="shuffles"):
+        assert_scale_shape(two, max_shuffles=1)

@@ -1,5 +1,6 @@
-"""Generate PLANS.md: physical-plan audit of every registry query."""
-import re
+"""Generate PLANS.md: physical-plan audit of every registry query
+(thin wrapper over prague_spark.plan_audit — the public API users run
+on their own compositions)."""
 import sys
 from pathlib import Path
 
@@ -8,6 +9,7 @@ sys.path.insert(0, str(REPO))
 
 import prague_spark as ps
 from prague_spark import queries as Q
+from prague_spark.plan_audit import audit
 
 spark = ps.get_spark("plans", cpus=8)
 spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
@@ -16,20 +18,11 @@ SF = "/root/testdata/sf0.001"
 rows = []
 for name in sorted(Q.QUERIES):
     try:
-        df = Q.QUERIES[name](spark, SF)
-        qe = df._jdf.queryExecution()
-        plan = qe.executedPlan().toString()
-        full = qe.toString()
-        n_ex = plan.count("Exchange") - plan.count("BroadcastExchange")
-        n_bex = plan.count("BroadcastExchange")
-        n_cg = len(set(re.findall(r"\*\((\d+)\)", plan)))
-        n_pyarrow = plan.count("ArrowEvalPython") + plan.count("MapInArrow") + plan.count("MapInPandas") + plan.count("FlatMapGroupsInPandas")
-        phys = full[full.find("== Physical Plan =="):]
-        widest = 0
-        for mm in re.finditer(r"ReadSchema: struct<(.*?)>(?=\s)", phys, re.S):
-            cols = re.split(r",(?=\w+:)", mm.group(1))
-            widest = max(widest, len(cols))
-        rows.append((name, n_ex, n_bex, n_cg, n_pyarrow, widest))
+        a = audit(Q.QUERIES[name](spark, SF))
+        rows.append(
+            (name, a.shuffles, a.broadcasts, a.codegen_spans,
+             a.py_stages, a.widest_read)
+        )
     except Exception as e:
         rows.append((name, "-", "-", "-", "-", f"err: {str(e)[:40]}"))
 
@@ -41,6 +34,10 @@ scale-independent). Columns: shuffle Exchanges (excl. broadcast),
 BroadcastExchanges, WholeStageCodegen spans, Arrow/Pandas python stages,
 and the widest parquet ReadSchema the query touches (column-pruning
 check — lineitem has 16 columns, documents 3, events 6).
+
+The same counters are a public API — ``prague_spark.plan_audit.audit``
+/ ``assert_scale_shape`` — so user compositions can enforce their own
+shuffle/py-stage/nested-loop budgets in CI.
 
 Driver-side fit/CV queries show the *final output* plan; their data-plane
 passes (Gram / gradient / Hessian aggregations) are, for small p*m, ONE
