@@ -170,6 +170,47 @@ def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def rrf_fuse(
+    results: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked result lists — the standard
+    hybrid-retrieval combiner (lexical :func:`bm25_search` + embedding
+    ``similarity.cosine_topk``, or any mix): each list contributes
+    ``1 / (k + rank)`` per (query_id, id); missing from a list = no
+    contribution. Returns (query_id, id, rrf_score, rank), ties broken
+    on id ascending.
+
+    Every input needs (query_id, ``id_col``, rank). Plan: a union of the
+    (already tiny — top-k-sized) result frames, one groupBy, one window:
+    fusion cost is independent of corpus size by construction."""
+    if not results:
+        raise ValueError("rrf_fuse: no result frames")
+    parts = [
+        r.select(
+            "query_id",
+            F.col(id_col).alias("_id"),
+            (1.0 / (F.lit(float(k)) + F.col("rank"))).alias("_c"),
+        )
+        for r in results
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "_id").agg(F.sum("_c").alias("rrf_score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("_id").asc()
+    )
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if topk is not None:
+        out = out.filter(F.col("rank") <= topk)
+    return out.select(
+        "query_id", F.col("_id").alias(id_col), "rrf_score", "rank"
+    )
+
+
 def write_postings(postings: DataFrame, path: str, n_files: int = 64) -> None:
     """Persist a postings index term-clustered: range-repartition +
     sort-within-partitions on ``term`` so every parquet row group covers

@@ -71,3 +71,11 @@ if SOLVER_KEYS:
 
 def test_every_query_has_an_oracle():
     assert not SOLVER_KEYS, f"queries without oracle SQL: {SOLVER_KEYS}"
+
+
+def test_registry_is_exactly_fifty():
+    """The driver gate checks the FIRST 50 registry positions; hold the
+    surface at exactly 50 so nothing silently falls outside the window
+    (merges, not appends — see the registry comment block)."""
+    assert len(Q.QUERIES) == 50
+    assert set(Q.ORACLES) <= set(Q.QUERIES)

@@ -504,3 +504,55 @@ def test_plan_audit_shuffle_budget_violation(spark):
     two = df.groupBy("k").count().groupBy("count").count()
     with pytest.raises(AssertionError, match="shuffles"):
         assert_scale_shape(two, max_shuffles=1)
+
+
+# ---------------------------------------------------------------- rrf fusion
+
+def test_rrf_fuse_matches_bruteforce(spark):
+    from prague_spark.pipeline.search import rrf_fuse
+
+    a = [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)]
+    b = [(1, 11, 1), (1, 13, 2), (2, 21, 1), (2, 20, 2)]
+    adf = spark.createDataFrame(a, "query_id bigint, doc_id bigint, rank int")
+    bdf = spark.createDataFrame(b, "query_id bigint, doc_id bigint, rank int")
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rrf_score"], r["rank"])
+        for r in rrf_fuse([adf, bdf], k=60).collect()
+    }
+    exp: dict = {}
+    for lst in (a, b):
+        for q, d, rk in lst:
+            exp[(q, d)] = exp.get((q, d), 0.0) + 1.0 / (60 + rk)
+    assert set(got) == set(exp)
+    for key, s in exp.items():
+        assert got[key][0] == pytest.approx(s, rel=1e-12)
+    # doc 11 (rank 2 + rank 1) beats doc 10 (rank 1 only) for query 1
+    assert got[(1, 11)][1] == 1
+    assert got[(1, 10)][1] == 2
+
+
+def test_rrf_fuse_hybrid_composition(spark, sf_dir):
+    """End-to-end hybrid retrieval: BM25 over documents fused with
+    cosine top-k over embeddings (ids aligned by construction in the
+    testdata: vec_id == doc_id space)."""
+    from prague_spark.pipeline.search import (
+        bm25_search, build_postings, corpus_stats_from_docs, rrf_fuse,
+    )
+    from prague_spark.pipeline.similarity import cosine_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    n, avgdl = corpus_stats_from_docs(docs, "text")
+    post = build_postings(docs, "doc_id", "text")
+    lex = bm25_search(post, [(0, "table scan merge")], k=10,
+                      n_docs=n, avgdl=avgdl)
+    qv = emb.limit(1).select("vec_id", "vec").collect()[0]
+    sem = cosine_topk(
+        emb, "vec_id", "vec", [(0, [float(x) for x in qv["vec"]])], k=10
+    ).withColumnRenamed("vec_id", "doc_id")
+    fused = rrf_fuse([lex, sem.select("query_id", "doc_id", "rank")], topk=5)
+    rows = fused.collect()
+    assert len(rows) == 5
+    assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4, 5]
