@@ -349,6 +349,19 @@ def main() -> None:
             k=10, n_docs=n, avgdl=avgdl,
         ).count()
 
+    @bench("events_funnel")
+    def _():
+        # per-user ordered-step conversion: ONE shuffle + a codegen
+        # F.aggregate fold over each user's sorted event array
+        from prague_spark.ops.funnel import funnel
+        from prague_spark.queries import load
+
+        ev = load(spark, SF_DIR, "events")
+        funnel(
+            ev, "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], within=86400.0,
+        ).agg(F.sum("depth")).collect()
+
     @bench("events_asof")
     def _():
         # as-of join: every view attaches its user's most recent click —

@@ -2543,8 +2543,15 @@ def q_events_windowed_agg(spark, sf_dir):
     every 'view' event attaches its user's most recent 'click' at or
     before it; the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the two
     engines' as-of semantics (backward, inclusive ties, null on no
-    match) are pinned against each other row-for-row."""
+    match) are pinned against each other row-for-row.
+
+    Round-6 merge (session 2): 'funnel' tagged rows pin the NEW
+    ops.funnel.funnel (per-user view -> click -> purchase depth within
+    24 h of the first view; greedy earliest-match fold, one shuffle, no
+    UDF). Greedy-earliest == the sequential min-after-t formulation, so
+    the oracle recomputes it with one CTE per step."""
     from .ops.asof import asof_join
+    from .ops.funnel import funnel
 
     ev = load(spark, sf_dir, "events")
     windowed = (
@@ -2586,7 +2593,20 @@ def q_events_windowed_agg(spark, sf_dir):
         F.unix_micros(F.col("ts_r").cast("timestamp")).alias("click_ts_us"),
         F.col("click_value_r").alias("click_value"),
     )
-    return windowed.unionByName(attached)
+    fl = funnel(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], within=86400.0,
+    ).select(
+        F.lit("funnel").alias("tag"),
+        F.lit(None).cast("bigint").alias("window_start_us"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("depth").cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("avg_value"),
+        F.col("user_id").alias("event_id"),
+        F.col("t1_us").alias("click_ts_us"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    return windowed.unionByName(attached).unionByName(fl)
 
 
 SQL_EVENTS_WINDOW = """
@@ -2605,6 +2625,36 @@ SQL_EVENTS_WINDOW = """
                  max(value) AS click_value
           FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
       ON v.user_id = c.user_id AND v.ts >= c.ts
+    UNION ALL
+    SELECT 'funnel', NULL, NULL, depth, NULL, user_id, epoch_us(t1), NULL
+    FROM (
+        WITH fn1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), fn2 AS (
+            SELECT e.user_id, f.t1, min(e.ts) AS t2
+            FROM events e JOIN fn1 f ON e.user_id = f.user_id
+            WHERE e.event_type = 'click' AND e.ts > f.t1
+              AND epoch_us(e.ts) <= epoch_us(f.t1) + 86400000000
+            GROUP BY e.user_id, f.t1
+        ), fn3 AS (
+            SELECT e.user_id, f.t1, min(e.ts) AS t3
+            FROM events e JOIN fn2 f ON e.user_id = f.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > f.t2
+              AND epoch_us(e.ts) <= epoch_us(f.t1) + 86400000000
+            GROUP BY e.user_id, f.t1
+        )
+        SELECT u.user_id,
+               CASE WHEN fn3.user_id IS NOT NULL THEN 3
+                    WHEN fn2.user_id IS NOT NULL THEN 2
+                    WHEN fn1.user_id IS NOT NULL THEN 1
+                    ELSE 0 END::BIGINT AS depth,
+               fn1.t1 AS t1
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN fn1 ON u.user_id = fn1.user_id
+        LEFT JOIN fn2 ON u.user_id = fn2.user_id
+        LEFT JOIN fn3 ON u.user_id = fn3.user_id
+    ) fq
 """
 
 
@@ -3806,7 +3856,10 @@ SQL_DOCS_SAMPLE = f"""
 # text_pack_chunks gains a 'chunk' slice (the NEW text.chunk_text
 # sliding-window RAG chunking, windows re-sliced in SQL);
 # docs_sample_stratified gains a 'split' slice (the NEW
-# sample.split_assign deterministic train/val/test hash split).
+# sample.split_assign deterministic train/val/test hash split);
+# events_windowed_agg gains a 'funnel' slice (the NEW ops.funnel.funnel
+# greedy ordered-step conversion depth — one F.aggregate fold per key,
+# oracle = sequential min-after-t CTEs, provably the same greedy).
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,

@@ -556,3 +556,63 @@ def test_rrf_fuse_hybrid_composition(spark, sf_dir):
     rows = fused.collect()
     assert len(rows) == 5
     assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4, 5]
+
+
+# -------------------------------------------------------------------- funnel
+
+def _brute_funnel(rows, steps, within=None):
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, t, y in rows:
+        by_key[k].append((t, y))
+    out = {}
+    for k, evs in by_key.items():
+        evs.sort()
+        d, t1, last = 0, None, None
+        for t, y in evs:
+            if d == 0 and y == steps[0]:
+                d, t1, last = 1, t, t
+            elif 0 < d < len(steps) and y == steps[d] and t > last and (
+                within is None or (t - t1).total_seconds() <= within
+            ):
+                d, last = d + 1, t
+        out[k] = (d, t1)
+    return out
+
+
+def test_funnel_matches_bruteforce(spark):
+    from prague_spark.ops.funnel import funnel
+
+    types = ["view", "click", "buy", "other"]
+    rows = [
+        (i % 7, _ts(8 + (i * 3) % 12, (i * 17) % 60), types[(i * 5) % 4])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "u bigint, ts timestamp, et string")
+    for within in (None, 3600.0):
+        got = {
+            r["u"]: (r["depth"], r["t1_us"])
+            for r in funnel(
+                df, "u", "ts", "et", ["view", "click", "buy"], within=within
+            ).collect()
+        }
+        exp = _brute_funnel(rows, ["view", "click", "buy"], within)
+        assert set(got) == set(exp)
+        for k, (d, t1) in exp.items():
+            assert got[k][0] == d, (k, within, got[k], (d, t1))
+            if t1 is None:
+                assert got[k][1] is None
+            else:
+                assert got[k][1] == int(t1.timestamp() * 1_000_000)
+
+
+def test_funnel_one_shuffle_no_udf(spark):
+    from prague_spark.ops.funnel import funnel
+    from prague_spark.plan_audit import audit
+
+    df = spark.createDataFrame(
+        [(0, _ts(9), "view")], "u bigint, ts timestamp, et string"
+    )
+    a = audit(funnel(df, "u", "ts", "et", ["view", "click"]))
+    assert a.shuffles == 1 and a.py_stages == 0
