@@ -1,0 +1,96 @@
+"""Streaming twin of :func:`prague_spark.ops.funnel.funnel` — per-key
+conversion depth maintained ACROSS micro-batches via
+``applyInPandasWithState`` (the batch operator's greedy earliest-match
+scan is already streaming-shaped: each event either advances the funnel
+or is ignored, no lookback, so the state is the same 3-field tuple the
+batch fold carries).
+
+Semantic note: within a micro-batch events are folded in timestamp
+order, but an event arriving in a LATER batch with a timestamp before
+the last matched step cannot retroactively advance the funnel — the
+stream computes the greedy scan over the batch-ordered merge. When
+ingestion is time-ordered (the normal event-log case) this equals the
+batch result exactly; the parity test feeds time-split files one per
+trigger to pin that. State per key: 3 numbers — O(#keys) forever.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType, LongType, StructField, StructType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("d", IntegerType()),
+        StructField("t1", LongType()),
+        StructField("last", LongType()),
+    ]
+)
+
+
+def funnel_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within: float | None = None,
+) -> DataFrame:
+    """Per-key (key, depth, t1_us) emitted each micro-batch with the
+    funnel progress so far — same output columns as the batch
+    :func:`~prague_spark.ops.funnel.funnel`. ``depth`` is monotone
+    nondecreasing across emissions, so the latest row per key is the
+    current truth (and ``max(depth)`` is safe in any sink)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    n_steps = len(steps)
+    w_us = None if within is None else int(float(within) * 1_000_000)
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("depth", IntegerType()),
+            StructField("t1_us", LongType()),
+        ]
+    )
+
+    def fn(
+        key, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            d, t1, last = state.get
+        else:
+            d, t1, last = 0, None, None
+        for pdf in pdfs:
+            for t, y in sorted(zip(pdf["_t"], pdf["_y"])):
+                t = int(t)
+                if d == 0 and y == steps[0]:
+                    d, t1, last = 1, t, t
+                elif (
+                    0 < d < n_steps
+                    and y == steps[d]
+                    and t > last
+                    and (w_us is None or t <= t1 + w_us)
+                ):
+                    d, last = d + 1, t
+        state.update((int(d), t1, last))
+        yield pd.DataFrame(
+            [(int(key[0]), int(d), t1)], columns=["key", "depth", "t1_us"]
+        )
+
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t"),
+            F.col(type_col).alias("_y"),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn, out_schema, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -617,3 +617,58 @@ def test_streaming_chunk_text_matches_batch(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_streaming_funnel_matches_batch(spark, events_stream_dir, tmp_path):
+    """funnel_stream (applyInPandasWithState, 3-number state per key)
+    over time-split files fed one per trigger must land on the batch
+    funnel's exact per-user depth — proving state carries across
+    micro-batches, not just within one."""
+    from prague_spark.ops.funnel import funnel
+    from prague_spark.streaming.funnel import funnel_stream
+
+    batch_df = spark.read.parquet(events_stream_dir)
+    steps = ["view", "click", "purchase"]
+    expected = {
+        r["user_id"]: (r["depth"], r["t1_us"])
+        for r in funnel(
+            batch_df, "user_id", "ts", "event_type", steps, within=86400.0
+        ).collect()
+    }
+
+    # two time-ordered halves -> two micro-batches
+    med = batch_df.withColumn("_tu", F.unix_micros(F.col("ts").cast("timestamp"))).approxQuantile("_tu", [0.5], 0.0)[0]
+    tu = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = str(tmp_path / "halves")
+    batch_df.filter(tu <= med).coalesce(1).write.parquet(f"{d}/a=0")
+    batch_df.filter(tu > med).coalesce(1).write.parquet(f"{d}/a=1")
+    sdf = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/a=*")
+    )
+    out = funnel_stream(sdf, "user_id", "ts", "event_type", steps,
+                        within=86400.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120), "funnel stream did not finish"
+        rows = spark.sql("SELECT * FROM funnel_stream_t").collect()
+    finally:
+        q.stop()
+    # depth is monotone; the max-depth emission per key is the final state
+    got: dict = {}
+    for r in rows:
+        cur = got.get(r["key"])
+        if cur is None or r["depth"] >= cur[0]:
+            got[r["key"]] = (r["depth"], r["t1_us"])
+    assert got == expected
+    # state really carried: at least one key must have emitted twice
+    from collections import Counter
+
+    assert Counter(r["key"] for r in rows).most_common(1)[0][1] >= 2
