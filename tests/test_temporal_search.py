@@ -616,3 +616,32 @@ def test_funnel_one_shuffle_no_udf(spark):
     )
     a = audit(funnel(df, "u", "ts", "et", ["view", "click"]))
     assert a.shuffles == 1 and a.py_stages == 0
+
+
+# ------------------------------------------------------------------ profile
+
+def test_profile_table_one_pass(spark):
+    from prague_spark.ops.profile import profile_table
+
+    rows = [(i, float(i) if i % 5 else None, f"s{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, v double, s string")
+    prof = profile_table(df, quantiles=(0.5,))
+    got = {
+        (r["column"], r["metric"]): (r["value"], r["text_value"])
+        for r in prof.collect()
+    }
+    assert got[("id", "count")][0] == 100.0
+    assert got[("id", "nulls")][0] == 0.0
+    assert got[("v", "count")][0] == 80.0
+    assert got[("v", "nulls")][0] == 20.0
+    assert got[("v", "min")][0] == 1.0
+    assert got[("v", "max")][0] == 99.0
+    vals = [float(i) for i in range(100) if i % 5]
+    assert got[("v", "mean")][0] == pytest.approx(sum(vals) / len(vals))
+    assert abs(got[("v", "q0.5")][0] - sorted(vals)[len(vals) // 2]) <= 3
+    # approx distinct within rsd of truth (3 distinct strings: exact-ish)
+    assert got[("s", "approx_distinct")][0] == pytest.approx(3, abs=1)
+    assert got[("s", "min")] == (None, "s0")
+    assert got[("s", "max")] == (None, "s2")
+    # non-numeric columns carry no mean/quantiles
+    assert ("s", "mean") not in got
