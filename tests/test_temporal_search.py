@@ -645,3 +645,110 @@ def test_profile_table_one_pass(spark):
     assert got[("s", "max")] == (None, "s2")
     # non-numeric columns carry no mean/quantiles
     assert ("s", "mean") not in got
+
+
+# ------------------------------------------------- randomized parity sweeps
+
+@pytest.mark.parametrize("seed", [11, 29, 83])
+def test_range_join_randomized_parity(spark, seed):
+    """Random points/intervals (incl. empty, inverted, and zero-width
+    intervals, duplicate timestamps, missing keys) vs the O(n*m) brute
+    force, across bucket widths spanning 3 orders of magnitude."""
+    import random
+
+    rng = random.Random(seed)
+    points = [
+        (i, rng.randrange(4), round(rng.uniform(0, 1000), 3))
+        for i in range(300)
+    ]
+    intervals = []
+    for j in range(80):
+        lo = round(rng.uniform(0, 1000), 3)
+        w = rng.choice([0.0, 0.5, 5.0, 50.0, 400.0])
+        intervals.append((j, rng.randrange(5), lo, round(lo + w, 3)))
+    # a few inverted (empty) intervals
+    intervals += [(100 + j, 0, 500.0, 400.0) for j in range(3)]
+    pdf = spark.createDataFrame(points, "pid int, k int, x double")
+    idf = spark.createDataFrame(intervals, "iid int, k int, lo double, hi double")
+    exp = _brute_range(points, intervals)
+    for bucket in (0.7, 37.0, 900.0):
+        got = {
+            (r["pid"], r["iid_r"])
+            for r in range_join(
+                pdf, idf, "x", "lo", "hi", by="k", bucket=bucket
+            ).collect()
+        }
+        assert got == exp, f"bucket={bucket}"
+
+
+@pytest.mark.parametrize("seed", [7, 41, 97])
+def test_funnel_randomized_parity(spark, seed):
+    """Random event streams (duplicate timestamps, repeated steps,
+    interleaved noise, users missing steps entirely) vs the greedy
+    brute force, with and without a window."""
+    import random
+
+    from prague_spark.ops.funnel import funnel
+
+    rng = random.Random(seed)
+    types = ["a", "b", "c", "x", "y"]
+    rows = [
+        (
+            rng.randrange(12),
+            _ts(rng.randrange(24), rng.randrange(60), rng.randrange(2) * 30),
+            rng.choice(types),
+        )
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(rows, "u bigint, ts timestamp, et string")
+    for within in (None, 7200.0):
+        got = {
+            r["u"]: r["depth"]
+            for r in funnel(df, "u", "ts", "et", ["a", "b", "c"],
+                            within=within).collect()
+        }
+        exp = {k: d for k, (d, _) in
+               _brute_funnel(rows, ["a", "b", "c"], within).items()}
+        assert got == exp, f"within={within}"
+
+
+# ------------------------------------------------------------- edge cases
+
+def test_range_join_without_keys(spark):
+    pdf = spark.createDataFrame(
+        [(0, 1.0), (1, 5.0), (2, 9.0)], "pid int, x double"
+    )
+    idf = spark.createDataFrame(
+        [(0, 0.0, 4.0), (1, 4.5, 10.0)], "iid int, lo double, hi double"
+    )
+    got = {
+        (r["pid"], r["iid_r"])
+        for r in range_join(pdf, idf, "x", "lo", "hi", bucket=2.0).collect()
+    }
+    assert got == {(0, 0), (1, 1), (2, 1)}
+
+
+def test_time_rollup_without_keys(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(9, 5)), (2, _ts(9, 40)), (3, _ts(10, 1))],
+        "id int, ts timestamp",
+    )
+    got = {
+        (r["grain"], r["bucket"]): r["n"]
+        for r in time_rollup(df, "ts", grains=("hour",)).collect()
+    }
+    assert got == {("hour", _ts(9)): 2, ("hour", _ts(10)): 1}
+
+
+def test_bm25_error_paths(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    post = build_postings(docs, "doc_id", "text")
+    with pytest.raises(ValueError, match="no query terms"):
+        bm25_search(post, [(1, "   ")])
+    empty = post.filter("doc_id < 0")
+    with pytest.raises(ValueError, match="empty corpus"):
+        bm25_search(empty, [(1, "spark")])
+    from prague_spark.pipeline.search import rrf_fuse
+
+    with pytest.raises(ValueError, match="no result frames"):
+        rrf_fuse([])
