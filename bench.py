@@ -349,6 +349,28 @@ def main() -> None:
             k=10, n_docs=n, avgdl=avgdl,
         ).count()
 
+    @bench("sim_hybrid_rrf")
+    def _():
+        # hybrid retrieval: BM25 lexical + cosine embedding top-k fused
+        # by reciprocal rank - fusion itself is top-k-sized, so the cost
+        # is the two retrievals
+        from prague_spark.pipeline.search import (
+            bm25_search, build_postings, corpus_stats_from_docs, rrf_fuse,
+        )
+
+        n, avgdl = corpus_stats_from_docs(docs, "text")
+        post = build_postings(docs, "doc_id", "text")
+        lex = bm25_search(post, [(0, "table scan merge")], k=20,
+                          n_docs=n, avgdl=avgdl)
+        qrows = emb.limit(1).select("vec_id", "vec").collect()
+        sem = similarity.cosine_topk(
+            emb, "vec_id", "vec",
+            [(0, [float(x) for x in qrows[0]["vec"]])], k=20,
+        ).withColumnRenamed("vec_id", "doc_id")
+        rrf_fuse(
+            [lex, sem.select("query_id", "doc_id", "rank")], topk=10
+        ).count()
+
     @bench("events_funnel")
     def _():
         # per-user ordered-step conversion: ONE shuffle + a codegen

@@ -672,3 +672,42 @@ def test_streaming_funnel_matches_batch(spark, events_stream_dir, tmp_path):
     from collections import Counter
 
     assert Counter(r["key"] for r in rows).most_common(1)[0][1] >= 2
+
+
+def test_streaming_gopher_flags_match_batch(spark, sf_dir, tmp_path):
+    """gopher_quality_flags is a pure projection — the SAME call runs
+    under readStream; pin exact flag parity on real documents."""
+    from prague_spark.pipeline.text import gopher_quality_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    d = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(d)
+    batch = spark.read.parquet(d)
+    cols = ["gq_words_ok", "gq_word_len_ok", "gq_alpha_ok",
+            "gq_rep_ok", "gq_stop_ok", "gq_keep"]
+    expected = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in gopher_quality_flags(batch, "text", min_words=20)
+        .select("doc_id", *cols).collect()
+    }
+    sdf = spark.readStream.schema(batch.schema).parquet(d)
+    out = gopher_quality_flags(sdf, "text", min_words=20).select(
+        "doc_id", *cols
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gq_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+        got = {
+            r["doc_id"]: tuple(r[c] for c in cols)
+            for r in spark.sql("SELECT * FROM gq_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected

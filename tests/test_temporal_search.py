@@ -1,6 +1,11 @@
-"""Round-6 additions: range join, multi-grain time rollup, BM25 search,
-Gopher quality flags. Each op is pinned against a driver-side
-brute-force recomputation of the same semantics."""
+"""Round-6 session-2 operators: range join, multi-grain time rollup,
+BM25 search (+ persisted postings, RRF hybrid fusion), Gopher quality
+flags, edit-distance verification, bigram-LM scoring, image aHash,
+sliding-window chunking, deterministic splits, funnel analysis, the
+plan-audit API, and the one-pass table profiler. Every operator is
+pinned against a driver-side brute-force recomputation of the same
+semantics; randomized seed sweeps cover the trickiest two (range join,
+funnel)."""
 
 from __future__ import annotations
 
