@@ -22,6 +22,7 @@ from .ops.score import auc, score, score_path, score_path_spark
 from .ops.sparse import (
     cv_fit_sparse, fit_sparse, predict_sparse, score_path_sparse, score_sparse,
 )
+from .plan_audit import assert_scale_shape, audit
 from .session import get_spark
 
 __all__ = [
@@ -42,6 +43,8 @@ __all__ = [
     "fit_sparse",
     "predict_sparse",
     "auc",
+    "audit",
+    "assert_scale_shape",
     "get_spark",
 ]
 
