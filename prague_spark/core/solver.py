@@ -52,6 +52,7 @@ def fista(
     tol_infeas: float = 1e-3,
     diagnostics: bool = False,
     fixed_learning_rate: float | None = None,
+    initial_learning_rate: float | None = None,
 ) -> FitResult:
     """Proximal gradient with backtracking + momentum.
 
@@ -64,6 +65,13 @@ def fista(
     gaussian: eigmax), pass 1/L here — the backtracking line search (one
     extra objective evaluation per probe, i.e. one extra *data pass* on a
     distributed design) is skipped entirely.
+
+    ``initial_learning_rate``: seed the BACKTRACKING search with an
+    estimated step instead of 1.0 — used when the estimate is good but
+    not provably <= 1/L (e.g. a power-iteration eigmax, which converges
+    from below): the majorization check catches an over-large step and
+    halves it, so correctness never rests on the estimate's accuracy.
+    Ignored when ``fixed_learning_rate`` is set.
     """
     beta = np.array(beta0, dtype=np.float64)
     if beta.ndim == 1:
@@ -74,7 +82,11 @@ def fista(
     beta_tilde = beta.copy()
     beta_tilde_old = beta.copy()
 
-    learning_rate = fixed_learning_rate if fixed_learning_rate else 1.0
+    learning_rate = (
+        fixed_learning_rate
+        if fixed_learning_rate
+        else (initial_learning_rate if initial_learning_rate else 1.0)
+    )
     eta = 0.5  # line search shrink
     t = 1.0  # momentum
 

@@ -104,8 +104,12 @@ def range_join(
                 ),
                 (b1 - b0).cast("string"),
                 F.lit(")"),
-            ).cast("long"),
-        ),
+            ),
+            # cast OUTSIDE raise_error: the branch must be long-typed, but
+            # casting the message string would trip CAST_INVALID_INPUT
+            # (ANSI) or null the message (non-ANSI) before raise_error
+            # ever sees it
+        ).cast("long"),
     ).otherwise(b1)
     r_bkt = r_named.withColumn("_bkt", F.explode(F.sequence(b0, span_guard)))
     l_bkt = left.withColumn("_bkt", F.floor(key(F.col(on)) / bucket_n))

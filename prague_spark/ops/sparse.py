@@ -1052,13 +1052,17 @@ def fit_sparse(
                             "multinomial": 2.0,
                         }[family]
                         eig = sld.power_eigmax()
-                        # 10% safety margin on the estimate: power
-                        # iteration converges from below
                         lr_in = factor / (1.1 * eig) if eig > 0 else None
+                    # power iteration converges from BELOW, so the
+                    # estimate is not a provable 1/L bound (clustered
+                    # spectra can beat the 10% margin): seed backtracking
+                    # with it instead of fixing the step — probes are
+                    # in-core O(nnz) matvecs (no scans), and the
+                    # majorization check halves any over-large step
                     return fista(
                         sld, beta_init, lam_scaled, n_unpenalized=1,
                         max_passes=max_passes, tol_rel_gap=tol_rel_gap,
-                        tol_infeas=tol_infeas, fixed_learning_rate=lr_in,
+                        tol_infeas=tol_infeas, initial_learning_rate=lr_in,
                     )
             if ld is not None:
                 route_counts["incore_dense"] += 1

@@ -97,7 +97,7 @@ def ngram_jaccard_pairs(
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_df).persist()
         n_hot = hot.count()
         if n_hot:
-            logging.getLogger("prague_spark.dedup").info(
+            logging.getLogger("prague_spark.dedup").warning(
                 "ngram_jaccard_pairs: dropping %d shingles with doc-frequency > %d "
                 "(pair counts become sub-quadratic estimates)", n_hot, max_df,
             )
@@ -291,7 +291,7 @@ def minhash_lsh_candidates(
         )
         n_hot = hot.count()
         if n_hot:
-            logging.getLogger("prague_spark.dedup").info(
+            logging.getLogger("prague_spark.dedup").warning(
                 "minhash_lsh_candidates: dropping %d LSH buckets with > %d "
                 "members (candidate recall becomes partial for those "
                 "buckets; exact_dedup catches their identical members)",
@@ -457,7 +457,7 @@ def embedding_cosine_pairs(
                 .persist()
             )
             if hot.count():
-                log.info(
+                log.warning(
                     "embedding_cosine_pairs: dropping over-full LSH buckets "
                     "(> %d members) before the band self-join", max_bucket,
                 )
@@ -511,7 +511,7 @@ def embedding_cosine_pairs(
             .persist()
         )
         if hot.count():
-            log.info(
+            log.warning(
                 "embedding_cosine_pairs: dropping over-full LSH buckets "
                 "(> %d members) before the bucket self-join", max_bucket,
             )

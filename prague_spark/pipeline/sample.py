@@ -115,6 +115,11 @@ def mix_corpus(
     Scale: one generator-explode projection, ZERO shuffle; output volume
     is exactly the mixture size (sum_s w_s * |stratum_s|), never an
     intermediate blow-up."""
+    if float(default_weight) < 0:
+        raise ValueError(f"default_weight must be >= 0, got {default_weight!r}")
+    bad = {k: v for k, v in weights.items() if float(v) < 0}
+    if bad:
+        raise ValueError(f"weights must be >= 0, got {bad!r}")
     w = F.lit(float(default_weight))
     for key, v in sorted(weights.items()):
         w = F.when(F.col(strata_col) == key, F.lit(float(v))).otherwise(w)

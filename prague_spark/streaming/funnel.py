@@ -66,8 +66,15 @@ def funnel_stream(
             d, t1, last = state.get
         else:
             d, t1, last = 0, None, None
-        for pdf in pdfs:
-            for t, y in sorted(zip(pdf["_t"], pdf["_y"])):
+        # Buffer the whole micro-batch group before sorting: the iterator
+        # yields one pandas chunk per Arrow batch (~10k rows,
+        # spark.sql.execution.arrow.maxRecordsPerBatch), and sorting
+        # per-chunk would fold events out of timestamp order across
+        # chunk boundaries for large groups.
+        chunks = list(pdfs)
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            for t, y in sorted(zip(batch["_t"], batch["_y"])):
                 t = int(t)
                 if d == 0 and y == steps[0]:
                     d, t1, last = 1, t, t
