@@ -263,21 +263,103 @@ SQL_P2_STANDARDIZE = f"""
 """
 
 
+#: Columns the profile_table slice runs over (3 numeric + 1 string so
+#: both type branches of the profiler are exercised).
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]
+_PROFILE_QS = (0.25, 0.5, 0.75)
+
+
 def q_p2_standardize_scales(spark, sf_dir):
     """All four scale norms (l1/l2/sd/max) of the centered columns
-    (src/standardize.h:17-39) — one row per feature column."""
+    (src/standardize.h:17-39) — one row per feature column.
+
+    Round-7 merge: the one-pass table profiler (ops.profile.profile_table)
+    rides as 'profile_*' tagged rows over 3 numeric + 1 string lineitem
+    columns. Exact metrics (count / nulls / min / max / mean) are
+    hash-verified directly; the sketch metrics (HLL approx_distinct, GK
+    approx quantiles — approximate by design, so no cross-engine value
+    equality exists) are pinned as a per-column 'profile_sketch_ok'
+    bound-check row: 1.0 iff the HLL estimate is within 3*rsd of the
+    exact distinct count AND every approx quantile lies inside the exact
+    [p-0.01, p+0.01] quantile band (GK accuracy 10^4 guarantees rank
+    error ~1e-4 << 0.01) AND the string column's min/max text match the
+    exact min/max. Deterministic on fixed data: both sketches are
+    deterministic algorithms."""
     li = load(spark, sf_dir, "lineitem")
     rows = []
     for scale in ("l1", "l2", "sd", "max"):
         m = fit_standardizer(li, ZCOLS, center=True, scale=scale)
         for c in ZCOLS:
             rows.append((scale, c, float(m.scale[c])))
+
+    from .ops.profile import profile_table
+
+    prof = profile_table(li, _PROFILE_COLS, quantiles=_PROFILE_QS, rsd=0.05)
+    pv = {(r["column"], r["metric"]): r for r in prof.collect()}
+    numeric = [c for c in _PROFILE_COLS if c != "l_returnflag"]
+    # exact reference stats for the sketch bound-check (gate-SF-sized agg)
+    band = [p + d for p in _PROFILE_QS for d in (-0.01, 0.01)]
+    ex = li.agg(
+        *[F.countDistinct(c).alias(f"d_{c}") for c in _PROFILE_COLS],
+        *[
+            F.expr(f"percentile({c}, array({', '.join(map(repr, band))}))").alias(f"q_{c}")
+            for c in numeric
+        ],
+        F.min("l_returnflag").alias("rf_min"),
+        F.max("l_returnflag").alias("rf_max"),
+    ).collect()[0]
+    for c in _PROFILE_COLS:
+        rows.append(("profile_count", c, float(pv[(c, "count")]["value"])))
+        rows.append(("profile_nulls", c, float(pv[(c, "nulls")]["value"])))
+        exact_d = float(ex[f"d_{c}"])
+        ok = abs(pv[(c, "approx_distinct")]["value"] - exact_d) <= max(
+            1.0, 3 * 0.05 * exact_d
+        )
+        if c in numeric:
+            for m_ in ("min", "max", "mean"):
+                rows.append((f"profile_{m_}", c, float(pv[(c, m_)]["value"])))
+            qs = ex[f"q_{c}"]
+            for i, p in enumerate(_PROFILE_QS):
+                lo, hi = float(qs[2 * i]), float(qs[2 * i + 1])
+                v = float(pv[(c, f"q{p}")]["value"])
+                ok = ok and (min(lo, hi) - 1e-9 <= v <= max(lo, hi) + 1e-9)
+        else:
+            ok = (
+                ok
+                and pv[(c, "min")]["text_value"] == str(ex["rf_min"])
+                and pv[(c, "max")]["text_value"] == str(ex["rf_max"])
+            )
+        rows.append(("profile_sketch_ok", c, 1.0 if ok else 0.0))
     return spark.createDataFrame(
         rows, "scale_type string, feature string, value double"
     ).select("scale_type", "feature", F.round("value", 2).alias("value"))
 
 
-SQL_P2_SCALES = """
+def _profile_sql() -> str:
+    """Oracle block for the profile_table slice: exact metrics recomputed
+    from first principles; the sketch bound-check rows are literal 1.0
+    (the Spark side computes the indicator against Spark-exact stats —
+    see q_p2_standardize_scales; a sketch drifting out of tolerance flips
+    the Spark value to 0.0 and the hash mismatches)."""
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            f"SELECT 'profile_count' AS scale_type, '{c}' AS feature, "
+            f"count({c})::DOUBLE AS value FROM lineitem"
+        )
+        parts.append(
+            f"SELECT 'profile_nulls', '{c}', "
+            f"(count(*) - count({c}))::DOUBLE FROM lineitem"
+        )
+        if c != "l_returnflag":
+            parts.append(f"SELECT 'profile_min', '{c}', min({c})::DOUBLE FROM lineitem")
+            parts.append(f"SELECT 'profile_max', '{c}', max({c})::DOUBLE FROM lineitem")
+            parts.append(f"SELECT 'profile_mean', '{c}', avg({c}) FROM lineitem")
+        parts.append(f"SELECT 'profile_sketch_ok', '{c}', 1.0 FROM (SELECT 1)")
+    return "\n        UNION ALL ".join(parts)
+
+
+SQL_P2_SCALES = f"""
     WITH c AS (
         SELECT l_quantity      - avg(l_quantity)      OVER () AS cq,
                l_extendedprice - avg(l_extendedprice) OVER () AS cp,
@@ -293,6 +375,7 @@ SQL_P2_SCALES = """
         UNION ALL SELECT 'l2', feature, sqrt(sum(v*v)) FROM longf GROUP BY feature
         UNION ALL SELECT 'sd', feature, stddev_samp(v) FROM longf GROUP BY feature
         UNION ALL SELECT 'max', feature, max(v) FROM longf GROUP BY feature
+        UNION ALL {_profile_sql()}
     )
 """
 
@@ -763,9 +846,16 @@ def q_sim_cosine_topk(spark, sf_dir):
     BM25 top-5 over the documents table, query terms broadcast into the
     postings join). The oracle recomputes idf/tf normalization from
     first principles in SQL; `score` carries cosine for 'cosine' rows
-    and BM25 for 'bm25' rows, both rounded to 4."""
+    and BM25 for 'bm25' rows, both rounded to 4.
+
+    Round-7 merge: 'rrf' tagged rows pin search.rrf_fuse — the hybrid
+    reciprocal-rank fusion of the two slices above. BM25 query ids
+    (100, 101) are remapped onto cosine query ids (0, 1) so each fused
+    query genuinely combines a lexical and an embedding ranking; the
+    oracle re-derives every 1/(60+rank) contribution sum and the fused
+    re-ranking (score desc, id asc) in SQL over the same CTEs."""
     from .pipeline.search import (
-        bm25_search, build_postings, corpus_stats_from_docs,
+        bm25_search, build_postings, corpus_stats_from_docs, rrf_fuse,
     )
 
     emb = load(spark, sf_dir, "embeddings").withColumn(
@@ -784,14 +874,30 @@ def q_sim_cosine_topk(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     n_docs, avgdl = corpus_stats_from_docs(docs, "text")
     post = build_postings(docs, "doc_id", "text")
-    bm = bm25_search(post, BM25_QUERIES, k=5, n_docs=n_docs, avgdl=avgdl).select(
+    bm_raw = bm25_search(post, BM25_QUERIES, k=5, n_docs=n_docs, avgdl=avgdl)
+    bm = bm_raw.select(
         F.lit("bm25").alias("tag"),
         F.col("query_id").cast("bigint").alias("query_id"),
         F.col("doc_id").cast("bigint").alias("vec_id"),
         F.round("score", 4).alias("score"),
         F.col("rank").cast("int").alias("rank"),
     )
-    return cos.unionByName(bm)
+    sem = out.filter(F.col("query_id").isin([0, 1])).select(
+        "query_id", "vec_id", "rank"
+    )
+    lex = bm_raw.select(
+        (F.col("query_id") - 100).alias("query_id"),
+        F.col("doc_id").alias("vec_id"),
+        "rank",
+    )
+    rrf = rrf_fuse([sem, lex], id_col="vec_id", k=60).select(
+        F.lit("rrf").alias("tag"),
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round("rrf_score", 4).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    return cos.unionByName(bm).unionByName(rrf)
 
 
 _BM25_QTERMS_SQL = ", ".join(
@@ -845,6 +951,20 @@ SQL_SIM_TOPK = f"""
                                   ORDER BY score DESC, doc_id) AS rank
         FROM bscored
     )
+    , fused AS (
+        SELECT query_id, id, sum(c) AS rrf_score FROM (
+            SELECT query_id, vec_id AS id, 1.0 / (60.0 + rank) AS c
+            FROM ranked WHERE rank <= 5 AND query_id IN (0, 1)
+            UNION ALL
+            SELECT query_id - 100, doc_id, 1.0 / (60.0 + rank)
+            FROM branked WHERE rank <= 5
+        ) GROUP BY query_id, id
+    ), franked AS (
+        SELECT query_id, id, rrf_score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_score DESC, id) AS rank
+        FROM fused
+    )
     SELECT 'cosine' AS tag, query_id::BIGINT AS query_id,
            vec_id::BIGINT AS vec_id, round(cosine, 4) AS score,
            rank::INTEGER AS rank
@@ -853,6 +973,10 @@ SQL_SIM_TOPK = f"""
     SELECT 'bm25', query_id::BIGINT, doc_id::BIGINT, round(score, 4),
            rank::INTEGER
     FROM branked WHERE rank <= 5
+    UNION ALL
+    SELECT 'rrf', query_id::BIGINT, id::BIGINT, round(rrf_score, 4),
+           rank::INTEGER
+    FROM franked
 """
 
 
@@ -867,7 +991,19 @@ def q_text_stats(spark, sf_dir):
     (text.gopher_quality_flags — word bounds, mean word length,
     alpha-word ratio, duplicate-2-gram fraction, distinct-stopword
     floor) rides the same projection as five boolean columns + the
-    conjunction; min_words=20 fits the short synthetic documents."""
+    conjunction; min_words=20 fits the short synthetic documents.
+
+    Round-7 merge: the C4-style line-frequency boilerplate remover
+    (text.boilerplate_lines + strip_boilerplate) joins on as two columns.
+    The synthetic documents are single-line word bags, so the slice runs
+    the SAME operators with sep=' ' — 'lines' are words, the index is
+    every word in >= 390 of the 500 distinct docs (16 of the 30-word vocabulary) — which exercises the full
+    mechanism (normalize-hash index, broadcast anti-join, positional
+    re-assembly) harder than real lines would: most positions are removed
+    and order of the residue must survive. bp_clean_md5 = md5 of the
+    rebuilt text pins the reconstruction byte-exactly; bp_n_kept counts
+    surviving words. The oracle rebuilds index + cleaned text from first
+    principles in SQL."""
     docs = load(spark, sf_dir, "documents")
     out = text.token_count(docs, "text")
     out = text.quality_score(out, "text")
@@ -875,6 +1011,17 @@ def q_text_stats(spark, sf_dir):
     out = text.pii_counts(out, "text")
     out = text.repetition_ratio(out, "text")
     out = text.gopher_quality_flags(out, "text", min_words=20)
+    idx = text.boilerplate_lines(docs, "text", min_docs=390, sep=" ")
+    bp = text.strip_boilerplate(
+        docs, "doc_id", "text", idx, out="bp_clean", sep=" "
+    ).select(
+        "doc_id",
+        F.md5("bp_clean").alias("bp_clean_md5"),
+        F.size(
+            F.filter(F.split("bp_clean", " "), lambda w: w != F.lit(""))
+        ).cast("bigint").alias("bp_n_kept"),
+    )
+    out = out.join(bp, "doc_id")
     return out.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
@@ -892,6 +1039,7 @@ def q_text_stats(spark, sf_dir):
         F.round("rep_ratio", 4).alias("rep_ratio"),
         "gq_words_ok", "gq_word_len_ok", "gq_alpha_ok",
         "gq_rep_ok", "gq_stop_ok", "gq_keep",
+        "bp_clean_md5", "bp_n_kept",
     )
 
 
@@ -929,11 +1077,36 @@ def _text_stats_sql() -> str:
                length(text) AS n_chars,
                list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
         FROM documents
-    ), lid AS ({_langid_sql()})
+    ), lid AS ({_langid_sql()}
+    ), bl AS (
+        -- boilerplate index: normalized 'lines' (sep=' ': words) in
+        -- >= 390 distinct documents, mirroring text.boilerplate_lines
+        SELECT line FROM (
+            SELECT DISTINCT doc_id,
+                   trim(lower(unnest(string_split(text, ' ')))) AS line
+            FROM documents
+        ) WHERE line != '' GROUP BY line HAVING count(*) >= 390
+    ), hx AS (
+        SELECT coalesce(list(md5(line)), []) AS hs FROM bl
+    ), bpc AS (
+        SELECT doc_id, md5(clean) AS bp_clean_md5,
+               len(list_filter(string_split(clean, ' '),
+                               w -> w != ''))::BIGINT AS bp_n_kept
+        FROM (
+            SELECT doc_id,
+                   -- coalesce: array_to_string of an all-removed (empty)
+                   -- list is NULL in DuckDB; Spark rebuilds ''
+                   coalesce(array_to_string(
+                       list_filter(string_split(text, ' '),
+                           w -> NOT list_contains(hx.hs, md5(trim(lower(w))))),
+                       ' '), '') AS clean
+            FROM documents, hx
+        )
+    )
     SELECT *, (gq_words_ok AND gq_word_len_ok AND gq_alpha_ok
                AND gq_rep_ok AND gq_stop_ok) AS gq_keep
     FROM (
-    SELECT base.doc_id,
+    SELECT base.doc_id, bpc.bp_clean_md5, bpc.bp_n_kept,
            len(toks)::BIGINT AS n_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens_bpe,
            n_chars::BIGINT AS n_chars,
@@ -957,6 +1130,7 @@ def _text_stats_sql() -> str:
                    i -> array_to_string(toks[i:i+1], ' ')) AS g2
         FROM base
     ) base JOIN lid ON base.doc_id = lid.doc_id
+           JOIN bpc ON base.doc_id = bpc.doc_id
     ) flagged
 """
 
@@ -3860,6 +4034,19 @@ SQL_DOCS_SAMPLE = f"""
 # events_windowed_agg gains a 'funnel' slice (the NEW ops.funnel.funnel
 # greedy ordered-step conversion depth — one F.aggregate fold per key,
 # oracle = sequential min-after-t CTEs, provably the same greedy).
+#
+# Round-7 merges (still exactly 50) — the last three operators without a
+# CORRECTNESS row gain oracles: p2_standardize_scales gains 'profile_*'
+# tagged rows (ops.profile.profile_table over 3 numeric + 1 string
+# lineitem columns; exact metrics recomputed in SQL, sketch metrics
+# pinned by a per-column bound-check indicator row — see the query
+# docstring); sim_cosine_topk gains an 'rrf' slice (search.rrf_fuse of
+# the already-oracled bm25 + cosine rankings, every 1/(60+rank)
+# contribution and the fused re-rank re-derived in SQL); text_stats
+# gains bp_clean_md5 / bp_n_kept columns (text.boilerplate_lines +
+# strip_boilerplate with sep=' ' over the single-line word-bag fixture —
+# index, anti-join, and positional re-assembly all rebuilt in SQL, the
+# md5 pinning the reconstruction byte-exactly).
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,

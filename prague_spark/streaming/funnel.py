@@ -12,6 +12,13 @@ stream computes the greedy scan over the batch-ordered merge. When
 ingestion is time-ordered (the normal event-log case) this equals the
 batch result exactly; the parity test feeds time-split files one per
 trigger to pin that. State per key: 3 numbers — O(#keys) forever.
+
+Key-universe delta vs batch: non-step events are filtered BEFORE the
+state shuffle (they can never advance the fold, and the state store
+shouldn't pay for them), so a key emits its first row only once it has
+seen >= 1 step-typed event. The batch funnel emits (key, 0, null) for
+every key with ANY event; downstream consumers of the stream read
+"no row for key" as depth 0.
 """
 
 from __future__ import annotations
@@ -91,7 +98,11 @@ def funnel_stream(
         )
 
     return (
-        df.select(
+        # step-set pre-filter (stateless, streaming-safe): non-step events
+        # can never advance the fold, so dropping them before the state
+        # shuffle is semantically free — same guard as the batch funnel
+        df.filter(F.col(type_col).isin(list(steps)))
+        .select(
             F.col(key_col).alias("key"),
             F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t"),
             F.col(type_col).alias("_y"),

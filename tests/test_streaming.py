@@ -667,7 +667,12 @@ def test_streaming_funnel_matches_batch(spark, events_stream_dir, tmp_path):
         cur = got.get(r["key"])
         if cur is None or r["depth"] >= cur[0]:
             got[r["key"]] = (r["depth"], r["t1_us"])
-    assert got == expected
+    # key-universe delta (see streaming.funnel docstring): the stream
+    # filters non-step events before the state shuffle, so a key with
+    # zero step events emits nothing — absence == depth 0
+    assert set(got) <= set(expected)
+    for k, v in expected.items():
+        assert got.get(k, (0, None)) == v, (k, got.get(k), v)
     # state really carried: at least one key must have emitted twice
     from collections import Counter
 

@@ -623,6 +623,60 @@ def test_funnel_one_shuffle_no_udf(spark):
     assert a.shuffles == 1 and a.py_stages == 0
 
 
+def test_funnel_only_noise_key_keeps_depth0_row(spark):
+    """The map-side step-set drop must not lose keys whose events are
+    all non-step types — they report depth 0, matching the oracle's
+    all-keys universe."""
+    from prague_spark.ops.funnel import funnel
+
+    df = spark.createDataFrame(
+        [(1, _ts(9), "other"), (1, _ts(10), "noise"), (2, _ts(9), "view")],
+        "u bigint, ts timestamp, et string",
+    )
+    got = {
+        r["u"]: (r["depth"], r["t1_us"])
+        for r in funnel(df, "u", "ts", "et", ["view", "click"]).collect()
+    }
+    assert got[1] == (0, None)
+    assert got[2][0] == 1
+
+
+def test_funnel_hot_key_cap(spark, caplog):
+    """Skew guard: a degenerate key (bot) above max_events_per_key is
+    dropped with a warning; every other key's result is unchanged vs
+    the uncapped run."""
+    import logging
+
+    from prague_spark.ops.funnel import funnel
+
+    normal = [
+        (u, _ts(8 + s, u), ["view", "click", "buy"][s])
+        for u in range(1, 20)
+        for s in range(3)
+    ]
+    # one hot key: 50k step-typed events (well past the cap)
+    hot = [(999, _ts(8, i % 60, i % 60), "view") for i in range(50_000)]
+    df = spark.createDataFrame(
+        normal + hot, "u bigint, ts timestamp, et string"
+    ).repartition(8)
+
+    uncapped = {
+        r["u"]: (r["depth"], r["t1_us"])
+        for r in funnel(df, "u", "ts", "et", ["view", "click", "buy"]).collect()
+    }
+    with caplog.at_level(logging.WARNING, logger="prague_spark.funnel"):
+        capped = {
+            r["u"]: (r["depth"], r["t1_us"])
+            for r in funnel(
+                df, "u", "ts", "et", ["view", "click", "buy"],
+                max_events_per_key=1000,
+            ).collect()
+        }
+    assert 999 in uncapped and 999 not in capped
+    assert capped == {k: v for k, v in uncapped.items() if k != 999}
+    assert any("dropping 1 keys" in r.message for r in caplog.records)
+
+
 # ------------------------------------------------------------------ profile
 
 def test_profile_table_one_pass(spark):
