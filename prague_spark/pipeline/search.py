@@ -18,10 +18,26 @@ JVM expressions inside whole-stage codegen — no Python in the loop.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import tokens_expr
+
+#: Java regex \s is ASCII-only ([ \t\n\x0B\f\r]) — mirroring it exactly
+#: is what keeps driver-tokenized query terms equal to tokens_expr's
+#: JVM-side corpus terms. Python's re \s (or str.split()) is
+#: Unicode-aware and would split e.g.   where the JVM does not.
+_JVM_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def query_tokens(text) -> list[str]:
+    """Driver-side mirror of :func:`prague_spark.pipeline.text.tokens_expr`
+    (lowercase, split on JVM ``\\s+``, drop empties) — query strings must
+    tokenize EXACTLY like the indexed corpus or terms silently miss the
+    postings. The contract is pinned by a torture-set parity test
+    (tests/test_temporal_search.py) that fails if either side drifts."""
+    return [t for t in _JVM_WS.split(str(text).lower()) if t]
 
 
 def build_postings(
@@ -113,10 +129,7 @@ def bm25_search(
     # driver-side tokenization mirrors tokens_expr (lowercase, split on
     # whitespace, drop empties) so query terms hit index terms exactly
     qterm_rows = [
-        (int(qid), t)
-        for qid, qtext in queries
-        for t in str(qtext).lower().split()
-        if t
+        (int(qid), t) for qid, qtext in queries for t in query_tokens(qtext)
     ]
     if not qterm_rows:
         raise ValueError("bm25_search: no query terms")

@@ -78,8 +78,50 @@ def test_range_join_timestamps_and_default_bucket(spark):
 def test_range_join_fanout_guard(spark):
     pdf = spark.createDataFrame([(1, 0.5)], "pid int, x double")
     idf = spark.createDataFrame([(1, 0.0, 1e9)], "iid int, lo double, hi double")
+    # tiering disabled: the raw explode would be 1e9 rows -> guard trips
     with pytest.raises(Exception, match="spans more than"):
-        range_join(pdf, idf, "x", "lo", "hi", bucket=1.0, max_fanout=10).collect()
+        range_join(
+            pdf, idf, "x", "lo", "hi", bucket=1.0, max_fanout=10,
+            coarse_span_buckets=None,
+        ).collect()
+    # two-level tiering absorbs the same interval untuned (the coarse
+    # explode is exactly coarse_span_buckets=64 rows, far inside the
+    # default max_fanout guard); explicit bucket needs an explicit K
+    got = {
+        (r["pid"], r["iid_r"])
+        for r in range_join(
+            pdf, idf, "x", "lo", "hi", bucket=1.0, coarse_span_buckets=64
+        ).collect()
+    }
+    assert got == {(1, 1)}
+
+
+def test_range_join_mixed_span_untuned(spark):
+    """The round-6 watch item: median ~1s intervals with a 1-week tail.
+    Fully untuned call (no bucket, default guards) — the two-level tier
+    must absorb the 6*10^5x span spread with bounded fan-out and exact
+    results."""
+    week = 604_800.0
+    points = [(i, float(i * 997 % int(2 * week))) for i in range(160)]
+    intervals = [
+        (j, float(j * 991 % int(2 * week)), 0.0) for j in range(120)
+    ]
+    intervals = [
+        (j, lo, lo + (week if j % 40 == 0 else 1.0 + (j % 3)))
+        for j, lo, _ in intervals
+    ]
+    pdf = spark.createDataFrame(points, "pid int, x double")
+    idf = spark.createDataFrame(intervals, "iid int, lo double, hi double")
+    out = range_join(pdf, idf, "x", "lo", "hi")
+    got = [(r["pid"], r["iid_r"]) for r in out.collect()]
+    exp = {
+        (p, j)
+        for p, x in points
+        for j, lo, hi in intervals
+        if lo <= x <= hi
+    }
+    assert len(got) == len(set(got)), "duplicate pairs from the tier union"
+    assert set(got) == exp
 
 
 # ------------------------------------------------------------------- rollup
@@ -190,6 +232,46 @@ def test_bm25_topk_rank_deterministic(spark):
 
 def test_bm25_idf_reference():
     assert bm25_idf(5, 2) == pytest.approx(math.log(1 + 3.5 / 2.5))
+
+
+def test_query_tokens_matches_tokens_expr(spark):
+    """Pin the driver/JVM tokenizer contract: query_tokens (Python) must
+    equal tokens_expr (JVM) on a punctuation / unicode / whitespace
+    torture set, so the two can never silently drift (a drifted term
+    would just miss the postings with no error)."""
+    from prague_spark.pipeline.search import query_tokens
+    from prague_spark.pipeline.text import tokens_expr
+
+    torture = [
+        "Hello WORLD",
+        "tab\tsep\tted",
+        "newline\nsplit\r\nwindows",
+        "multi   space   runs",
+        "\x0bvertical\x0ctab\x0bforms",
+        " leading and trailing ",
+        "",
+        "   ",
+        "nbsp\u00a0is-not-jvm-whitespace",
+        "ideographic\u3000space",
+        "line\u2028sep\u2029para",
+        "punct, marks! (kept?) as-is; yes:",
+        "MiXeD CaSe ÄÖÜ Straße",
+        "ß and SS and ẞ",
+        "emoji 😀 stays",
+        "漢字 かな mixed 123",
+        "aİdotted-capital-I",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(torture)], "i int, t string"
+    )
+    jvm = {
+        r["i"]: list(r["toks"])
+        for r in df.select("i", tokens_expr(F.col("t")).alias("toks")).collect()
+    }
+    for i, t in enumerate(torture):
+        assert query_tokens(t) == jvm[i], (
+            f"tokenizer drift on {t!r}: py={query_tokens(t)} jvm={jvm[i]}"
+        )
 
 
 # ------------------------------------------------------------- gopher rules
