@@ -16,6 +16,7 @@ spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
 SF = "/root/testdata/sf0.001"
 
 rows = []
+expected = {}
 for name in sorted(Q.QUERIES):
     try:
         a = audit(Q.QUERIES[name](spark, SF))
@@ -23,6 +24,12 @@ for name in sorted(Q.QUERIES):
             (name, a.shuffles, a.broadcasts, a.codegen_spans,
              a.py_stages, a.widest_read)
         )
+        expected[name] = {
+            "shuffles": a.shuffles, "broadcasts": a.broadcasts,
+            "codegen_spans": a.codegen_spans, "py_stages": a.py_stages,
+            "widest_read": a.widest_read, "nested_loops": a.nested_loops,
+            "cartesians": a.cartesians,
+        }
     except Exception as e:
         rows.append((name, "-", "-", "-", "-", f"err: {str(e)[:40]}"))
 
@@ -51,4 +58,11 @@ construction one scan each either way.
 """)
     for r in rows:
         f.write("| " + " | ".join(str(x) for x in r) + " |\n")
+
+# machine-readable twin of the table: the CI baseline
+# (tests/test_plan_shapes.py fails on any drift from it)
+import json
+
+with open(REPO / "tools" / "plans_expected.json", "w") as f:
+    json.dump(expected, f, indent=1, sort_keys=True)
 print("done", len(rows))
