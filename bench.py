@@ -97,6 +97,18 @@ def main() -> None:
                          family="binomial")
     _fs(_wtb, _wyb, "y", "binomial", n_cols=100, n_sigma=3,
         lambda_min_ratio=0.3)
+    # multinomial twin (3 planted classes): the (m-1)-target stress case
+    # for the in-core subset route — matrix-valued prox state, m x the
+    # fetch and gradient width
+    widem_trip, widem_y, _ = _rsp(spark, n=10_000, p=5_000, nnz_per_row=16,
+                                  seed=7, family="multinomial", amplitude=3.0)
+    widem_trip = widem_trip.repartition(8).cache()
+    widem_y = widem_y.cache()
+    widem_trip.count(), widem_y.count()
+    _wtm, _wym, _ = _rsp(spark, n=500, p=100, nnz_per_row=8, seed=1,
+                         family="multinomial")
+    _fs(_wtm, _wym, "y", "multinomial", n_cols=100, n_sigma=3,
+        lambda_min_ratio=0.3)
     wide_holder: dict = {}
     for c in (li_s, docs_s, emb_s):
         c.unpersist()
@@ -246,6 +258,28 @@ def main() -> None:
         file=sys.stderr, flush=True,
     )
 
+    @bench("fit_sparse_wide_multinomial")
+    def _():
+        # the (m-1)-target wide-p route (round-7 item): every subset
+        # solve carries a (|active| x 2) coefficient matrix through the
+        # sorted-L1 prox and every KKT gradient is 2 pseudo-gradient
+        # columns; ratio 0.5 keeps the deepest point ~270 active columns
+        from prague_spark.ops.sparse import fit_sparse
+
+        m = fit_sparse(
+            widem_trip, widem_y, "y", "multinomial", n_cols=5000,
+            n_sigma=5, lambda_min_ratio=0.5,
+        )
+        wide_holder["scans_per_path_point_multinomial"] = (
+            m.diagnostics["scans_per_path_point"]
+        )
+
+    print(
+        "[bench] fit_sparse_wide_multinomial scans_per_path_point:"
+        f" {wide_holder['scans_per_path_point_multinomial']}",
+        file=sys.stderr, flush=True,
+    )
+
     @bench("dedup_exact")
     def _():
         dedup.exact_dedup(docs, "text", "doc_id").count()
@@ -272,6 +306,27 @@ def main() -> None:
         # thresholds >= 0.9 give recall ~0.99 with sparse candidates)
         dedup.embedding_cosine_pairs(
             emb, "vec_id", "vec", threshold=0.3, n_planes=8
+        ).count()
+
+    @bench("dedup_embedding_lsh_banded")
+    def _():
+        # the PRODUCTION config (banded OR-amplification), measured in its
+        # favorable regime: threshold 0.7 with planted near-dups (v' = v +
+        # 0.25*roll(v,1), cosine ~0.97 -> ~99% recall with 8x8-bit bands
+        # and SPARSE candidates). The raw fixture has no pairs at 0.7
+        # (near-random vectors), so the planted copies make the entry
+        # measure the plan - signatures, band self-join, exact verify -
+        # on a realistic near-dup workload instead of empty output.
+        pert = emb.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.expr(
+                "transform(vec, (x, i) -> x + 0.25d * "
+                "element_at(vec, int(pmod(i + 1, size(vec))) + 1))"
+            ).alias("vec"),
+        )
+        both = emb.select("vec_id", "vec").unionByName(pert)
+        dedup.embedding_cosine_pairs(
+            both, "vec_id", "vec", threshold=0.7, n_planes=8, n_bands=8
         ).count()
 
     @bench("sim_cosine_topk")

@@ -240,6 +240,18 @@ def random_sparse_problem(
         ydf = ydf.withColumn(
             "y", F.when(noise_u < prob, "pos").otherwise("neg")
         )
+    elif family == "multinomial":
+        # 3 classes with planted per-class predictors (lp, -lp, 0): one
+        # softmax + one uniform draw, all codegen column expressions —
+        # class c0 loads on +beta, c1 on -beta, c2 is the flat baseline
+        e0, e1 = F.exp(F.col("_lp")), F.exp(-F.col("_lp"))
+        z = e0 + e1 + F.lit(1.0)
+        ydf = ydf.withColumn(
+            "y",
+            F.when(noise_u < e0 / z, "c0")
+            .when(noise_u < (e0 + e1) / z, "c1")
+            .otherwise("c2"),
+        )
     else:
         raise ValueError(f"random_sparse_problem: unsupported family {family!r}")
     return trip, ydf.drop("_lp"), beta

@@ -8,7 +8,8 @@ aggregation per grain (each independently evictable) instead of the
 batch operator's single-shuffle grain explode. Fixed-duration grains
 only (second..day): epoch-aligned tumbling windows coincide exactly
 with ``date_trunc`` for those, which the parity test pins; calendar
-grains (week, month, ...) have no fixed duration and stay batch-only.
+grains (week, month, ...) have no fixed duration — stream them with the
+:func:`calendar_rollup_sink` foreachBatch incremental merge instead.
 """
 
 from __future__ import annotations
@@ -46,8 +47,8 @@ def time_rollup_stream(
         if g not in STREAM_GRAIN_DURATION:
             raise ValueError(
                 f"grain {g!r} has no fixed duration; streaming rollup "
-                f"supports {sorted(STREAM_GRAIN_DURATION)} (calendar "
-                "grains are batch-only)"
+                f"supports {sorted(STREAM_GRAIN_DURATION)} (stream "
+                "calendar grains via calendar_rollup_sink instead)"
             )
         out[g] = (
             sdf.withWatermark(ts_col, watermark)
@@ -73,3 +74,91 @@ def _agg_names(aggs: list[Column]) -> list[str]:
         s = a._jc.toString()
         names.append(s.rsplit(" AS ", 1)[-1].strip("`") if " AS " in s else s)
     return names
+
+
+def calendar_rollup_sink(
+    ts_col: str,
+    state_dir: str,
+    grains: list[str] | tuple[str, ...] = ("week", "month"),
+    keys: list[str] | tuple[str, ...] = (),
+    sum_cols: list[str] | tuple[str, ...] = (),
+):
+    """CALENDAR grains (week, month, quarter, year) for streams — the gap
+    :func:`time_rollup_stream` documents: calendar grains have no fixed
+    duration, so no tumbling window (and hence no watermark-evictable
+    state) can express them. The recipe instead is a ``foreachBatch``
+    incremental merge: each micro-batch runs the BATCH
+    :func:`~prague_spark.ops.rollup.time_rollup` over just its rows and
+    upserts the per-(grain, bucket, keys) partials into a parquet state
+    table. Counts and sums merge associatively, so the merged table
+    always equals the batch rollup of everything ingested so far (the
+    parity test pins week+month exactly); derive averages downstream as
+    sum/n.
+
+    Returns a ``fn(batch_df, batch_id)`` for
+    ``df.writeStream.foreachBatch(fn)``. Replay-safe: the last merged
+    batch_id is recorded with the state, and an already-merged batch is
+    skipped, so foreachBatch's at-least-once redelivery cannot
+    double-count.
+
+    Scale note: the state is rollup-sized — O(active buckets x key
+    cardinality), NOT O(stream) — and the upsert round-trips it through
+    the driver (collect + rewrite), which is the plain-parquet analogue
+    of a metadata-table MERGE. That is the right shape for dashboard
+    rollups (thousands of buckets); for very high key cardinality put
+    the same per-batch ``time_rollup`` increment behind a real upsert
+    sink instead.
+    """
+    import os
+
+    from ..ops.rollup import time_rollup
+
+    grains = list(grains)
+    aggs_inc = [F.count("*").cast("long").alias("n")] + [
+        F.sum(c).alias(f"sum_{c}") for c in sum_cols
+    ]
+
+    def _merge_aggs():
+        return [F.sum("n").cast("long").alias("n")] + [
+            F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols
+        ]
+
+    data_dir = os.path.join(state_dir, "data")
+    marker = os.path.join(state_dir, "_merged_batch")
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = -1
+        if os.path.exists(marker):
+            with open(marker) as f:
+                last = int(f.read().strip() or -1)
+        if batch_id <= last:
+            return  # redelivered batch: already merged, skip
+        inc = time_rollup(batch_df, ts_col, grains, keys, aggs=aggs_inc)
+        if os.path.isdir(data_dir):
+            cur = spark.read.parquet(data_dir)
+            merged = (
+                cur.unionByName(inc)
+                .groupBy("grain", "bucket", *keys)
+                .agg(*_merge_aggs())
+            )
+        else:
+            merged = inc
+        # materialize driver-side BEFORE overwriting the directory the
+        # plan reads from (state is aggregate-sized by construction)
+        rows = merged.collect()
+        os.makedirs(state_dir, exist_ok=True)
+        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(data_dir)
+        with open(marker, "w") as f:
+            f.write(str(batch_id))
+
+    return fn
+
+
+def read_rollup_state(spark, state_dir: str) -> DataFrame:
+    """Load the merged state a :func:`calendar_rollup_sink` maintains."""
+    import os
+
+    return spark.read.parquet(os.path.join(state_dir, "data"))

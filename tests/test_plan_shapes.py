@@ -41,6 +41,16 @@ def test_baseline_covers_registry():
     )
 
 
+@pytest.fixture(autouse=True)
+def _uncached(spark):
+    """Audit UNCACHED plans: a `.cache()` left behind by an earlier test
+    (or a prior registry query) swaps an InMemoryRelation (full-width) in
+    for the pruned parquet scan and falsely trips the widest_read pin
+    under full-suite order."""
+    spark.catalog.clearCache()
+    yield
+
+
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
 def test_plan_shape_pinned(name, spark):
     exp = BASELINE[name]

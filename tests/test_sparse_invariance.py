@@ -342,6 +342,36 @@ def test_random_sparse_problem_deterministic_and_duplicate_free(spark):
     assert abs(float(resid.mean())) < 0.2  # ~N(0, 1/sqrt(300))
 
 
+def test_random_sparse_problem_multinomial_branch(spark):
+    """Round-7 generator extension: the 3-class softmax branch draws all
+    classes, is partition-invariant, and the planted +/-beta structure is
+    recoverable — c0 rows skew toward positive planted lp, c1 negative."""
+    from prague_spark.ops.synth import random_sparse_problem
+
+    trip, ydf, beta = random_sparse_problem(
+        spark, n=600, p=80, nnz_per_row=6, seed=5, family="multinomial",
+        amplitude=3.0,
+    )
+    counts = {r["y"]: r["cnt"] for r in ydf.groupBy("y").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert set(counts) == {"c0", "c1", "c2"}
+    assert min(counts.values()) > 600 * 0.05
+    # deterministic across partitionings
+    a = {r["row_id"]: r["y"] for r in ydf.collect()}
+    b = {r["row_id"]: r["y"] for r in ydf.repartition(7).collect()}
+    assert a == b
+    # planted structure: recompute lp from triplets + beta; class-mean lp
+    # ordering must reflect (lp, -lp, 0) loadings
+    lp: dict = {}
+    for r in trip.collect():
+        lp[r["row_id"]] = lp.get(r["row_id"], 0.0) + r["value"] * beta[r["col_id"]]
+    mean_lp = {
+        c: np.mean([lp.get(i, 0.0) for i, y in a.items() if y == c])
+        for c in ("c0", "c1", "c2")
+    }
+    assert mean_lp["c0"] > mean_lp["c2"] > mean_lp["c1"]
+
+
 @pytest.mark.parametrize("family", ["gaussian", "binomial"])
 def test_sparse_incore_subset_route_matches_distributed(spark, family):
     # the in-core subset solve (screen -> fetch active columns -> driver

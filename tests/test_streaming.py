@@ -520,6 +520,72 @@ def test_streaming_rollup_rejects_calendar_grain(spark, events_stream_dir):
         time_rollup_stream(sdf, "ts", grains=("month",))
 
 
+def test_streaming_calendar_rollup_matches_batch(spark, events_stream_dir, tmp_path):
+    """calendar_rollup_sink (foreachBatch incremental merge) over
+    time-split micro-batches must land on the batch time_rollup EXACTLY
+    for the calendar grains (week, month) tumbling windows cannot
+    express — and replaying a batch_id must be a no-op (no
+    double-count)."""
+    from prague_spark.ops.rollup import time_rollup
+    from prague_spark.streaming.rollup import (
+        calendar_rollup_sink, read_rollup_state,
+    )
+
+    batch_df = spark.read.parquet(events_stream_dir)
+    expected = {
+        (r["grain"], r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in time_rollup(
+            batch_df, "ts", grains=("week", "month"), keys=("event_type",),
+            aggs=[
+                F.count("*").cast("long").alias("n"),
+                F.sum("value").alias("sum_value"),
+            ],
+        ).collect()
+    }
+
+    # two time-ordered halves -> at least two foreachBatch invocations
+    med = batch_df.withColumn(
+        "_tu", F.unix_micros(F.col("ts").cast("timestamp"))
+    ).approxQuantile("_tu", [0.5], 0.0)[0]
+    tu = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = str(tmp_path / "halves")
+    batch_df.filter(tu <= med).coalesce(1).write.parquet(f"{d}/a=0")
+    batch_df.filter(tu > med).coalesce(1).write.parquet(f"{d}/a=1")
+
+    state = str(tmp_path / "rollup_state")
+    sink = calendar_rollup_sink(
+        "ts", state, grains=("week", "month"), keys=("event_type",),
+        sum_cols=("value",),
+    )
+    sdf = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/a=*")
+    )
+    q = sdf.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    try:
+        assert q.awaitTermination(120), "calendar rollup stream did not finish"
+    finally:
+        q.stop()
+
+    def _state():
+        return {
+            (r["grain"], r["bucket"], r["event_type"]): (
+                r["n"], r["sum_value"],
+            )
+            for r in read_rollup_state(spark, state).collect()
+        }
+
+    got = _state()
+    assert set(got) == set(expected)
+    for k, (n, sv) in expected.items():
+        assert got[k][0] == n, k
+        assert got[k][1] == pytest.approx(sv, rel=1e-9), k
+    # at-least-once replay: re-merging an already-seen batch_id is a no-op
+    sink(batch_df.limit(50), 0)
+    assert _state() == got
+
+
 def test_streaming_bm25_matches_batch(spark, sf_dir, tmp_path):
     """bm25_contributions_stream (stateless stream-static joins) +
     the documented per-batch groupBy/top-k sink must reproduce the

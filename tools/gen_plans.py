@@ -19,6 +19,10 @@ rows = []
 expected = {}
 for name in sorted(Q.QUERIES):
     try:
+        # uncached plans only — a prior query's .cache() would swap an
+        # InMemoryRelation in for the pruned scan (mirrors the per-test
+        # clearCache in tests/test_plan_shapes.py)
+        spark.catalog.clearCache()
         a = audit(Q.QUERIES[name](spark, SF))
         rows.append(
             (name, a.shuffles, a.broadcasts, a.codegen_spans,
