@@ -194,6 +194,15 @@ def main() -> None:
             n_folds=3, measures=["mse"], n_sigma=5, lambda_min_ratio=0.01,
         )
 
+    @bench("fit_grouped_gaussian")
+    def _():
+        # per-segment fits: one applyInPandas shuffle, one in-core path
+        # per l_returnflag segment (3 segments x ~200k rows at sf0.1)
+        ps.fit_grouped(
+            li, FEATURES, LABEL, "gaussian", ["l_returnflag"],
+            n_sigma=5, lambda_min_ratio=0.01,
+        ).count()
+
     @bench("fit_sparse_gaussian")
     def _():
         # long-format sparse path: one-time triplet self-join Gram, then
@@ -334,6 +343,22 @@ def main() -> None:
         qrows = emb.limit(3).select("vec_id", "vec").collect()
         queries = [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in qrows]
         similarity.cosine_topk(emb, "vec_id", "vec", queries, k=10).count()
+
+    @bench("sim_pq_topk")
+    def _():
+        # full PQ lifecycle: train codebooks (driver k-means on a sample),
+        # code the corpus (zero-shuffle codegen projection), two-stage
+        # search (ADC shortlist -> exact re-rank) for 3 queries
+        qrows = emb.limit(3).select("vec_id", "vec").collect()
+        queries = [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in qrows]
+        books = similarity.train_pq_codebooks(
+            emb, "vec", n_subvectors=8, n_codes=16, sample_rows=2000
+        )
+        coded = similarity.assign_pq_codes(emb, "vec", books)
+        similarity.pq_adc_topk(
+            coded, "vec_id", "pq_code", books, queries, k=10,
+            rerank_vec_col="vec", shortlist=100,
+        ).count()
 
     @bench("events_sessionize")
     def _():

@@ -1,0 +1,172 @@
+"""Per-segment SLOPE path fitting: one independent model per group key.
+
+The reference fits ONE model per call (``R/owl.R:1-390``); at cluster
+scale the common ask is one model per segment (per language, per
+source, per region) over a table far too large for any single node.
+Spark's shape for that is a single hash shuffle on the group keys
+followed by embarrassingly parallel IN-CORE solves — each group's rows
+land in one ``applyInPandas`` call, which runs the driver-only NumPy
+reference fit (:func:`prague_spark.core.ref_fit.numpy_path_fit`, the
+pinned twin of ``prague_spark.fit.fit``) on the executor.
+
+Scale notes (100 TB):
+- ONE shuffle total, keyed by the group columns; thousands of segments
+  fit concurrently, one task each. This is the textbook "many small
+  models" pattern — the alternative (a driver loop of distributed fits)
+  pays a full scan per segment.
+- Each GROUP must fit in one task's memory (``n_rows x (p + m)``
+  doubles). ``max_group_rows`` fails loud with the offending group key
+  rather than OOMing the executor; segments above it should be sampled
+  or fit individually with the distributed :func:`prague_spark.fit.fit`.
+- Hot segments skew task time, not memory ceilings elsewhere: AQE
+  cannot split a single applyInPandas group, so cap-and-sample the
+  known-degenerate keys upstream.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, IntegerType, StringType, StructField, StructType,
+)
+
+__all__ = ["fit_grouped"]
+
+#: coefficient rows use this pseudo-feature name for the intercept
+INTERCEPT = "(intercept)"
+
+
+def fit_grouped(
+    df: DataFrame,
+    features: Sequence[str],
+    label: str,
+    family: str,
+    group_cols: Sequence[str],
+    *,
+    q: float = 0.2,
+    n_sigma: int = 100,
+    lambda_min_ratio: float | None = None,
+    lambda_type: str = "gaussian",
+    order_col: str | None = None,
+    max_group_rows: int = 2_000_000,
+) -> DataFrame:
+    """Fit one SLOPE path per distinct ``group_cols`` key.
+
+    Returns a long coefficient frame: one row per
+    (group, path_idx, feature, cls) with a NONZERO coefficient (the
+    intercept row is always emitted), plus the per-point ``sigma`` and
+    ``n_nonzero``. ``cls`` indexes the (m-1) multinomial targets and is
+    0 for single-target families.
+
+    ``order_col``: sort each group's rows by this column before solving
+    — float accumulation ORDER is then fixed, making the output invariant
+    to upstream partitioning up to BLAS-reduction ulps (the parity tests
+    pin this at rel 1e-9; bit-exactness is not achievable because BLAS
+    splits reductions by thread context).
+
+    Groups that cannot be fit raise ``ValueError`` naming the group key
+    (single-class binomial labels, negative poisson counts, rows above
+    ``max_group_rows``) — loud beats a silently missing segment.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..core.ref_fit import numpy_path_fit
+
+    features = list(features)
+    group_cols = list(group_cols)
+    if not group_cols:
+        raise ValueError("fit_grouped: group_cols must be non-empty")
+    overlap = set(group_cols) & (set(features) | {label})
+    if overlap:
+        raise ValueError(f"fit_grouped: group_cols overlap features/label: {overlap}")
+
+    gfields = [df.schema[c] for c in group_cols]
+    schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in gfields]
+        + [
+            StructField("path_idx", IntegerType()),
+            StructField("sigma", DoubleType()),
+            StructField("feature", StringType()),
+            StructField("cls", IntegerType()),
+            StructField("beta", DoubleType()),
+            StructField("n_nonzero", IntegerType()),
+        ]
+    )
+
+    cols = group_cols + features + [label] + ([order_col] if order_col else [])
+    cols = list(dict.fromkeys(cols))
+
+    def _solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = tuple(pdf.iloc[0][c] for c in group_cols)
+        if len(pdf) > max_group_rows:
+            raise ValueError(
+                f"fit_grouped: group {key} has {len(pdf)} rows > "
+                f"max_group_rows={max_group_rows}; sample the segment or fit "
+                "it with the distributed prague_spark.fit"
+            )
+        if order_col:
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+        X = pdf[features].to_numpy(dtype=np.float64)
+        y = pdf[label].to_numpy()
+        # per-group response validation, mirroring ops.response (ref_fit's
+        # preprocess assumes a pre-validated response) — the error names
+        # the group so a bad segment is findable in a 10k-segment job
+        if family in ("binomial", "multinomial"):
+            import collections
+
+            cnt = collections.Counter(str(v) for v in y)
+            if family == "binomial" and len(cnt) != 2:
+                raise ValueError(
+                    f"fit_grouped: group {key}: binomial needs exactly two "
+                    f"classes, got {sorted(cnt)}"
+                )
+            if family == "multinomial" and len(cnt) < 3:
+                raise ValueError(
+                    f"fit_grouped: group {key}: multinomial needs > 2 "
+                    f"classes, got {sorted(cnt)}"
+                )
+            if min(cnt.values()) < 2:
+                raise ValueError(
+                    f"fit_grouped: group {key}: one class only has "
+                    f"{min(cnt.values())} observation(s)"
+                )
+        elif family == "poisson" and (y.astype(np.float64) < 0).any():
+            raise ValueError(
+                f"fit_grouped: group {key}: negative responses in poisson model"
+            )
+        try:
+            res = numpy_path_fit(
+                X, y, family, q=q, n_sigma=n_sigma,
+                lambda_min_ratio=lambda_min_ratio, lambda_type=lambda_type,
+            )
+        except ValueError as e:
+            raise ValueError(f"fit_grouped: group {key}: {e}") from e
+        B = res["betas"]  # (K, p+1, m) original units
+        K, _, m = B.shape
+        names = [INTERCEPT] + features
+        out: dict = {c: [] for c in group_cols}
+        pi, sg, ft, cl, bt, nz = [], [], [], [], [], []
+        for k in range(K):
+            for j, nm in enumerate(names):
+                for t in range(m):
+                    b = float(B[k, j, t])
+                    if j > 0 and b == 0.0:
+                        continue
+                    for c, v in zip(group_cols, key):
+                        out[c].append(v)
+                    pi.append(k)
+                    sg.append(float(res["sigma"][k]))
+                    ft.append(nm)
+                    cl.append(t)
+                    bt.append(b)
+                    nz.append(int(res["n_nonzero"][k]))
+        out.update(
+            path_idx=pi, sigma=sg, feature=ft, cls=cl, beta=bt, n_nonzero=nz
+        )
+        return pd.DataFrame(out)
+
+    return df.select(*cols).groupBy(*group_cols).applyInPandas(_solve, schema)

@@ -176,6 +176,58 @@ def shard_assign(
     ).withColumn(order_col, h)
 
 
+def zorder_key(
+    df: DataFrame,
+    col_bounds: dict[str, tuple[float, float]],
+    bits: int = 16,
+    out: str = "zorder",
+) -> DataFrame:
+    """Z-order (Morton) interleave key over 2+ numeric columns — the
+    multi-dimensional layout primitive: write the table sorted by this
+    key (``repartitionByRange(out).sortWithinPartitions(out)``) and
+    min/max footer stats make scans with predicates on ANY of the
+    interleaved columns skip most files, not just the leading sort
+    column.
+
+    ``col_bounds``: {column: (lo, hi)} — each value is clamped to the
+    bounds and scaled to a ``bits``-bit integer, then the per-column bits
+    are interleaved LSB-first. Bounds are explicit (compute them once
+    with an agg, or use domain knowledge) so the key is a deterministic
+    pure-integer codegen expression — no sampling, no UDF, no shuffle;
+    total bits = len(cols) * bits must fit a long (<= 62)."""
+    cols = list(col_bounds)
+    if len(cols) < 2:
+        raise ValueError("zorder_key: need at least 2 columns")
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(
+            f"zorder_key: {n} cols x {bits} bits = {n * bits} > 62 key bits"
+        )
+    cells = []
+    top = (1 << bits) - 1
+    for c in cols:
+        lo, hi = (float(x) for x in col_bounds[c])
+        if not hi > lo:
+            raise ValueError(f"zorder_key: bounds for {c!r} must have hi > lo")
+        # clamp -> [0, 1] -> floor to [0, 2^bits)
+        unit = (
+            F.least(
+                F.greatest(F.col(c).cast("double"), F.lit(lo)), F.lit(hi)
+            ) - F.lit(lo)
+        ) / F.lit(hi - lo)
+        cells.append(
+            F.least(F.floor(unit * F.lit(float(1 << bits))).cast("long"),
+                    F.lit(top).cast("long"))
+        )
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, cell in enumerate(cells):
+            key = key + F.shiftleft(
+                F.shiftright(cell, b).bitwiseAND(F.lit(1)), b * n + i
+            )
+    return df.withColumn(out, key)
+
+
 def stratified_topk(
     df: DataFrame, id_col: str, strata_col: str, k: int
 ) -> DataFrame:

@@ -170,6 +170,208 @@ def read_ivf_index(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# ---------------------------------------------------------------------------
+# PQ: product quantization + asymmetric-distance (ADC) search
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    n_subvectors: int = 8,
+    n_codes: int = 16,
+    sample_rows: int = 10_000,
+    iters: int = 15,
+    seed: int = 42,
+) -> np.ndarray:
+    """Driver-side product-quantization training: split each (normalized)
+    vector into ``n_subvectors`` contiguous blocks and k-means each block
+    independently on a corpus sample. Returns codebooks shaped
+    (n_subvectors, n_codes, dim/n_subvectors).
+
+    PQ compresses a d-dim float vector to ``n_subvectors`` small ints —
+    at 100 TB that is the difference between an index that fits in
+    executor memory and one that doesn't (64 floats -> 8 bytes at
+    n_codes<=256). Training is a driver artifact like the IVF centroids:
+    O(sample) work, broadcast as literals afterwards."""
+    pdf = (
+        corpus.select(vec_col)
+        .sample(fraction=1.0, seed=seed)
+        .limit(sample_rows)
+        .toPandas()
+    )
+    X = np.asarray(np.vstack(pdf[vec_col].to_numpy()), dtype=np.float64)
+    return pq_kmeans(X, n_subvectors, n_codes, iters=iters, seed=seed)
+
+
+def pq_kmeans(
+    X: np.ndarray,
+    n_subvectors: int,
+    n_codes: int,
+    iters: int = 15,
+    seed: int = 42,
+) -> np.ndarray:
+    """The pure-NumPy PQ training core (deterministic given X and seed):
+    normalize rows, then independent k-means per contiguous block. Shared
+    by train_pq_codebooks and the registry's pinned-codebook oracle."""
+    X = np.asarray(X, dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n, d = X.shape
+    if d % n_subvectors:
+        raise ValueError(
+            f"pq_kmeans: dim {d} not divisible by n_subvectors={n_subvectors}"
+        )
+    dsub = d // n_subvectors
+    rng = np.random.default_rng(seed)
+    books = np.empty((n_subvectors, n_codes, dsub))
+    for m in range(n_subvectors):
+        Xm = X[:, m * dsub:(m + 1) * dsub]
+        C = Xm[rng.choice(n, size=min(n_codes, n), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((Xm[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(C.shape[0]):
+                members = Xm[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[m] = C
+    return books
+
+
+def assign_pq_codes(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: np.ndarray,
+    out: str = "pq_code",
+    normalize: bool = True,
+) -> DataFrame:
+    """Per-row PQ codes as PURE column expressions (``array<int>``,
+    length n_subvectors): for each block, the nearest codebook row by
+    squared euclidean — argmax of (x.c - |c|^2/2), a literal-dot
+    when-chain exactly like assign_ivf_cells. No UDF, no shuffle; the
+    expression count is n_subvectors*n_codes (keep n_codes modest, e.g.
+    16-64, for codegen — past that, precompute the codes at write time).
+
+    ``normalize``: code the L2-normalized vector (cosine regime, matches
+    train_pq_codebooks)."""
+    M, K, dsub = codebooks.shape
+    vec = F.col(vec_col)
+    # STAGED projections, not one nested expression: materialize the
+    # normalized vector, then every (block, code) score, then the
+    # per-block max, each as its own named column. Inlining instead
+    # duplicates the norm fold into all M*K scores and every score into
+    # the greatest + when-chain — a ~1000x expression blowup that costs
+    # ~40 s of driver-side analysis and >10 MiB task binaries at K=16.
+    # CollapseProject keeps these stages apart (the aliases are non-cheap
+    # and multiply referenced), so the codegen sees column refs.
+    nv = f"_pq_nv_{out}"
+    if normalize:
+        nrm = _norm(vec)
+        df = df.withColumn(nv, F.transform(vec, lambda x: x / nrm))
+    else:
+        df = df.withColumn(nv, vec)
+    scols = {}
+    for m in range(M):
+        block = F.slice(F.col(nv), m * dsub + 1, dsub)
+        for j, c in enumerate(codebooks[m]):
+            scols[f"_pqs_{m}_{j}"] = (
+                _dot(block, F.array(*[F.lit(float(x)) for x in c]))
+                - F.lit(float(np.dot(c, c) / 2.0))
+            )
+    df = df.withColumns(scols)
+    df = df.withColumns(
+        {
+            f"_pqb_{m}": F.greatest(*[F.col(f"_pqs_{m}_{j}") for j in range(K)])
+            for m in range(M)
+        }
+    )
+    codes = []
+    for m in range(M):
+        code = None
+        for j in range(K):
+            cond = F.col(f"_pqs_{m}_{j}") == F.col(f"_pqb_{m}")
+            code = F.when(cond, F.lit(j)) if code is None else code.when(cond, F.lit(j))
+        codes.append(code.cast("int"))
+    return df.withColumn(out, F.array(*codes)).drop(
+        nv, *scols, *[f"_pqb_{m}" for m in range(M)]
+    )
+
+
+def pq_adc_topk(
+    corpus_with_codes: DataFrame,
+    id_col: str,
+    code_col: str,
+    codebooks: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    rerank_vec_col: str | None = None,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Asymmetric-distance top-k: per query, a lookup table
+    lut[m][j] = q_m . c_{m,j} is computed driver-side (M x K floats) and
+    the per-row score is sum_m lut[m][code_m] — M ``element_at`` lookups
+    on literal arrays, zero UDF, one corpus scan for ALL queries.
+
+    With ``rerank_vec_col`` set, the ADC ranking only builds a
+    ``shortlist`` of candidates per query and the final top-k is exact
+    cosine over the shortlist (the standard two-stage PQ search: the
+    compressed index prunes, full vectors re-rank). Returns
+    (query_id, id, score, rank): score is the ADC approximation, or the
+    exact cosine when re-ranking."""
+    M, K, dsub = codebooks.shape
+    code = F.col(code_col)
+    per_query = []
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        luts = [qn[m * dsub:(m + 1) * dsub] @ codebooks[m].T for m in range(M)]
+        score = None
+        for m in range(M):
+            lut = F.array(*[F.lit(float(x)) for x in luts[m]])
+            term = F.element_at(lut, F.element_at(code, m + 1) + F.lit(1))
+            score = term if score is None else score + term
+        per_query.append(
+            F.struct(F.lit(int(qid)).alias("query_id"), score.alias("score"))
+        )
+    keep = [id_col] + ([rerank_vec_col] if rerank_vec_col else [])
+    exploded = corpus_with_codes.select(
+        *keep, F.explode(F.array(*per_query)).alias("q")
+    ).select(*keep, "q.query_id", "q.score")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    ranked = exploded.withColumn("rank", F.row_number().over(w))
+    if not rerank_vec_col:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", id_col, "score", "rank"
+        )
+    # two-stage: ADC shortlist -> exact cosine re-rank
+    cand = ranked.filter(F.col("rank") <= shortlist).drop("rank", "score")
+    per_query_exact = [
+        F.struct(
+            F.lit(int(qid)).alias("query_id"),
+            (
+                _dot(F.col(rerank_vec_col), F.array(*[F.lit(float(x)) for x in qv]))
+                / (_norm(F.col(rerank_vec_col)) * F.lit(float(np.linalg.norm(qv))))
+            ).alias("score"),
+        )
+        for qid, qv in queries
+    ]
+    exact = cand.select(
+        id_col, "query_id",
+        F.explode(F.array(*per_query_exact)).alias("e"),
+    ).filter(F.col("query_id") == F.col("e.query_id")).select(
+        "query_id", id_col, F.col("e.score").alias("score")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     vec_col: str,

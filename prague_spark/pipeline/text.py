@@ -337,6 +337,59 @@ def gopher_quality_flags(
     return df.withColumn(p + "keep", keep)
 
 
+#: host part of a URL: optional scheme, then everything up to the first
+#: /, :, ?, or # — one shared regex so Spark and the SQL oracles extract
+#: identically
+URL_HOST_RE = r"^(?:[a-z][a-z0-9+.-]*://)?([^/:?#]+)"
+
+
+def badword_flags(
+    df: DataFrame,
+    text_col: str,
+    badwords: list[str],
+    prefix: str = "c4_",
+) -> DataFrame:
+    """C4-style blocked-word filter: count the DISTINCT blocked words a
+    document contains (token-level, after the standard lowercase
+    tokenization — substring hits inside other words do NOT count, which
+    is the C4 word-boundary behavior) and flag documents with zero hits.
+    One array_intersect over the shared tokenization — pure codegen, no
+    shuffle. Callers supply their own list; C4's actual list is a large
+    external artifact."""
+    if not badwords:
+        raise ValueError("badword_flags: badwords must be non-empty")
+    toks = tokens_expr(F.col(text_col))
+    hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w.lower()) for w in badwords]))
+    )
+    return df.withColumn(
+        prefix + "n_badwords", hits.cast("long")
+    ).withColumn(prefix + "badword_ok", hits == 0)
+
+
+def domain_flags(
+    df: DataFrame,
+    url_col: str,
+    blocked_domains: list[str],
+    prefix: str = "c4_",
+) -> DataFrame:
+    """URL blocklist filter: extract the host (scheme optional), flag
+    URLs whose host IS a blocked domain or is a SUBDOMAIN of one
+    (host == d or host endswith '.d' — the standard registrable-domain
+    suffix rule). Pure codegen projection; the blocklist is a literal
+    (broadcast-sized by nature)."""
+    if not blocked_domains:
+        raise ValueError("domain_flags: blocked_domains must be non-empty")
+    host = F.regexp_extract(F.lower(F.col(url_col)), URL_HOST_RE, 1)
+    blocked = F.lit(False)
+    for d in blocked_domains:
+        d = d.lower()
+        blocked = blocked | (host == d) | host.endswith("." + d)
+    return df.withColumn(prefix + "domain", host).withColumn(
+        prefix + "domain_ok", ~blocked
+    )
+
+
 def boilerplate_lines(
     df: DataFrame,
     text_col: str,

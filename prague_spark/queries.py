@@ -1003,7 +1003,15 @@ def q_text_stats(spark, sf_dir):
     and order of the residue must survive. bp_clean_md5 = md5 of the
     rebuilt text pins the reconstruction byte-exactly; bp_n_kept counts
     surviving words. The oracle rebuilds index + cleaned text from first
-    principles in SQL."""
+    principles in SQL.
+
+    Round-7 merge (session 2): the NEW C4-style blocklist filters ride
+    the same projection — text.badword_flags (distinct blocked-token
+    count over the shared tokenization) and text.domain_flags (host
+    extraction + exact/subdomain blocklist match) over a deterministic
+    synthesized URL ('https://{lang}.{source}.example.com/doc/{doc_id}'
+    — the fixture has no URL column; the synthesis is identical SQL on
+    both engines so host parsing and suffix matching are hash-pinned)."""
     docs = load(spark, sf_dir, "documents")
     out = text.token_count(docs, "text")
     out = text.quality_score(out, "text")
@@ -1011,6 +1019,15 @@ def q_text_stats(spark, sf_dir):
     out = text.pii_counts(out, "text")
     out = text.repetition_ratio(out, "text")
     out = text.gopher_quality_flags(out, "text", min_words=20)
+    out = text.badword_flags(out, "text", _C4_BADWORDS)
+    out = out.withColumn(
+        "_url",
+        F.concat(
+            F.lit("https://"), F.col("lang"), F.lit("."), F.col("source"),
+            F.lit(".example.com/doc/"), F.col("doc_id"),
+        ),
+    )
+    out = text.domain_flags(out, "_url", _C4_BLOCKED)
     idx = text.boilerplate_lines(docs, "text", min_docs=390, sep=" ")
     bp = text.strip_boilerplate(
         docs, "doc_id", "text", idx, out="bp_clean", sep=" "
@@ -1040,10 +1057,17 @@ def q_text_stats(spark, sf_dir):
         "gq_words_ok", "gq_word_len_ok", "gq_alpha_ok",
         "gq_rep_ok", "gq_stop_ok", "gq_keep",
         "bp_clean_md5", "bp_n_kept",
+        "c4_n_badwords", "c4_badword_ok", "c4_domain", "c4_domain_ok",
     )
 
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in text.EN_STOPWORDS)
+
+# blocked tokens / domains for the text_stats C4 slice: two mid-frequency
+# vocabulary words (so the flag varies) and one suffix + one exact host
+# (so both blocklist branches are exercised)
+_C4_BADWORDS = ["slow", "dup"]
+_C4_BLOCKED = ["src1.example.com", "zh.src0.example.com"]
 
 
 def _text_stats_sql() -> str:
@@ -1055,6 +1079,19 @@ def _text_stats_sql() -> str:
         for name, pat in text.PII_PATTERNS.items()
     )
     gstop = ", ".join(f"'{s}'" for s in text.GOPHER_STOPWORDS)
+    bad = ", ".join(f"'{w}'" for w in _C4_BADWORDS)
+    host = (
+        "regexp_extract(lower('https://' || base.lang || '.' || base.source || "
+        f"'.example.com/doc/' || base.doc_id), '{text.URL_HOST_RE}', 1)"
+    )
+    dom_block = " OR ".join(
+        f"(c4_domain = '{d}' OR c4_domain LIKE '%.{d}')" for d in _C4_BLOCKED
+    )
+    c4 = f"""
+           len(list_intersect(toks, [{bad}]))::BIGINT AS c4_n_badwords,
+           (len(list_intersect(toks, [{bad}])) = 0) AS c4_badword_ok,
+           {host} AS c4_domain
+    """
     # Gopher-rule flags recomputed from first principles (g2 below is the
     # 2-gram list; thresholds mirror q_text_stats' min_words=20 call)
     gq = f"""
@@ -1073,7 +1110,7 @@ def _text_stats_sql() -> str:
     """
     return f"""
     WITH base AS (
-        SELECT doc_id, text,
+        SELECT doc_id, text, lang, source,
                length(text) AS n_chars,
                list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
         FROM documents
@@ -1104,7 +1141,8 @@ def _text_stats_sql() -> str:
         )
     )
     SELECT *, (gq_words_ok AND gq_word_len_ok AND gq_alpha_ok
-               AND gq_rep_ok AND gq_stop_ok) AS gq_keep
+               AND gq_rep_ok AND gq_stop_ok) AS gq_keep,
+           NOT ({dom_block}) AS c4_domain_ok
     FROM (
     SELECT base.doc_id, bpc.bp_clean_md5, bpc.bp_n_kept,
            len(toks)::BIGINT AS n_tokens,
@@ -1120,6 +1158,7 @@ def _text_stats_sql() -> str:
            round(CASE WHEN len(g3) > 0
                       THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3)
                       ELSE 0.0 END, 4) AS rep_ratio,
+           {c4},
            {gq}
     FROM (
         SELECT *, list_transform(
@@ -2032,13 +2071,12 @@ def _pinned_fit(sf_dir: str, qname: str):
     )
 
 
-def _kkt_sql(sf_dir: str, qname: str) -> str:
-    """Dialect-neutral KKT-residual SQL for one solver query (see the
-    section comment). All data-dependent constants are pinned literals."""
-    spec = _SOLVER_SPECS[qname]
-    pin = _pinned_fit(sf_dir, qname)
-    fam = spec["family"]
-    feats = spec["features"]
+def _kkt_parts(pin, feats, fam, sfx: str, where: str = "", grp: str | None = None):
+    """One KKT-residual slice as (CTE definitions, final SELECT), with
+    every CTE name suffixed by ``sfx`` so multiple slices can share a
+    single WITH and be UNION ALLed (the round-7 grouped-fit slices of
+    f11_gaussian_path). ``where`` filters the base rows (per-group
+    slices); ``grp`` (if set) is emitted as a literal tag column."""
     p = len(feats)
     m = pin["m"]
     B = pin["betas"]  # (K, p+1, m) original units
@@ -2088,7 +2126,7 @@ def _kkt_sql(sf_dir: str, qname: str) -> str:
         for k in range(K) for t in range(m) for j in range(p)
     ]
     long_selects = " UNION ALL ".join(
-        f"SELECT {k} AS k, abs(g_{k}_{t}_{j}) AS a FROM g"
+        f"SELECT {k} AS k, abs(g_{k}_{t}_{j}) AS a FROM g_{sfx}"
         for k in range(K) for t in range(m) for j in range(p)
     )
     lam = pin["lam"]  # length p*m, non-increasing
@@ -2106,37 +2144,118 @@ def _kkt_sql(sf_dir: str, qname: str) -> str:
         for k in range(K)
     )
 
-    return f"""
-    WITH pgt AS (
+    where_sql = f" WHERE {where}" if where else ""
+    ctes = [
+        f"""pgt_{sfx} AS (
         SELECT l_quantity, l_discount, l_tax, l_extendedprice, l_returnflag,
                {", ".join(pg_exprs)}
-        FROM lineitem
-    ), g AS (
-        SELECT {", ".join(g_exprs)} FROM pgt
-    ), longg AS (
-        {long_selects}
-    ), lamt AS (
-        SELECT * FROM (VALUES {lam_rows}) AS t(k, r, lam)
-    ), ranked AS (
+        FROM lineitem{where_sql}
+    )""",
+        f"g_{sfx} AS (SELECT {', '.join(g_exprs)} FROM pgt_{sfx})",
+        f"longg_{sfx} AS ({long_selects})",
+        f"lamt_{sfx} AS (SELECT * FROM (VALUES {lam_rows}) AS t(k, r, lam))",
+        f"""ranked_{sfx} AS (
         SELECT k, a, row_number() OVER (PARTITION BY k ORDER BY a DESC) AS r
-        FROM longg
-    ), cum AS (
-        SELECT ranked.k AS k,
-               sum(ranked.a - lamt.lam) OVER (
-                   PARTITION BY ranked.k ORDER BY ranked.r
+        FROM longg_{sfx}
+    )""",
+        f"""cum_{sfx} AS (
+        SELECT ranked_{sfx}.k AS k,
+               sum(ranked_{sfx}.a - lamt_{sfx}.lam) OVER (
+                   PARTITION BY ranked_{sfx}.k ORDER BY ranked_{sfx}.r
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
-        FROM ranked JOIN lamt ON ranked.k = lamt.k AND ranked.r = lamt.r
-    ), inf AS (
+        FROM ranked_{sfx} JOIN lamt_{sfx}
+          ON ranked_{sfx}.k = lamt_{sfx}.k AND ranked_{sfx}.r = lamt_{sfx}.r
+    )""",
+        f"""inf_{sfx} AS (
         SELECT k, max(CASE WHEN c > 0.0 THEN c ELSE 0.0 END) AS infeas
-        FROM cum GROUP BY k
-    ), meta AS (
-        SELECT * FROM (VALUES {meta_rows}) AS t(k, nnz, tol)
+        FROM cum_{sfx} GROUP BY k
+    )""",
+        f"meta_{sfx} AS (SELECT * FROM (VALUES {meta_rows}) AS t(k, nnz, tol))",
+    ]
+    grp_sel = f"'{grp}' AS grp, " if grp is not None else ""
+    final = (
+        f"SELECT {grp_sel}CAST(meta_{sfx}.k AS INTEGER) AS path_idx, "
+        f"CAST(meta_{sfx}.nnz AS BIGINT) AS n_nonzero, "
+        f"(inf_{sfx}.infeas <= meta_{sfx}.tol) AS kkt_ok "
+        f"FROM inf_{sfx} JOIN meta_{sfx} ON inf_{sfx}.k = meta_{sfx}.k"
     )
-    SELECT CAST(meta.k AS INTEGER) AS path_idx,
-           CAST(meta.nnz AS BIGINT) AS n_nonzero,
-           (inf.infeas <= meta.tol) AS kkt_ok
-    FROM inf JOIN meta ON inf.k = meta.k
-"""
+    return ctes, final
+
+
+def _kkt_sql(sf_dir: str, qname: str) -> str:
+    """Dialect-neutral KKT-residual SQL for one solver query (see the
+    section comment). All data-dependent constants are pinned literals."""
+    spec = _SOLVER_SPECS[qname]
+    ctes, final = _kkt_parts(
+        _pinned_fit(sf_dir, qname), spec["features"], spec["family"], "b"
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + final
+
+
+# --- round-7 merge: per-segment fits (ops.grouped.fit_grouped) ride
+# f11_gaussian_path as per-group KKT slices. The grouped spec is its own
+# (smaller) pinned problem: gaussian on two features, one independent
+# path per l_returnflag segment.
+_GROUPED_SPEC = dict(
+    family="gaussian",
+    features=["l_quantity", "l_discount"],
+    n_sigma=4, lambda_min_ratio=0.1,
+    group_col="l_returnflag",
+)
+
+
+@lru_cache(maxsize=None)
+def _pinned_fit_grouped(sf_dir: str):
+    """Per-group reference fits for the grouped f11 slices: the same
+    tightly-converged numpy_path_fit as _pinned_fit, once per distinct
+    group value."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .core.ref_fit import numpy_path_fit
+
+    spec = _GROUPED_SPEC
+    cols = list({*spec["features"], "l_extendedprice", spec["group_col"]})
+    tbl = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=cols)
+    gvals = np.asarray(tbl.column(spec["group_col"]).to_pylist())
+    X = np.column_stack(
+        [tbl.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+         for c in spec["features"]]
+    )
+    y = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False).astype(
+        np.float64
+    )
+    pins = {}
+    for gv in sorted(set(gvals.tolist())):
+        mask = gvals == gv
+        pins[gv] = numpy_path_fit(
+            X[mask], y[mask], spec["family"],
+            n_sigma=spec["n_sigma"], lambda_min_ratio=spec["lambda_min_ratio"],
+            tol_rel_gap=1e-7, tol_infeas=1e-4,
+        )
+    return pins
+
+
+def _f11_full_sql(sf_dir: str) -> str:
+    """f11's base KKT slice (grp='_all') UNION ALL one KKT slice per
+    l_returnflag segment, all under one WITH (suffix-namespaced CTEs)."""
+    spec = _SOLVER_SPECS["f11_gaussian_path"]
+    ctes, finals = [], []
+    c, f = _kkt_parts(
+        _pinned_fit(sf_dir, "f11_gaussian_path"), spec["features"],
+        spec["family"], "b", grp="_all",
+    )
+    ctes += c
+    finals.append(f)
+    gspec = _GROUPED_SPEC
+    for i, (gv, pin) in enumerate(sorted(_pinned_fit_grouped(sf_dir).items())):
+        cg, fg = _kkt_parts(
+            pin, gspec["features"], gspec["family"], f"g{i}",
+            where=f"{gspec['group_col']} = '{gv}'", grp=gv,
+        )
+        ctes += cg
+        finals.append(fg)
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + " UNION ALL ".join(finals)
 
 
 def _solver_kkt_query(qname):
@@ -2190,7 +2309,60 @@ def _solver_kkt_query(qname):
 q_f2_binomial_fit = _solver_kkt_query("f2_binomial_fit")
 q_f6_poisson_fit = _solver_kkt_query("f6_poisson_fit")
 q_f7_multinomial_fit = _solver_kkt_query("f7_multinomial_fit")
-q_f11_gaussian_path = _solver_kkt_query("f11_gaussian_path")
+
+
+def q_f11_gaussian_path(spark, sf_dir):
+    """gaussian SLOPE path with a hard KKT-residual oracle (base slice,
+    grp='_all' — see _solver_kkt_query), PLUS, per l_returnflag segment,
+    the round-7 grouped-fit slices: ops.grouped.fit_grouped runs one
+    in-core path per segment through ONE applyInPandas shuffle, and each
+    segment's betas must agree with its independently pinned reference
+    fit, whose KKT feasibility both engines re-verify from the segment's
+    raw rows (src/kktCheck.h:8-37 per segment)."""
+    import numpy as np
+
+    from .fit import fit as _fit
+    from .ops.grouped import INTERCEPT, fit_grouped
+
+    spec = _SOLVER_SPECS["f11_gaussian_path"]
+    li = load(spark, sf_dir, "lineitem")
+    model = _fit(
+        li, spec["features"], "l_extendedprice", "gaussian",
+        n_sigma=spec["n_sigma"], lambda_min_ratio=spec["lambda_min_ratio"],
+    )
+    pin = _pinned_fit(sf_dir, "f11_gaussian_path")
+    agree = {
+        "_all": model.betas.shape == pin["betas"].shape and bool(
+            np.allclose(model.betas, pin["betas"], rtol=5e-2, atol=5e-3)
+        )
+    }
+
+    gspec = _GROUPED_SPEC
+    pins = _pinned_fit_grouped(sf_dir)
+    rows = fit_grouped(
+        li, gspec["features"], "l_extendedprice", gspec["family"],
+        [gspec["group_col"]],
+        n_sigma=gspec["n_sigma"], lambda_min_ratio=gspec["lambda_min_ratio"],
+    ).collect()
+    jidx = {INTERCEPT: 0}
+    jidx.update({f: j + 1 for j, f in enumerate(gspec["features"])})
+    for gv, gpin in pins.items():
+        B = gpin["betas"]
+        grows = [r for r in rows if r[gspec["group_col"]] == gv]
+        ok = bool(grows) and max(r["path_idx"] for r in grows) + 1 == B.shape[0]
+        if ok:
+            got = np.zeros_like(B)
+            for r in grows:
+                got[r["path_idx"], jidx[r["feature"]], r["cls"]] = r["beta"]
+            ok = bool(np.allclose(got, B, rtol=5e-2, atol=5e-3))
+        agree[gv] = ok
+
+    li.createOrReplaceTempView("lineitem")
+    case = None
+    for gv, ok in agree.items():
+        cond = F.col("grp") == F.lit(gv)
+        case = (F.when if case is None else case.when)(cond, F.lit(bool(ok)))
+    return spark.sql(_f11_full_sql(sf_dir)).withColumn("fit_agrees", case)
 
 
 def _q6_mids(pin):
@@ -2443,7 +2615,15 @@ def q_sim_ivf_topk(spark, sf_dir):
     The k-means centroid training itself (a driver-side artifact) is
     covered by pytest (tests/test_pipeline.py). This is the sub-linear
     scale path for similarity search: with the corpus written partitioned
-    by cell, the probe filter becomes partition pruning."""
+    by cell, the probe filter becomes partition pruning.
+
+    Round-7 merge (session 2): 'pq' tagged rows pin the NEW product-
+    quantization path (similarity.assign_pq_codes + pq_adc_topk) — every
+    per-block nearest-code assignment and every ADC lookup-table score is
+    re-derived in SQL from the pinned codebook literals, hash-verifying
+    the compressed-index ranking end to end (training stays a driver
+    artifact like the IVF k-means, pinned via pq_kmeans on the pyarrow-
+    loaded corpus)."""
     import numpy as np
 
     emb = load(spark, sf_dir, "embeddings").withColumn(
@@ -2452,20 +2632,39 @@ def q_sim_ivf_topk(spark, sf_dir):
     C = np.array(_ivf_pin_centroids(sf_dir))
     cells = similarity.assign_ivf_cells(emb, "vec", C)
     queries = [(i, [float(x) for x in C[i]]) for i in (0, 1)]
-    out = similarity.ivf_topk(cells, "vec_id", "vec", C, queries, k=5, nprobe=4)
-    return out.select(
+    ivf = similarity.ivf_topk(cells, "vec_id", "vec", C, queries, k=5, nprobe=4)
+    ivf = ivf.select(
+        F.lit("ivf").alias("slice"),
         F.col("query_id").cast("bigint").alias("query_id"),
         F.col("vec_id").cast("bigint").alias("vec_id"),
-        F.round("cosine", 4).alias("cosine"),
+        F.round("cosine", 4).alias("score"),
         F.col("rank").cast("int").alias("rank"),
     )
+    books = np.array(_pq_pin_codebooks(sf_dir))
+    coded = similarity.assign_pq_codes(emb, "vec", books)
+    pq = similarity.pq_adc_topk(coded, "vec_id", "pq_code", books, queries, k=5)
+    pq = pq.select(
+        F.lit("pq").alias("slice"),
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    return ivf.unionByName(pq)
 
 
 def _ivf_topk_sql(sf_dir: str) -> str:
-    """Oracle for q_sim_ivf_topk: assignment (same formula as
-    _ivf_assign_sql), probe-cell ranking by query-centroid cosine (the
-    normalized-dot argsort of similarity.ivf_topk), candidate union over
-    the top-4 cells, exact cosine rank within candidates."""
+    """Oracle for q_sim_ivf_topk, two slices:
+    - 'ivf': assignment (same formula as _ivf_assign_sql), probe-cell
+      ranking by query-centroid cosine (the normalized-dot argsort of
+      similarity.ivf_topk), candidate union over the top-4 cells, exact
+      cosine rank within candidates.
+    - 'pq': every per-block nearest-code assignment (argmax of
+      x.c - |c|^2/2 over the pinned codebook literals, first-match
+      tie-break — the exact when-chain of assign_pq_codes) and every ADC
+      lookup-table score re-derived from the same literals."""
+    import numpy as np
+
     cents = _ivf_pin_centroids(sf_dir)
 
     def lst(ci):
@@ -2481,6 +2680,48 @@ def _ivf_topk_sql(sf_dir: str) -> str:
     ]
     best = "greatest(" + ", ".join(f"s{i}" for i in range(len(cents))) + ")"
     chain = " ".join(f"WHEN s{i} = _best THEN {i}" for i in range(len(cents)))
+
+    # --- pq slice constants: identical literals to the Spark side ---
+    books = np.array(_pq_pin_codebooks(sf_dir))
+    M, K, dsub = books.shape
+
+    def clst(m, j):
+        return "[" + ", ".join(repr(float(x)) for x in books[m, j]) + "]"
+
+    pq_s_exprs = []
+    for m in range(M):
+        a, b = m * dsub + 1, (m + 1) * dsub
+        for j in range(K):
+            hn = repr(float(np.dot(books[m, j], books[m, j]) / 2.0))
+            pq_s_exprs.append(
+                f"(list_dot_product(nv[{a}:{b}], {clst(m, j)}) - {hn})"
+                f" AS ps_{m}_{j}"
+            )
+    pq_best = ", ".join(
+        "greatest(" + ", ".join(f"ps_{m}_{j}" for j in range(K)) + f") AS pb_{m}"
+        for m in range(M)
+    )
+    pq_codes = ", ".join(
+        "CASE "
+        + " ".join(f"WHEN ps_{m}_{j} = pb_{m} THEN {j}" for j in range(K))
+        + f" END AS pc_{m}"
+        for m in range(M)
+    )
+    # per-query ADC: the same numpy LUTs pq_adc_topk builds
+    adc_selects = []
+    for qid in (0, 1):
+        q = np.asarray(cents[qid], dtype=np.float64)
+        qn = q / max(float(np.linalg.norm(q)), 1e-12)
+        terms = []
+        for m in range(M):
+            lut = qn[m * dsub:(m + 1) * dsub] @ books[m].T
+            lut_lst = "[" + ", ".join(repr(float(x)) for x in lut) + "]"
+            terms.append(f"({lut_lst})[pc_{m} + 1]")
+        adc_selects.append(
+            f"SELECT {qid} AS qid, vec_id, {' + '.join(terms)} AS score FROM cd"
+        )
+    adc_union = " UNION ALL ".join(adc_selects)
+
     return f"""
     WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2508,10 +2749,32 @@ def _ivf_topk_sql(sf_dir: str) -> str:
                row_number() OVER (PARTITION BY qid
                    ORDER BY cosine DESC, vec_id) AS rank
         FROM cand
+    ), nvt AS (
+        SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM v
+    ), psc AS (
+        SELECT vec_id, {", ".join(pq_s_exprs)} FROM nvt
+    ), pbt AS (
+        SELECT *, {pq_best} FROM psc
+    ), cd AS (
+        SELECT vec_id, {pq_codes} FROM pbt
+    ), adc AS (
+        {adc_union}
+    ), pqr AS (
+        SELECT qid, vec_id, score,
+               row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, vec_id) AS rank
+        FROM adc
     )
-    SELECT CAST(qid AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
-           round(cosine, 4) AS cosine, CAST(rank AS INTEGER) AS rank
+    SELECT 'ivf' AS slice, CAST(qid AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           round(cosine, 4) AS score, CAST(rank AS INTEGER) AS rank
     FROM ranked WHERE rank <= 5
+    UNION ALL
+    SELECT 'pq' AS slice, CAST(qid AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           round(score, 4) AS score, CAST(rank AS INTEGER) AS rank
+    FROM pqr WHERE rank <= 5
 """
 
 
@@ -2565,6 +2828,22 @@ def _ivf_pin_centroids(sf_dir: str):
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     by = dict(zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()))
     return tuple(tuple(float(x) for x in by[i]) for i in range(8))
+
+
+@lru_cache(maxsize=None)
+def _pq_pin_codebooks(sf_dir: str):
+    """Pinned PQ codebooks: pq_kmeans (deterministic NumPy) over the
+    pyarrow-loaded corpus in vec_id order — the same constants reach both
+    engines as literals."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    order = np.argsort(np.asarray(t.column("vec_id").to_pylist()))
+    X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[order]
+    return similarity.pq_kmeans(X[:2000], n_subvectors=8, n_codes=16, seed=42)
 
 
 def q_sim_ivf_assign(spark, sf_dir):
@@ -3879,9 +4158,17 @@ def q_docs_sample_stratified(spark, sf_dir):
     Round-6 merge (session 2): 'split' tagged rows pin the NEW
     sample.split_assign (deterministic train/val/test hash split,
     0.8/0.1/0.1 — sorted-label cumulative intervals over
-    md5(doc_id)/2^32; the label rides ``order_key``)."""
+    md5(doc_id)/2^32; the label rides ``order_key``).
+
+    Round-7 merge (session 2): 'zorder' tagged rows pin the NEW
+    sample.zorder_key (Morton bit-interleave over (n_chars, doc_id) with
+    fixed bounds, 8 bits each — the multi-dimensional file-layout key
+    whose write order makes footer min/max stats skip files on EITHER
+    column's predicate; every shift/mask re-derived in SQL, the key
+    rides ``order_key`` zero-padded)."""
     from .pipeline.sample import (
         mix_corpus, shard_assign, split_assign, stratified_sample,
+        zorder_key,
     )
 
     docs = load(spark, sf_dir, "documents")
@@ -3909,7 +4196,42 @@ def q_docs_sample_stratified(spark, sf_dir):
         F.lit(-1).alias("epoch"), F.lit(-1).alias("shard"),
         F.col("split").alias("order_key"),
     )
-    return samp.unionByName(sharded).unionByName(split)
+    zo = zorder_key(docs, _ZORDER_BOUNDS, bits=8).select(
+        F.lit("zorder").alias("tag"), "doc_id", "lang", "source",
+        F.lit(-1).alias("epoch"), F.lit(-1).alias("shard"),
+        F.lpad(F.col("zorder").cast("string"), 6, "0").alias("order_key"),
+    )
+    return samp.unionByName(sharded).unionByName(split).unionByName(zo)
+
+
+# zorder slice constants: fixed bounds (clamped; deterministic whatever
+# the sf), 8 bits per column, (n_chars, doc_id) interleaved LSB-first
+_ZORDER_BOUNDS = {"n_chars": (0.0, 1000.0), "doc_id": (0.0, 8192.0)}
+
+
+def _zorder_cell_sql(col: str, lo: float, hi: float, bits: int = 8) -> str:
+    """The exact arithmetic of sample.zorder_key's cell expression:
+    clamp -> unit-scale -> floor to [0, 2^bits)."""
+    top = (1 << bits) - 1
+    return (
+        f"least(CAST(floor(((least(greatest(CAST({col} AS DOUBLE), {lo!r}),"
+        f" {hi!r}) - {lo!r}) / {hi - lo!r}) * {float(1 << bits)!r}) AS BIGINT),"
+        f" {top})"
+    )
+
+
+def _zorder_key_sql(bits: int = 8) -> str:
+    cells = [
+        _zorder_cell_sql(c, lo, hi, bits)
+        for c, (lo, hi) in _ZORDER_BOUNDS.items()
+    ]
+    n = len(cells)
+    terms = [
+        f"((({c} >> {b}) & 1) << {b * n + i})"
+        for b in range(bits)
+        for i, c in enumerate(cells)
+    ]
+    return " + ".join(terms)
 
 
 SQL_DOCS_SAMPLE = f"""
@@ -3961,8 +4283,15 @@ SQL_DOCS_SAMPLE = f"""
                     ELSE 'val' END AS order_key
         FROM documents
     )
+    , zo AS (
+        SELECT 'zorder' AS tag, doc_id, lang, source, -1 AS epoch,
+               -1 AS shard,
+               lpad(CAST(({_zorder_key_sql()}) AS VARCHAR), 6, '0')
+                   AS order_key
+        FROM documents
+    )
     SELECT * FROM samp UNION ALL SELECT * FROM sharded
-    UNION ALL SELECT * FROM splitq
+    UNION ALL SELECT * FROM splitq UNION ALL SELECT * FROM zo
 """
 
 
@@ -4047,6 +4376,22 @@ SQL_DOCS_SAMPLE = f"""
 # strip_boilerplate with sep=' ' over the single-line word-bag fixture —
 # index, anti-join, and positional re-assembly all rebuilt in SQL, the
 # md5 pinning the reconstruction byte-exactly).
+#
+# Round-7 merge (session 2): f11_gaussian_path gains a 'grp' tag column —
+# base slice grp='_all' (unchanged semantics), plus one KKT slice per
+# l_returnflag segment pinning the NEW ops.grouped.fit_grouped (one
+# in-core SLOPE path per segment through ONE applyInPandas shuffle): each
+# segment's betas must match its independently pinned numpy_path_fit and
+# both engines re-verify that optimum's sorted-L1 KKT feasibility from
+# the segment's raw rows; sim_ivf_topk gains a 'pq' slice (the NEW
+# product-quantization path: per-block nearest-code assignment + ADC
+# lookup-table ranking, both re-derived in SQL from pinned codebook
+# literals); text_stats gains c4_* columns (the NEW C4-style blocklist
+# filters: text.badword_flags distinct-token hits + text.domain_flags
+# host extraction with exact/subdomain blocking over a deterministic
+# synthesized URL); docs_sample_stratified gains a 'zorder' slice (the
+# NEW sample.zorder_key Morton file-layout key, every shift/mask
+# re-derived in SQL).
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,
@@ -4166,6 +4511,10 @@ def build_oracles(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         out[qname] = (
             "SELECT *, TRUE AS fit_agrees FROM (" + _kkt_sql(sf_dir, qname) + ") ksub"
         )
+    # f11 carries the round-7 grouped-fit slices (grp tag column)
+    out["f11_gaussian_path"] = (
+        "SELECT *, TRUE AS fit_agrees FROM (" + _f11_full_sql(sf_dir) + ") ksub"
+    )
     out["q6_coef_interpolation"] = _q6_interp_sql(sf_dir)
     out["f13_diagnostics"] = _f13_sql(sf_dir)
     out["s4_random_problem"] = _s4_sql()

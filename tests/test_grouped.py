@@ -1,0 +1,178 @@
+"""fit_grouped: one in-core SLOPE path per group via a single
+applyInPandas shuffle. Parity is pinned against numpy_path_fit run
+driver-side on each group's filtered rows — the SAME routine the KKT
+oracles pin `fit` against, so agreement here chains the grouped fit to
+the reference semantics (R/owl.R:1-390 per segment)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from prague_spark import fit_grouped
+from prague_spark.core.ref_fit import numpy_path_fit
+from prague_spark.ops.grouped import INTERCEPT
+from prague_spark.plan_audit import audit
+
+FEATS = ["l_quantity", "l_discount"]
+
+
+def _expected(li_pd, group_val, family, label, **kw):
+    g = li_pd[li_pd["l_returnflag"] == group_val].sort_values("_rid",
+                                                              kind="mergesort")
+    X = g[FEATS].to_numpy(dtype=np.float64)
+    y = g[label].to_numpy()
+    return numpy_path_fit(X, y, family, **kw)
+
+
+@pytest.fixture(scope="module")
+def li(lineitem):
+    return (
+        lineitem.select("l_returnflag", "l_linestatus", "l_quantity",
+                        "l_discount", "l_extendedprice", "l_orderkey",
+                        "l_linenumber")
+        .withColumn("_rid", F.xxhash64("l_orderkey", "l_linenumber"))
+        .cache()
+    )
+
+
+def test_fit_grouped_matches_per_group_reference(spark, li):
+    out = fit_grouped(
+        li, FEATS, "l_extendedprice", "gaussian", ["l_returnflag"],
+        n_sigma=4, lambda_min_ratio=0.1, order_col="_rid",
+    ).collect()
+    li_pd = li.toPandas()
+    groups = sorted(li_pd["l_returnflag"].unique())
+    assert sorted({r["l_returnflag"] for r in out}) == groups
+    for gv in groups:
+        ref = _expected(li_pd, gv, "gaussian", "l_extendedprice",
+                        n_sigma=4, lambda_min_ratio=0.1)
+        B = ref["betas"]  # (K, p+1, 1)
+        rows = [r for r in out if r["l_returnflag"] == gv]
+        ks = {r["path_idx"] for r in rows}
+        assert ks == set(range(B.shape[0]))
+        names = [INTERCEPT] + FEATS
+        got = {(r["path_idx"], r["feature"], r["cls"]): r["beta"] for r in rows}
+        for k in range(B.shape[0]):
+            for j, nm in enumerate(names):
+                b = float(B[k, j, 0])
+                if j > 0 and b == 0.0:
+                    assert (k, nm, 0) not in got
+                else:
+                    # identical routine on identically-ordered rows; BLAS
+                    # reductions are not bit-deterministic across thread
+                    # contexts, so pin at ulp-scale, not exact
+                    assert got[(k, nm, 0)] == pytest.approx(
+                        b, rel=1e-9, abs=1e-9
+                    ), (gv, k, nm)
+        nz = {r["path_idx"]: r["n_nonzero"] for r in rows}
+        assert nz == {k: ref["n_nonzero"][k] for k in range(B.shape[0])}
+
+
+def test_fit_grouped_partition_invariant(spark, li):
+    kw = dict(n_sigma=3, lambda_min_ratio=0.2, order_col="_rid")
+    a = fit_grouped(li, FEATS, "l_extendedprice", "gaussian",
+                    ["l_returnflag"], **kw).collect()
+    b = fit_grouped(li.repartition(13), FEATS, "l_extendedprice", "gaussian",
+                    ["l_returnflag"], **kw).collect()
+    key = lambda r: (r["l_returnflag"], r["path_idx"], r["feature"], r["cls"])
+    ka = {key(r): r["beta"] for r in a}
+    kb = {key(r): r["beta"] for r in b}
+    # same rows/support; betas equal to ulp scale (BLAS reductions are
+    # not bit-deterministic across thread contexts, so not exact)
+    assert set(ka) == set(kb)
+    for k in ka:
+        assert kb[k] == pytest.approx(ka[k], rel=1e-9, abs=1e-9), k
+
+
+def test_fit_grouped_binomial_and_multikey(spark, li):
+    df = li.withColumn(
+        "big", F.when(F.col("l_extendedprice") > 30000.0, "hi").otherwise("lo")
+    )
+    out = fit_grouped(
+        df, FEATS, "big", "binomial", ["l_returnflag", "l_linestatus"],
+        n_sigma=3, lambda_min_ratio=0.1, order_col="_rid",
+    )
+    rows = out.collect()
+    combos = {(r["l_returnflag"], r["l_linestatus"]) for r in rows}
+    # only combos present in the data (and two-class in the label) appear
+    present = {
+        (r["l_returnflag"], r["l_linestatus"])
+        for r in df.select("l_returnflag", "l_linestatus").distinct().collect()
+    }
+    assert combos <= present and len(combos) >= 2
+    # intercept emitted for every (group, path point)
+    for gv in combos:
+        pts = {r["path_idx"] for r in rows
+               if (r["l_returnflag"], r["l_linestatus"]) == gv}
+        icpts = {r["path_idx"] for r in rows
+                 if (r["l_returnflag"], r["l_linestatus"]) == gv
+                 and r["feature"] == INTERCEPT}
+        assert icpts == pts
+
+
+def test_fit_grouped_poisson_and_multinomial(spark, li):
+    """The remaining families run per segment and match the driver-side
+    reference on one probed group (poisson exactly via ulp-tolerance;
+    multinomial support shape)."""
+    pdf = li.toPandas()
+    # poisson: counts from rounded quantity
+    dfp = li.withColumn("cnt", F.round("l_quantity").cast("double"))
+    outp = fit_grouped(
+        dfp, ["l_discount"], "cnt", "poisson", ["l_linestatus"],
+        n_sigma=3, lambda_min_ratio=0.2, order_col="_rid",
+    ).collect()
+    gs = sorted({r["l_linestatus"] for r in outp})
+    assert len(gs) >= 1
+    gv = gs[0]
+    g = pdf[pdf["l_linestatus"] == gv].sort_values("_rid", kind="mergesort")
+    ref = numpy_path_fit(
+        g[["l_discount"]].to_numpy(dtype=np.float64),
+        np.round(g["l_quantity"].to_numpy(dtype=np.float64)),
+        "poisson", n_sigma=3, lambda_min_ratio=0.2,
+    )
+    got = {
+        (r["path_idx"], r["feature"]): r["beta"]
+        for r in outp if r["l_linestatus"] == gv
+    }
+    for k in range(ref["betas"].shape[0]):
+        assert got[(k, INTERCEPT)] == pytest.approx(
+            float(ref["betas"][k, 0, 0]), rel=1e-9, abs=1e-9
+        )
+    # multinomial: 3-class label from returnflag per linestatus segment;
+    # cls must range over the (m-1)=2 targets
+    outm = fit_grouped(
+        li, FEATS, "l_returnflag", "multinomial", ["l_linestatus"],
+        n_sigma=3, lambda_min_ratio=0.1, order_col="_rid",
+    ).collect()
+    assert {r["cls"] for r in outm} == {0, 1}
+    for gvm in {r["l_linestatus"] for r in outm}:
+        pts = {r["path_idx"] for r in outm if r["l_linestatus"] == gvm}
+        assert pts == set(range(max(pts) + 1))
+
+
+def test_fit_grouped_errors(spark, li):
+    # single-class binomial group fails loud, naming the group
+    df = li.withColumn("const", F.lit("same"))
+    with pytest.raises(Exception, match="exactly two classes"):
+        fit_grouped(df, FEATS, "const", "binomial", ["l_returnflag"],
+                    n_sigma=2).collect()
+    # group size guard
+    with pytest.raises(Exception, match="max_group_rows"):
+        fit_grouped(li, FEATS, "l_extendedprice", "gaussian",
+                    ["l_returnflag"], n_sigma=2, max_group_rows=10).collect()
+    # group cols must not overlap the design
+    with pytest.raises(ValueError, match="overlap"):
+        fit_grouped(li, FEATS, "l_extendedprice", "gaussian", ["l_quantity"])
+    with pytest.raises(ValueError, match="non-empty"):
+        fit_grouped(li, FEATS, "l_extendedprice", "gaussian", [])
+
+
+def test_fit_grouped_plan_shape(spark, li):
+    # ONE shuffle (the groupBy), ONE python stage (the per-group solve)
+    a = audit(fit_grouped(li, FEATS, "l_extendedprice", "gaussian",
+                          ["l_returnflag"], n_sigma=2))
+    assert a.shuffles == 1
+    assert a.py_stages == 1
+    assert a.nested_loops == 0 and a.cartesians == 0

@@ -133,6 +133,55 @@ def test_ivf_topk_recall(emb):
     assert 7 in approx
 
 
+def test_pq_codes_and_adc_topk(emb, spark):
+    """Product quantization (round 7): codebook shapes, code range, the
+    zero-shuffle codegen plan of the assignment, ADC self-hit at rank 1,
+    and two-stage (ADC shortlist -> exact re-rank) recall vs exact."""
+    from prague_spark.plan_audit import audit
+
+    vec = emb.withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    books = similarity.train_pq_codebooks(
+        vec, "vec", n_subvectors=8, n_codes=16, sample_rows=2000
+    )
+    assert books.shape[0] == 8 and books.shape[1] == 16
+    coded = similarity.assign_pq_codes(vec, "vec", books)
+    a = audit(coded)
+    assert a.shuffles == 0 and a.py_stages == 0  # pure codegen projection
+    row = coded.select("pq_code").first()
+    assert len(row["pq_code"]) == 8
+    assert all(0 <= c < 16 for c in row["pq_code"])
+
+    qrows = vec.filter(F.col("vec_id") < 3).collect()
+    queries = [(r["vec_id"], [float(x) for x in r["vec"]]) for r in qrows]
+    coded = coded.cache()
+    adc = similarity.pq_adc_topk(coded, "vec_id", "pq_code", books, queries, k=5)
+    top1 = {r["query_id"]: r["vec_id"] for r in adc.filter("rank = 1").collect()}
+    assert top1 == {0: 0, 1: 1, 2: 2}  # a vector's own code wins ADC
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(vec, "vec_id", "vec", queries, k=5).collect()
+    }
+    two = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.pq_adc_topk(
+            coded, "vec_id", "pq_code", books, queries, k=5,
+            rerank_vec_col="vec", shortlist=100,
+        ).collect()
+    }
+    assert len(two & exact) / len(exact) >= 0.6
+    coded.unpersist()
+
+
+def test_pq_kmeans_validation():
+    import numpy as np
+
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_kmeans(np.ones((10, 10)), n_subvectors=3, n_codes=4)
+
+
 def test_hyperplane_lsh_buckets(emb):
     out = similarity.hyperplane_lsh_buckets(emb, "embedding", n_planes=8)
     n_buckets = out.select("lsh_bucket").distinct().count()
@@ -545,6 +594,89 @@ def test_shard_assign_deterministic_balanced_and_salted(docs):
           for r in shard_assign(docs, "doc_id", 8, salt="ep1").collect()}
     assert m3 != m1
     out.unpersist()
+
+
+def test_zorder_key_interleave_and_skipping(spark):
+    """zorder_key (round 7): the Morton key is the exact bit interleave,
+    a pure codegen projection, and sorting by it gives the data-skipping
+    property it exists for — contiguous key chunks have bounded min/max
+    spread on BOTH interleaved columns (so parquet footer stats prune on
+    either predicate)."""
+    from prague_spark.pipeline.sample import zorder_key
+    from prague_spark.plan_audit import audit
+
+    n = 1024
+    df = spark.range(n).select(
+        (F.col("id") % 32).cast("double").alias("x"),
+        F.floor(F.col("id") / 32).cast("double").alias("y"),
+    )
+    out = zorder_key(df, {"x": (0.0, 32.0), "y": (0.0, 32.0)}, bits=5)
+    a = audit(out)
+    assert a.shuffles == 0 and a.py_stages == 0
+    rows = out.collect()
+
+    def interleave(cx, cy, bits=5):
+        k = 0
+        for b in range(bits):
+            k |= ((cx >> b) & 1) << (2 * b)
+            k |= ((cy >> b) & 1) << (2 * b + 1)
+        return k
+
+    for r in rows:
+        cx, cy = int(r["x"]), int(r["y"])  # bounds (0,32), 5 bits: cell == value
+        assert r["zorder"] == interleave(cx, cy), (cx, cy)
+    # skipping property: split the zorder-sorted grid into 16 chunks of
+    # 64; each chunk must span at most a quarter of either dimension
+    # (perfect z-curve chunks are 8x8 tiles), where a lexicographic sort
+    # on x alone would leave y spanning the FULL range in every chunk
+    srt = sorted(rows, key=lambda r: r["zorder"])
+    for i in range(0, n, 64):
+        chunk = srt[i:i + 64]
+        xs = [r["x"] for r in chunk]
+        ys = [r["y"] for r in chunk]
+        assert max(xs) - min(xs) <= 8 and max(ys) - min(ys) <= 8
+
+    with pytest.raises(ValueError, match="at least 2"):
+        zorder_key(df, {"x": (0.0, 1.0)})
+    with pytest.raises(ValueError, match="62"):
+        zorder_key(df, {"x": (0.0, 1.0), "y": (0.0, 1.0)}, bits=32)
+    with pytest.raises(ValueError, match="hi > lo"):
+        zorder_key(df, {"x": (1.0, 1.0), "y": (0.0, 1.0)})
+
+
+def test_badword_and_domain_flags(spark):
+    """C4-style blocklist filters (round 7): token-boundary badword
+    matching (substrings inside other words do NOT count), distinct-hit
+    counting, and exact-vs-subdomain URL blocking."""
+    from prague_spark.pipeline import text
+
+    df = spark.createDataFrame(
+        [
+            (0, "a clean document", "https://ok.example.org/x"),
+            (1, "the Spam word spam twice", "http://ads.example.com/y"),
+            (2, "spammy is not spam-free", "example.com"),  # substring no-hit + bare host
+            (3, "junk and spam both", "https://sub.deep.ads.example.com:8080/z"),
+        ],
+        "id long, text string, url string",
+    )
+    out = text.badword_flags(df, "text", ["spam", "junk"])
+    got = {r["id"]: (r["c4_n_badwords"], r["c4_badword_ok"]) for r in out.collect()}
+    assert got[0] == (0, True)
+    assert got[1] == (1, False)   # 'spam' once (distinct), case-insensitive
+    assert got[2] == (0, True)    # 'spammy'/'spam-free' are other tokens
+    assert got[3] == (2, False)   # both distinct badwords
+
+    out2 = text.domain_flags(df, "url", ["ads.example.com"])
+    got2 = {r["id"]: (r["c4_domain"], r["c4_domain_ok"]) for r in out2.collect()}
+    assert got2[0] == ("ok.example.org", True)
+    assert got2[1] == ("ads.example.com", False)          # exact
+    assert got2[2] == ("example.com", True)               # parent NOT blocked
+    assert got2[3] == ("sub.deep.ads.example.com", False)  # subdomain + port
+
+    with pytest.raises(ValueError, match="non-empty"):
+        text.badword_flags(df, "text", [])
+    with pytest.raises(ValueError, match="non-empty"):
+        text.domain_flags(df, "url", [])
 
 
 def test_boilerplate_index_and_strip(spark):

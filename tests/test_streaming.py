@@ -745,6 +745,52 @@ def test_streaming_funnel_matches_batch(spark, events_stream_dir, tmp_path):
     assert Counter(r["key"] for r in rows).most_common(1)[0][1] >= 2
 
 
+def test_streaming_pq_codes_match_batch(spark, sf_dir, tmp_path):
+    """assign_pq_codes is a pure (codegen) projection over literal
+    codebooks — the SAME call runs under readStream; pin exact code
+    parity on real embeddings. The PQ write path at scale is exactly
+    this: code vectors as they stream in, store the 8-byte codes."""
+    from pyspark.sql import functions as F
+
+    from prague_spark.pipeline import similarity
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("vec", F.transform("embedding", lambda x: x.cast("double")))
+        .limit(200)
+        .select("vec_id", "vec")
+    )
+    d = str(tmp_path / "emb")
+    emb.coalesce(1).write.parquet(d)
+    batch = spark.read.parquet(d)
+    books = similarity.train_pq_codebooks(
+        batch, "vec", n_subvectors=8, n_codes=16, sample_rows=200
+    )
+    expected = {
+        r["vec_id"]: tuple(r["pq_code"])
+        for r in similarity.assign_pq_codes(batch, "vec", books).collect()
+    }
+    sdf = spark.readStream.schema(batch.schema).parquet(d)
+    out = similarity.assign_pq_codes(sdf, "vec", books).select("vec_id", "pq_code")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pq_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+        got = {
+            r["vec_id"]: tuple(r["pq_code"])
+            for r in spark.sql("SELECT * FROM pq_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+
+
 def test_streaming_gopher_flags_match_batch(spark, sf_dir, tmp_path):
     """gopher_quality_flags is a pure projection — the SAME call runs
     under readStream; pin exact flag parity on real documents."""
