@@ -255,45 +255,38 @@ def assign_pq_codes(
     train_pq_codebooks)."""
     M, K, dsub = codebooks.shape
     vec = F.col(vec_col)
-    # STAGED projections, not one nested expression: materialize the
-    # normalized vector, then every (block, code) score, then the
-    # per-block max, each as its own named column. Inlining instead
-    # duplicates the norm fold into all M*K scores and every score into
-    # the greatest + when-chain — a ~1000x expression blowup that costs
-    # ~40 s of driver-side analysis and >10 MiB task binaries at K=16.
-    # CollapseProject keeps these stages apart (the aliases are non-cheap
-    # and multiply referenced), so the codegen sees column refs.
+    # Two deliberate plan-size choices (a naive K x M when-chain of
+    # inlined dot folds costs ~40 s of driver-side ANALYSIS and >10 MiB
+    # task binaries at K=16):
+    # 1. the normalized vector is a staged temp column, so the norm fold
+    #    exists once, not inside every score;
+    # 2. each block's K scores are ONE transform over a struct-literal
+    #    codebook (vector + precomputed |c|^2/2), and the argmax is
+    #    array_position(scores, array_max(scores)) — first-match on the
+    #    exact score, the same tie-break as a when-chain.
     nv = f"_pq_nv_{out}"
     if normalize:
         nrm = _norm(vec)
         df = df.withColumn(nv, F.transform(vec, lambda x: x / nrm))
     else:
         df = df.withColumn(nv, vec)
-    scols = {}
-    for m in range(M):
-        block = F.slice(F.col(nv), m * dsub + 1, dsub)
-        for j, c in enumerate(codebooks[m]):
-            scols[f"_pqs_{m}_{j}"] = (
-                _dot(block, F.array(*[F.lit(float(x)) for x in c]))
-                - F.lit(float(np.dot(c, c) / 2.0))
-            )
-    df = df.withColumns(scols)
-    df = df.withColumns(
-        {
-            f"_pqb_{m}": F.greatest(*[F.col(f"_pqs_{m}_{j}") for j in range(K)])
-            for m in range(M)
-        }
-    )
     codes = []
     for m in range(M):
-        code = None
-        for j in range(K):
-            cond = F.col(f"_pqs_{m}_{j}") == F.col(f"_pqb_{m}")
-            code = F.when(cond, F.lit(j)) if code is None else code.when(cond, F.lit(j))
-        codes.append(code.cast("int"))
-    return df.withColumn(out, F.array(*codes)).drop(
-        nv, *scols, *[f"_pqb_{m}" for m in range(M)]
-    )
+        block = F.slice(F.col(nv), m * dsub + 1, dsub)
+        cents = F.array(
+            *[
+                F.struct(
+                    F.array(*[F.lit(float(x)) for x in c]).alias("v"),
+                    F.lit(float(np.dot(c, c) / 2.0)).alias("hn"),
+                )
+                for c in codebooks[m]
+            ]
+        )
+        scores = F.transform(cents, lambda s: _dot(block, s["v"]) - s["hn"])
+        codes.append(
+            (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+        )
+    return df.withColumn(out, F.array(*codes)).drop(nv)
 
 
 def pq_adc_topk(
