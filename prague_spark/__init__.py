@@ -13,7 +13,7 @@ Layering:
 
 from .fit import fit
 from .ops.asof import asof_join
-from .ops.grouped import fit_grouped
+from .ops.grouped import fit_grouped, predict_grouped
 from .ops.rangejoin import range_join
 from .ops.rollup import time_rollup
 from .model import SlopeModel
@@ -29,6 +29,7 @@ from .session import get_spark
 __all__ = [
     "fit",
     "fit_grouped",
+    "predict_grouped",
     "asof_join",
     "range_join",
     "time_rollup",

@@ -33,7 +33,7 @@ from pyspark.sql.types import (
     DoubleType, IntegerType, StringType, StructField, StructType,
 )
 
-__all__ = ["fit_grouped"]
+__all__ = ["fit_grouped", "predict_grouped"]
 
 #: coefficient rows use this pseudo-feature name for the intercept
 INTERCEPT = "(intercept)"
@@ -170,3 +170,68 @@ def fit_grouped(
         return pd.DataFrame(out)
 
     return df.select(*cols).groupBy(*group_cols).applyInPandas(_solve, schema)
+
+
+def predict_grouped(
+    df: DataFrame,
+    coefs: DataFrame,
+    features: Sequence[str],
+    group_cols: Sequence[str],
+    *,
+    family: str = "gaussian",
+    path_idx: int | None = None,
+    type: str = "response",
+    out: str = "pred",
+) -> DataFrame:
+    """Score rows with the per-segment models :func:`fit_grouped`
+    produced: one path point per group (default: each group's DEEPEST),
+    the coefficient rows pivoted to a feature->beta map and
+    broadcast-joined on the group key, then one codegen dot product in
+    ORIGINAL units. Rows whose group has no model get NULL.
+
+    The coefficient frame is model-sized (segments x path x nonzeros) —
+    always broadcastable — so scoring 100 TB with 10k segment models is
+    a map-side join + projection: no shuffle of the data.
+
+    ``type``: 'link' (x'beta) or 'response' (inverse link). Single-target
+    families only; multinomial per-segment scoring needs the class
+    simplex and is not implemented here."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    if family == "multinomial":
+        raise NotImplementedError(
+            "predict_grouped: multinomial per-segment scoring not implemented"
+        )
+    if type not in ("link", "response"):
+        raise ValueError(f"predict_grouped: unknown type {type!r}")
+    features = list(features)
+    group_cols = list(group_cols)
+    c = coefs.filter(F.col("cls") == 0)
+    if path_idx is None:
+        w = Window.partitionBy(*group_cols)
+        c = c.withColumn("_kmax", F.max("path_idx").over(w)).filter(
+            F.col("path_idx") == F.col("_kmax")
+        )
+    else:
+        c = c.filter(F.col("path_idx") == int(path_idx))
+    bmap = c.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("feature"), F.col("beta")))
+        ).alias("_bmap")
+    )
+    joined = df.join(broadcast(bmap), group_cols, "left")
+    lp = F.coalesce(F.element_at("_bmap", F.lit(INTERCEPT)), F.lit(0.0))
+    for f in features:
+        lp = lp + F.coalesce(
+            F.element_at("_bmap", F.lit(f)), F.lit(0.0)
+        ) * F.col(f).cast("double")
+    lp = F.when(F.col("_bmap").isNotNull(), lp)
+    if type == "response":
+        if family == "binomial":
+            lp = F.lit(1.0) / (F.lit(1.0) + F.exp(-lp))
+        elif family == "poisson":
+            lp = F.exp(lp)
+        elif family != "gaussian":
+            raise ValueError(f"predict_grouped: unknown family {family!r}")
+    return joined.withColumn(out, lp).drop("_bmap")

@@ -47,9 +47,23 @@ class PlanAudit:
 
 def audit(df: DataFrame) -> PlanAudit:
     """Inspect ``df``'s physical plan without running it."""
-    qe = df._jdf.queryExecution()
-    plan = qe.executedPlan().toString()
-    full = qe.toString()
+    # ReadSchema strings are TRUNCATED at spark.sql.maxMetadataStringLength
+    # (default 100 chars) — a cut-off schema makes widest_read misparse
+    # (e.g. two truncated scans bleed together under re.S). Raise it for
+    # the explain call, restore after.
+    conf = df.sparkSession.conf
+    key = "spark.sql.maxMetadataStringLength"
+    prev = conf.get(key, None)
+    conf.set(key, "10000")
+    try:
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        full = qe.toString()
+    finally:
+        if prev is None:
+            conf.unset(key)
+        else:
+            conf.set(key, prev)
     phys = full[full.find("== Physical Plan ==") :]
     widest = 0
     for m in re.finditer(r"ReadSchema: struct<(.*?)>(?=\s)", phys, re.S):

@@ -427,12 +427,70 @@ SQL_R5_LAMBDA_MAX = f"""
 def q_q1_predict_link(spark, sf_dir):
     """Linear predictor x'beta for a fixed coefficient slice
     (Q1, R/predict.R:32-69) plus the gaussian response prediction —
-    the identity link (Q2, R/predict.R:73-87) — as a second column."""
+    the identity link (Q2, R/predict.R:73-87) — as a second column.
+
+    Round-7 merge (session 2): 'grouped' tagged rows pin the NEW
+    ops.grouped.predict_grouped — per-segment scoring via the pivoted
+    coefficient map and a broadcast join. The coefficient frame is built
+    from the SAME pinned per-group reference fits the f11 grouped slices
+    verify (deepest path point, original units), so the oracle recomputes
+    every row's linear predictor as a per-group CASE over the raw
+    columns — hash-verifying the join + dot-product mechanics."""
+    import numpy as np
+
+    from .ops.grouped import INTERCEPT, predict_grouped
+
     z = _zdf(spark, sf_dir)
-    return z.select(
+    base = z.select(
+        F.lit("base").alias("slice"),
         "l_orderkey", "l_linenumber",
         F.round(_lp_expr(), 4).alias("lp"),
         F.round(_lp_expr(), 4).alias("response"),
+    )
+    feats = _GROUPED_SPEC["features"]
+    rows = []
+    for gv, pin in sorted(_pinned_fit_grouped(sf_dir).items()):
+        B = pin["betas"]
+        k = B.shape[0] - 1
+        rows.append((gv, k, INTERCEPT, float(B[k, 0, 0])))
+        for j, f in enumerate(feats):
+            if B[k, 1 + j, 0] != 0.0:
+                rows.append((gv, k, f, float(B[k, 1 + j, 0])))
+    coefs = spark.createDataFrame(
+        rows, "l_returnflag string, path_idx int, feature string, beta double"
+    ).withColumn("cls", F.lit(0))
+    li = load(spark, sf_dir, "lineitem")
+    pred = predict_grouped(
+        li, coefs, feats, ["l_returnflag"],
+        family="gaussian", type="link", out="_lp",
+    )
+    grouped = pred.select(
+        F.lit("grouped").alias("slice"),
+        "l_orderkey", "l_linenumber",
+        F.round("_lp", 4).alias("lp"),
+        F.round("_lp", 4).alias("response"),
+    )
+    return base.unionByName(grouped)
+
+
+def _q1_grouped_sql(sf_dir: str) -> str:
+    """The 'grouped' slice of q1's oracle: each segment's deepest pinned
+    linear predictor as a CASE over l_returnflag (original units, zero
+    betas omitted — adding Spark's coalesce-to-0.0 terms is exact)."""
+    feats = _GROUPED_SPEC["features"]
+    cases = []
+    for gv, pin in sorted(_pinned_fit_grouped(sf_dir).items()):
+        B = pin["betas"]
+        k = B.shape[0] - 1
+        terms = [repr(float(B[k, 0, 0]))] + [
+            f"{float(B[k, 1 + j, 0])!r}*{feats[j]}"
+            for j in range(len(feats)) if B[k, 1 + j, 0] != 0.0
+        ]
+        cases.append(f"WHEN l_returnflag = '{gv}' THEN ({' + '.join(terms)})")
+    lp = "CASE " + " ".join(cases) + " END"
+    return (
+        f"SELECT l_orderkey, l_linenumber, round({lp}, 4) AS lp, "
+        f"round({lp}, 4) AS response FROM lineitem"
     )
 
 
@@ -4391,7 +4449,10 @@ SQL_DOCS_SAMPLE = f"""
 # host extraction with exact/subdomain blocking over a deterministic
 # synthesized URL); docs_sample_stratified gains a 'zorder' slice (the
 # NEW sample.zorder_key Morton file-layout key, every shift/mask
-# re-derived in SQL).
+# re-derived in SQL); q1_predict_link gains a 'grouped' slice (the NEW
+# ops.grouped.predict_grouped per-segment scoring: pivoted coefficient
+# map + broadcast join, every row's lp re-derived as a per-group CASE
+# from the pinned grouped-fit betas).
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,
@@ -4514,6 +4575,12 @@ def build_oracles(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     # f11 carries the round-7 grouped-fit slices (grp tag column)
     out["f11_gaussian_path"] = (
         "SELECT *, TRUE AS fit_agrees FROM (" + _f11_full_sql(sf_dir) + ") ksub"
+    )
+    # q1 carries the round-7 grouped-predict slice (slice tag column)
+    out["q1_predict_link"] = (
+        "SELECT 'base' AS slice, t.* FROM (" + out["q1_predict_link"] + ") t "
+        "UNION ALL SELECT 'grouped' AS slice, g.* FROM ("
+        + _q1_grouped_sql(sf_dir) + ") g"
     )
     out["q6_coef_interpolation"] = _q6_interp_sql(sf_dir)
     out["f13_diagnostics"] = _f13_sql(sf_dir)

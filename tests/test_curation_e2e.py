@@ -1,0 +1,125 @@
+"""The README's corpus-curation recipe, executed end to end on the real
+documents fixture: exact dedup -> MinHash/LSH near-dup clustering with
+quality-based keepers -> Gopher gate -> train/eval decontamination ->
+held-out split -> mixture upsampling -> sequence packing -> shard
+layout -> parquet round-trip. Every stage is an already-oracled
+operator; this pins that they COMPOSE (schemas line up, invariants hold
+stage to stage, and the whole pipe is deterministic across reruns)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prague_spark.pipeline import dedup, text
+from prague_spark.pipeline.sample import mix_corpus, shard_assign, split_assign
+
+
+def _run_pipe(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    evals = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    corpus = docs.filter(F.col("source") != "src0")
+
+    # 1. exact dedup (keeps min doc_id per byte-identical text; semi-join
+    # restores the full rows)
+    survivors = dedup.exact_dedup(corpus, "text", "doc_id")
+    uniq = corpus.join(survivors.select("doc_id"), "doc_id", "semi").cache()
+
+    # 2. near-dup clusters -> quality keeper per cluster
+    sigs = dedup.minhash_signatures(uniq, "doc_id", "text", num_hashes=32)
+    cands = dedup.minhash_lsh_candidates(sigs, "doc_id", bands=8,
+                                         rows_per_band=4)
+    cc = dedup.connected_components(cands)
+    scored = text.quality_score(uniq, "text")
+    keep = dedup.canonical_by_score(cc, scored, "doc_id", "q_score")
+    clean = uniq.join(
+        cc.selectExpr("node AS doc_id"), "doc_id", "left_anti"
+    ).unionByName(uniq.join(keep.select("doc_id"), "doc_id", "semi"))
+
+    # 2b. rule gate — thresholds sized for the short synthetic word-bag
+    # docs (vocabulary contains almost no Gopher stopwords and repeats
+    # 2-grams freely; the published defaults would drop everything, and
+    # the point here is the composition, not the gate's selectivity)
+    clean = text.gopher_quality_flags(
+        clean, "text", min_words=5, min_stop_hits=0, max_rep_2gram=0.9,
+        min_avg_word_len=1.0, max_avg_word_len=20.0,
+    ).filter(F.col("gq_keep"))
+
+    # 3. decontaminate vs the eval slice
+    bad = dedup.contamination(clean, evals, "doc_id", "text").filter(
+        F.col("contamination") >= 0.5
+    )
+    clean = clean.join(bad.select("doc_id"), "doc_id", "left_anti").cache()
+
+    # 3b. held-out split before mixing
+    split = split_assign(clean, "doc_id", {"train": 0.9, "val": 0.1})
+    train = split.filter(F.col("split") == "train")
+
+    # 4. mixture upsampling (en twice) + packing
+    mix = mix_corpus(train, "doc_id", "lang", {"en": 2.0}, 1.0)
+    mix = mix.withColumn("copy_id", F.col("doc_id") * 4 + F.col("epoch"))
+    chunks = text.pack_chunks(mix, "copy_id", "text", capacity=64,
+                              n_shards=4)
+
+    # 5. shard layout
+    shards = shard_assign(chunks, ["copy_id", "pack_id"], n_shards=8)
+    return docs, uniq, cc, clean, split, train, mix, shards
+
+
+def test_curation_recipe_end_to_end(spark, sf_dir, tmp_path):
+    docs, uniq, cc, clean, split, train, mix, shards = _run_pipe(spark, sf_dir)
+    n_corpus = docs.filter(F.col("source") != "src0").count()
+
+    # dedup stages only ever shrink, and cluster math balances exactly:
+    # survivors = uniq - members + clusters
+    n_uniq = uniq.count()
+    assert 0 < n_uniq <= n_corpus
+    n_members = cc.count()
+    n_clusters = cc.select("cluster_id").distinct().count()
+    post_near = uniq.join(
+        cc.selectExpr("node AS doc_id"), "doc_id", "left_anti"
+    ).count() + n_clusters
+    assert post_near == n_uniq - n_members + n_clusters
+
+    n_clean = clean.count()
+    assert 0 < n_clean <= post_near
+
+    # decontamination converged: nothing above threshold remains
+    evals = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    again = dedup.contamination(clean, evals, "doc_id", "text").filter(
+        F.col("contamination") >= 0.5
+    )
+    assert again.count() == 0
+
+    # split partitions clean exactly
+    by_split = {r["split"]: r["n"] for r in
+                split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(by_split.values()) == n_clean
+    assert set(by_split) <= {"train", "val"}
+
+    # mixture: en appears exactly twice per kept train doc, others once
+    n_train_en = train.filter(F.col("lang") == "en").count()
+    n_train = train.count()
+    assert mix.count() == n_train + n_train_en
+
+    # shard layout: bounded shard ids, deterministic order key, and the
+    # parquet round-trip preserves every pack span
+    assert shards.filter((F.col("shard") < 0) | (F.col("shard") >= 8)).count() == 0
+    out = str(tmp_path / "train_shards")
+    (shards.repartition(8, "shard").sortWithinPartitions("order_key")
+     .write.partitionBy("shard").parquet(out))
+    back = spark.read.parquet(out)
+    assert back.count() == shards.count()
+    assert back.select("shard").distinct().count() >= 4
+
+    # whole-pipe determinism: a rerun lands on the identical survivor
+    # set and shard assignment
+    _, _, _, clean2, _, _, _, shards2 = _run_pipe(spark, sf_dir)
+    a = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    b = {r["doc_id"] for r in clean2.select("doc_id").collect()}
+    assert a == b
+    sa = {(r["copy_id"], r["pack_id"]): r["shard"] for r in shards.collect()}
+    sb = {(r["copy_id"], r["pack_id"]): r["shard"] for r in shards2.collect()}
+    assert sa == sb
+    uniq.unpersist()
+    clean.unpersist()

@@ -152,6 +152,75 @@ def test_fit_grouped_poisson_and_multinomial(spark, li):
         assert pts == set(range(max(pts) + 1))
 
 
+def test_predict_grouped_roundtrip(spark, li):
+    """fit_grouped -> predict_grouped: the broadcast-joined dot product
+    reproduces the per-group linear predictor computed driver-side from
+    the same coefficients (exact — same original-unit betas, plain
+    column arithmetic), deepest path point by default, NULL for a group
+    with no model, inverse links for response."""
+    from prague_spark import predict_grouped
+
+    coefs = fit_grouped(
+        li, FEATS, "l_extendedprice", "gaussian", ["l_returnflag"],
+        n_sigma=4, lambda_min_ratio=0.1, order_col="_rid",
+    ).cache()
+    pred = predict_grouped(
+        li, coefs, FEATS, ["l_returnflag"], family="gaussian", type="link",
+    )
+    crows = coefs.collect()
+    kmax = {}
+    for r in crows:
+        kmax[r["l_returnflag"]] = max(
+            kmax.get(r["l_returnflag"], -1), r["path_idx"]
+        )
+    beta = {
+        (r["l_returnflag"], r["feature"]): r["beta"]
+        for r in crows if r["path_idx"] == kmax[r["l_returnflag"]]
+    }
+    got = pred.select("l_returnflag", *FEATS, "pred").limit(500).collect()
+    for r in got:
+        g = r["l_returnflag"]
+        exp = beta.get((g, INTERCEPT), 0.0) + sum(
+            beta.get((g, f), 0.0) * float(r[f]) for f in FEATS
+        )
+        assert r["pred"] == pytest.approx(exp, rel=1e-12), g
+    # explicit path point 0 = intercept-only model -> constant per group
+    p0 = predict_grouped(
+        li, coefs, FEATS, ["l_returnflag"], family="gaussian",
+        type="link", path_idx=0,
+    )
+    n_distinct = (
+        p0.groupBy("l_returnflag")
+        .agg(F.countDistinct(F.round("pred", 9)).alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in n_distinct)
+    # a group with no model scores NULL
+    extra = li.withColumn("l_returnflag", F.lit("Z")).limit(5)
+    pz = predict_grouped(
+        extra, coefs, FEATS, ["l_returnflag"], family="gaussian"
+    )
+    assert all(r["pred"] is None for r in pz.collect())
+    # binomial response is the sigmoid of the link
+    df = li.withColumn(
+        "big", F.when(F.col("l_extendedprice") > 30000.0, "hi").otherwise("lo")
+    )
+    cb = fit_grouped(
+        df, FEATS, "big", "binomial", ["l_returnflag"],
+        n_sigma=3, lambda_min_ratio=0.1, order_col="_rid",
+    )
+    pr = predict_grouped(
+        df, cb, FEATS, ["l_returnflag"], family="binomial", type="response",
+    ).select("pred").limit(50).collect()
+    assert all(0.0 <= r["pred"] <= 1.0 for r in pr)
+    with pytest.raises(NotImplementedError):
+        predict_grouped(li, coefs, FEATS, ["l_returnflag"],
+                        family="multinomial")
+    with pytest.raises(ValueError, match="unknown type"):
+        predict_grouped(li, coefs, FEATS, ["l_returnflag"], type="clazz")
+    coefs.unpersist()
+
+
 def test_fit_grouped_errors(spark, li):
     # single-class binomial group fails loud, naming the group
     df = li.withColumn("const", F.lit("same"))
