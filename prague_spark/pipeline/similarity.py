@@ -209,12 +209,16 @@ def pq_kmeans(
     n_codes: int,
     iters: int = 15,
     seed: int = 42,
+    normalize: bool = True,
 ) -> np.ndarray:
     """The pure-NumPy PQ training core (deterministic given X and seed):
-    normalize rows, then independent k-means per contiguous block. Shared
-    by train_pq_codebooks and the registry's pinned-codebook oracle."""
+    normalize rows (skip for residual inputs, which are not unit-norm by
+    construction), then independent k-means per contiguous block. Shared
+    by train_pq_codebooks / train_ivfpq and the registry's
+    pinned-codebook oracle."""
     X = np.asarray(X, dtype=np.float64)
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    if normalize:
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     n, d = X.shape
     if d % n_subvectors:
         raise ValueError(
@@ -363,6 +367,151 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + product-quantized residuals (IndexIVFPQ)
+# ---------------------------------------------------------------------------
+
+def train_ivfpq(
+    corpus: DataFrame,
+    vec_col: str,
+    n_centroids: int = 8,
+    n_subvectors: int = 8,
+    n_codes: int = 16,
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the two-level IVF-PQ index on one corpus sample: spherical
+    k-means coarse centroids, then PQ codebooks on the coarse RESIDUALS
+    (normalized vector minus its assigned centroid — residuals carry far
+    less variance than raw vectors, so the same code budget quantizes
+    them much more finely; the standard IndexIVFPQ recipe). Returns
+    (centroids (C, d), codebooks (M, K, d/M))."""
+    pdf = (
+        corpus.select(vec_col)
+        .sample(fraction=1.0, seed=seed)
+        .limit(sample_rows)
+        .toPandas()
+    )
+    X = np.asarray(np.vstack(pdf[vec_col].to_numpy()), dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(C.shape[0]):
+            members = X[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+    resid = X - C[np.argmax(X @ C.T, axis=1)]
+    books = pq_kmeans(resid, n_subvectors, n_codes, iters=iters, seed=seed,
+                      normalize=False)
+    return C, books
+
+
+def assign_ivfpq(
+    df: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    cell_col: str = "cell",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """The IVF-PQ index columns, all pure codegen: coarse ``cell`` (the
+    assign_ivf_cells argmax), then PQ codes of the residual
+    normalized(vec) - centroid[cell] (one element_at on the literal
+    centroid table + a zip_with subtraction; codes via assign_pq_codes
+    with normalize=False — residuals are not unit vectors). Write the
+    result partitioned by cell and an ANN query reads nprobe partitions
+    of 8-byte codes instead of the full float corpus."""
+    vec = F.col(vec_col)
+    df = assign_ivf_cells(df, vec_col, centroids, out=cell_col)
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    nrm = _norm(vec)
+    resid = F.zip_with(
+        F.transform(vec, lambda x: x / nrm),
+        F.element_at(cents, F.col(cell_col) + 1),
+        lambda x, c: x - c,
+    )
+    rcol = f"_ivfpq_resid_{code_col}"
+    df = df.withColumn(rcol, resid)
+    return assign_pq_codes(
+        df, rcol, codebooks, out=code_col, normalize=False
+    ).drop(rcol)
+
+
+def ivfpq_topk(
+    corpus_idx: DataFrame,
+    id_col: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    cell_col: str = "cell",
+    code_col: str = "pq_code",
+    rerank_vec_col: str | None = None,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Probed compressed search over an assign_ivfpq index: per query,
+    only the ``nprobe`` nearest cells are scanned (partition pruning on a
+    cell-partitioned layout) and each candidate is scored WITHOUT its
+    float vector — score = q.centroid[cell] (a literal lookup) + the
+    residual ADC sum (M element_at lookups), approximating the cosine
+    q.v_hat. With ``rerank_vec_col``, an exact cosine re-rank of the
+    ADC ``shortlist`` finishes the standard two-stage search."""
+    M, K, dsub = codebooks.shape
+    Cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    code = F.col(code_col)
+    results = []
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        qn = q / max(float(np.linalg.norm(q)), 1e-12)
+        cell_sims = Cn @ qn
+        probes = np.argsort(-cell_sims)[:nprobe].tolist()
+        celldot = F.array(*[F.lit(float(x)) for x in (centroids @ qn)])
+        score = F.element_at(celldot, F.col(cell_col) + 1)
+        for m in range(M):
+            lut = qn[m * dsub:(m + 1) * dsub] @ codebooks[m].T
+            term = F.element_at(
+                F.array(*[F.lit(float(x)) for x in lut]),
+                F.element_at(code, m + 1) + F.lit(1),
+            )
+            score = score + term
+        sub = corpus_idx.filter(F.col(cell_col).isin(probes))
+        keep = [id_col] + ([rerank_vec_col] if rerank_vec_col else [])
+        scored = sub.select(
+            *keep, F.lit(int(qid)).alias("query_id"), score.alias("score")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col(id_col).asc()
+        )
+        ranked = scored.withColumn("rank", F.row_number().over(w))
+        if rerank_vec_col:
+            cand = ranked.filter(F.col("rank") <= shortlist)
+            exact = (
+                _dot(F.col(rerank_vec_col), F.array(*[F.lit(float(x)) for x in qv]))
+                / (_norm(F.col(rerank_vec_col)) * F.lit(float(np.linalg.norm(qv))))
+            )
+            ranked = cand.select(
+                "query_id", id_col, exact.alias("score")
+            ).withColumn("rank", F.row_number().over(w))
+        results.append(
+            ranked.filter(F.col("rank") <= k).select(
+                "query_id", id_col, "score", "rank"
+            )
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 def hyperplane_lsh_buckets(

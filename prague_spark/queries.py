@@ -2681,7 +2681,12 @@ def q_sim_ivf_topk(spark, sf_dir):
     re-derived in SQL from the pinned codebook literals, hash-verifying
     the compressed-index ranking end to end (training stays a driver
     artifact like the IVF k-means, pinned via pq_kmeans on the pyarrow-
-    loaded corpus)."""
+    loaded corpus). 'ivfpq' rows pin the two-level composition
+    (similarity.assign_ivfpq + ivfpq_topk — residual coding against the
+    assigned coarse centroid, then probed ADC scored as q.centroid[cell]
+    + the residual lookup sum): the oracle rebuilds the residual with
+    DuckDB's list_zip and re-derives every code and score from the same
+    pinned constants."""
     import numpy as np
 
     emb = load(spark, sf_dir, "embeddings").withColumn(
@@ -2708,7 +2713,19 @@ def q_sim_ivf_topk(spark, sf_dir):
         F.round("score", 4).alias("score"),
         F.col("rank").cast("int").alias("rank"),
     )
-    return ivf.unionByName(pq)
+    ibooks = np.array(_ivfpq_pin_codebooks(sf_dir))
+    idx = similarity.assign_ivfpq(emb, "vec", C, ibooks)
+    ivfpq = similarity.ivfpq_topk(
+        idx, "vec_id", C, ibooks, queries, k=5, nprobe=4
+    )
+    ivfpq = ivfpq.select(
+        F.lit("ivfpq").alias("slice"),
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    return ivf.unionByName(pq).unionByName(ivfpq)
 
 
 def _ivf_topk_sql(sf_dir: str) -> str:
@@ -2720,7 +2737,12 @@ def _ivf_topk_sql(sf_dir: str) -> str:
     - 'pq': every per-block nearest-code assignment (argmax of
       x.c - |c|^2/2 over the pinned codebook literals, first-match
       tie-break — the exact when-chain of assign_pq_codes) and every ADC
-      lookup-table score re-derived from the same literals."""
+      lookup-table score re-derived from the same literals.
+    - 'ivfpq': the two-level composition — the residual is rebuilt with
+      list_zip subtraction against the assigned cell's centroid literal
+      (bit-matching Spark's zip_with), residual codes re-derived like
+      'pq', and the probed score = q.centroid[cell] literal lookup + the
+      residual ADC sum, restricted to each query's nprobe cells."""
     import numpy as np
 
     cents = _ivf_pin_centroids(sf_dir)
@@ -2780,6 +2802,49 @@ def _ivf_topk_sql(sf_dir: str) -> str:
         )
     adc_union = " UNION ALL ".join(adc_selects)
 
+    # --- ivfpq slice constants ---
+    ibooks = np.array(_ivfpq_pin_codebooks(sf_dir))
+    Cr = np.asarray(cents, dtype=np.float64)
+    cent_case = "CASE cell " + " ".join(
+        f"WHEN {i} THEN CAST({lst(i)} AS DOUBLE[])" for i in range(len(cents))
+    ) + " END"
+    iv_s_exprs = []
+    for m in range(M):
+        a, b = m * dsub + 1, (m + 1) * dsub
+        for j in range(K):
+            cl = "[" + ", ".join(repr(float(x)) for x in ibooks[m, j]) + "]"
+            hn = repr(float(np.dot(ibooks[m, j], ibooks[m, j]) / 2.0))
+            iv_s_exprs.append(
+                f"(list_dot_product(rv[{a}:{b}], {cl}) - {hn}) AS is_{m}_{j}"
+            )
+    iv_best = ", ".join(
+        "greatest(" + ", ".join(f"is_{m}_{j}" for j in range(K)) + f") AS ib_{m}"
+        for m in range(M)
+    )
+    iv_codes = ", ".join(
+        "CASE "
+        + " ".join(f"WHEN is_{m}_{j} = ib_{m} THEN {j}" for j in range(K))
+        + f" END AS ic_{m}"
+        for m in range(M)
+    )
+    Crn = Cr / np.maximum(np.linalg.norm(Cr, axis=1, keepdims=True), 1e-12)
+    iv_adc_selects = []
+    for qid in (0, 1):
+        q = np.asarray(cents[qid], dtype=np.float64)
+        qn = q / max(float(np.linalg.norm(q)), 1e-12)
+        probes = np.argsort(-(Crn @ qn))[:4].tolist()
+        celldot = "[" + ", ".join(repr(float(x)) for x in (Cr @ qn)) + "]"
+        terms = [f"({celldot})[cell + 1]"]
+        for m in range(M):
+            lut = qn[m * dsub:(m + 1) * dsub] @ ibooks[m].T
+            lut_lst = "[" + ", ".join(repr(float(x)) for x in lut) + "]"
+            terms.append(f"({lut_lst})[ic_{m} + 1]")
+        iv_adc_selects.append(
+            f"SELECT {qid} AS qid, vec_id, {' + '.join(terms)} AS score "
+            f"FROM icd WHERE cell IN ({', '.join(map(str, probes))})"
+        )
+    iv_adc_union = " UNION ALL ".join(iv_adc_selects)
+
     return f"""
     WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2823,6 +2888,24 @@ def _ivf_topk_sql(sf_dir: str) -> str:
                row_number() OVER (PARTITION BY qid
                    ORDER BY score DESC, vec_id) AS rank
         FROM adc
+    ), rz AS (
+        SELECT nvt.vec_id, asg.cell,
+               list_transform(list_zip(nvt.nv, {cent_case}),
+                              s -> s[1] - s[2]) AS rv
+        FROM nvt JOIN asg ON nvt.vec_id = asg.vec_id
+    ), isc AS (
+        SELECT vec_id, cell, {", ".join(iv_s_exprs)} FROM rz
+    ), ibt AS (
+        SELECT *, {iv_best} FROM isc
+    ), icd AS (
+        SELECT vec_id, cell, {iv_codes} FROM ibt
+    ), iadc AS (
+        {iv_adc_union}
+    ), iqr AS (
+        SELECT qid, vec_id, score,
+               row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, vec_id) AS rank
+        FROM iadc
     )
     SELECT 'ivf' AS slice, CAST(qid AS BIGINT) AS query_id,
            CAST(vec_id AS BIGINT) AS vec_id,
@@ -2833,6 +2916,11 @@ def _ivf_topk_sql(sf_dir: str) -> str:
            CAST(vec_id AS BIGINT) AS vec_id,
            round(score, 4) AS score, CAST(rank AS INTEGER) AS rank
     FROM pqr WHERE rank <= 5
+    UNION ALL
+    SELECT 'ivfpq' AS slice, CAST(qid AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           round(score, 4) AS score, CAST(rank AS INTEGER) AS rank
+    FROM iqr WHERE rank <= 5
 """
 
 
@@ -2902,6 +2990,28 @@ def _pq_pin_codebooks(sf_dir: str):
     order = np.argsort(np.asarray(t.column("vec_id").to_pylist()))
     X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[order]
     return similarity.pq_kmeans(X[:2000], n_subvectors=8, n_codes=16, seed=42)
+
+
+@lru_cache(maxsize=None)
+def _ivfpq_pin_codebooks(sf_dir: str):
+    """Pinned RESIDUAL codebooks for the ivfpq slice: normalized corpus
+    minus the pinned coarse centroid each row assigns to, then pq_kmeans
+    WITHOUT re-normalization (residuals are not unit vectors)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    C = np.asarray(_ivf_pin_centroids(sf_dir), dtype=np.float64)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    order = np.argsort(np.asarray(t.column("vec_id").to_pylist()))
+    X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[order]
+    X = X[:2000]
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    resid = Xn - C[np.argmax(Xn @ C.T, axis=1)]
+    return similarity.pq_kmeans(
+        resid, n_subvectors=8, n_codes=16, seed=42, normalize=False
+    )
 
 
 def q_sim_ivf_assign(spark, sf_dir):
@@ -4452,7 +4562,10 @@ SQL_DOCS_SAMPLE = f"""
 # re-derived in SQL); q1_predict_link gains a 'grouped' slice (the NEW
 # ops.grouped.predict_grouped per-segment scoring: pivoted coefficient
 # map + broadcast join, every row's lp re-derived as a per-group CASE
-# from the pinned grouped-fit betas).
+# from the pinned grouped-fit betas); sim_ivf_topk additionally gains an
+# 'ivfpq' slice (the NEW two-level assign_ivfpq + ivfpq_topk: residual
+# rebuilt via list_zip subtraction, residual codes + probed
+# celldot-plus-ADC scores all re-derived from pinned literals).
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,

@@ -175,6 +175,59 @@ def test_pq_codes_and_adc_topk(emb, spark):
     coded.unpersist()
 
 
+def test_ivfpq_index_and_search(emb, spark):
+    """IVF-PQ (round 7): residual-coded compressed index — assignment is
+    a zero-shuffle codegen projection, every vector lands in a cell with
+    in-range codes, ADC search self-hits at rank 1, and the two-stage
+    search (probe -> residual ADC -> exact re-rank) recovers most of the
+    exact top-k even probing half the cells."""
+    from prague_spark.plan_audit import audit
+
+    vec = emb.withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    ).select("vec_id", "vec")
+    C, books = similarity.train_ivfpq(
+        vec, "vec", n_centroids=8, n_subvectors=8, n_codes=16,
+        sample_rows=2000,
+    )
+    idx = similarity.assign_ivfpq(vec, "vec", C, books)
+    a = audit(idx)
+    assert a.shuffles == 0 and a.py_stages == 0
+    row = idx.first()
+    assert 0 <= row["cell"] < 8
+    assert len(row["pq_code"]) == 8
+    assert all(0 <= c < 16 for c in row["pq_code"])
+
+    idx = idx.cache()
+    qrows = vec.filter(F.col("vec_id") < 3).collect()
+    queries = [(r["vec_id"], [float(x) for x in r["vec"]]) for r in qrows]
+    # full-probe ADC: a vector's own (cell, codes) must place it in its
+    # own top-5 (rank-1 is NOT guaranteed — ADC is approximate in both
+    # directions, another vector's codes can over-score)
+    adc = similarity.ivfpq_topk(idx, "vec_id", C, books, queries, k=5,
+                                nprobe=8)
+    hits = {(r["query_id"], r["vec_id"]) for r in adc.collect()}
+    assert all((q, q) in hits for q in (0, 1, 2))
+    # ... and the exact re-rank puts it at rank 1 (cosine(self) = 1)
+    rr = similarity.ivfpq_topk(idx, "vec_id", C, books, queries, k=5,
+                               nprobe=8, rerank_vec_col="vec", shortlist=50)
+    assert {r["query_id"]: r["vec_id"]
+            for r in rr.filter("rank = 1").collect()} == {0: 0, 1: 1, 2: 2}
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(vec, "vec_id", "vec", queries, k=5).collect()
+    }
+    two = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivfpq_topk(
+            idx, "vec_id", C, books, queries, k=5, nprobe=4,
+            rerank_vec_col="vec", shortlist=100,
+        ).collect()
+    }
+    assert len(two & exact) / len(exact) >= 0.5  # nprobe=4 of 8 cells
+    idx.unpersist()
+
+
 def test_pq_kmeans_validation():
     import numpy as np
 
