@@ -360,6 +360,22 @@ def main() -> None:
             rerank_vec_col="vec", shortlist=100,
         ).count()
 
+    @bench("sim_ivfpq_topk")
+    def _():
+        # the two-level compressed index lifecycle: coarse + residual
+        # training, (cell, codes) projection, probed ADC + exact re-rank
+        qrows = emb.limit(3).select("vec_id", "vec").collect()
+        queries = [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in qrows]
+        C, books = similarity.train_ivfpq(
+            emb, "vec", n_centroids=8, n_subvectors=8, n_codes=16,
+            sample_rows=2000,
+        )
+        idx = similarity.assign_ivfpq(emb, "vec", C, books)
+        similarity.ivfpq_topk(
+            idx, "vec_id", C, books, queries, k=10, nprobe=4,
+            rerank_vec_col="vec", shortlist=100,
+        ).count()
+
     @bench("events_sessionize")
     def _():
         # pure sessionization (the registry's q_events_sessionize now

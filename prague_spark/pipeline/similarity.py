@@ -470,12 +470,15 @@ def ivfpq_topk(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
     code = F.col(code_col)
-    results = []
+    # ONE scan for all queries: per row, an array of (query_id, score)
+    # structs filtered to the queries whose probe set contains this
+    # row's cell, then explode + one rank window. (A per-query plan
+    # would re-analyze the scoring tree len(queries) times.)
+    per_query = []
     for qid, qv in queries:
         q = np.asarray(qv, dtype=np.float64)
         qn = q / max(float(np.linalg.norm(q)), 1e-12)
-        cell_sims = Cn @ qn
-        probes = np.argsort(-cell_sims)[:nprobe].tolist()
+        probes = np.argsort(-(Cn @ qn))[:nprobe].tolist()
         celldot = F.array(*[F.lit(float(x)) for x in (centroids @ qn)])
         score = F.element_at(celldot, F.col(cell_col) + 1)
         for m in range(M):
@@ -485,33 +488,50 @@ def ivfpq_topk(
                 F.element_at(code, m + 1) + F.lit(1),
             )
             score = score + term
-        sub = corpus_idx.filter(F.col(cell_col).isin(probes))
-        keep = [id_col] + ([rerank_vec_col] if rerank_vec_col else [])
-        scored = sub.select(
-            *keep, F.lit(int(qid)).alias("query_id"), score.alias("score")
+        per_query.append(
+            F.struct(
+                F.lit(int(qid)).alias("query_id"),
+                score.alias("score"),
+                F.col(cell_col).isin(probes).alias("probed"),
+            )
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col(id_col).asc()
+    keep = [id_col] + ([rerank_vec_col] if rerank_vec_col else [])
+    exploded = corpus_idx.select(
+        *keep,
+        F.explode(
+            F.filter(F.array(*per_query), lambda s: s["probed"])
+        ).alias("q"),
+    ).select(*keep, "q.query_id", "q.score")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    ranked = exploded.withColumn("rank", F.row_number().over(w))
+    if not rerank_vec_col:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", id_col, "score", "rank"
         )
-        ranked = scored.withColumn("rank", F.row_number().over(w))
-        if rerank_vec_col:
-            cand = ranked.filter(F.col("rank") <= shortlist)
-            exact = (
+    cand = ranked.filter(F.col("rank") <= shortlist).drop("rank", "score")
+    per_query_exact = [
+        F.struct(
+            F.lit(int(qid)).alias("query_id"),
+            (
                 _dot(F.col(rerank_vec_col), F.array(*[F.lit(float(x)) for x in qv]))
                 / (_norm(F.col(rerank_vec_col)) * F.lit(float(np.linalg.norm(qv))))
-            )
-            ranked = cand.select(
-                "query_id", id_col, exact.alias("score")
-            ).withColumn("rank", F.row_number().over(w))
-        results.append(
-            ranked.filter(F.col("rank") <= k).select(
-                "query_id", id_col, "score", "rank"
-            )
+            ).alias("score"),
         )
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    return out
+        for qid, qv in queries
+    ]
+    exact = cand.select(
+        id_col, "query_id",
+        F.explode(F.array(*per_query_exact)).alias("e"),
+    ).filter(F.col("query_id") == F.col("e.query_id")).select(
+        "query_id", id_col, F.col("e.score").alias("score")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
 
 
 def hyperplane_lsh_buckets(

@@ -791,6 +791,55 @@ def test_streaming_pq_codes_match_batch(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_streaming_ivfpq_assign_matches_batch(spark, sf_dir, tmp_path):
+    """assign_ivfpq (cell + residual PQ codes) is a pure codegen
+    projection over literal centroids/codebooks — the SAME call runs
+    under readStream; pin exact (cell, codes) parity. Indexing on ingest
+    IS the at-scale IVF-PQ write path."""
+    from pyspark.sql import functions as F
+
+    from prague_spark.pipeline import similarity
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("vec", F.transform("embedding", lambda x: x.cast("double")))
+        .limit(200)
+        .select("vec_id", "vec")
+    )
+    d = str(tmp_path / "emb")
+    emb.coalesce(1).write.parquet(d)
+    batch = spark.read.parquet(d)
+    C, books = similarity.train_ivfpq(
+        batch, "vec", n_centroids=4, n_subvectors=8, n_codes=16,
+        sample_rows=200,
+    )
+    expected = {
+        r["vec_id"]: (r["cell"], tuple(r["pq_code"]))
+        for r in similarity.assign_ivfpq(batch, "vec", C, books).collect()
+    }
+    sdf = spark.readStream.schema(batch.schema).parquet(d)
+    out = similarity.assign_ivfpq(sdf, "vec", C, books).select(
+        "vec_id", "cell", "pq_code"
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ivfpq_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+        got = {
+            r["vec_id"]: (r["cell"], tuple(r["pq_code"]))
+            for r in spark.sql("SELECT * FROM ivfpq_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+
+
 def test_streaming_gopher_flags_match_batch(spark, sf_dir, tmp_path):
     """gopher_quality_flags is a pure projection — the SAME call runs
     under readStream; pin exact flag parity on real documents."""
