@@ -13,7 +13,7 @@ Layering:
 
 from .fit import fit
 from .ops.asof import asof_join
-from .ops.grouped import fit_grouped, predict_grouped
+from .ops.grouped import fit_grouped, predict_grouped, score_grouped
 from .ops.rangejoin import range_join
 from .ops.rollup import time_rollup
 from .model import SlopeModel
@@ -30,6 +30,7 @@ __all__ = [
     "fit",
     "fit_grouped",
     "predict_grouped",
+    "score_grouped",
     "asof_join",
     "range_join",
     "time_rollup",

@@ -235,3 +235,62 @@ def predict_grouped(
         elif family != "gaussian":
             raise ValueError(f"predict_grouped: unknown family {family!r}")
     return joined.withColumn(out, lp).drop("_bmap")
+
+
+def score_grouped(
+    df: DataFrame,
+    coefs: DataFrame,
+    features: Sequence[str],
+    label: str,
+    group_cols: Sequence[str],
+    *,
+    family: str = "gaussian",
+    measure: str = "mse",
+    path_idx: int | None = None,
+) -> DataFrame:
+    """Per-segment goodness of fit: :func:`predict_grouped` responses
+    aggregated per group — one broadcast join + one groupBy, so scoring
+    every segment model over the full table is a single pass. Returns
+    (group_cols..., measure, value, n).
+
+    Measures: 'mse' / 'mae' (gaussian response scale), 'deviance' and
+    'misclass' (binomial; the label's LAST sorted class is the positive
+    one, matching preprocess_response)."""
+    group_cols = list(group_cols)
+    pred = predict_grouped(
+        df, coefs, features, group_cols,
+        family=family, path_idx=path_idx, type="response", out="_mu",
+    ).filter(F.col("_mu").isNotNull())
+    mu = F.col("_mu")
+    if family == "gaussian" and measure in ("mse", "mae"):
+        err = F.col(label).cast("double") - mu
+        agg = F.avg(err * err) if measure == "mse" else F.avg(F.abs(err))
+    elif family == "binomial" and measure in ("deviance", "misclass"):
+        classes = sorted(
+            r[0] for r in df.select(label).distinct().collect()
+        )
+        if len(classes) != 2:
+            raise ValueError(
+                f"score_grouped: binomial needs exactly two classes, got {classes}"
+            )
+        y2 = F.when(
+            F.col(label).cast("string") == F.lit(str(classes[1])), 1.0
+        ).otherwise(0.0)
+        if measure == "deviance":
+            muc = F.least(F.greatest(mu, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+            agg = F.avg(
+                -2.0 * (y2 * F.log(muc) + (1.0 - y2) * F.log(1.0 - muc))
+            )
+        else:
+            agg = F.avg(
+                F.when((mu > 0.5) != (y2 > 0.5), 1.0).otherwise(0.0)
+            )
+    else:
+        raise ValueError(
+            f"score_grouped: measure {measure!r} invalid for {family!r}"
+        )
+    return pred.groupBy(*group_cols).agg(
+        F.lit(measure).alias("measure"),
+        agg.alias("value"),
+        F.count("*").alias("n"),
+    )

@@ -221,6 +221,48 @@ def test_predict_grouped_roundtrip(spark, li):
     coefs.unpersist()
 
 
+def test_score_grouped(spark, li):
+    """score_grouped: per-segment mse equals the driver-side recompute
+    from predict_grouped's own responses; binomial misclass is in [0,1];
+    invalid measures fail loud."""
+    from prague_spark import predict_grouped, score_grouped
+
+    coefs = fit_grouped(
+        li, FEATS, "l_extendedprice", "gaussian", ["l_returnflag"],
+        n_sigma=3, lambda_min_ratio=0.1, order_col="_rid",
+    ).cache()
+    sc = score_grouped(
+        li, coefs, FEATS, "l_extendedprice", ["l_returnflag"],
+        family="gaussian", measure="mse",
+    )
+    got = {r["l_returnflag"]: (r["value"], r["n"]) for r in sc.collect()}
+    pred = predict_grouped(
+        li, coefs, FEATS, ["l_returnflag"], family="gaussian",
+        type="response", out="mu",
+    ).select("l_returnflag", "l_extendedprice", "mu").toPandas()
+    for gv, grp in pred.groupby("l_returnflag"):
+        err = grp["l_extendedprice"].astype(float) - grp["mu"]
+        assert got[gv][1] == len(grp)
+        assert got[gv][0] == pytest.approx(float((err * err).mean()), rel=1e-9)
+    # binomial misclass
+    df = li.withColumn(
+        "big", F.when(F.col("l_extendedprice") > 30000.0, "hi").otherwise("lo")
+    )
+    cb = fit_grouped(
+        df, FEATS, "big", "binomial", ["l_returnflag"],
+        n_sigma=3, lambda_min_ratio=0.1, order_col="_rid",
+    )
+    mc = score_grouped(
+        df, cb, FEATS, "big", ["l_returnflag"],
+        family="binomial", measure="misclass",
+    ).collect()
+    assert mc and all(0.0 <= r["value"] <= 1.0 for r in mc)
+    with pytest.raises(ValueError, match="invalid"):
+        score_grouped(li, coefs, FEATS, "l_extendedprice",
+                      ["l_returnflag"], family="gaussian", measure="auc")
+    coefs.unpersist()
+
+
 def test_fit_grouped_errors(spark, li):
     # single-class binomial group fails loud, naming the group
     df = li.withColumn("const", F.lit("same"))
