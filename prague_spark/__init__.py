@@ -13,7 +13,9 @@ Layering:
 
 from .fit import fit
 from .ops.asof import asof_join
-from .ops.grouped import fit_grouped, predict_grouped, score_grouped
+from .ops.grouped import (
+    cv_fit_grouped, fit_grouped, predict_grouped, score_grouped,
+)
 from .ops.rangejoin import range_join
 from .ops.rollup import time_rollup
 from .model import SlopeModel
@@ -29,6 +31,7 @@ from .session import get_spark
 __all__ = [
     "fit",
     "fit_grouped",
+    "cv_fit_grouped",
     "predict_grouped",
     "score_grouped",
     "asof_join",

@@ -30,7 +30,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    DoubleType, IntegerType, StringType, StructField, StructType,
+    BooleanType, DoubleType, IntegerType, StringType, StructField, StructType,
 )
 
 __all__ = ["fit_grouped", "predict_grouped"]
@@ -294,3 +294,136 @@ def score_grouped(
         agg.alias("value"),
         F.count("*").alias("n"),
     )
+
+
+def cv_fit_grouped(
+    df: DataFrame,
+    features: Sequence[str],
+    label: str,
+    family: str,
+    group_cols: Sequence[str],
+    *,
+    n_folds: int = 3,
+    fold_col: str | None = None,
+    measure: str = "mse",
+    q: float = 0.2,
+    n_sigma: int = 100,
+    lambda_min_ratio: float | None = None,
+    order_col: str | None = None,
+    max_group_rows: int = 2_000_000,
+    tol_rel_gap: float = 1e-5,
+) -> DataFrame:
+    """Per-segment K-fold cross-validation: inside the SAME single
+    applyInPandas shuffle as :func:`fit_grouped`, each group runs the
+    trainOwl CV recipe in-core (``R/trainOwl.R:44-201`` per segment) —
+    an initial full fit fixes the group's sigma grid, each fold refits
+    the grid on the held-out complement and scores the fold, and the
+    per-sigma mean/se aggregate picks the optimum. One shuffle tunes
+    every segment's penalty level concurrently.
+
+    ``fold_col``: an integer column whose value mod ``n_folds`` is the
+    fold (deterministic, engine-portable — the same rule the CV oracle
+    uses); default hashes the first group column... no default: required,
+    to keep fold assignment explicit and reproducible.
+
+    Returns one row per (group, sigma_idx):
+    (group_cols..., sigma_idx, sigma, measure, mean, se, is_optimum).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..core.ref_fit import numpy_path_fit
+
+    if fold_col is None:
+        raise ValueError("cv_fit_grouped: fold_col is required (an integer "
+                         "column; fold = value % n_folds)")
+    if measure not in ("mse", "mae", "deviance", "misclass"):
+        raise ValueError(f"cv_fit_grouped: unknown measure {measure!r}")
+    if measure in ("deviance", "misclass") and family != "binomial":
+        raise ValueError(f"cv_fit_grouped: {measure!r} needs family='binomial'")
+    if measure in ("mse", "mae") and family not in ("gaussian",):
+        raise ValueError(f"cv_fit_grouped: {measure!r} needs family='gaussian'")
+    features = list(features)
+    group_cols = list(group_cols)
+
+    gfields = [df.schema[c] for c in group_cols]
+    schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in gfields]
+        + [
+            StructField("sigma_idx", IntegerType()),
+            StructField("sigma", DoubleType()),
+            StructField("measure", StringType()),
+            StructField("mean", DoubleType()),
+            StructField("se", DoubleType()),
+            StructField("is_optimum", BooleanType()),
+        ]
+    )
+
+    cols = list(dict.fromkeys(
+        group_cols + features + [label, fold_col]
+        + ([order_col] if order_col else [])
+    ))
+
+    def _lp(X, B):
+        return B[0, 0] + X @ B[1:, 0]
+
+    def _score(X, y, B):
+        if measure in ("mse", "mae"):
+            err = np.asarray(y, dtype=np.float64) - _lp(X, B)
+            return float((err * err).mean() if measure == "mse"
+                         else np.abs(err).mean())
+        classes = sorted(set(str(v) for v in y))
+        y2 = (np.asarray([str(v) for v in y]) == classes[-1]).astype(float)
+        p1 = 1.0 / (1.0 + np.exp(-_lp(X, B)))
+        if measure == "misclass":
+            return float(((p1 > 0.5) != (y2 > 0.5)).mean())
+        p1 = np.clip(p1, 1e-12, 1.0 - 1e-12)
+        return float((-2.0 * (y2 * np.log(p1)
+                              + (1.0 - y2) * np.log(1.0 - p1))).mean())
+
+    def _solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = tuple(pdf.iloc[0][c] for c in group_cols)
+        if len(pdf) > max_group_rows:
+            raise ValueError(
+                f"cv_fit_grouped: group {key} has {len(pdf)} rows > "
+                f"max_group_rows={max_group_rows}"
+            )
+        if order_col:
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+        X = pdf[features].to_numpy(dtype=np.float64)
+        y = pdf[label].to_numpy()
+        folds = pdf[fold_col].to_numpy().astype(np.int64) % n_folds
+        full = numpy_path_fit(
+            X, y, family, q=q, n_sigma=n_sigma,
+            lambda_min_ratio=lambda_min_ratio, tol_rel_gap=tol_rel_gap,
+        )
+        sig = full["sigma"]
+        scores = np.empty((n_folds, len(sig)))
+        for f in range(n_folds):
+            tr = folds != f
+            if tr.all() or not tr.any():
+                raise ValueError(
+                    f"cv_fit_grouped: group {key}: fold {f} is empty or "
+                    "holds every row — check fold_col"
+                )
+            fit = numpy_path_fit(
+                X[tr], y[tr], family, q=q, sigma=sig,
+                tol_rel_gap=tol_rel_gap,
+            )
+            for si in range(len(sig)):
+                scores[f, si] = _score(X[~tr], y[~tr], fit["betas"][si])
+        mean = scores.mean(axis=0)
+        se = scores.std(axis=0, ddof=1) / np.sqrt(n_folds)
+        best = int(np.argmin(mean))
+        out: dict = {c: [v] * len(sig) for c, v in zip(group_cols, key)}
+        out.update(
+            sigma_idx=list(range(len(sig))),
+            sigma=[float(s) for s in sig],
+            measure=[measure] * len(sig),
+            mean=[float(v) for v in mean],
+            se=[float(v) for v in se],
+            is_optimum=[si == best for si in range(len(sig))],
+        )
+        return pd.DataFrame(out)
+
+    return df.select(*cols).groupBy(*group_cols).applyInPandas(_solve, schema)

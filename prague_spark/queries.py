@@ -2596,17 +2596,27 @@ def q_c1_cv_fit(spark, sf_dir):
     oracle: DuckDB recomputes every fold's test mse from the pinned fold
     refit betas (driver-deterministic, embedded as literals) and the
     mean/se/t-CI aggregation (R/trainOwl.R:146-161). Values reported in
-    millions at 4 dp; sigma at 6 dp."""
+    millions at 4 dp; sigma at 6 dp.
+
+    Round-7 merge (session 2): per-l_returnflag 'grp' slices pin the NEW
+    ops.grouped.cv_fit_grouped — the trainOwl recipe running IN-CORE per
+    segment through one applyInPandas shuffle (rows ordered by the
+    unique l_orderkey*10+l_linenumber key so the executor fits match the
+    pinned driver fits to BLAS ulps); the oracle re-derives every
+    segment's per-fold test mse from its pinned fold-refit betas over
+    the raw rows, exactly like the base slice."""
     from .ops.cv import cv_fit
+    from .ops.grouped import cv_fit_grouped
 
     li = load(spark, sf_dir, "lineitem")
     res = cv_fit(
         li, _CV_FEATS, "l_extendedprice", "gaussian",
         measures=["mse"], fold_col="l_orderkey", **_CV_KW,
     )
-    return spark.createDataFrame(
+    base = spark.createDataFrame(
         [
             (
+                "_all",
                 float(r["q"]), int(r["sigma_idx"]), round(float(r["sigma"]), 6),
                 r["measure"], round(float(r["mean"]) / 1e6, 4),
                 round(float(r["se"]) / 1e6, 4), round(float(r["lo"]) / 1e6, 4),
@@ -2614,13 +2624,35 @@ def q_c1_cv_fit(spark, sf_dir):
             )
             for r in res.summary
         ],
-        "q double, sigma_idx int, sigma double, measure string, "
+        "grp string, q double, sigma_idx int, sigma double, measure string, "
         "mean_mm double, se_mm double, lo_mm double, hi_mm double",
     )
+    gdf = cv_fit_grouped(
+        li.withColumn(
+            "_ok", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+        ),
+        _CV_FEATS, "l_extendedprice", "gaussian", ["l_returnflag"],
+        fold_col="l_orderkey", order_col="_ok", tol_rel_gap=1e-7, **_CV_KW,
+    )
+    grouped = gdf.select(
+        F.col("l_returnflag").alias("grp"),
+        F.lit(0.2).alias("q"),
+        F.col("sigma_idx").cast("int").alias("sigma_idx"),
+        F.round("sigma", 6).alias("sigma"),
+        F.col("measure"),
+        F.round(F.col("mean") / 1e6, 4).alias("mean_mm"),
+        F.round(F.col("se") / 1e6, 4).alias("se_mm"),
+        F.round((F.col("mean") - _T_CV3 * F.col("se")) / 1e6, 4).alias("lo_mm"),
+        F.round((F.col("mean") + _T_CV3 * F.col("se")) / 1e6, 4).alias("hi_mm"),
+    )
+    return base.unionByName(grouped)
 
 
-def _cv_fit_sql(sf_dir: str) -> str:
-    pin = _pinned_cv(sf_dir)
+def _cv_parts(pin, sfx: str, where: str = "", grp: str = "_all"):
+    """One CV-oracle slice (suffix-namespaced CTEs + final SELECT), the
+    same composition scheme as _kkt_parts: pinned fold-refit betas ->
+    per-(fold, sigma) test mse from the raw rows -> mean/se/t-CI. The
+    round-7 grouped slices reuse it with a l_returnflag WHERE."""
     sigma = pin["sigma"]
     K = len(sigma)
     n_folds = _CV_KW["n_folds"]
@@ -2637,31 +2669,99 @@ def _cv_fit_sql(sf_dir: str) -> str:
                 f"*(l_extendedprice - ({lp})) END) AS mse_{f}_{si}"
             )
     long_sel = " UNION ALL ".join(
-        f"SELECT {si} AS sigma_idx, mse_{f}_{si} AS mse FROM m"
+        f"SELECT {si} AS sigma_idx, mse_{f}_{si} AS mse FROM m_{sfx}"
         for f in range(n_folds) for si in range(K)
     )
     sig_rows = ", ".join(f"({si}, {round(float(sigma[si]), 6)!r})" for si in range(K))
-    return f"""
-    WITH m AS (
+    where_sql = f" WHERE {where}" if where else ""
+    ctes = [
+        f"""m_{sfx} AS (
         SELECT {", ".join(mse_exprs)}
         FROM (SELECT l_extendedprice, {_CV_FEATS[0]}, {_CV_FEATS[1]},
-                     l_orderkey % {n_folds} AS fold FROM lineitem) t
-    ), longm AS (
-        {long_sel}
-    ), agg AS (
+                     l_orderkey % {n_folds} AS fold FROM lineitem{where_sql}) t
+    )""",
+        f"longm_{sfx} AS ({long_sel})",
+        f"""agg_{sfx} AS (
         SELECT sigma_idx, avg(mse) AS mean, stddev_samp(mse)/sqrt(count(*)) AS se
-        FROM longm GROUP BY sigma_idx
-    ), sg AS (
-        SELECT * FROM (VALUES {sig_rows}) AS t(sigma_idx, sigma)
+        FROM longm_{sfx} GROUP BY sigma_idx
+    )""",
+        f"sg_{sfx} AS (SELECT * FROM (VALUES {sig_rows}) AS t(sigma_idx, sigma))",
+    ]
+    final = (
+        f"SELECT '{grp}' AS grp, 0.2 AS q, "
+        f"CAST(agg_{sfx}.sigma_idx AS INTEGER) AS sigma_idx, sg_{sfx}.sigma, "
+        f"'mse' AS measure, "
+        f"round(mean/1000000.0, 4) AS mean_mm, "
+        f"round(se/1000000.0, 4) AS se_mm, "
+        f"round((mean - {_T_CV3!r}*se)/1000000.0, 4) AS lo_mm, "
+        f"round((mean + {_T_CV3!r}*se)/1000000.0, 4) AS hi_mm "
+        f"FROM agg_{sfx} JOIN sg_{sfx} ON agg_{sfx}.sigma_idx = sg_{sfx}.sigma_idx"
     )
-    SELECT 0.2 AS q, CAST(agg.sigma_idx AS INTEGER) AS sigma_idx, sg.sigma,
-           'mse' AS measure,
-           round(mean/1000000.0, 4) AS mean_mm,
-           round(se/1000000.0, 4) AS se_mm,
-           round((mean - {_T_CV3!r}*se)/1000000.0, 4) AS lo_mm,
-           round((mean + {_T_CV3!r}*se)/1000000.0, 4) AS hi_mm
-    FROM agg JOIN sg ON agg.sigma_idx = sg.sigma_idx
-"""
+    return ctes, final
+
+
+@lru_cache(maxsize=None)
+def _pinned_cv_grouped(sf_dir: str):
+    """Per-l_returnflag CV pins for the grouped c1 slice: EXACTLY the
+    cv_fit_grouped algorithm (numpy_path_fit full fit fixes the group's
+    sigma grid; per-fold refits at those sigmas), on rows sorted by the
+    unique l_orderkey*10+l_linenumber key the registry query passes as
+    order_col — so the operator sees the identical row order and its
+    betas match the pin to BLAS ulps."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .core.ref_fit import numpy_path_fit
+
+    tbl = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=_CV_FEATS + ["l_extendedprice", "l_orderkey",
+                             "l_linenumber", "l_returnflag"],
+    )
+    X = np.column_stack(
+        [tbl.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+         for c in _CV_FEATS]
+    )
+    y = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False).astype(
+        np.float64
+    )
+    ok = tbl.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    ln = tbl.column("l_linenumber").to_numpy(zero_copy_only=False).astype(np.int64)
+    gvals = np.asarray(tbl.column("l_returnflag").to_pylist())
+    key = ok * 10 + ln
+    n_folds = _CV_KW["n_folds"]
+    pins = {}
+    for gv in sorted(set(gvals.tolist())):
+        mask = gvals == gv
+        order = np.argsort(key[mask], kind="stable")
+        Xg, yg = X[mask][order], y[mask][order]
+        folds = (ok[mask][order]) % n_folds
+        full = numpy_path_fit(
+            Xg, yg, "gaussian", n_sigma=_CV_KW["n_sigma"],
+            lambda_min_ratio=_CV_KW["lambda_min_ratio"], tol_rel_gap=1e-7,
+        )
+        sig = full["sigma"]
+        fold_betas = []
+        for f in range(n_folds):
+            tr = folds != f
+            fit = numpy_path_fit(
+                Xg[tr], yg[tr], "gaussian", sigma=sig, tol_rel_gap=1e-7,
+            )
+            fold_betas.append(fit["betas"][:, :, 0])  # (K, p+1)
+        pins[gv] = dict(sigma=sig, fold_betas=fold_betas)
+    return pins
+
+
+def _cv_fit_sql(sf_dir: str) -> str:
+    ctes, finals = [], []
+    c, f = _cv_parts(_pinned_cv(sf_dir), "b")
+    ctes += c
+    finals.append(f)
+    for i, (gv, pin) in enumerate(sorted(_pinned_cv_grouped(sf_dir).items())):
+        cg, fg = _cv_parts(pin, f"g{i}", where=f"l_returnflag = '{gv}'", grp=gv)
+        ctes += cg
+        finals.append(fg)
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + " UNION ALL ".join(finals)
 
 
 def q_sim_ivf_topk(spark, sf_dir):
@@ -4565,7 +4665,10 @@ SQL_DOCS_SAMPLE = f"""
 # from the pinned grouped-fit betas); sim_ivf_topk additionally gains an
 # 'ivfpq' slice (the NEW two-level assign_ivfpq + ivfpq_topk: residual
 # rebuilt via list_zip subtraction, residual codes + probed
-# celldot-plus-ADC scores all re-derived from pinned literals).
+# celldot-plus-ADC scores all re-derived from pinned literals);
+# c1_cv_fit gains per-l_returnflag 'grp' slices (the NEW
+# ops.grouped.cv_fit_grouped — in-core trainOwl CV per segment; every
+# segment's per-fold test mse re-derived from pinned fold-refit betas).
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,

@@ -221,6 +221,66 @@ def test_predict_grouped_roundtrip(spark, li):
     coefs.unpersist()
 
 
+def test_cv_fit_grouped(spark, li):
+    """Per-segment CV: the in-core trainOwl recipe per group matches a
+    driver-side recompute on one probed group (full fit fixes the grid,
+    per-fold refit at the fixed sigmas, held-out mse, mean/se, argmin
+    optimum), and validation fails loud."""
+    from prague_spark import cv_fit_grouped
+
+    out = cv_fit_grouped(
+        li, FEATS, "l_extendedprice", "gaussian", ["l_returnflag"],
+        n_folds=3, fold_col="l_orderkey", n_sigma=4, lambda_min_ratio=0.1,
+        order_col="_rid",
+    ).collect()
+    groups = {r["l_returnflag"] for r in out}
+    assert len(groups) == 3
+    for gv in groups:
+        rows = sorted((r for r in out if r["l_returnflag"] == gv),
+                      key=lambda r: r["sigma_idx"])
+        assert [r["sigma_idx"] for r in rows] == list(range(len(rows)))
+        opt = [r for r in rows if r["is_optimum"]]
+        assert len(opt) == 1
+        assert opt[0]["mean"] == min(r["mean"] for r in rows)
+
+    # driver-side recompute for one group
+    gv = sorted(groups)[0]
+    pdf = li.filter(F.col("l_returnflag") == gv).toPandas().sort_values(
+        "_rid", kind="mergesort"
+    )
+    from prague_spark.core.ref_fit import numpy_path_fit
+
+    X = pdf[FEATS].to_numpy(dtype=np.float64)
+    y = pdf["l_extendedprice"].to_numpy(dtype=np.float64)
+    folds = pdf["l_orderkey"].to_numpy().astype(np.int64) % 3
+    full = numpy_path_fit(X, y, "gaussian", n_sigma=4, lambda_min_ratio=0.1)
+    sig = full["sigma"]
+    scores = np.empty((3, len(sig)))
+    for f in range(3):
+        tr = folds != f
+        fit = numpy_path_fit(X[tr], y[tr], "gaussian", sigma=sig)
+        for si in range(len(sig)):
+            B = fit["betas"][si]
+            err = y[~tr] - (B[0, 0] + X[~tr] @ B[1:, 0])
+            scores[f, si] = (err * err).mean()
+    got = {r["sigma_idx"]: (r["sigma"], r["mean"], r["se"])
+           for r in out if r["l_returnflag"] == gv}
+    assert len(got) == len(sig)
+    for si in range(len(sig)):
+        assert got[si][0] == pytest.approx(float(sig[si]), rel=1e-12)
+        assert got[si][1] == pytest.approx(float(scores[:, si].mean()), rel=1e-9)
+        assert got[si][2] == pytest.approx(
+            float(scores[:, si].std(ddof=1) / np.sqrt(3)), rel=1e-9)
+
+    with pytest.raises(ValueError, match="fold_col is required"):
+        cv_fit_grouped(li, FEATS, "l_extendedprice", "gaussian",
+                       ["l_returnflag"], n_sigma=2)
+    with pytest.raises(ValueError, match="needs family"):
+        cv_fit_grouped(li, FEATS, "l_extendedprice", "gaussian",
+                       ["l_returnflag"], fold_col="l_orderkey",
+                       measure="deviance", n_sigma=2)
+
+
 def test_score_grouped(spark, li):
     """score_grouped: per-segment mse equals the driver-side recompute
     from predict_grouped's own responses; binomial misclass is in [0,1];
