@@ -203,6 +203,16 @@ def main() -> None:
             n_sigma=5, lambda_min_ratio=0.01,
         ).count()
 
+    @bench("cv_grouped_gaussian")
+    def _():
+        # per-segment CV: 3 segments x 3 folds x 5 sigmas, all in-core
+        # solves inside ONE applyInPandas shuffle
+        ps.cv_fit_grouped(
+            li, FEATURES, LABEL, "gaussian", ["l_returnflag"],
+            n_folds=3, fold_col="l_orderkey", n_sigma=5,
+            lambda_min_ratio=0.01,
+        ).count()
+
     @bench("fit_sparse_gaussian")
     def _():
         # long-format sparse path: one-time triplet self-join Gram, then
