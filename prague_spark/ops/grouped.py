@@ -30,13 +30,39 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BooleanType, DoubleType, IntegerType, StringType, StructField, StructType,
+    ArrayType, BooleanType, DoubleType, IntegerType, StringType, StructField,
+    StructType,
 )
 
-__all__ = ["fit_grouped", "predict_grouped"]
+__all__ = ["fit_grouped", "predict_grouped", "score_grouped", "cv_fit_grouped"]
 
 #: coefficient rows use this pseudo-feature name for the intercept
 INTERCEPT = "(intercept)"
+
+
+def _resolve_classes(coefs: DataFrame, classes, who: str) -> list[str]:
+    """Class names for scoring: the explicit ``classes=`` argument wins;
+    otherwise they are read off the MODEL-SIZED coefficient frame's
+    ``classes`` column (carried by :func:`fit_grouped` — never a scan of
+    the data being scored). All groups must share one class set: scoring
+    emits fixed columns, so heterogeneous per-group simplexes cannot be
+    expressed in one plan — fail loud rather than mis-map a class."""
+    if classes is not None:
+        return [str(c) for c in classes]
+    if "classes" not in coefs.columns:
+        raise ValueError(
+            f"{who}: pass classes= (the coefficient frame has no 'classes' "
+            "column — re-fit with fit_grouped, which carries it)"
+        )
+    sets = [
+        tuple(r[0]) for r in coefs.select("classes").distinct().collect()
+    ]
+    if len(sets) != 1:
+        raise ValueError(
+            f"{who}: groups carry different class sets {sorted(sets)}; "
+            "pass classes= explicitly or score the segments separately"
+        )
+    return list(sets[0])
 
 
 def fit_grouped(
@@ -94,6 +120,10 @@ def fit_grouped(
             StructField("cls", IntegerType()),
             StructField("beta", DoubleType()),
             StructField("n_nonzero", IntegerType()),
+            # the group's sorted class names ([] for gaussian/poisson) —
+            # carried on the model-sized frame so scoring never needs an
+            # extra pass over the data to discover the label coding
+            StructField("classes", ArrayType(StringType())),
         ]
     )
 
@@ -147,6 +177,7 @@ def fit_grouped(
             raise ValueError(f"fit_grouped: group {key}: {e}") from e
         B = res["betas"]  # (K, p+1, m) original units
         K, _, m = B.shape
+        cls_names = [str(c) for c in res["class_names"]]
         names = [INTERCEPT] + features
         out: dict = {c: [] for c in group_cols}
         pi, sg, ft, cl, bt, nz = [], [], [], [], [], []
@@ -165,11 +196,25 @@ def fit_grouped(
                     bt.append(b)
                     nz.append(int(res["n_nonzero"][k]))
         out.update(
-            path_idx=pi, sigma=sg, feature=ft, cls=cl, beta=bt, n_nonzero=nz
+            path_idx=pi, sigma=sg, feature=ft, cls=cl, beta=bt, n_nonzero=nz,
+            classes=[cls_names] * len(pi),
         )
         return pd.DataFrame(out)
 
     return df.select(*cols).groupBy(*group_cols).applyInPandas(_solve, schema)
+
+
+def _slice_path(c: DataFrame, group_cols, path_idx):
+    """One path point per group: the caller's explicit index, else each
+    group's DEEPEST (max path_idx, per group — paths may stop early)."""
+    from pyspark.sql import Window
+
+    if path_idx is None:
+        w = Window.partitionBy(*group_cols)
+        return c.withColumn("_kmax", F.max("path_idx").over(w)).filter(
+            F.col("path_idx") == F.col("_kmax")
+        ).drop("_kmax")
+    return c.filter(F.col("path_idx") == int(path_idx))
 
 
 def predict_grouped(
@@ -182,6 +227,7 @@ def predict_grouped(
     path_idx: int | None = None,
     type: str = "response",
     out: str = "pred",
+    classes: Sequence[str] | None = None,
 ) -> DataFrame:
     """Score rows with the per-segment models :func:`fit_grouped`
     produced: one path point per group (default: each group's DEEPEST),
@@ -193,28 +239,40 @@ def predict_grouped(
     always broadcastable — so scoring 100 TB with 10k segment models is
     a map-side join + projection: no shuffle of the data.
 
-    ``type``: 'link' (x'beta) or 'response' (inverse link). Single-target
-    families only; multinomial per-segment scoring needs the class
-    simplex and is not implemented here."""
-    from pyspark.sql import Window
+    ``type``: 'link' (x'beta; multinomial: array of the m-1 target lps),
+    'response' (inverse link; multinomial: the m-class stabilized
+    softmax array, implicit-last-class, ``R/predict.R:151-197``) or
+    'class' (binomial lp>0 threshold / multinomial argmax, first-match
+    ties, ``R/predict.R:91-121,180-197``). Class names come from
+    ``classes=`` or the coefficient frame's ``classes`` column; all
+    groups must share one class set (the output columns are fixed at
+    plan time)."""
     from pyspark.sql.functions import broadcast
 
-    if family == "multinomial":
-        raise NotImplementedError(
-            "predict_grouped: multinomial per-segment scoring not implemented"
-        )
-    if type not in ("link", "response"):
+    if type not in ("link", "response", "class"):
         raise ValueError(f"predict_grouped: unknown type {type!r}")
+    if family not in ("gaussian", "binomial", "poisson", "multinomial"):
+        raise ValueError(f"predict_grouped: unknown family {family!r}")
+    if type == "class" and family not in ("binomial", "multinomial"):
+        raise ValueError(f"predict_grouped: type='class' needs a "
+                         f"classification family, not {family!r}")
     features = list(features)
     group_cols = list(group_cols)
-    c = coefs.filter(F.col("cls") == 0)
-    if path_idx is None:
-        w = Window.partitionBy(*group_cols)
-        c = c.withColumn("_kmax", F.max("path_idx").over(w)).filter(
-            F.col("path_idx") == F.col("_kmax")
+
+    if family == "multinomial":
+        return _predict_grouped_multinomial(
+            df, coefs, features, group_cols,
+            path_idx=path_idx, type=type, out=out, classes=classes,
         )
-    else:
-        c = c.filter(F.col("path_idx") == int(path_idx))
+
+    if type == "class":
+        classes = _resolve_classes(coefs, classes, "predict_grouped")
+        if len(classes) != 2:
+            raise ValueError(
+                f"predict_grouped: binomial needs exactly two classes, "
+                f"got {classes}"
+            )
+    c = _slice_path(coefs.filter(F.col("cls") == 0), group_cols, path_idx)
     bmap = c.groupBy(*group_cols).agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("feature"), F.col("beta")))
@@ -227,14 +285,94 @@ def predict_grouped(
             F.element_at("_bmap", F.lit(f)), F.lit(0.0)
         ) * F.col(f).cast("double")
     lp = F.when(F.col("_bmap").isNotNull(), lp)
-    if type == "response":
+    if type == "class":
+        # lp > 0 <=> response > 0.5; second sorted class is the positive
+        # one, matching preprocess_response (R/predict.R:112-121)
+        lp = F.when(
+            F.col("_bmap").isNotNull(),
+            F.when(lp > 0, F.lit(str(classes[1]))).otherwise(
+                F.lit(str(classes[0]))
+            ),
+        )
+    elif type == "response":
         if family == "binomial":
             lp = F.lit(1.0) / (F.lit(1.0) + F.exp(-lp))
         elif family == "poisson":
             lp = F.exp(lp)
-        elif family != "gaussian":
-            raise ValueError(f"predict_grouped: unknown family {family!r}")
     return joined.withColumn(out, lp).drop("_bmap")
+
+
+def _predict_grouped_multinomial(
+    df: DataFrame,
+    coefs: DataFrame,
+    features: list[str],
+    group_cols: list[str],
+    *,
+    path_idx: int | None,
+    type: str,
+    out: str,
+    classes: Sequence[str] | None,
+) -> DataFrame:
+    """Multinomial per-segment scoring: the coefficient rows pivot to a
+    NESTED map cls -> (feature -> beta) per group (still model-sized,
+    still ONE broadcast join), each of the m-1 target lps is its own
+    codegen dot product, and the m-class simplex is the stabilized
+    softmax with the implicit last class at lp=0 — exactly the dense
+    :func:`prague_spark.ops.predict.predict` arithmetic, per segment."""
+    from pyspark.sql.functions import broadcast
+
+    classes = _resolve_classes(coefs, classes, "predict_grouped")
+    m = len(classes)
+    if m < 3:
+        raise ValueError(
+            f"predict_grouped: multinomial needs > 2 classes, got {classes}"
+        )
+    c = _slice_path(coefs, group_cols, path_idx)
+    inner = c.groupBy(*group_cols, "cls").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("feature"), F.col("beta")))
+        ).alias("_m")
+    )
+    bmap = inner.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("cls"), F.col("_m")))
+        ).alias("_bm")
+    )
+    joined = df.join(broadcast(bmap), group_cols, "left")
+    lps = []
+    for t in range(m - 1):
+        tm = F.element_at("_bm", F.lit(t))
+        lp = F.coalesce(F.element_at(tm, F.lit(INTERCEPT)), F.lit(0.0))
+        for f in features:
+            lp = lp + F.coalesce(
+                F.element_at(tm, F.lit(f)), F.lit(0.0)
+            ) * F.col(f).cast("double")
+        lps.append(lp)
+    has = F.col("_bm").isNotNull()
+    if type == "link":
+        return joined.withColumn(
+            out, F.when(has, F.array(*lps))
+        ).drop("_bm")
+    lps_full = lps + [F.lit(0.0)]
+    mx = F.greatest(*lps_full)
+    exps = [F.exp(e - mx) for e in lps_full]
+    denom = exps[0]
+    for e in exps[1:]:
+        denom = denom + e
+    probs = F.array(*[e / denom for e in exps])
+    if type == "response":
+        return joined.withColumn(out, F.when(has, probs)).drop("_bm")
+    # class: argmax with first-match ties, like ops.predict
+    tmp = f"_probs_{out}"
+    joined = joined.withColumn(tmp, F.when(has, probs))
+    pos = F.array_position(F.col(tmp), F.array_max(F.col(tmp)))
+    chain = None
+    for i, cls in enumerate(classes):
+        cond = pos == F.lit(i + 1)
+        chain = (F.when if chain is None else chain.when)(
+            cond, F.lit(str(cls))
+        )
+    return joined.withColumn(out, F.when(has, chain)).drop(tmp, "_bm")
 
 
 def score_grouped(
@@ -247,6 +385,7 @@ def score_grouped(
     family: str = "gaussian",
     measure: str = "mse",
     path_idx: int | None = None,
+    classes: Sequence[str] | None = None,
 ) -> DataFrame:
     """Per-segment goodness of fit: :func:`predict_grouped` responses
     aggregated per group — one broadcast join + one groupBy, so scoring
@@ -254,9 +393,18 @@ def score_grouped(
     (group_cols..., measure, value, n).
 
     Measures: 'mse' / 'mae' (gaussian response scale), 'deviance' and
-    'misclass' (binomial; the label's LAST sorted class is the positive
-    one, matching preprocess_response)."""
+    'misclass' (binomial + multinomial). Binomial codes the LAST sorted
+    class as positive, matching preprocess_response; multinomial
+    deviance is the per-class clipped log-loss sum -2*y_k*log(p_k)
+    (``R/score.R:82-118``) and misclass compares the softmax argmax
+    class. Class names come from ``classes=`` or the coefficient
+    frame's ``classes`` column — never an extra scan of ``df``."""
     group_cols = list(group_cols)
+    if family == "multinomial":
+        return _score_grouped_multinomial(
+            df, coefs, features, label, group_cols,
+            measure=measure, path_idx=path_idx, classes=classes,
+        )
     pred = predict_grouped(
         df, coefs, features, group_cols,
         family=family, path_idx=path_idx, type="response", out="_mu",
@@ -266,9 +414,7 @@ def score_grouped(
         err = F.col(label).cast("double") - mu
         agg = F.avg(err * err) if measure == "mse" else F.avg(F.abs(err))
     elif family == "binomial" and measure in ("deviance", "misclass"):
-        classes = sorted(
-            r[0] for r in df.select(label).distinct().collect()
-        )
+        classes = _resolve_classes(coefs, classes, "score_grouped")
         if len(classes) != 2:
             raise ValueError(
                 f"score_grouped: binomial needs exactly two classes, got {classes}"
@@ -288,6 +434,55 @@ def score_grouped(
     else:
         raise ValueError(
             f"score_grouped: measure {measure!r} invalid for {family!r}"
+        )
+    return pred.groupBy(*group_cols).agg(
+        F.lit(measure).alias("measure"),
+        agg.alias("value"),
+        F.count("*").alias("n"),
+    )
+
+
+def _score_grouped_multinomial(
+    df: DataFrame,
+    coefs: DataFrame,
+    features: Sequence[str],
+    label: str,
+    group_cols: list[str],
+    *,
+    measure: str,
+    path_idx: int | None,
+    classes: Sequence[str] | None,
+) -> DataFrame:
+    if measure not in ("deviance", "misclass"):
+        raise ValueError(
+            f"score_grouped: measure {measure!r} invalid for 'multinomial'"
+        )
+    classes = _resolve_classes(coefs, classes, "score_grouped")
+    pred = predict_grouped(
+        df, coefs, features, group_cols,
+        family="multinomial", path_idx=path_idx, type="response",
+        out="_probs", classes=classes,
+    ).filter(F.col("_probs").isNotNull())
+    if measure == "deviance":
+        # p of the row's true class: a when-chain over the fixed class
+        # list indexing the softmax array (1-based)
+        p_true = None
+        for i, cls in enumerate(classes):
+            cond = F.col(label).cast("string") == F.lit(str(cls))
+            p_true = (F.when if p_true is None else p_true.when)(
+                cond, F.col("_probs")[i]
+            )
+        pc = F.least(F.greatest(p_true, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+        agg = F.avg(-2.0 * F.log(pc))
+    else:
+        pos = F.array_position(F.col("_probs"), F.array_max(F.col("_probs")))
+        cls_pred = None
+        for i, cls in enumerate(classes):
+            cls_pred = (F.when if cls_pred is None else cls_pred.when)(
+                pos == F.lit(i + 1), F.lit(str(cls))
+            )
+        agg = F.avg(
+            F.when(cls_pred != F.col(label).cast("string"), 1.0).otherwise(0.0)
         )
     return pred.groupBy(*group_cols).agg(
         F.lit(measure).alias("measure"),
@@ -339,8 +534,11 @@ def cv_fit_grouped(
                          "column; fold = value % n_folds)")
     if measure not in ("mse", "mae", "deviance", "misclass"):
         raise ValueError(f"cv_fit_grouped: unknown measure {measure!r}")
-    if measure in ("deviance", "misclass") and family != "binomial":
-        raise ValueError(f"cv_fit_grouped: {measure!r} needs family='binomial'")
+    if measure in ("deviance", "misclass") and family not in (
+        "binomial", "multinomial"
+    ):
+        raise ValueError(f"cv_fit_grouped: {measure!r} needs family="
+                         "'binomial' or 'multinomial'")
     if measure in ("mse", "mae") and family not in ("gaussian",):
         raise ValueError(f"cv_fit_grouped: {measure!r} needs family='gaussian'")
     features = list(features)
@@ -367,19 +565,38 @@ def cv_fit_grouped(
     def _lp(X, B):
         return B[0, 0] + X @ B[1:, 0]
 
-    def _score(X, y, B):
+    def _score(X, y, B, classes):
+        """Held-out score for one path point. ``classes`` is the GROUP's
+        sorted class list, derived once from the full group's labels and
+        threaded through every fold — never re-derived from a fold's own
+        labels (a single-class held-out fold would silently flip the
+        positive-class coding)."""
         if measure in ("mse", "mae"):
             err = np.asarray(y, dtype=np.float64) - _lp(X, B)
             return float((err * err).mean() if measure == "mse"
                          else np.abs(err).mean())
-        classes = sorted(set(str(v) for v in y))
-        y2 = (np.asarray([str(v) for v in y]) == classes[-1]).astype(float)
-        p1 = 1.0 / (1.0 + np.exp(-_lp(X, B)))
+        ys = np.asarray([str(v) for v in y])
+        if family == "binomial":
+            y2 = (ys == classes[-1]).astype(float)
+            p1 = 1.0 / (1.0 + np.exp(-_lp(X, B)))
+            if measure == "misclass":
+                return float(((p1 > 0.5) != (y2 > 0.5)).mean())
+            p1 = np.clip(p1, 1e-12, 1.0 - 1e-12)
+            return float((-2.0 * (y2 * np.log(p1)
+                                  + (1.0 - y2) * np.log(1.0 - p1))).mean())
+        # multinomial: stabilized softmax over (m-1) targets + implicit
+        # last class, scored like score_grouped (deviance = clipped
+        # -2 log p_trueclass; misclass = first-match argmax)
+        lps = B[0, :] + X @ B[1:, :]  # (n, m-1)
+        lps = np.hstack([lps, np.zeros((len(lps), 1))])
+        mx = lps.max(axis=1, keepdims=True)
+        ex = np.exp(lps - mx)
+        probs = ex / ex.sum(axis=1, keepdims=True)
+        yidx = np.searchsorted(np.asarray(classes), ys)
         if measure == "misclass":
-            return float(((p1 > 0.5) != (y2 > 0.5)).mean())
-        p1 = np.clip(p1, 1e-12, 1.0 - 1e-12)
-        return float((-2.0 * (y2 * np.log(p1)
-                              + (1.0 - y2) * np.log(1.0 - p1))).mean())
+            return float((probs.argmax(axis=1) != yidx).mean())
+        p_true = np.clip(probs[np.arange(len(ys)), yidx], 1e-12, 1.0 - 1e-12)
+        return float((-2.0 * np.log(p_true)).mean())
 
     def _solve(pdf: pd.DataFrame) -> pd.DataFrame:
         key = tuple(pdf.iloc[0][c] for c in group_cols)
@@ -393,6 +610,20 @@ def cv_fit_grouped(
         X = pdf[features].to_numpy(dtype=np.float64)
         y = pdf[label].to_numpy()
         folds = pdf[fold_col].to_numpy().astype(np.int64) % n_folds
+        classes: list[str] = []
+        if family in ("binomial", "multinomial"):
+            ys = np.asarray([str(v) for v in y])
+            classes = sorted(set(ys.tolist()))
+            if family == "binomial" and len(classes) != 2:
+                raise ValueError(
+                    f"cv_fit_grouped: group {key}: binomial needs exactly "
+                    f"two classes, got {classes}"
+                )
+            if family == "multinomial" and len(classes) < 3:
+                raise ValueError(
+                    f"cv_fit_grouped: group {key}: multinomial needs > 2 "
+                    f"classes, got {classes}"
+                )
         full = numpy_path_fit(
             X, y, family, q=q, n_sigma=n_sigma,
             lambda_min_ratio=lambda_min_ratio, tol_rel_gap=tol_rel_gap,
@@ -406,12 +637,33 @@ def cv_fit_grouped(
                     f"cv_fit_grouped: group {key}: fold {f} is empty or "
                     "holds every row — check fold_col"
                 )
+            if classes:
+                # every fold must see every class: >= 2 per class in the
+                # training part (mirroring fit_grouped's check — the
+                # refit is degenerate otherwise, and its fold-local class
+                # coding would silently diverge from the group's) and
+                # >= 1 per class held out (a single-class holdout makes
+                # the fold's score a biased constant). Loud beats either.
+                for part, side, lo in ((tr, "training", 2),
+                                       (~tr, "held-out", 1)):
+                    import collections
+
+                    cnt = collections.Counter(ys[part].tolist())
+                    bad = [c for c in classes if cnt.get(c, 0) < lo]
+                    if bad:
+                        raise ValueError(
+                            f"cv_fit_grouped: group {key}: fold {f}'s "
+                            f"{side} rows have < {lo} observation(s) of "
+                            f"class(es) {bad} — use a stratified fold_col "
+                            "or fewer folds for this segment"
+                        )
             fit = numpy_path_fit(
                 X[tr], y[tr], family, q=q, sigma=sig,
                 tol_rel_gap=tol_rel_gap,
             )
             for si in range(len(sig)):
-                scores[f, si] = _score(X[~tr], y[~tr], fit["betas"][si])
+                scores[f, si] = _score(X[~tr], y[~tr], fit["betas"][si],
+                                       classes)
         mean = scores.mean(axis=0)
         se = scores.std(axis=0, ddof=1) / np.sqrt(n_folds)
         best = int(np.argmin(mean))

@@ -213,12 +213,133 @@ def test_predict_grouped_roundtrip(spark, li):
         df, cb, FEATS, ["l_returnflag"], family="binomial", type="response",
     ).select("pred").limit(50).collect()
     assert all(0.0 <= r["pred"] <= 1.0 for r in pr)
-    with pytest.raises(NotImplementedError):
+    # a gaussian coefficient frame carries no classes -> loud, not silent
+    with pytest.raises(ValueError, match="> 2 classes"):
         predict_grouped(li, coefs, FEATS, ["l_returnflag"],
                         family="multinomial")
     with pytest.raises(ValueError, match="unknown type"):
         predict_grouped(li, coefs, FEATS, ["l_returnflag"], type="clazz")
     coefs.unpersist()
+
+
+def test_predict_grouped_binomial_class_and_classes_column(spark, li):
+    """type='class' thresholds at lp>0 with the positive class read off
+    the coefficient frame's carried ``classes`` column — no scan of the
+    scored data, no explicit classes= needed."""
+    from prague_spark import predict_grouped
+
+    df = li.withColumn(
+        "big", F.when(F.col("l_extendedprice") > 30000.0, "hi").otherwise("lo")
+    )
+    cb = fit_grouped(
+        df, FEATS, "big", "binomial", ["l_returnflag"],
+        n_sigma=3, lambda_min_ratio=0.1, order_col="_rid",
+    ).cache()
+    # fit_grouped carries the group's sorted classes on every row
+    sets = {tuple(r[0]) for r in cb.select("classes").distinct().collect()}
+    assert sets == {("hi", "lo")}
+    both = predict_grouped(
+        df, cb, FEATS, ["l_returnflag"], family="binomial", type="class",
+        out="cls",
+    )
+    both = predict_grouped(
+        both, cb, FEATS, ["l_returnflag"], family="binomial", type="link",
+        out="lp",
+    ).select("cls", "lp").limit(300).collect()
+    for r in both:
+        assert r["cls"] == ("lo" if r["lp"] > 0 else "hi"), r
+    # rows from an unmodelled group classify as NULL
+    pz = predict_grouped(
+        df.withColumn("l_returnflag", F.lit("Z")).limit(4), cb, FEATS,
+        ["l_returnflag"], family="binomial", type="class",
+    )
+    assert all(r["pred"] is None for r in pz.collect())
+    cb.unpersist()
+
+
+def test_predict_score_grouped_multinomial(spark, li):
+    """Multinomial per-segment scoring: the broadcast nested-map softmax
+    matches a driver-side recompute from the same coefficients
+    (R/predict.R:151-197 per segment), argmax class agrees, and
+    score_grouped's deviance/misclass equal the pandas recompute."""
+    from prague_spark import predict_grouped, score_grouped
+
+    cm = fit_grouped(
+        li, FEATS, "l_returnflag", "multinomial", ["l_linestatus"],
+        n_sigma=3, lambda_min_ratio=0.1, order_col="_rid",
+    ).cache()
+    classes = sorted(
+        r[0] for r in li.select("l_returnflag").distinct().collect()
+    )
+    crows = cm.collect()
+    kmax = {}
+    for r in crows:
+        kmax[r["l_linestatus"]] = max(kmax.get(r["l_linestatus"], -1),
+                                      r["path_idx"])
+    beta = {
+        (r["l_linestatus"], r["cls"], r["feature"]): r["beta"]
+        for r in crows if r["path_idx"] == kmax[r["l_linestatus"]]
+    }
+
+    def _probs(g, x):
+        lps = [
+            beta.get((g, t, INTERCEPT), 0.0)
+            + sum(beta.get((g, t, f), 0.0) * x[f] for f in FEATS)
+            for t in range(len(classes) - 1)
+        ] + [0.0]
+        mx = max(lps)
+        ex = [np.exp(v - mx) for v in lps]
+        return [e / sum(ex) for e in ex]
+
+    pred = predict_grouped(
+        li, cm, FEATS, ["l_linestatus"], family="multinomial",
+        type="response", out="probs",
+    )
+    pred = predict_grouped(
+        pred, cm, FEATS, ["l_linestatus"], family="multinomial",
+        type="class", out="cls_pred",
+    )
+    rows = pred.select("l_linestatus", *FEATS, "l_returnflag", "probs",
+                       "cls_pred").limit(400).collect()
+    for r in rows:
+        exp = _probs(r["l_linestatus"], {f: float(r[f]) for f in FEATS})
+        assert len(r["probs"]) == len(classes)
+        assert abs(sum(r["probs"]) - 1.0) < 1e-12
+        for a, b in zip(r["probs"], exp):
+            assert a == pytest.approx(b, rel=1e-12)
+        assert r["cls_pred"] == classes[int(np.argmax(exp))]
+
+    # score_grouped vs pandas recompute (classes carried, no df scan)
+    got = {
+        (r["l_linestatus"], r["measure"]): (r["value"], r["n"])
+        for m in ("deviance", "misclass")
+        for r in score_grouped(
+            li, cm, FEATS, "l_returnflag", ["l_linestatus"],
+            family="multinomial", measure=m,
+        ).collect()
+    }
+    pdf = li.select("l_linestatus", *FEATS, "l_returnflag").toPandas()
+    for gv, grp in pdf.groupby("l_linestatus"):
+        P = np.array([
+            _probs(gv, {f: float(row[f]) for f in FEATS})
+            for _, row in grp.iterrows()
+        ])
+        yidx = np.searchsorted(classes, grp["l_returnflag"].to_numpy())
+        ptrue = np.clip(P[np.arange(len(P)), yidx], 1e-12, 1 - 1e-12)
+        assert got[(gv, "deviance")][0] == pytest.approx(
+            float((-2.0 * np.log(ptrue)).mean()), rel=1e-9)
+        assert got[(gv, "misclass")][0] == pytest.approx(
+            float((P.argmax(axis=1) != yidx).mean()), rel=1e-9)
+        assert got[(gv, "deviance")][1] == len(grp)
+    # multinomial link is the (m-1) lp array
+    lk = predict_grouped(
+        li, cm, FEATS, ["l_linestatus"], family="multinomial", type="link",
+    ).select("pred").first()
+    assert len(lk["pred"]) == len(classes) - 1
+    with pytest.raises(ValueError, match="invalid"):
+        score_grouped(li, cm, FEATS, "l_returnflag", ["l_linestatus"],
+                      family="multinomial", measure="mse")
+    cm.unpersist()
 
 
 def test_cv_fit_grouped(spark, li):
@@ -279,6 +400,105 @@ def test_cv_fit_grouped(spark, li):
         cv_fit_grouped(li, FEATS, "l_extendedprice", "gaussian",
                        ["l_returnflag"], fold_col="l_orderkey",
                        measure="deviance", n_sigma=2)
+
+
+def test_cv_fit_grouped_matches_distributed_cv(spark, li):
+    """The two CV implementations agree on the same single-segment data:
+    cv_fit_grouped (in-core trainOwl per group) vs ops.cv.cv_fit (the
+    distributed gram-stats path) with the same deterministic folds and
+    the same frozen sigma grid — per-sigma mean AND se at rel 1e-7,
+    chaining the grouped twin to the already-oracled distributed one."""
+    from prague_spark import cv_fit_grouped
+    from prague_spark.ops.cv import cv_fit
+
+    kw = dict(n_folds=3, n_sigma=4, lambda_min_ratio=0.1)
+    # both sides converged tightly: the 1e-7 agreement target needs both
+    # solvers' stopping noise well below it
+    res = cv_fit(
+        li, FEATS, "l_extendedprice", "gaussian", measures=["mse"],
+        fold_col="l_orderkey", method="refit", n_folds=kw["n_folds"],
+        n_sigma=kw["n_sigma"], lambda_min_ratio=kw["lambda_min_ratio"],
+        tol_rel_gap=1e-12, tol_abs=1e-13, tol_rel=1e-13,
+    )
+    base = {r["sigma_idx"]: r for r in res.summary}
+    got = cv_fit_grouped(
+        li.withColumn("_g", F.lit("all")), FEATS, "l_extendedprice",
+        "gaussian", ["_g"], fold_col="l_orderkey", order_col="_rid",
+        measure="mse", tol_rel_gap=1e-12, **kw,
+    ).collect()
+    assert len(got) == len(base)
+    for r in got:
+        b = base[r["sigma_idx"]]
+        assert r["sigma"] == pytest.approx(b["sigma"], rel=1e-7)
+        assert r["mean"] == pytest.approx(b["mean"], rel=1e-7)
+        assert r["se"] == pytest.approx(b["se"], rel=1e-7, abs=1e-9)
+    # the gram-statistics fast path agrees too, up to its moment-formula
+    # cancellation (mse from y'y - 2b'X'y + b'Gb loses ~2 digits more
+    # than direct residuals; it is hash-pinned separately in c1_cv_fit)
+    res_g = cv_fit(
+        li, FEATS, "l_extendedprice", "gaussian", measures=["mse"],
+        fold_col="l_orderkey", method="gram", n_folds=kw["n_folds"],
+        n_sigma=kw["n_sigma"], lambda_min_ratio=kw["lambda_min_ratio"],
+        tol_abs=1e-13, tol_rel=1e-13,
+    )
+    for r in res_g.summary:
+        assert r["mean"] == pytest.approx(
+            base[r["sigma_idx"]]["mean"], rel=5e-6)
+
+
+def test_cv_fit_grouped_fold_class_coding(spark, li):
+    """Binomial fold scoring uses the GROUP's class pair, never the
+    fold's own labels: a fold whose held-out rows are single-class (or
+    whose training rows lose a class) fails loud naming the group and
+    fold, and well-mixed folds produce results identical to the
+    driver-side recompute with group-level coding."""
+    from prague_spark import cv_fit_grouped
+
+    # craft: group 'G', class 'b' lives ONLY in fold 0 -> fold 0's
+    # training rows lose 'b' entirely AND folds 1/2 hold out single-class
+    rows = [("G", float(i), float(i % 7), "b" if i % 3 == 0 else "a", i)
+            for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "g string, x1 double, x2 double, yy string, k int"
+    ).withColumn("fold3", F.when(F.col("yy") == "b", 0).otherwise(
+        (F.col("k") % 2) + 1))
+    with pytest.raises(Exception, match="fold .*(training|held-out)"):
+        cv_fit_grouped(df, ["x1", "x2"], "yy", "binomial", ["g"],
+                       fold_col="fold3", measure="deviance", n_sigma=2,
+                       lambda_min_ratio=0.5).collect()
+
+    # well-mixed folds: matches the driver recompute with the GROUP pair
+    df2 = li.withColumn(
+        "big", F.when(F.col("l_extendedprice") > 30000.0, "hi").otherwise("lo")
+    )
+    out = cv_fit_grouped(
+        df2, FEATS, "big", "binomial", ["l_linestatus"],
+        fold_col="l_orderkey", order_col="_rid", measure="deviance",
+        n_folds=3, n_sigma=3, lambda_min_ratio=0.2,
+    ).collect()
+    gv = sorted({r["l_linestatus"] for r in out})[0]
+    pdf = df2.filter(F.col("l_linestatus") == gv).toPandas().sort_values(
+        "_rid", kind="mergesort")
+    X = pdf[FEATS].to_numpy(dtype=np.float64)
+    ys = pdf["big"].astype(str).to_numpy()
+    folds = pdf["l_orderkey"].to_numpy().astype(np.int64) % 3
+    full = numpy_path_fit(X, ys, "binomial", n_sigma=3, lambda_min_ratio=0.2)
+    sig = full["sigma"]
+    y2 = (ys == "lo").astype(float)  # group-level positive class
+    scores = np.empty((3, len(sig)))
+    for f in range(3):
+        tr = folds != f
+        fit = numpy_path_fit(X[tr], ys[tr], "binomial", sigma=sig)
+        for si in range(len(sig)):
+            B = fit["betas"][si]
+            p1 = 1.0 / (1.0 + np.exp(-(B[0, 0] + X[~tr] @ B[1:, 0])))
+            p1 = np.clip(p1, 1e-12, 1 - 1e-12)
+            scores[f, si] = (-2.0 * (y2[~tr] * np.log(p1)
+                                     + (1 - y2[~tr]) * np.log(1 - p1))).mean()
+    got = {r["sigma_idx"]: r["mean"] for r in out if r["l_linestatus"] == gv}
+    assert len(got) == len(sig)
+    for si in range(len(sig)):
+        assert got[si] == pytest.approx(float(scores[:, si].mean()), rel=1e-9)
 
 
 def test_score_grouped(spark, li):
