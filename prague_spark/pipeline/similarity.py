@@ -30,6 +30,34 @@ def cosine_expr(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _exact_rerank_scores(cand: DataFrame, id_col: str, vec_col: str,
+                         queries: list[tuple[int, list[float]]]) -> DataFrame:
+    """Exact cosine of each shortlist candidate against ITS OWN query:
+    literal maps query_id -> (vector, norm) + one ``element_at`` lookup
+    per row, so the intermediate is O(|candidates|) — never the
+    O(Q x |candidates|) all-query explode-then-filter (quadratic in Q
+    with ~tens of thousands of queries). Same arithmetic as the inlined
+    per-query literals: the looked-up array feeds the identical
+    zip_with/aggregate fold and the norm is the same double literal."""
+    qids = F.array(*[F.lit(int(qid)) for qid, _ in queries])
+    qvecs = F.map_from_arrays(
+        qids,
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in qv]) for _, qv in queries
+        ]),
+    )
+    qnorms = F.map_from_arrays(
+        qids,
+        F.array(*[
+            F.lit(float(np.linalg.norm(qv))) for _, qv in queries
+        ]),
+    )
+    score = _dot(F.col(vec_col), F.element_at(qvecs, F.col("query_id"))) / (
+        _norm(F.col(vec_col)) * F.element_at(qnorms, F.col("query_id"))
+    )
+    return cand.select("query_id", id_col, score.alias("score"))
+
+
 def cosine_topk(
     corpus: DataFrame,
     id_col: str,
@@ -341,24 +369,9 @@ def pq_adc_topk(
         return ranked.filter(F.col("rank") <= k).select(
             "query_id", id_col, "score", "rank"
         )
-    # two-stage: ADC shortlist -> exact cosine re-rank
+    # two-stage: ADC shortlist -> exact cosine re-rank, O(Q x shortlist)
     cand = ranked.filter(F.col("rank") <= shortlist).drop("rank", "score")
-    per_query_exact = [
-        F.struct(
-            F.lit(int(qid)).alias("query_id"),
-            (
-                _dot(F.col(rerank_vec_col), F.array(*[F.lit(float(x)) for x in qv]))
-                / (_norm(F.col(rerank_vec_col)) * F.lit(float(np.linalg.norm(qv))))
-            ).alias("score"),
-        )
-        for qid, qv in queries
-    ]
-    exact = cand.select(
-        id_col, "query_id",
-        F.explode(F.array(*per_query_exact)).alias("e"),
-    ).filter(F.col("query_id") == F.col("e.query_id")).select(
-        "query_id", id_col, F.col("e.score").alias("score")
-    )
+    exact = _exact_rerank_scores(cand, id_col, rerank_vec_col, queries)
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
@@ -511,22 +524,7 @@ def ivfpq_topk(
             "query_id", id_col, "score", "rank"
         )
     cand = ranked.filter(F.col("rank") <= shortlist).drop("rank", "score")
-    per_query_exact = [
-        F.struct(
-            F.lit(int(qid)).alias("query_id"),
-            (
-                _dot(F.col(rerank_vec_col), F.array(*[F.lit(float(x)) for x in qv]))
-                / (_norm(F.col(rerank_vec_col)) * F.lit(float(np.linalg.norm(qv))))
-            ).alias("score"),
-        )
-        for qid, qv in queries
-    ]
-    exact = cand.select(
-        id_col, "query_id",
-        F.explode(F.array(*per_query_exact)).alias("e"),
-    ).filter(F.col("query_id") == F.col("e.query_id")).select(
-        "query_id", id_col, F.col("e.score").alias("score")
-    )
+    exact = _exact_rerank_scores(cand, id_col, rerank_vec_col, queries)
     return (
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -228,6 +228,42 @@ def test_ivfpq_index_and_search(emb, spark):
     idx.unpersist()
 
 
+def test_exact_rerank_is_candidate_linear(spark):
+    """The two-stage search's exact re-rank at Q=1000: one map lookup
+    per candidate row, so the intermediate stays O(|candidates|) — no
+    Generate/explode of all Q queries per row (that shape is
+    O(Q x |candidates|): 5B discarded structs at Q=10k x 100k
+    candidates) — and every score equals the per-row numpy cosine."""
+    import numpy as np
+
+    from prague_spark.pipeline.similarity import _exact_rerank_scores
+    from prague_spark.plan_audit import audit
+
+    rng = np.random.default_rng(7)
+    Q, per_q, d = 1000, 5, 8
+    qvecs = rng.normal(size=(Q, d))
+    queries = [(i, [float(x) for x in qvecs[i]]) for i in range(Q)]
+    cand_rows = [
+        (q, q * per_q + j, [float(x) for x in rng.normal(size=d)])
+        for q in range(Q) for j in range(per_q)
+    ]
+    cand = spark.createDataFrame(
+        cand_rows, "query_id int, vec_id long, vec array<double>"
+    )
+    out = _exact_rerank_scores(cand, "vec_id", "vec", queries)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # no per-row all-query explode
+    a = audit(out)
+    assert a.py_stages == 0 and a.shuffles == 0
+    got = out.collect()
+    assert len(got) == Q * per_q  # candidate-linear output
+    vec_by_id = {r[1]: np.asarray(r[2]) for r in cand_rows}
+    for r in got[::97]:
+        v, q = vec_by_id[r["vec_id"]], qvecs[r["query_id"]]
+        exp = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        assert r["score"] == pytest.approx(exp, rel=1e-12)
+
+
 def test_pq_kmeans_validation():
     import numpy as np
 
