@@ -45,9 +45,15 @@ def _run_pipe(spark, sf_dir):
         min_avg_word_len=1.0, max_avg_word_len=20.0,
     ).filter(F.col("gq_keep"))
 
-    # 3. decontaminate vs the eval slice
+    # 3. decontaminate vs the eval slice. Threshold 0.8, not the 0.5 a
+    # real web corpus would use: the synthetic word-bag docs share one
+    # small vocabulary with the src0 eval slice, so winnowing overlap is
+    # pervasive (median contamination ~0.69 at sf0.01) and 0.5 would
+    # leave a ~4-doc tail that no longer exercises the downstream
+    # stages. 0.8 removes a small real set and keeps the population.
+    _CONTAM = 0.8
     bad = dedup.contamination(clean, evals, "doc_id", "text").filter(
-        F.col("contamination") >= 0.5
+        F.col("contamination") >= _CONTAM
     )
     clean = clean.join(bad.select("doc_id"), "doc_id", "left_anti").cache()
 
@@ -81,13 +87,16 @@ def test_curation_recipe_end_to_end(spark, sf_dir, tmp_path):
     ).count() + n_clusters
     assert post_near == n_uniq - n_members + n_clusters
 
+    # a meaningful population must survive — the e2e point is that the
+    # stages COMPOSE, which a handful-of-docs tail doesn't exercise
     n_clean = clean.count()
     assert 0 < n_clean <= post_near
+    assert n_clean >= 100, f"degenerate composition: only {n_clean} docs survived"
 
     # decontamination converged: nothing above threshold remains
     evals = docs.filter(F.col("source") == "src0").select("doc_id", "text")
     again = dedup.contamination(clean, evals, "doc_id", "text").filter(
-        F.col("contamination") >= 0.5
+        F.col("contamination") >= 0.8
     )
     assert again.count() == 0
 
@@ -103,14 +112,32 @@ def test_curation_recipe_end_to_end(spark, sf_dir, tmp_path):
     assert mix.count() == n_train + n_train_en
 
     # shard layout: bounded shard ids, deterministic order key, and the
-    # parquet round-trip preserves every pack span
+    # parquet round-trip preserves every pack span. The spread check is
+    # DETERMINISTIC: recompute the expected shard of every key from the
+    # md5 rule shard_assign implements (it is separately oracle-gated)
+    # and require the written layout to land on exactly that set — no
+    # probabilistic "k keys into n shards" coverage assertion.
     assert shards.filter((F.col("shard") < 0) | (F.col("shard") >= 8)).count() == 0
+    recomputed = F.pmod(
+        F.conv(F.substring(F.md5(
+            F.concat_ws(":", F.col("copy_id").cast("string"),
+                        F.col("pack_id").cast("string"), F.lit(""))
+        ), 1, 8), 16, 10).cast("long"),
+        F.lit(8),
+    ).cast("int")
+    # every key's shard equals the rule's value - not a coverage guess
+    assert shards.filter(F.col("shard") != recomputed).count() == 0
+    expected_shards = {
+        r["s"] for r in
+        shards.select(recomputed.alias("s")).distinct().collect()
+    }
     out = str(tmp_path / "train_shards")
     (shards.repartition(8, "shard").sortWithinPartitions("order_key")
      .write.partitionBy("shard").parquet(out))
     back = spark.read.parquet(out)
     assert back.count() == shards.count()
-    assert back.select("shard").distinct().count() >= 4
+    assert {r["shard"] for r in back.select("shard").distinct().collect()} \
+        == expected_shards
 
     # whole-pipe determinism: a rerun lands on the identical survivor
     # set and shard assignment
