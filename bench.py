@@ -213,6 +213,41 @@ def main() -> None:
             lambda_min_ratio=0.01,
         ).count()
 
+    # per-segment scoring benches time PURE scoring: the segment models
+    # are fit once here, outside the timed blocks
+    _li_big = li.withColumn(
+        "flag", F.when(F.col("l_extendedprice") > 30000.0, "hi").otherwise("lo")
+    )
+    _grp_bin = ps.fit_grouped(
+        _li_big, FEATURES, "flag", "binomial", ["l_returnflag"],
+        n_sigma=3, lambda_min_ratio=0.1,
+    ).cache()
+    _grp_bin.count()
+    _grp_multi = ps.fit_grouped(
+        li, FEATURES, "l_returnflag", "multinomial", ["l_linestatus"],
+        n_sigma=3, lambda_min_ratio=0.1,
+    ).cache()
+    _grp_multi.count()
+
+    @bench("score_grouped_auc")
+    def _():
+        # per-segment rank AUC: broadcast coef-map scoring + one
+        # (group, p) reduce + one partitioned running-sum window — the
+        # full-table single pass a segment-scored binomial needs
+        ps.score_grouped(
+            _li_big, _grp_bin, FEATURES, "flag", ["l_returnflag"],
+            family="binomial", measure="auc",
+        ).count()
+
+    @bench("predict_grouped_multinomial")
+    def _():
+        # per-segment softmax scoring: stateless broadcast nested-map
+        # join + codegen simplex + argmax class, zero data shuffle
+        ps.predict_grouped(
+            li, _grp_multi, FEATURES, ["l_linestatus"],
+            family="multinomial", type="class", out="cls",
+        ).agg(F.count("cls")).collect()
+
     @bench("fit_sparse_gaussian")
     def _():
         # long-format sparse path: one-time triplet self-join Gram, then

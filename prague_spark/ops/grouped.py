@@ -392,13 +392,16 @@ def score_grouped(
     every segment model over the full table is a single pass. Returns
     (group_cols..., measure, value, n).
 
-    Measures: 'mse' / 'mae' (gaussian response scale), 'deviance' and
-    'misclass' (binomial + multinomial). Binomial codes the LAST sorted
-    class as positive, matching preprocess_response; multinomial
-    deviance is the per-class clipped log-loss sum -2*y_k*log(p_k)
-    (``R/score.R:82-118``) and misclass compares the softmax argmax
-    class. Class names come from ``classes=`` or the coefficient
-    frame's ``classes`` column — never an extra scan of ``df``."""
+    Measures: 'mse' / 'mae' (gaussian response scale), 'deviance' /
+    'misclass' / 'auc' (binomial; auc is the per-segment average-rank
+    statistic of ``R/score.R:137-166`` via ops.score.auc_grouped — NULL
+    for a single-class segment), 'deviance' and 'misclass'
+    (multinomial). Binomial codes the LAST sorted class as positive,
+    matching preprocess_response; multinomial deviance is the per-class
+    clipped log-loss sum -2*y_k*log(p_k) (``R/score.R:82-118``) and
+    misclass compares the softmax argmax class. Class names come from
+    ``classes=`` or the coefficient frame's ``classes`` column — never
+    an extra scan of ``df``."""
     group_cols = list(group_cols)
     if family == "multinomial":
         return _score_grouped_multinomial(
@@ -413,7 +416,7 @@ def score_grouped(
     if family == "gaussian" and measure in ("mse", "mae"):
         err = F.col(label).cast("double") - mu
         agg = F.avg(err * err) if measure == "mse" else F.avg(F.abs(err))
-    elif family == "binomial" and measure in ("deviance", "misclass"):
+    elif family == "binomial" and measure in ("deviance", "misclass", "auc"):
         classes = _resolve_classes(coefs, classes, "score_grouped")
         if len(classes) != 2:
             raise ValueError(
@@ -422,6 +425,15 @@ def score_grouped(
         y2 = F.when(
             F.col(label).cast("string") == F.lit(str(classes[1])), 1.0
         ).otherwise(0.0)
+        if measure == "auc":
+            from .score import auc_grouped
+
+            return auc_grouped(pred, "_mu", y2, group_cols).select(
+                *group_cols,
+                F.lit("auc").alias("measure"),
+                F.col("auc").alias("value"),
+                F.col("_auc_n").cast("long").alias("n"),
+            )
         if measure == "deviance":
             muc = F.least(F.greatest(mu, F.lit(1e-12)), F.lit(1.0 - 1e-12))
             agg = F.avg(

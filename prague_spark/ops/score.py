@@ -186,6 +186,61 @@ def auc(df: DataFrame, prob_col: str, pos_indicator, weight_col: str | None = No
     return float(row["u"] / (row["n1"] * row["n0"]))
 
 
+def auc_grouped(
+    df: DataFrame,
+    prob_col: str,
+    pos_indicator,
+    group_cols,
+    weight_col: str | None = None,
+    out: str = "auc",
+) -> DataFrame:
+    """Rank-based AUC PER GROUP in one distributed job — the segment
+    twin of :func:`auc` (same average-rank tie expectation, same
+    ``R/score.R:137-166`` statistic per segment).
+
+    Scale plan: the global form needs the two-level bucket trick because
+    its cumulative window has no partition key; here every window IS
+    partitioned by the group columns, so the plan is one groupBy
+    (group, p) reduce (map-side combine) + one per-group running-sum
+    window + one final per-group agg. The window's running sum streams
+    through each group's externally-sorted distinct probabilities — no
+    group ever needs to fit in memory. Groups with a single class
+    return NULL (AUC undefined), never a division error."""
+    group_cols = list(group_cols)
+    wcol = F.col(weight_col) if weight_col else F.lit(1.0)
+    grouped = (
+        df.select(
+            *group_cols, F.col(prob_col).alias("p"),
+            pos_indicator.alias("y2"), wcol.alias("w"),
+        )
+        .groupBy(*group_cols, "p")
+        .agg(
+            F.sum(F.col("w") * F.col("y2")).alias("n1_g"),
+            F.sum(F.col("w") * (F.lit(1.0) - F.col("y2"))).alias("n0_g"),
+        )
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = grouped.withColumn(
+        "cum_n0_below", F.coalesce(F.sum("n0_g").over(w), F.lit(0.0))
+    )
+    aggs = [
+        (
+            F.sum(F.col("n1_g") * (F.col("cum_n0_below") + F.col("n0_g") / 2.0))
+            / F.when(
+                (F.sum("n1_g") > 0) & (F.sum("n0_g") > 0),
+                F.sum("n1_g") * F.sum("n0_g"),
+            )
+        ).alias(out),
+        # weight mass (= row count when unweighted) rides the same agg
+        (F.sum("n1_g") + F.sum("n0_g")).alias(f"_{out}_n"),
+    ]
+    return scored.groupBy(*group_cols).agg(*aggs)
+
+
 def _auc_all_slices(df: DataFrame, prob_exprs: list, y2_expr) -> list[float]:
     """Unweighted AUC for EVERY path slice in ONE distributed job — the
     batched form of :func:`auc` for path scoring (auc is a rank statistic,

@@ -93,7 +93,8 @@ def _z_sql(sf_dir: str) -> str:
     mom = _li_moments(sf_dir)
     (mq, sq), (mp, sp), (md, sd) = (mom[c] for c in ZCOLS)
     return f"""
-    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity AS w_raw,
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+           l_quantity AS w_raw,
            (l_quantity      - {mq!r}) / {sq!r} AS zq,
            (l_extendedprice - {mp!r}) / {sp!r} AS zp,
            (l_discount      - {md!r}) / {sd!r} AS zd,
@@ -124,7 +125,7 @@ def _zdf(spark, sf_dir) -> DataFrame:
     )
     out = std.transform(li, suffix="_z")
     return out.select(
-        "l_orderkey", "l_linenumber", "l_returnflag",
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
         F.col("l_quantity").alias("w_raw"),
         F.col("l_quantity_z").alias("zq"),
         F.col("l_extendedprice_z").alias("zp"),
@@ -527,7 +528,20 @@ SQL_Q3_Q4_RESPONSE = f"""
 
 def q_q5_predict_multinomial(spark, sf_dir):
     """Stabilized softmax over (m-1) targets + implicit last class, and
-    argmax class (R/predict.R:151-197)."""
+    argmax class (R/predict.R:151-197).
+
+    Round-8 merge: 'grpm' tagged rows pin the grouped layer's LAST
+    family — ops.grouped.predict_grouped for MULTINOMIAL per-segment
+    models (one 3-class model per l_linestatus segment, nested
+    cls->feature->beta broadcast map, per-segment softmax + argmax
+    class). The engine's fit_grouped must agree with the independently
+    pinned per-segment reference fits (fit_agrees), and the oracle
+    re-derives every row's class simplex from those pinned betas as
+    per-group CASE expressions over the raw columns."""
+    import numpy as np
+
+    from .ops.grouped import INTERCEPT, fit_grouped, predict_grouped
+
     z = _zdf(spark, sf_dir)
     lp1, lp2 = _lp_expr(), _lp2_expr()
     mx = F.greatest(lp1, lp2, F.lit(0.0))
@@ -539,13 +553,116 @@ def q_q5_predict_multinomial(spark, sf_dir):
         .when(p2 >= p3, "N")
         .otherwise("R")
     )
-    return z.select(
+    base = z.select(
+        F.lit("base").alias("slice"),
         "l_orderkey", "l_linenumber",
         F.round(p1, 4).alias("p_a"),
         F.round(p2, 4).alias("p_n"),
         F.round(p3, 4).alias("p_r"),
         cls.alias("pred_class"),
+        F.lit(True).alias("fit_agrees"),
     )
+
+    spec = _GROUPED_MULTI_SPEC
+    feats = spec["features"]
+    li = load(spark, sf_dir, "lineitem")
+    pins = _pinned_fit_grouped_multi(sf_dir)
+    # the per-segment engine fit must agree with the pinned reference
+    got = fit_grouped(
+        li, feats, spec["label"], "multinomial", [spec["group_col"]],
+        n_sigma=spec["n_sigma"], lambda_min_ratio=spec["lambda_min_ratio"],
+    ).collect()
+    jidx = {INTERCEPT: 0}
+    jidx.update({f: j + 1 for j, f in enumerate(feats)})
+    agree = True
+    for gv, pin in pins.items():
+        B = pin["betas"]
+        grows = [r for r in got if r[spec["group_col"]] == gv]
+        ok = bool(grows) and max(r["path_idx"] for r in grows) + 1 == B.shape[0]
+        if ok:
+            gb = np.zeros_like(B)
+            for r in grows:
+                gb[r["path_idx"], jidx[r["feature"]], r["cls"]] = r["beta"]
+            ok = bool(np.allclose(gb, B, rtol=5e-2, atol=5e-3))
+        agree = agree and ok
+    # scoring mechanics hash-verified from the PINNED betas (the same
+    # deterministic-literals scheme as q1's grouped slice)
+    rows = []
+    for gv, pin in sorted(pins.items()):
+        B = pin["betas"]
+        k = B.shape[0] - 1
+        for t in range(B.shape[2]):
+            rows.append((gv, k, INTERCEPT, t, float(B[k, 0, t])))
+            for j, f in enumerate(feats):
+                if B[k, 1 + j, t] != 0.0:
+                    rows.append((gv, k, f, t, float(B[k, 1 + j, t])))
+    coefs = spark.createDataFrame(
+        rows,
+        f"{spec['group_col']} string, path_idx int, feature string, "
+        "cls int, beta double",
+    )
+    classes = [str(c) for c in next(iter(pins.values()))["class_names"]]
+    pred = predict_grouped(
+        li, coefs, feats, [spec["group_col"]],
+        family="multinomial", type="response", out="_probs", classes=classes,
+    )
+    pred = predict_grouped(
+        pred, coefs, feats, [spec["group_col"]],
+        family="multinomial", type="class", out="_cls", classes=classes,
+    )
+    grpm = pred.select(
+        F.lit("grpm").alias("slice"),
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("_probs")[0], 4).alias("p_a"),
+        F.round(F.col("_probs")[1], 4).alias("p_n"),
+        F.round(F.col("_probs")[2], 4).alias("p_r"),
+        F.col("_cls").alias("pred_class"),
+        F.lit(bool(agree)).alias("fit_agrees"),
+    )
+    return base.unionByName(grpm)
+
+
+def _q5_grouped_sql(sf_dir: str) -> str:
+    """The 'grpm' slice of q5's oracle: each l_linestatus segment's
+    deepest pinned (m-1) linear predictors as CASE expressions (original
+    units, zero betas omitted — Spark's coalesce-to-0.0 terms are
+    exact), then the identical stabilized softmax + first-match argmax
+    the base slice uses."""
+    spec = _GROUPED_MULTI_SPEC
+    feats = spec["features"]
+    gcol = spec["group_col"]
+    lps = []
+    for t in range(2):
+        cases = []
+        for gv, pin in sorted(_pinned_fit_grouped_multi(sf_dir).items()):
+            B = pin["betas"]
+            k = B.shape[0] - 1
+            terms = [repr(float(B[k, 0, t]))] + [
+                f"{float(B[k, 1 + j, t])!r}*{feats[j]}"
+                for j in range(len(feats)) if B[k, 1 + j, t] != 0.0
+            ]
+            cases.append(f"WHEN {gcol} = '{gv}' THEN ({' + '.join(terms)})")
+        lps.append("CASE " + " ".join(cases) + " END")
+    return f"""
+    WITH lp AS (
+        SELECT l_orderkey, l_linenumber,
+               {lps[0]} AS lp1, {lps[1]} AS lp2,
+               greatest({lps[0]}, {lps[1]}, 0.0) AS mx
+        FROM lineitem
+    ), e AS (
+        SELECT l_orderkey, l_linenumber,
+               exp(lp1 - mx) AS e1, exp(lp2 - mx) AS e2, exp(0.0 - mx) AS e3
+        FROM lp
+    )
+    SELECT l_orderkey, l_linenumber,
+           round(e1/(e1+e2+e3), 4) AS p_a,
+           round(e2/(e1+e2+e3), 4) AS p_n,
+           round(e3/(e1+e2+e3), 4) AS p_r,
+           CASE WHEN e1 >= e2 AND e1 >= e3 THEN 'A'
+                WHEN e2 >= e3 THEN 'N'
+                ELSE 'R' END AS pred_class
+    FROM e
+    """
 
 
 SQL_Q5_MULTINOMIAL = f"""
@@ -622,28 +739,51 @@ def q_q10_score_auc(spark, sf_dir):
     reference's randomized tie-breaking (R/score.R:152-166) — see the
     ops.score.auc docstring for the semantic delta. Probabilities are
     rounded to 6 dp BEFORE grouping on both sides so the tie structure is
-    engine-independent."""
+    engine-independent.
+
+    Round-8 merge: 'grp' tagged rows pin the NEW per-SEGMENT AUC
+    (ops.score.auc_grouped, the statistic every segment-scored binomial
+    model needs) — one l_linestatus row each, unweighted + weighted,
+    re-derived in SQL through the identical grouped-cumulative form with
+    the windows PARTITIONed by the segment."""
     z = _zdf(spark, sf_dir)
     lp = _lp_expr()
     prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-lp)), 6)
     y2 = F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
-    from .ops.score import auc as auc_fn
+    from .ops.score import auc as auc_fn, auc_grouped
 
     val = auc_fn(z.select(prob.alias("p"), y2.alias("y2")), "p", F.col("y2"))
     val_w = auc_fn(
         z.select(prob.alias("p"), y2.alias("y2"), F.col("w_raw").alias("w")),
         "p", F.col("y2"), weight_col="w",
     )
-    return spark.createDataFrame(
-        [(round(val, 6), round(val_w, 6))], "auc double, auc_w double"
+    base = spark.createDataFrame(
+        [("_all", round(val, 6), round(val_w, 6))],
+        "grp string, auc double, auc_w double",
     )
+    # round-8 'grp' slices: the per-SEGMENT rank statistic
+    # (ops.score.auc_grouped — one partitioned running-sum window, the
+    # shape that scales where the global bucket trick isn't needed),
+    # unweighted and weighted, per l_linestatus
+    zs = z.select(
+        F.col("l_linestatus").alias("grp"), prob.alias("p"),
+        y2.alias("y2"), F.col("w_raw").alias("w"),
+    )
+    gu = auc_grouped(zs, "p", F.col("y2"), ["grp"], out="auc")
+    gw = auc_grouped(zs, "p", F.col("y2"), ["grp"], weight_col="w",
+                     out="auc_w")
+    grp = gu.join(gw, "grp").select(
+        "grp", F.round("auc", 6).alias("auc"),
+        F.round("auc_w", 6).alias("auc_w"),
+    )
+    return base.unionByName(grp)
 
 
 SQL_Q10_AUC = f"""
     WITH z AS ({_Z_SQL}), s AS (
         SELECT round(1.0/(1.0 + exp(-{_LP_SQL})), 6) AS p,
                CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y2,
-               w_raw AS w
+               w_raw AS w, l_linestatus AS grp
         FROM z
     ), g AS (
         SELECT p, sum(y2) AS n1_g, sum(1.0 - y2) AS n0_g,
@@ -656,10 +796,27 @@ SQL_Q10_AUC = f"""
                coalesce(sum(wn0_g) OVER (ORDER BY p
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS wbelow
         FROM g
+    ), gg AS (
+        SELECT grp, p, sum(y2) AS n1_g, sum(1.0 - y2) AS n0_g,
+               sum(w*y2) AS wn1_g, sum(w*(1.0 - y2)) AS wn0_g
+        FROM s GROUP BY grp, p
+    ), gcum AS (
+        SELECT grp, n1_g, n0_g, wn1_g, wn0_g,
+               coalesce(sum(n0_g) OVER (PARTITION BY grp ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS below,
+               coalesce(sum(wn0_g) OVER (PARTITION BY grp ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS wbelow
+        FROM gg
     )
-    SELECT round(sum(n1_g*(below + n0_g/2.0)) / (sum(n1_g)*sum(n0_g)), 6) AS auc,
+    SELECT '_all' AS grp,
+           round(sum(n1_g*(below + n0_g/2.0)) / (sum(n1_g)*sum(n0_g)), 6) AS auc,
            round(sum(wn1_g*(wbelow + wn0_g/2.0)) / (sum(wn1_g)*sum(wn0_g)), 6) AS auc_w
     FROM cum
+    UNION ALL
+    SELECT grp,
+           round(sum(n1_g*(below + n0_g/2.0)) / (sum(n1_g)*sum(n0_g)), 6) AS auc,
+           round(sum(wn1_g*(wbelow + wn0_g/2.0)) / (sum(wn1_g)*sum(wn0_g)), 6) AS auc_w
+    FROM gcum GROUP BY grp
 """
 
 
@@ -2283,6 +2440,49 @@ def _pinned_fit_grouped(sf_dir: str):
     y = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False).astype(
         np.float64
     )
+    pins = {}
+    for gv in sorted(set(gvals.tolist())):
+        mask = gvals == gv
+        pins[gv] = numpy_path_fit(
+            X[mask], y[mask], spec["family"],
+            n_sigma=spec["n_sigma"], lambda_min_ratio=spec["lambda_min_ratio"],
+            tol_rel_gap=1e-7, tol_infeas=1e-4,
+        )
+    return pins
+
+
+# --- round-8 merge: per-segment MULTINOMIAL models (the grouped layer's
+# last family) ride q5_predict_multinomial as a 'grpm' slice. One
+# independent 3-class model per l_linestatus segment; the oracle
+# re-derives every row's per-class softmax from the pinned deepest-point
+# betas as CASE expressions over the raw columns.
+_GROUPED_MULTI_SPEC = dict(
+    family="multinomial",
+    features=["l_quantity", "l_discount"],
+    label="l_returnflag",
+    n_sigma=3, lambda_min_ratio=0.1,
+    group_col="l_linestatus",
+)
+
+
+@lru_cache(maxsize=None)
+def _pinned_fit_grouped_multi(sf_dir: str):
+    """Per-l_linestatus multinomial reference fits for the q5 grpm slice
+    (same recipe as _pinned_fit_grouped)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .core.ref_fit import numpy_path_fit
+
+    spec = _GROUPED_MULTI_SPEC
+    cols = list({*spec["features"], spec["label"], spec["group_col"]})
+    tbl = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=cols)
+    gvals = np.asarray(tbl.column(spec["group_col"]).to_pylist())
+    X = np.column_stack(
+        [tbl.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+         for c in spec["features"]]
+    )
+    y = np.asarray(tbl.column(spec["label"]).to_pylist())
     pins = {}
     for gv in sorted(set(gvals.tolist())):
         mask = gvals == gv
@@ -4669,6 +4869,14 @@ SQL_DOCS_SAMPLE = f"""
 # c1_cv_fit gains per-l_returnflag 'grp' slices (the NEW
 # ops.grouped.cv_fit_grouped — in-core trainOwl CV per segment; every
 # segment's per-fold test mse re-derived from pinned fold-refit betas).
+#
+# Round-8 merge (still exactly 50): q5_predict_multinomial gains a
+# 'grpm' slice + fit_agrees column — the grouped layer's last family:
+# one pinned 3-class model per l_linestatus segment, the engine's
+# multinomial fit_grouped checked against the pins, and
+# predict_grouped's nested cls->feature->beta broadcast softmax +
+# argmax class re-derived in SQL as per-group CASE linear predictors
+# through the identical stabilized-softmax template the base slice uses.
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,
@@ -4797,6 +5005,14 @@ def build_oracles(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         "SELECT 'base' AS slice, t.* FROM (" + out["q1_predict_link"] + ") t "
         "UNION ALL SELECT 'grouped' AS slice, g.* FROM ("
         + _q1_grouped_sql(sf_dir) + ") g"
+    )
+    # q5 carries the round-8 grouped-MULTINOMIAL slice (slice tag +
+    # fit_agrees columns, the f11/q1 composition scheme)
+    out["q5_predict_multinomial"] = (
+        "SELECT 'base' AS slice, t.*, TRUE AS fit_agrees FROM ("
+        + out["q5_predict_multinomial"] + ") t "
+        "UNION ALL SELECT 'grpm' AS slice, g.*, TRUE AS fit_agrees FROM ("
+        + _q5_grouped_sql(sf_dir) + ") g"
     )
     out["q6_coef_interpolation"] = _q6_interp_sql(sf_dir)
     out["f13_diagnostics"] = _f13_sql(sf_dir)

@@ -25,6 +25,31 @@ def score_stream(
     return predict(stream_df, model, type=type, out=out)
 
 
+def predict_grouped_stream(
+    stream_df: DataFrame,
+    coefs: DataFrame,
+    features,
+    group_cols,
+    **kwargs,
+) -> DataFrame:
+    """Per-SEGMENT model scoring on a stream: the
+    :func:`prague_spark.ops.grouped.predict_grouped` broadcast
+    coefficient-map join applies unchanged — the coefficient frame is a
+    model-sized BATCH frame (fit offline by ``fit_grouped``), so the
+    plan is a stateless stream-static broadcast join + codegen dot
+    product per micro-batch; no watermark, no state store, scales with
+    source parallelism. All families including the multinomial softmax
+    (type='link'/'response'/'class') pass through."""
+    from ..ops.grouped import predict_grouped
+
+    if coefs.isStreaming:
+        raise ValueError(
+            "predict_grouped_stream: coefs must be a batch DataFrame "
+            "(fit offline with fit_grouped); only the scored side streams"
+        )
+    return predict_grouped(stream_df, coefs, features, group_cols, **kwargs)
+
+
 def rolling_metric_stream(
     stream_df: DataFrame,
     model: SlopeModel,

@@ -1,0 +1,166 @@
+"""Plan-shape pins for the expensive BENCH-ONLY configurations.
+
+tests/test_plan_shapes.py pins all 50 registry queries, but bench.py
+deliberately times PURE operator configurations that are not registry
+queries (merged oracle slices would inflate a bench entry — the round-6
+lesson). A shuffle / Python-stage / nested-loop regression in one of
+those bench-only paths would previously surface only as a silent
+BENCH_r{N} uptick; these pins fail CI instead.
+
+Covered = the most expensive BENCH_r07 entries with a DataFrame plan:
+banded embedding LSH, PQ and IVF-PQ two-stage search, bigram-LM
+scoring, BM25, hybrid RRF, decontamination, hashing vectorizer. The
+four fit_* heavyweights are driver-orchestrated multi-job loops, not
+one plan — their scale budget is pinned as scans-per-path-point in
+tests/test_sparse_invariance.py instead.
+
+Budgets are the measured shapes at the bench configs (sf-independent);
+py_stages must be 0 everywhere (all-JVM paths) and nested-loop or
+cartesian joins are forbidden outright.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prague_spark.pipeline import dedup, similarity
+from prague_spark.plan_audit import assert_scale_shape
+
+
+@pytest.fixture(autouse=True)
+def _uncached(spark):
+    # audit UNCACHED plans (an InMemoryRelation left by another test
+    # swaps full-width cached scans in for pruned parquet reads)
+    spark.catalog.clearCache()
+    yield
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("vec", F.transform("embedding", lambda x: x.cast("double")))
+    )
+
+
+@pytest.fixture(scope="module")
+def queries3(emb):
+    qrows = emb.limit(3).select("vec_id", "vec").collect()
+    return [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in qrows]
+
+
+def test_banded_lsh_bench_shape(emb):
+    # bench's dedup_embedding_lsh_banded config: planted near-dups,
+    # threshold 0.7, 8 planes x 8 bands. All equi-joins: the band
+    # self-join + exact verify must never degrade to a nested-loop or
+    # cartesian pair scan, and the whole path stays JVM-side.
+    pert = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(vec, (x, i) -> x + 0.25d * "
+            "element_at(vec, int(pmod(i + 1, size(vec))) + 1))"
+        ).alias("vec"),
+    )
+    both = emb.select("vec_id", "vec").unionByName(pert)
+    out = dedup.embedding_cosine_pairs(
+        both, "vec_id", "vec", threshold=0.7, n_planes=8, n_bands=8
+    )
+    assert_scale_shape(out, max_shuffles=5, max_py_stages=0,
+                       max_read_width=3)
+
+
+def test_pq_topk_bench_shape(emb, queries3):
+    # bench's sim_pq_topk: codes + ADC shortlist + exact re-rank. ONE
+    # scan, ONE shuffle (the rank window), zero Python — the re-rank's
+    # map-lookup form must not reintroduce a per-candidate explode join.
+    books = similarity.train_pq_codebooks(
+        emb, "vec", n_subvectors=8, n_codes=16, sample_rows=2000
+    )
+    coded = similarity.assign_pq_codes(emb, "vec", books)
+    out = similarity.pq_adc_topk(
+        coded, "vec_id", "pq_code", books, queries3, k=10,
+        rerank_vec_col="vec", shortlist=100,
+    )
+    a = assert_scale_shape(out, max_shuffles=1, max_py_stages=0,
+                           max_read_width=3)
+    assert a.scans <= 1
+
+
+def test_ivfpq_topk_bench_shape(emb, queries3):
+    # bench's sim_ivfpq_topk: probed two-level search, same budget
+    C, books = similarity.train_ivfpq(
+        emb, "vec", n_centroids=8, n_subvectors=8, n_codes=16,
+        sample_rows=2000,
+    )
+    idx = similarity.assign_ivfpq(emb, "vec", C, books)
+    out = similarity.ivfpq_topk(
+        idx, "vec_id", C, books, queries3, k=10, nprobe=4,
+        rerank_vec_col="vec", shortlist=100,
+    )
+    a = assert_scale_shape(out, max_shuffles=1, max_py_stages=0,
+                           max_read_width=3)
+    assert a.scans <= 1
+
+
+def test_lm_score_bench_shape(docs):
+    # bench's text_lm_score: bigram-LM train + stupid-backoff scoring —
+    # vocab-bounded equi-joins, bounded shuffles, zero Python
+    from prague_spark.pipeline.text import bigram_lm_index, lm_logprob
+
+    uni, big, total = bigram_lm_index(docs, "text")
+    out = lm_logprob(docs, "doc_id", "text", uni, big, total)
+    assert_scale_shape(out, max_shuffles=5, max_py_stages=0,
+                       max_read_width=5)
+
+
+def test_bm25_and_rrf_bench_shapes(docs, emb, queries3):
+    # bench's text_bm25 + sim_hybrid_rrf: postings + isin-pruned scoring,
+    # then RRF fusion of two top-k streams (fusion adds rank windows on
+    # top-k-sized inputs, never a data-sized shuffle beyond them)
+    from prague_spark.pipeline.search import (
+        bm25_search, build_postings, corpus_stats_from_docs, rrf_fuse,
+    )
+
+    n, avgdl = corpus_stats_from_docs(docs, "text")
+    post = build_postings(docs, "doc_id", "text")
+    out = bm25_search(
+        post, [(0, "table scan merge"), (1, "window sort hash")],
+        k=10, n_docs=n, avgdl=avgdl,
+    )
+    assert_scale_shape(out, max_shuffles=6, max_py_stages=0,
+                       max_read_width=5)
+    lex = bm25_search(post, [(0, "table scan merge")], k=20,
+                      n_docs=n, avgdl=avgdl)
+    sem = similarity.cosine_topk(
+        emb, "vec_id", "vec", [(0, queries3[0][1])], k=20
+    ).withColumnRenamed("vec_id", "doc_id")
+    fused = rrf_fuse([lex, sem.select("query_id", "doc_id", "rank")], topk=10)
+    assert_scale_shape(fused, max_shuffles=9, max_py_stages=0,
+                       max_read_width=5)
+
+
+def test_decontaminate_bench_shape(docs):
+    # bench's text_decontaminate: winnowing-minima inverted index join —
+    # the eval side collapses to one row per distinct minimum before the
+    # join, so the plan is equi-join + aggs, never a pairwise scan
+    tr = docs.filter(F.col("source") != "src0")
+    ev = docs.filter(F.col("source") == "src0")
+    out = dedup.contamination(tr, ev, "doc_id", "text")
+    assert_scale_shape(out, max_shuffles=3, max_py_stages=0,
+                       max_read_width=5)
+
+
+def test_hashvec_bench_shape(docs):
+    # bench's docs_hashvec: raw text -> fit_sparse-ready triplets in ONE
+    # shuffle (the no-vocabulary 100 TB vectorizer)
+    from prague_spark.pipeline.vectorize import hashing_vectorizer
+
+    out = hashing_vectorizer(docs, "doc_id", "text", n_features=2**15)
+    assert_scale_shape(out, max_shuffles=1, max_py_stages=0,
+                       max_read_width=5)

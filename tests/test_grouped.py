@@ -543,6 +543,58 @@ def test_score_grouped(spark, li):
     coefs.unpersist()
 
 
+def test_score_grouped_auc(spark, li):
+    """Per-segment AUC: each group's value equals the already-oracled
+    global rank AUC (ops.score.auc) computed on that group's rows alone,
+    and a single-class segment returns NULL instead of dividing by
+    zero."""
+    from prague_spark import predict_grouped, score_grouped
+    from prague_spark.ops.score import auc, auc_grouped
+
+    df = li.withColumn(
+        "big", F.when(F.col("l_extendedprice") > 30000.0, "hi").otherwise("lo")
+    )
+    cb = fit_grouped(
+        df, FEATS, "big", "binomial", ["l_linestatus"],
+        n_sigma=3, lambda_min_ratio=0.1, order_col="_rid",
+    ).cache()
+    got = {
+        r["l_linestatus"]: (r["value"], r["n"])
+        for r in score_grouped(
+            df, cb, FEATS, "big", ["l_linestatus"],
+            family="binomial", measure="auc",
+        ).collect()
+    }
+    pred = predict_grouped(
+        df, cb, FEATS, ["l_linestatus"], family="binomial",
+        type="response", out="_mu",
+    ).cache()
+    # positive class = the LAST sorted label ('lo'), the same coding
+    # _mu is the response probability of
+    y2 = F.when(F.col("big") == "lo", 1.0).otherwise(0.0)
+    for gv in got:
+        one = pred.filter(F.col("l_linestatus") == gv)
+        exp = auc(one.select(F.col("_mu").alias("p"), y2.alias("y2")),
+                  "p", F.col("y2"))
+        assert got[gv][0] == pytest.approx(exp, rel=1e-12), gv
+        assert got[gv][1] == one.count()
+    pred.unpersist()
+    # single-class group -> NULL auc (undefined), loud nowhere
+    const = spark.createDataFrame(
+        [("g1", 0.3, 1.0), ("g1", 0.7, 1.0), ("g2", 0.2, 0.0)],
+        "g string, p double, y2 double",
+    )
+    rows = {r["g"]: r["auc"] for r in
+            auc_grouped(const, "p", F.col("y2"), ["g"]).collect()}
+    assert rows["g1"] is None and rows["g2"] is None
+    # weighted variant degenerates to unweighted at w=1
+    w1 = const.withColumn("w", F.lit(1.0))
+    a = auc_grouped(w1, "p", F.col("y2"), ["g"], weight_col="w").collect()
+    b = auc_grouped(const, "p", F.col("y2"), ["g"]).collect()
+    assert {r["g"]: r["auc"] for r in a} == {r["g"]: r["auc"] for r in b}
+    cb.unpersist()
+
+
 def test_fit_grouped_errors(spark, li):
     # single-class binomial group fails loud, naming the group
     df = li.withColumn("const", F.lit("same"))

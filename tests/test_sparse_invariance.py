@@ -437,6 +437,10 @@ def test_sparse_incore_subset_route_matches_distributed_pm(spark, family):
         m1.diagnostics["scans_per_path_point"]
         < m2.diagnostics["scans_per_path_point"]
     )
+    # absolute budget (the documented <= 8 scans/pt target; measured
+    # ~3.4 at the bench configs) — a regression in the subset route's
+    # job count fails here, not as a silent bench uptick
+    assert m1.diagnostics["scans_per_path_point"] <= 8.0
 
 
 def test_score_sparse_matches_dense_score(spark):

@@ -62,6 +62,73 @@ def test_windowed_agg_stream_matches_batch(spark, events_stream_dir):
     assert got == expected
 
 
+def test_predict_grouped_stream_parity(spark, lineitem):
+    """Per-segment scoring on a stream equals the batch predict_grouped
+    row for row (stream-static broadcast join, stateless) — gaussian
+    link AND the multinomial softmax argmax class."""
+    import prague_spark as ps
+    from prague_spark.streaming import predict_grouped_stream
+
+    li = lineitem.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        "l_quantity", "l_discount", "l_extendedprice",
+    ).withColumn("_rid", F.xxhash64("l_orderkey", "l_linenumber"))
+    feats = ["l_quantity", "l_discount"]
+    cg = ps.fit_grouped(
+        li, feats, "l_extendedprice", "gaussian", ["l_returnflag"],
+        n_sigma=3, lambda_min_ratio=0.1, order_col="_rid",
+    ).cache()
+    cm = ps.fit_grouped(
+        li, feats, "l_returnflag", "multinomial", ["l_linestatus"],
+        n_sigma=3, lambda_min_ratio=0.1, order_col="_rid",
+    ).cache()
+
+    d = tempfile.mkdtemp(prefix="prague_grouped_stream_")
+    li.drop("_rid").coalesce(2).write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+
+    scored = predict_grouped_stream(
+        stream, cg, feats, ["l_returnflag"], family="gaussian",
+        type="link", out="lp",
+    )
+    scored = predict_grouped_stream(
+        scored, cm, feats, ["l_linestatus"], family="multinomial",
+        type="class", out="cls",
+    )
+    assert scored.isStreaming
+    q = (
+        scored.select("l_orderkey", "l_linenumber", "lp", "cls")
+        .writeStream.format("memory").queryName("grp_scored")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["l_orderkey"], r["l_linenumber"]): (r["lp"], r["cls"])
+        for r in spark.sql("SELECT * FROM grp_scored").collect()
+    }
+    batch = ps.predict_grouped(
+        spark.read.parquet(d), cg, feats, ["l_returnflag"],
+        family="gaussian", type="link", out="lp",
+    )
+    batch = ps.predict_grouped(
+        batch, cm, feats, ["l_linestatus"], family="multinomial",
+        type="class", out="cls",
+    )
+    exp = {
+        (r["l_orderkey"], r["l_linenumber"]): (r["lp"], r["cls"])
+        for r in batch.select("l_orderkey", "l_linenumber", "lp", "cls").collect()
+    }
+    assert got == exp  # identical literals -> bit-identical scores
+    # a streaming coef frame is rejected loud
+    with pytest.raises(ValueError, match="batch DataFrame"):
+        predict_grouped_stream(
+            stream, stream, feats, ["l_returnflag"]
+        )
+    cg.unpersist()
+    cm.unpersist()
+
+
 def test_score_stream_stateless(spark, lineitem, events_stream_dir):
     import prague_spark as ps
     from prague_spark.streaming import score_stream
