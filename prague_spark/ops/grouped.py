@@ -273,23 +273,34 @@ def predict_grouped(
                 f"got {classes}"
             )
     c = _slice_path(coefs.filter(F.col("cls") == 0), group_cols, path_idx)
-    bmap = c.groupBy(*group_cols).agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("feature"), F.col("beta")))
-        ).alias("_bmap")
+    # pivot to FLAT double columns (one per coefficient), not a
+    # feature->beta map: a per-row map lookup costs an object
+    # deserialization per reference, ~30x slower than plain column
+    # arithmetic in codegen. Arithmetic is unchanged (missing
+    # coefficient -> coalesce to 0.0).
+    names = [INTERCEPT] + features
+    bflat = c.groupBy(*group_cols).agg(
+        F.lit(True).alias("_has_model"),
+        *[
+            F.max(
+                F.when(F.col("feature") == F.lit(nm), F.col("beta"))
+            ).alias(f"_beta_{j}")
+            for j, nm in enumerate(names)
+        ],
     )
-    joined = df.join(broadcast(bmap), group_cols, "left")
-    lp = F.coalesce(F.element_at("_bmap", F.lit(INTERCEPT)), F.lit(0.0))
-    for f in features:
+    joined = df.join(broadcast(bflat), group_cols, "left")
+    lp = F.coalesce(F.col("_beta_0"), F.lit(0.0))
+    for j, f in enumerate(features):
         lp = lp + F.coalesce(
-            F.element_at("_bmap", F.lit(f)), F.lit(0.0)
+            F.col(f"_beta_{j + 1}"), F.lit(0.0)
         ) * F.col(f).cast("double")
-    lp = F.when(F.col("_bmap").isNotNull(), lp)
+    has = F.col("_has_model").isNotNull()
+    lp = F.when(has, lp)
     if type == "class":
         # lp > 0 <=> response > 0.5; second sorted class is the positive
         # one, matching preprocess_response (R/predict.R:112-121)
         lp = F.when(
-            F.col("_bmap").isNotNull(),
+            has,
             F.when(lp > 0, F.lit(str(classes[1]))).otherwise(
                 F.lit(str(classes[0]))
             ),
@@ -299,7 +310,9 @@ def predict_grouped(
             lp = F.lit(1.0) / (F.lit(1.0) + F.exp(-lp))
         elif family == "poisson":
             lp = F.exp(lp)
-    return joined.withColumn(out, lp).drop("_bmap")
+    return joined.withColumn(out, lp).drop(
+        "_has_model", *[f"_beta_{j}" for j in range(len(names))]
+    )
 
 
 def _predict_grouped_multinomial(
@@ -313,11 +326,13 @@ def _predict_grouped_multinomial(
     out: str,
     classes: Sequence[str] | None,
 ) -> DataFrame:
-    """Multinomial per-segment scoring: the coefficient rows pivot to a
-    NESTED map cls -> (feature -> beta) per group (still model-sized,
-    still ONE broadcast join), each of the m-1 target lps is its own
-    codegen dot product, and the m-class simplex is the stabilized
-    softmax with the implicit last class at lp=0 — exactly the dense
+    """Multinomial per-segment scoring: the coefficient rows pivot to
+    FLAT double columns over the (cls, feature) grid (model-sized, ONE
+    broadcast join — per-row map lookups would cost an object
+    deserialization per coefficient reference, ~30x plain column
+    arithmetic), each of the m-1 target lps is its own codegen dot
+    product, and the m-class simplex is the stabilized softmax with the
+    implicit last class at lp=0 — exactly the dense
     :func:`prague_spark.ops.predict.predict` arithmetic, per segment."""
     from pyspark.sql.functions import broadcast
 
@@ -328,31 +343,37 @@ def _predict_grouped_multinomial(
             f"predict_grouped: multinomial needs > 2 classes, got {classes}"
         )
     c = _slice_path(coefs, group_cols, path_idx)
-    inner = c.groupBy(*group_cols, "cls").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("feature"), F.col("beta")))
-        ).alias("_m")
+    names = [INTERCEPT] + features
+    bflat = c.groupBy(*group_cols).agg(
+        F.lit(True).alias("_has_model"),
+        *[
+            F.max(
+                F.when(
+                    (F.col("cls") == t) & (F.col("feature") == F.lit(nm)),
+                    F.col("beta"),
+                )
+            ).alias(f"_beta_{t}_{j}")
+            for t in range(m - 1)
+            for j, nm in enumerate(names)
+        ],
     )
-    bmap = inner.groupBy(*group_cols).agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("cls"), F.col("_m")))
-        ).alias("_bm")
-    )
-    joined = df.join(broadcast(bmap), group_cols, "left")
+    joined = df.join(broadcast(bflat), group_cols, "left")
+    drop_cols = ["_has_model"] + [
+        f"_beta_{t}_{j}" for t in range(m - 1) for j in range(len(names))
+    ]
     lps = []
     for t in range(m - 1):
-        tm = F.element_at("_bm", F.lit(t))
-        lp = F.coalesce(F.element_at(tm, F.lit(INTERCEPT)), F.lit(0.0))
-        for f in features:
+        lp = F.coalesce(F.col(f"_beta_{t}_0"), F.lit(0.0))
+        for j, f in enumerate(features):
             lp = lp + F.coalesce(
-                F.element_at(tm, F.lit(f)), F.lit(0.0)
+                F.col(f"_beta_{t}_{j + 1}"), F.lit(0.0)
             ) * F.col(f).cast("double")
         lps.append(lp)
-    has = F.col("_bm").isNotNull()
+    has = F.col("_has_model").isNotNull()
     if type == "link":
         return joined.withColumn(
             out, F.when(has, F.array(*lps))
-        ).drop("_bm")
+        ).drop(*drop_cols)
     lps_full = lps + [F.lit(0.0)]
     mx = F.greatest(*lps_full)
     exps = [F.exp(e - mx) for e in lps_full]
@@ -361,7 +382,7 @@ def _predict_grouped_multinomial(
         denom = denom + e
     probs = F.array(*[e / denom for e in exps])
     if type == "response":
-        return joined.withColumn(out, F.when(has, probs)).drop("_bm")
+        return joined.withColumn(out, F.when(has, probs)).drop(*drop_cols)
     # class: argmax with first-match ties, like ops.predict
     tmp = f"_probs_{out}"
     joined = joined.withColumn(tmp, F.when(has, probs))
@@ -372,7 +393,7 @@ def _predict_grouped_multinomial(
         chain = (F.when if chain is None else chain.when)(
             cond, F.lit(str(cls))
         )
-    return joined.withColumn(out, F.when(has, chain)).drop(tmp, "_bm")
+    return joined.withColumn(out, F.when(has, chain)).drop(tmp, *drop_cols)
 
 
 def score_grouped(
