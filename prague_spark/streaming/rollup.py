@@ -96,10 +96,21 @@ def calendar_rollup_sink(
     sum/n.
 
     Returns a ``fn(batch_df, batch_id)`` for
-    ``df.writeStream.foreachBatch(fn)``. Replay-safe: the last merged
-    batch_id is recorded with the state, and an already-merged batch is
-    skipped, so foreachBatch's at-least-once redelivery cannot
-    double-count.
+    ``df.writeStream.foreachBatch(fn)``. Replay-safe AND crash-atomic:
+    each merge writes a NEW versioned directory ``v_<batch_id>`` (the
+    live state is never touched) and then atomically flips the
+    ``CURRENT`` pointer file to it (``os.replace`` of a temp file — one
+    rename). The pointer names both the live directory and the last
+    merged batch_id, so an already-merged redelivered batch is skipped;
+    a crash BEFORE the flip leaves the previous state live (the
+    redelivered batch re-merges from it — exactly-once outcome), a
+    crash AFTER the flip is the skip case. Orphaned version directories
+    from pre-flip crashes are garbage-collected on later batches.
+
+    ``state_dir`` must live on a filesystem the DRIVER sees across
+    restarts (foreachBatch runs driver-side; local disk is fine for a
+    single long-lived driver, use shared/cloud-backed storage when the
+    query can be resumed from another host).
 
     Scale note: the state is rollup-sized — O(active buckets x key
     cardinality), NOT O(stream) — and the upsert round-trips it through
@@ -123,20 +134,14 @@ def calendar_rollup_sink(
             F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols
         ]
 
-    data_dir = os.path.join(state_dir, "data")
-    marker = os.path.join(state_dir, "_merged_batch")
-
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        last = -1
-        if os.path.exists(marker):
-            with open(marker) as f:
-                last = int(f.read().strip() or -1)
+        cur_dir, last = _read_current(state_dir)
         if batch_id <= last:
             return  # redelivered batch: already merged, skip
         inc = time_rollup(batch_df, ts_col, grains, keys, aggs=aggs_inc)
-        if os.path.isdir(data_dir):
-            cur = spark.read.parquet(data_dir)
+        if cur_dir is not None:
+            cur = spark.read.parquet(cur_dir)
             merged = (
                 cur.unionByName(inc)
                 .groupBy("grain", "bucket", *keys)
@@ -144,21 +149,50 @@ def calendar_rollup_sink(
             )
         else:
             merged = inc
-        # materialize driver-side BEFORE overwriting the directory the
-        # plan reads from (state is aggregate-sized by construction)
-        rows = merged.collect()
+        # 1. write the merge to a NEW version directory — the live state
+        #    is never overwritten, so a crash mid-write corrupts nothing
+        new_dir = os.path.join(state_dir, f"v_{batch_id}")
+        merged.coalesce(1).write.mode("overwrite").parquet(new_dir)
+        # 2. atomically flip the pointer (temp file + one rename)
         os.makedirs(state_dir, exist_ok=True)
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(data_dir)
-        with open(marker, "w") as f:
-            f.write(str(batch_id))
+        tmp = os.path.join(state_dir, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(f"v_{batch_id}")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+        # 3. best-effort GC of superseded / orphaned versions
+        import shutil
+
+        for d in os.listdir(state_dir):
+            if d.startswith("v_") and d != f"v_{batch_id}":
+                shutil.rmtree(os.path.join(state_dir, d),
+                              ignore_errors=True)
 
     return fn
 
 
-def read_rollup_state(spark, state_dir: str) -> DataFrame:
-    """Load the merged state a :func:`calendar_rollup_sink` maintains."""
+def _read_current(state_dir: str) -> tuple[str | None, int]:
+    """(live version directory, last merged batch_id) from the CURRENT
+    pointer; (None, -1) for a fresh state dir."""
     import os
 
-    return spark.read.parquet(os.path.join(state_dir, "data"))
+    ptr = os.path.join(state_dir, "CURRENT")
+    if not os.path.exists(ptr):
+        return None, -1
+    with open(ptr) as f:
+        name = f.read().strip()
+    if not name:
+        return None, -1
+    return os.path.join(state_dir, name), int(name.split("_", 1)[1])
+
+
+def read_rollup_state(spark, state_dir: str) -> DataFrame:
+    """Load the merged state a :func:`calendar_rollup_sink` maintains."""
+    cur, _ = _read_current(state_dir)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no CURRENT rollup state under {state_dir!r} (no batch has "
+            "committed yet)"
+        )
+    return spark.read.parquet(cur)

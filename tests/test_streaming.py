@@ -652,6 +652,40 @@ def test_streaming_calendar_rollup_matches_batch(spark, events_stream_dir, tmp_p
     sink(batch_df.limit(50), 0)
     assert _state() == got
 
+    # crash-atomicity: simulate dying BETWEEN the versioned state write
+    # and the pointer flip — an orphan v_<id> directory exists but
+    # CURRENT still names the old state. The redelivered batch must
+    # re-merge from the OLD state (no double count), flip atomically,
+    # and garbage-collect the orphan.
+    import os
+
+    extra = batch_df.limit(30)
+    inc_exp = {
+        (r["grain"], r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in time_rollup(
+            extra, "ts", grains=("week", "month"), keys=("event_type",),
+            aggs=[
+                F.count("*").cast("long").alias("n"),
+                F.sum("value").alias("sum_value"),
+            ],
+        ).collect()
+    }
+    # orphan: a half-committed merge of batch 7 (state written, no flip)
+    read_rollup_state(spark, state).limit(1).write.parquet(f"{state}/v_7")
+    sink(extra, 7)  # redelivery after the simulated crash
+    after = _state()
+    for k, (n, sv) in inc_exp.items():
+        base_n, base_sv = got.get(k, (0, 0.0))
+        assert after[k][0] == base_n + n, k
+        assert after[k][1] == pytest.approx(base_sv + sv, rel=1e-9), k
+    versions = [p for p in os.listdir(state) if p.startswith("v_")]
+    assert versions == ["v_7"]  # orphans + superseded states GC'd
+    with open(f"{state}/CURRENT") as f:
+        assert f.read().strip() == "v_7"
+    # and a re-redelivery of the now-committed batch is a no-op again
+    sink(extra, 7)
+    assert _state() == after
+
 
 def test_streaming_bm25_matches_batch(spark, sf_dir, tmp_path):
     """bm25_contributions_stream (stateless stream-static joins) +
