@@ -421,6 +421,19 @@ def main() -> None:
             rerank_vec_col="vec", shortlist=100,
         ).count()
 
+    @bench("sim_knn_join")
+    def _():
+        # the many-queries k-NN JOIN: 200 query ROWS (no literal plan
+        # growth) probe 2 of 8 cells each and equi-join the indexed
+        # corpus — the shape that scales to millions of queries
+        C = similarity.train_ivf_centroids(emb, "vec", n_centroids=8,
+                                           iters=5)
+        idx = similarity.assign_ivf_cells(emb, "vec", C)
+        qdf = emb.limit(200).select(
+            F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        )
+        similarity.ivf_knn_join(qdf, idx, C, k=10, nprobe=2).count()
+
     @bench("events_sessionize")
     def _():
         # pure sessionization (the registry's q_events_sessionize now

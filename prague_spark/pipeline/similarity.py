@@ -175,6 +175,87 @@ def ivf_topk(
     return out
 
 
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus_idx: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    corpus_id_col: str = "vec_id",
+    corpus_vec_col: str = "vec",
+    cell_col: str = "cell",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """k-NN JOIN: approximate top-k corpus neighbors for EVERY row of a
+    query DataFrame — the many-queries form of :func:`ivf_topk`, which
+    takes queries as literal expressions and therefore stops scaling at
+    a few hundred (plan width grows per query; a million-row query table
+    cannot be a plan). Here both sides stay DataFrames:
+
+    1. each query row computes its cosine to the literal centroid table
+       (pure codegen) and explodes its ``nprobe`` best cells — ties on a
+       centroid ranked by cell id, deterministically;
+    2. an EQUI-JOIN on the cell column matches queries to exactly the
+       corpus partitions they probe (broadcast the query side while it
+       fits — default — else a shuffle join that AQE skew-splits);
+    3. one exact cosine per candidate + a per-query rank window.
+
+    Candidate volume is the IVF bound sum_q |probed cells of q| — never
+    the |Q| x |corpus| cross product; with the corpus written
+    ``partitionBy(cell)`` the join prunes at the scan. Returns
+    (query_id, corpus_id, cosine, rank <= k)."""
+    if queries.isStreaming or corpus_idx.isStreaming:
+        raise ValueError("ivf_knn_join: batch DataFrames only")
+    from pyspark.sql.functions import broadcast as _bc
+
+    qv = F.col(query_vec_col)
+    qn = _norm(qv)
+    C = np.asarray(centroids, dtype=np.float64)
+    entries = [
+        F.struct(
+            (
+                -(
+                    _dot(qv, F.array(*[F.lit(float(x)) for x in c]))
+                    / (qn * F.lit(float(np.linalg.norm(c))))
+                )
+            ).alias("negsim"),
+            F.lit(ci).alias("ci"),
+        )
+        for ci, c in enumerate(C)
+    ]
+    # struct sort = (negsim asc, ci asc) = cosine desc with cell-id ties
+    probe_cells = F.transform(
+        F.slice(F.array_sort(F.array(*entries)), 1, int(nprobe)),
+        lambda s: s["ci"],
+    )
+    qx = queries.select(
+        F.col(query_id_col),
+        qv.alias("_qv"),
+        qn.alias("_qn"),
+        F.explode(probe_cells).alias(cell_col),
+    )
+    if broadcast_queries:
+        qx = _bc(qx)
+    cvec = F.col(corpus_vec_col)
+    cand = corpus_idx.join(qx, cell_col).select(
+        F.col(query_id_col),
+        F.col(corpus_id_col),
+        (_dot(cvec, F.col("_qv")) / (_norm(cvec) * F.col("_qn"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, corpus_id_col, "cosine", "rank")
+    )
+
+
 def write_ivf_index(
     corpus: DataFrame,
     vec_col: str,

@@ -3025,7 +3025,22 @@ def q_sim_ivf_topk(spark, sf_dir):
         F.round("score", 4).alias("score"),
         F.col("rank").cast("int").alias("rank"),
     )
-    return ivf.unionByName(pq).unionByName(ivfpq)
+    # round-8 'knn' slice: the NEW many-queries k-NN JOIN form — queries
+    # as a DataFrame (two corpus rows), probe cells from the pinned
+    # centroid cosines, cell EQUI-join + exact cosine + rank, all
+    # re-derived in SQL from the same literals
+    qdf = emb.filter(F.col("vec_id").isin(2, 3)).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    knn = similarity.ivf_knn_join(qdf, cells, C, k=5, nprobe=4)
+    knn = knn.select(
+        F.lit("knn").alias("slice"),
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round("cosine", 4).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    return ivf.unionByName(pq).unionByName(ivfpq).unionByName(knn)
 
 
 def _ivf_topk_sql(sf_dir: str) -> str:
@@ -3206,6 +3221,22 @@ def _ivf_topk_sql(sf_dir: str) -> str:
                row_number() OVER (PARTITION BY qid
                    ORDER BY score DESC, vec_id) AS rank
         FROM iadc
+    ), kq AS (
+        SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id IN (2, 3)
+    ), kprobe AS (
+        SELECT qid, ci,
+               row_number() OVER (PARTITION BY qid
+                   ORDER BY list_cosine_similarity(qv, cv) DESC, ci) AS pr
+        FROM kq CROSS JOIN cents
+    ), kcand AS (
+        SELECT kq.qid, a.vec_id, list_cosine_similarity(a.v, kq.qv) AS cosine
+        FROM kq JOIN kprobe p ON p.qid = kq.qid AND p.pr <= 4
+        JOIN asg a ON a.cell = p.ci
+    ), kr AS (
+        SELECT qid, vec_id, cosine,
+               row_number() OVER (PARTITION BY qid
+                   ORDER BY cosine DESC, vec_id) AS rank
+        FROM kcand
     )
     SELECT 'ivf' AS slice, CAST(qid AS BIGINT) AS query_id,
            CAST(vec_id AS BIGINT) AS vec_id,
@@ -3221,6 +3252,11 @@ def _ivf_topk_sql(sf_dir: str) -> str:
            CAST(vec_id AS BIGINT) AS vec_id,
            round(score, 4) AS score, CAST(rank AS INTEGER) AS rank
     FROM iqr WHERE rank <= 5
+    UNION ALL
+    SELECT 'knn' AS slice, CAST(qid AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           round(cosine, 4) AS score, CAST(rank AS INTEGER) AS rank
+    FROM kr WHERE rank <= 5
 """
 
 
@@ -4870,13 +4906,20 @@ SQL_DOCS_SAMPLE = f"""
 # ops.grouped.cv_fit_grouped — in-core trainOwl CV per segment; every
 # segment's per-fold test mse re-derived from pinned fold-refit betas).
 #
-# Round-8 merge (still exactly 50): q5_predict_multinomial gains a
+# Round-8 merges (still exactly 50): q5_predict_multinomial gains a
 # 'grpm' slice + fit_agrees column — the grouped layer's last family:
 # one pinned 3-class model per l_linestatus segment, the engine's
 # multinomial fit_grouped checked against the pins, and
-# predict_grouped's nested cls->feature->beta broadcast softmax +
-# argmax class re-derived in SQL as per-group CASE linear predictors
-# through the identical stabilized-softmax template the base slice uses.
+# predict_grouped's flat-pivot broadcast softmax + argmax class
+# re-derived in SQL as per-group CASE linear predictors through the
+# identical stabilized-softmax template the base slice uses;
+# q10_score_auc gains per-l_linestatus 'grp' rows (the NEW
+# ops.score.auc_grouped per-SEGMENT rank AUC, unweighted + weighted,
+# re-derived through the same grouped-cumulative SQL with the windows
+# PARTITIONed by segment); sim_ivf_topk gains a 'knn' slice (the NEW
+# similarity.ivf_knn_join many-queries k-NN JOIN — queries as a
+# DataFrame, probe cells from the pinned centroid cosines, cell
+# equi-join + exact cosine + rank, all re-derived in SQL).
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,

@@ -133,6 +133,65 @@ def test_ivf_topk_recall(emb):
     assert 7 in approx
 
 
+def test_ivf_knn_join(emb, spark):
+    """The many-queries k-NN JOIN form: per-query results equal
+    ivf_topk's literal-query results when the probe sets agree, the plan
+    stays an equi-join (no nested-loop/cartesian pair scan, zero
+    Python), and its width is CONSTANT in |Q| — 500 query rows plan the
+    same as 2 (the literal form grows per query)."""
+    from prague_spark.plan_audit import assert_scale_shape
+
+    vec = emb.withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    ).select("vec_id", "vec")
+    C = similarity.train_ivf_centroids(vec, "vec", n_centroids=8, iters=5)
+    idx = similarity.assign_ivf_cells(vec, "vec", C).cache()
+
+    qdf = vec.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    out = similarity.ivf_knn_join(qdf, idx, C, k=5, nprobe=4)
+    a = assert_scale_shape(out, max_py_stages=0)
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in out.collect()
+    }
+    # literal-query twin on the same probes
+    qrows = vec.filter(F.col("vec_id") < 4).collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in qrows]
+    exp = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_topk(
+            idx, "vec_id", "vec", C, queries, k=5, nprobe=4
+        ).collect()
+    }
+    assert set(got) == set(exp)
+    for key in exp:
+        assert got[key][0] == exp[key][0], key
+        assert got[key][1] == pytest.approx(exp[key][1], rel=1e-12), key
+    # each query's own vector is its rank-1 neighbor at cosine 1
+    for q in range(4):
+        assert got[(q, 1)][0] == q
+        assert got[(q, 1)][1] == pytest.approx(1.0)
+
+    # plan width constant in |Q|: 500 queries, same plan shape
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    d = len(qrows[0]["vec"])
+    big = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=d)]) for i in range(500)],
+        "query_id long, qvec array<double>",
+    )
+    big_out = similarity.ivf_knn_join(big, idx, C, k=3, nprobe=2)
+    b = assert_scale_shape(big_out, max_py_stages=0)
+    assert b.shuffles == a.shuffles
+    per_q = big_out.groupBy("query_id").count()
+    assert per_q.count() == 500
+    assert per_q.filter(F.col("count") > 3).count() == 0
+    idx.unpersist()
+
+
 def test_pq_codes_and_adc_topk(emb, spark):
     """Product quantization (round 7): codebook shapes, code range, the
     zero-shuffle codegen plan of the assignment, ADC self-hit at rank 1,
