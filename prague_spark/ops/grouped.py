@@ -413,14 +413,15 @@ def score_grouped(
     every segment model over the full table is a single pass. Returns
     (group_cols..., measure, value, n).
 
-    Measures: 'mse' / 'mae' (gaussian response scale), 'deviance' /
-    'misclass' / 'auc' (binomial; auc is the per-segment average-rank
+    Measure/family grid matches the distributed scorer
+    (``ops.cv._OK_MEASURES``, R/score.R semantics): 'mse'/'mae' for
+    every family (gaussian/poisson on the response scale; binomial the
+    reference's two-term form over (p, 1-p); multinomial the per-class
+    mean over the simplex), 'deviance'/'misclass' for binomial and
+    multinomial, 'auc' for binomial (the per-segment average-rank
     statistic of ``R/score.R:137-166`` via ops.score.auc_grouped — NULL
-    for a single-class segment), 'deviance' and 'misclass'
-    (multinomial). Binomial codes the LAST sorted class as positive,
-    matching preprocess_response; multinomial deviance is the per-class
-    clipped log-loss sum -2*y_k*log(p_k) (``R/score.R:82-118``) and
-    misclass compares the softmax argmax class. Class names come from
+    for a single-class segment). Binomial codes the LAST sorted class
+    as positive, matching preprocess_response. Class names come from
     ``classes=`` or the coefficient frame's ``classes`` column — never
     an extra scan of ``df``."""
     group_cols = list(group_cols)
@@ -434,10 +435,12 @@ def score_grouped(
         family=family, path_idx=path_idx, type="response", out="_mu",
     ).filter(F.col("_mu").isNotNull())
     mu = F.col("_mu")
-    if family == "gaussian" and measure in ("mse", "mae"):
+    if family in ("gaussian", "poisson") and measure in ("mse", "mae"):
         err = F.col(label).cast("double") - mu
         agg = F.avg(err * err) if measure == "mse" else F.avg(F.abs(err))
-    elif family == "binomial" and measure in ("deviance", "misclass", "auc"):
+    elif family == "binomial" and measure in (
+        "mse", "mae", "deviance", "misclass", "auc"
+    ):
         classes = _resolve_classes(coefs, classes, "score_grouped")
         if len(classes) != 2:
             raise ValueError(
@@ -446,6 +449,7 @@ def score_grouped(
         y2 = F.when(
             F.col(label).cast("string") == F.lit(str(classes[1])), 1.0
         ).otherwise(0.0)
+        y1 = F.lit(1.0) - y2
         if measure == "auc":
             from .score import auc_grouped
 
@@ -455,7 +459,12 @@ def score_grouped(
                 F.col("auc").alias("value"),
                 F.col("_auc_n").cast("long").alias("n"),
             )
-        if measure == "deviance":
+        if measure == "mse":
+            # the reference's two-term form over (p, 1-p) — R/score.R:29-41
+            agg = F.avg((mu + y1 - 1.0) ** 2 + (mu - y2) ** 2)
+        elif measure == "mae":
+            agg = F.avg(F.abs(mu + y1 - 1.0) + F.abs(mu - y2))
+        elif measure == "deviance":
             muc = F.least(F.greatest(mu, F.lit(1e-12)), F.lit(1.0 - 1e-12))
             agg = F.avg(
                 -2.0 * (y2 * F.log(muc) + (1.0 - y2) * F.log(1.0 - muc))
@@ -486,7 +495,7 @@ def _score_grouped_multinomial(
     path_idx: int | None,
     classes: Sequence[str] | None,
 ) -> DataFrame:
-    if measure not in ("deviance", "misclass"):
+    if measure not in ("mse", "mae", "deviance", "misclass"):
         raise ValueError(
             f"score_grouped: measure {measure!r} invalid for 'multinomial'"
         )
@@ -496,7 +505,18 @@ def _score_grouped_multinomial(
         family="multinomial", path_idx=path_idx, type="response",
         out="_probs", classes=classes,
     ).filter(F.col("_probs").isNotNull())
-    if measure == "deviance":
+    if measure in ("mse", "mae"):
+        # per-class mean over the simplex (R/score.R:29-41 multinomial)
+        per_class = None
+        for i, cls in enumerate(classes):
+            yk = F.when(
+                F.col(label).cast("string") == F.lit(str(cls)), 1.0
+            ).otherwise(0.0)
+            pk = F.col("_probs")[i]
+            term = (yk - pk) ** 2 if measure == "mse" else F.abs(yk - pk)
+            per_class = term if per_class is None else per_class + term
+        agg = F.avg(per_class / float(len(classes)))
+    elif measure == "deviance":
         # p of the row's true class: a when-chain over the fixed class
         # list indexing the softmax array (1-based)
         p_true = None
@@ -565,15 +585,22 @@ def cv_fit_grouped(
     if fold_col is None:
         raise ValueError("cv_fit_grouped: fold_col is required (an integer "
                          "column; fold = value % n_folds)")
-    if measure not in ("mse", "mae", "deviance", "misclass"):
+    # the distributed CV's measure/family grid (ops.cv._OK_MEASURES)
+    # plus the beyond-reference multinomial misclass
+    ok_families = {
+        "mse": ("gaussian", "poisson", "binomial", "multinomial"),
+        "mae": ("gaussian", "poisson", "binomial", "multinomial"),
+        "deviance": ("binomial", "multinomial"),
+        "misclass": ("binomial", "multinomial"),
+        "auc": ("binomial",),
+    }
+    if measure not in ok_families:
         raise ValueError(f"cv_fit_grouped: unknown measure {measure!r}")
-    if measure in ("deviance", "misclass") and family not in (
-        "binomial", "multinomial"
-    ):
-        raise ValueError(f"cv_fit_grouped: {measure!r} needs family="
-                         "'binomial' or 'multinomial'")
-    if measure in ("mse", "mae") and family not in ("gaussian",):
-        raise ValueError(f"cv_fit_grouped: {measure!r} needs family='gaussian'")
+    if family not in ok_families[measure]:
+        raise ValueError(
+            f"cv_fit_grouped: {measure!r} needs family in "
+            f"{ok_families[measure]}, got {family!r}"
+        )
     features = list(features)
     group_cols = list(group_cols)
 
@@ -598,34 +625,65 @@ def cv_fit_grouped(
     def _lp(X, B):
         return B[0, 0] + X @ B[1:, 0]
 
+    def _rank_auc(p, y2):
+        """Average-rank AUC with tie expectation — the in-core twin of
+        ops.score.auc (same statistic, same tie handling)."""
+        order = np.argsort(p, kind="mergesort")
+        p_s, y_s = p[order], y2[order]
+        _, idx = np.unique(p_s, return_index=True)
+        n1_g = np.add.reduceat(y_s, idx)
+        cnt_g = np.diff(np.append(idx, len(y_s)))
+        n0_g = cnt_g - n1_g
+        cum0_below = np.concatenate([[0.0], np.cumsum(n0_g)[:-1]])
+        n1, n0 = y_s.sum(), len(y_s) - y_s.sum()
+        return float((n1_g * (cum0_below + n0_g / 2.0)).sum() / (n1 * n0))
+
     def _score(X, y, B, classes):
         """Held-out score for one path point. ``classes`` is the GROUP's
         sorted class list, derived once from the full group's labels and
         threaded through every fold — never re-derived from a fold's own
         labels (a single-class held-out fold would silently flip the
-        positive-class coding)."""
-        if measure in ("mse", "mae"):
-            err = np.asarray(y, dtype=np.float64) - _lp(X, B)
+        positive-class coding). Measure arithmetic mirrors
+        ops.score.measure_from_pred (R/score.R semantics) per family."""
+        if family in ("gaussian", "poisson"):
+            mu = _lp(X, B)
+            if family == "poisson":
+                mu = np.exp(mu)
+            err = np.asarray(y, dtype=np.float64) - mu
             return float((err * err).mean() if measure == "mse"
                          else np.abs(err).mean())
         ys = np.asarray([str(v) for v in y])
         if family == "binomial":
             y2 = (ys == classes[-1]).astype(float)
             p1 = 1.0 / (1.0 + np.exp(-_lp(X, B)))
+            if measure == "mse":
+                # the reference's two-term form over (p, 1-p)
+                return float(((p1 + (1 - y2) - 1.0) ** 2
+                              + (p1 - y2) ** 2).mean())
+            if measure == "mae":
+                return float((np.abs(p1 + (1 - y2) - 1.0)
+                              + np.abs(p1 - y2)).mean())
+            if measure == "auc":
+                return _rank_auc(p1, y2)
             if measure == "misclass":
                 return float(((p1 > 0.5) != (y2 > 0.5)).mean())
             p1 = np.clip(p1, 1e-12, 1.0 - 1e-12)
             return float((-2.0 * (y2 * np.log(p1)
                                   + (1.0 - y2) * np.log(1.0 - p1))).mean())
         # multinomial: stabilized softmax over (m-1) targets + implicit
-        # last class, scored like score_grouped (deviance = clipped
-        # -2 log p_trueclass; misclass = first-match argmax)
+        # last class, scored like score_grouped
         lps = B[0, :] + X @ B[1:, :]  # (n, m-1)
         lps = np.hstack([lps, np.zeros((len(lps), 1))])
         mx = lps.max(axis=1, keepdims=True)
         ex = np.exp(lps - mx)
         probs = ex / ex.sum(axis=1, keepdims=True)
         yidx = np.searchsorted(np.asarray(classes), ys)
+        if measure in ("mse", "mae"):
+            onehot = np.zeros_like(probs)
+            onehot[np.arange(len(ys)), yidx] = 1.0
+            diff = onehot - probs
+            per = (diff ** 2 if measure == "mse" else np.abs(diff)).sum(axis=1)
+            return float((per / probs.shape[1]).mean())
         if measure == "misclass":
             return float((probs.argmax(axis=1) != yidx).mean())
         p_true = np.clip(probs[np.arange(len(ys)), yidx], 1e-12, 1.0 - 1e-12)
@@ -657,6 +715,11 @@ def cv_fit_grouped(
                     f"cv_fit_grouped: group {key}: multinomial needs > 2 "
                     f"classes, got {classes}"
                 )
+        elif family == "poisson" and (y.astype(np.float64) < 0).any():
+            raise ValueError(
+                f"cv_fit_grouped: group {key}: negative responses in "
+                "poisson model"
+            )
         full = numpy_path_fit(
             X, y, family, q=q, n_sigma=n_sigma,
             lambda_min_ratio=lambda_min_ratio, tol_rel_gap=tol_rel_gap,

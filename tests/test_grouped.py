@@ -338,7 +338,7 @@ def test_predict_score_grouped_multinomial(spark, li):
     assert len(lk["pred"]) == len(classes) - 1
     with pytest.raises(ValueError, match="invalid"):
         score_grouped(li, cm, FEATS, "l_returnflag", ["l_linestatus"],
-                      family="multinomial", measure="mse")
+                      family="multinomial", measure="auc")
     cm.unpersist()
 
 
@@ -541,6 +541,132 @@ def test_score_grouped(spark, li):
         score_grouped(li, coefs, FEATS, "l_extendedprice",
                       ["l_returnflag"], family="gaussian", measure="auc")
     coefs.unpersist()
+
+
+def test_score_grouped_full_measure_grid(spark, li):
+    """score_grouped covers the distributed scorer's measure/family grid
+    (ops.cv._OK_MEASURES): binomial mse/mae (the reference two-term
+    form), multinomial mse/mae (per-class mean), poisson mse/mae — each
+    equal to a pandas recompute from predict_grouped's own responses."""
+    from prague_spark import predict_grouped, score_grouped
+
+    # binomial mse/mae
+    df = li.withColumn(
+        "big", F.when(F.col("l_extendedprice") > 30000.0, "hi").otherwise("lo")
+    )
+    cb = fit_grouped(df, FEATS, "big", "binomial", ["l_linestatus"],
+                     n_sigma=3, lambda_min_ratio=0.1, order_col="_rid").cache()
+    pred = predict_grouped(
+        df, cb, FEATS, ["l_linestatus"], family="binomial",
+        type="response", out="mu",
+    ).select("l_linestatus", "big", "mu").toPandas()
+    for meas in ("mse", "mae"):
+        got = {r["l_linestatus"]: r["value"] for r in score_grouped(
+            df, cb, FEATS, "big", ["l_linestatus"],
+            family="binomial", measure=meas).collect()}
+        for gv, grp in pred.groupby("l_linestatus"):
+            y2 = (grp["big"] == "lo").astype(float).to_numpy()
+            p = grp["mu"].to_numpy()
+            a, b = p + (1 - y2) - 1.0, p - y2
+            exp = (a**2 + b**2).mean() if meas == "mse" else (
+                np.abs(a) + np.abs(b)).mean()
+            assert got[gv] == pytest.approx(float(exp), rel=1e-9), (meas, gv)
+    cb.unpersist()
+
+    # poisson mse on the exp-link response
+    dfp = li.withColumn("cnt", F.round("l_quantity").cast("double"))
+    cp = fit_grouped(dfp, ["l_discount"], "cnt", "poisson", ["l_linestatus"],
+                     n_sigma=2, lambda_min_ratio=0.5, order_col="_rid").cache()
+    got = {r["l_linestatus"]: r["value"] for r in score_grouped(
+        dfp, cp, ["l_discount"], "cnt", ["l_linestatus"],
+        family="poisson", measure="mse").collect()}
+    pp = predict_grouped(
+        dfp, cp, ["l_discount"], ["l_linestatus"], family="poisson",
+        type="response", out="mu",
+    ).select("l_linestatus", "cnt", "mu").toPandas()
+    for gv, grp in pp.groupby("l_linestatus"):
+        err = grp["cnt"].to_numpy() - grp["mu"].to_numpy()
+        assert got[gv] == pytest.approx(float((err * err).mean()), rel=1e-9)
+    cp.unpersist()
+
+    # multinomial mse (per-class mean over the simplex)
+    cm = fit_grouped(li, FEATS, "l_returnflag", "multinomial",
+                     ["l_linestatus"], n_sigma=2, lambda_min_ratio=0.3,
+                     order_col="_rid").cache()
+    classes = sorted(r[0] for r in
+                     li.select("l_returnflag").distinct().collect())
+    got = {r["l_linestatus"]: r["value"] for r in score_grouped(
+        li, cm, FEATS, "l_returnflag", ["l_linestatus"],
+        family="multinomial", measure="mse").collect()}
+    pm = predict_grouped(
+        li, cm, FEATS, ["l_linestatus"], family="multinomial",
+        type="response", out="probs",
+    ).select("l_linestatus", "l_returnflag", "probs").toPandas()
+    for gv, grp in pm.groupby("l_linestatus"):
+        P = np.vstack(grp["probs"].to_numpy())
+        yidx = np.searchsorted(classes, grp["l_returnflag"].to_numpy())
+        onehot = np.zeros_like(P)
+        onehot[np.arange(len(P)), yidx] = 1.0
+        exp = (((onehot - P) ** 2).sum(axis=1) / len(classes)).mean()
+        assert got[gv] == pytest.approx(float(exp), rel=1e-9), gv
+    cm.unpersist()
+
+
+def test_cv_fit_grouped_auc_and_poisson(spark, li):
+    """cv_fit_grouped's extended measure grid: per-fold AUC equals the
+    independent distributed rank AUC (ops.score.auc) on the same fold
+    predictions, and poisson mse CV runs the exp-link response."""
+    from prague_spark import cv_fit_grouped
+    from prague_spark.core.ref_fit import numpy_path_fit
+    from prague_spark.ops.score import auc as dist_auc
+
+    df = li.withColumn(
+        "big", F.when(F.col("l_extendedprice") > 30000.0, "hi").otherwise("lo")
+    )
+    out = cv_fit_grouped(
+        df, FEATS, "big", "binomial", ["l_linestatus"],
+        fold_col="l_orderkey", order_col="_rid", measure="auc",
+        n_folds=3, n_sigma=2, lambda_min_ratio=0.3,
+    ).collect()
+    gv = sorted({r["l_linestatus"] for r in out})[0]
+    pdf = df.filter(F.col("l_linestatus") == gv).toPandas().sort_values(
+        "_rid", kind="mergesort")
+    X = pdf[FEATS].to_numpy(dtype=np.float64)
+    ys = pdf["big"].astype(str).to_numpy()
+    folds = pdf["l_orderkey"].to_numpy().astype(np.int64) % 3
+    full = numpy_path_fit(X, ys, "binomial", n_sigma=2, lambda_min_ratio=0.3)
+    sig = full["sigma"]
+    scores = np.empty((3, len(sig)))
+    for f in range(3):
+        tr = folds != f
+        fit = numpy_path_fit(X[tr], ys[tr], "binomial", sigma=sig)
+        for si in range(len(sig)):
+            B = fit["betas"][si]
+            p1 = 1.0 / (1.0 + np.exp(-(B[0, 0] + X[~tr] @ B[1:, 0])))
+            y2 = (ys[~tr] == "lo").astype(float)
+            hold = spark.createDataFrame(
+                [(float(a), float(b)) for a, b in zip(p1, y2)],
+                "p double, y2 double",
+            )
+            scores[f, si] = dist_auc(hold, "p", F.col("y2"))
+    got = {r["sigma_idx"]: r["mean"] for r in out if r["l_linestatus"] == gv}
+    for si in range(len(sig)):
+        assert got[si] == pytest.approx(float(scores[:, si].mean()), rel=1e-9)
+
+    # poisson CV on the exp-link response runs and orders sanely
+    dfp = li.withColumn("cnt", F.round("l_quantity").cast("double"))
+    outp = cv_fit_grouped(
+        dfp, ["l_discount"], "cnt", "poisson", ["l_linestatus"],
+        fold_col="l_orderkey", order_col="_rid", measure="mse",
+        n_folds=3, n_sigma=2, lambda_min_ratio=0.5,
+    ).collect()
+    assert outp and all(r["mean"] > 0 for r in outp)
+    assert sum(1 for r in outp if r["is_optimum"]) == len(
+        {r["l_linestatus"] for r in outp})
+    with pytest.raises(ValueError, match="needs family"):
+        cv_fit_grouped(li, FEATS, "l_extendedprice", "gaussian",
+                       ["l_linestatus"], fold_col="l_orderkey",
+                       measure="auc", n_sigma=2)
 
 
 def test_score_grouped_auc(spark, li):
