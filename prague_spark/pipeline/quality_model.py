@@ -1,0 +1,135 @@
+"""Trainable document-quality filter: the fasttext-style classifier a
+corpus-curation pipeline gates on (label a few thousand docs good/bad,
+train a linear model over hashed token features, score the whole
+corpus), composed entirely from already-oracled engine pieces:
+
+- featurization: :func:`prague_spark.pipeline.vectorize.hashing_vectorizer`
+  — raw text to sparse (row_id, col_id, value) triplets in ONE shuffle,
+  no vocabulary build, so featurizing 100 TB is a single pass;
+- training: :func:`prague_spark.ops.sparse.fit_sparse` binomial SLOPE
+  path on the triplets — never densified, wide feature spaces (2^18+)
+  ride the strong-rule screening + in-core subset route;
+- scoring: :func:`prague_spark.ops.sparse.predict_sparse` — one
+  broadcast join of the (sparse!) coefficients + one groupBy(row): the
+  whole-corpus gate is O(nnz).
+
+Greenfield beyond the reference surface (SURVEY.md §7.9); the GLM
+underneath is the reference's model (``R/owl.R``), which is what makes
+the filter trainable with a convex, reproducible objective instead of a
+black box.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from .vectorize import hashing_vectorizer
+
+__all__ = ["QualityFilter", "train_quality_filter", "score_quality"]
+
+
+@dataclass
+class QualityFilter:
+    """A fitted quality gate: the sparse GLM plus the featurization
+    config scoring must replay exactly (same hash space, same
+    weighting). ``positive_class`` is the label scored as "good"
+    (= the model's SECOND sorted class, matching preprocess_response)."""
+
+    model: object  # SlopeModel from fit_sparse
+    n_features: int
+    weighting: str
+    l2_norm: bool
+    positive_class: str
+
+
+def train_quality_filter(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    *,
+    n_features: int = 2**15,
+    weighting: str = "logtf",
+    l2_norm: bool = False,
+    **fit_kwargs,
+) -> QualityFilter:
+    """Fit the quality classifier on labeled documents. ``label_col``
+    must hold exactly two values (e.g. 'good'/'bad'); the LAST sorted
+    label becomes the positive class, so ``score_quality``'s probability
+    is P(that label). ``fit_kwargs`` pass through to ``fit_sparse``
+    (n_sigma, lambda_min_ratio, q, ...)."""
+    trip = hashing_vectorizer(
+        docs, id_col, text_col, n_features=n_features,
+        weighting=weighting, l2_norm=l2_norm,
+    )
+    ydf = docs.select(
+        F.col(id_col).cast("bigint").alias("row_id"),
+        F.col(label_col).cast("string").alias("_y"),
+    )
+    from ..ops.sparse import fit_sparse
+
+    fit_kwargs.setdefault("n_sigma", 20)
+    fit_kwargs.setdefault("lambda_min_ratio", 0.05)
+    model = fit_sparse(
+        trip, ydf, "_y", "binomial", n_cols=n_features, **fit_kwargs,
+    )
+    return QualityFilter(
+        model=model,
+        n_features=n_features,
+        weighting=weighting,
+        l2_norm=l2_norm,
+        positive_class=str(model.class_names[1]),
+    )
+
+
+def score_quality(
+    docs: DataFrame,
+    qf: QualityFilter,
+    id_col: str,
+    text_col: str,
+    *,
+    path_idx: int | None = None,
+    out: str = "q_prob",
+    keep_threshold: float | None = None,
+) -> DataFrame:
+    """Attach P(positive class) to every document (and, with
+    ``keep_threshold``, a boolean ``{out}_keep`` gate). Re-featurizes
+    with the filter's OWN config — a mismatched hash space would score
+    garbage silently, so the config travels with the model. The plan is
+    one vectorizer shuffle + one broadcast-coefficient join + one
+    groupBy(row): O(nnz), no densification, corpus-scale safe.
+
+    Documents with no tokens hitting a nonzero coefficient score the
+    intercept-only probability (the model's base rate), not NULL."""
+    from ..ops.sparse import predict_sparse
+
+    if qf.weighting == "tfidf":
+        # idf statistics are corpus-dependent; scoring a different corpus
+        # with training-corpus idf needs a carried df table — not
+        # supported, and silently recomputing idf on the scored corpus
+        # would shift every feature. Fail loud.
+        raise ValueError(
+            "score_quality: tfidf weighting is train-corpus-dependent; "
+            "train the filter with 'tf'/'logtf'/'binary' weighting"
+        )
+    trip = hashing_vectorizer(
+        docs, id_col, text_col, n_features=qf.n_features,
+        weighting=qf.weighting, l2_norm=qf.l2_norm,
+    )
+    rows = docs.select(F.col(id_col).cast("bigint").alias("row_id"))
+    pred = predict_sparse(
+        trip, qf.model, rows=rows, path_idx=path_idx,
+        type="response", out=out,
+    )
+    scored = docs.join(
+        pred.withColumnRenamed("row_id", "_qm_row"),
+        F.col(id_col).cast("bigint") == F.col("_qm_row"),
+        "left",
+    ).drop("_qm_row")
+    if keep_threshold is not None:
+        scored = scored.withColumn(
+            f"{out}_keep", F.col(out) >= F.lit(float(keep_threshold))
+        )
+    return scored
