@@ -421,6 +421,22 @@ def main() -> None:
             rerank_vec_col="vec", shortlist=100,
         ).count()
 
+    @bench("dedup_embedding_cells")
+    def _():
+        # SemDeDup cluster-blocked near-dup pairs: nearest-centroid
+        # assignment (codegen) + within-cell equi-join + exact cosine,
+        # with planted near-dups so the entry measures a realistic
+        # duplicate workload (the raw fixture has no pairs at 0.9)
+        C = similarity.train_ivf_centroids(emb, "vec", n_centroids=16,
+                                           iters=5)
+        pert = emb.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.expr("transform(vec, x -> x * 1.001d)").alias("vec"),
+        )
+        both = emb.select("vec_id", "vec").unionByName(pert)
+        dedup.embedding_cell_pairs(both, "vec_id", "vec", C,
+                                   threshold=0.9).count()
+
     @bench("sim_knn_join")
     def _():
         # the many-queries k-NN JOIN: 200 query ROWS (no literal plan

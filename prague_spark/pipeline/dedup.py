@@ -534,6 +534,84 @@ def embedding_cosine_pairs(
     )
 
 
+def embedding_cell_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    threshold: float = 0.9,
+    max_cell: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster first, pay
+    exact cosine only WITHIN clusters. Each vector is assigned its
+    nearest coarse centroid (the :func:`~prague_spark.pipeline.
+    similarity.assign_ivf_cells` codegen argmax over the literal
+    centroid table — no shuffle), the self-join is an EQUI-join on the
+    cell id, and within-cell pairs above ``threshold`` come out as
+    (id_a, id_b, cosine). The published SemDeDup recipe: semantic
+    duplicates co-cluster, so the candidate volume is
+    sum_c |cell_c|^2 instead of |corpus|^2 — the blocking alternative
+    to hyperplane LSH when a trained coarse quantizer already exists
+    (share it with the IVF / IVF-PQ search index).
+
+    Recall < 1 by construction: a near-dup pair split across a cell
+    boundary is missed (LSH banding trades the same way; raise the
+    centroid count for purer cells or lower it for higher recall).
+    ``max_cell`` drops degenerate cells (e.g. a near-zero-vector
+    attractor) before the self-join with a warning — one such cell
+    would re-quadratize the join."""
+    import logging
+
+    from .similarity import assign_ivf_cells
+
+    log = logging.getLogger("prague_spark.dedup")
+    base = assign_ivf_cells(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        "_v", centroids, out="_cell",
+    ).withColumn(
+        "_n",
+        F.sqrt(
+            F.aggregate(
+                F.transform("_v", lambda x: x * x), F.lit(0.0),
+                lambda a, v: a + v,
+            )
+        ),
+    ).persist()
+    if max_cell is not None:
+        hot = (
+            base.groupBy("_cell").count()
+            .filter(F.col("count") > max_cell).persist()
+        )
+        if hot.count():
+            log.warning(
+                "embedding_cell_pairs: dropping over-full cells (> %d "
+                "members) before the self-join", max_cell,
+            )
+        base = base.join(
+            F.broadcast(hot.select("_cell")), "_cell", "left_anti"
+        )
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._cell") == F.col("b._cell"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .withColumn("cosine", dot_ab / (F.col("a._n") * F.col("b._n")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            "cosine",
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -1704,26 +1704,75 @@ SQL_DEDUP_CC = (
 
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (exact all-pairs baseline,
-    threshold 0.4). The sub-quadratic scale path is the LSH-blocked
-    variant (dedup_embedding_lsh, rows-only)."""
+    threshold 0.4). The sub-quadratic scale paths are the LSH-blocked
+    variant (dedup_embedding_lsh, rows-only) and — round-8 'cells'
+    slice — the SemDeDup cluster-blocked variant
+    (dedup.embedding_cell_pairs over the PINNED IVF centroids: cell
+    assignment + within-cell equi-join + exact cosine, every step
+    re-derived in SQL from the same literals)."""
+    import numpy as np
+
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "vec", F.transform("embedding", lambda x: x.cast("double"))
     )
     out = dedup.embedding_cosine_pairs(emb, "vec_id", "vec", threshold=0.4)
-    return out.select(
+    base = out.select(
+        F.lit("exact").alias("slice"),
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
         F.round("cosine", 4).alias("cosine"),
     )
+    C = np.array(_ivf_pin_centroids(sf_dir))
+    cells = dedup.embedding_cell_pairs(
+        emb, "vec_id", "vec", C, threshold=0.4, max_cell=None
+    )
+    cells = cells.select(
+        F.lit("cells").alias("slice"),
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.round("cosine", 4).alias("cosine"),
+    )
+    return base.unionByName(cells)
 
 
-SQL_DEDUP_EMBEDDING = """
+def _dedup_embedding_sql(sf_dir: str) -> str:
+    """Oracle for q_dedup_embedding: the exact all-pairs slice plus the
+    round-8 'cells' slice — nearest-centroid assignment from the pinned
+    literals (the _ivf_assign_sql formula) and the within-cell pair
+    join."""
+    cents = _ivf_pin_centroids(sf_dir)
+
+    def lst(ci):
+        return "[" + ", ".join(repr(x) for x in cents[ci]) + "]"
+
+    sims = [
+        f"(list_dot_product(v, {lst(i)}) / sqrt(list_dot_product(v, v)))"
+        for i in range(len(cents))
+    ]
+    best = "greatest(" + ", ".join(f"s{i}" for i in range(len(cents))) + ")"
+    chain = " ".join(f"WHEN s{i} = _best THEN {i}" for i in range(len(cents)))
+    return f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), s AS (
+        SELECT vec_id, v,
+               {", ".join(f"{e} AS s{i}" for i, e in enumerate(sims))}
+        FROM e
+    ), b AS (
+        SELECT *, {best} AS _best FROM s
+    ), asg AS (
+        SELECT vec_id, v, CASE {chain} END AS cell FROM b
     )
-    SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+    SELECT 'exact' AS slice, a.vec_id::BIGINT AS id_a,
+           b.vec_id::BIGINT AS id_b,
            round(list_cosine_similarity(a.v, b.v), 4) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    UNION ALL
+    SELECT 'cells' AS slice, a.vec_id::BIGINT AS id_a,
+           b.vec_id::BIGINT AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 """
 
@@ -4919,7 +4968,10 @@ SQL_DOCS_SAMPLE = f"""
 # PARTITIONed by segment); sim_ivf_topk gains a 'knn' slice (the NEW
 # similarity.ivf_knn_join many-queries k-NN JOIN — queries as a
 # DataFrame, probe cells from the pinned centroid cosines, cell
-# equi-join + exact cosine + rank, all re-derived in SQL).
+# equi-join + exact cosine + rank, all re-derived in SQL);
+# dedup_embedding gains a 'cells' slice (the NEW SemDeDup
+# dedup.embedding_cell_pairs — pinned-centroid cell assignment +
+# within-cell pair equi-join, both re-derived in SQL).
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,
@@ -5005,7 +5057,6 @@ _RAW_ORACLES = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_cc": SQL_DEDUP_CC,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
-    "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_LSH,
     "sim_cosine_topk": SQL_SIM_TOPK,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
@@ -5064,6 +5115,7 @@ def build_oracles(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     out["r_lambda_sequences"] = _lambda_seq_sql()
     out["sim_ivf_assign"] = _ivf_assign_sql(sf_dir)
     out["sim_ivf_topk"] = _ivf_topk_sql(sf_dir)
+    out["dedup_embedding"] = _dedup_embedding_sql(sf_dir)
     out["sparse_fit"] = _sparse_kkt_sql(sf_dir)
     return out
 

@@ -408,6 +408,54 @@ def test_embedding_cosine_pairs_lsh_subset_of_exact(emb):
     assert len(lsh) > 0  # 8 planes at threshold 0.3 keeps useful recall
 
 
+def test_embedding_cell_pairs_semdedup(emb, spark):
+    """SemDeDup cluster-blocked near-dup pairs: a strict subset of the
+    exact all-pairs output (pairs split across cells are the recall
+    cost), pairs within one cell ALL recovered, the join stays an
+    equi-join (no nested loop), and the hot-cell cap drops degenerate
+    cells instead of re-quadratizing."""
+    from prague_spark.plan_audit import audit
+
+    vec = emb.withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    ).select("vec_id", "vec")
+    C = similarity.train_ivf_centroids(vec, "vec", n_centroids=8, iters=5)
+    out = dedup.embedding_cell_pairs(vec, "vec_id", "vec", C, threshold=0.3)
+    a = audit(out)
+    assert a.nested_loops == 0 and a.cartesians == 0 and a.py_stages == 0
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_cosine_pairs(
+            vec, "vec_id", "vec", 0.3
+        ).collect()
+    }
+    assert set(got) <= set(exact)
+    for k, v in got.items():
+        assert v == pytest.approx(exact[k], rel=1e-12)
+    # every exact pair whose two sides share a cell IS recovered
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.assign_ivf_cells(vec, "vec", C).collect()
+    }
+    same_cell = {k for k in exact if cells[k[0]] == cells[k[1]]}
+    assert set(got) == same_cell
+    # planted duplicates co-cluster -> found despite the blocking
+    pert = vec.limit(5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr("transform(vec, x -> x * 1.001d)").alias("vec"),
+    )
+    both = vec.unionByName(pert)
+    dup = dedup.embedding_cell_pairs(both, "vec_id", "vec", C, threshold=0.99)
+    found = {(r["id_a"], r["id_b"]) for r in dup.collect()}
+    assert {(i, i + 1_000_000) for i in range(5)} <= found
+    # hot-cell cap: cap below every cell size -> no pairs survive, loud log
+    capped = dedup.embedding_cell_pairs(
+        vec, "vec_id", "vec", C, threshold=0.3, max_cell=1
+    )
+    assert capped.count() == 0
+
+
 def test_ivf_partitioned_index_prunes(emb, spark, tmp_path):
     vec = emb.withColumn("vec", F.transform("embedding", lambda x: x.cast("double")))
     C = similarity.train_ivf_centroids(vec, "vec", n_centroids=4, iters=3)
