@@ -14,7 +14,8 @@ Layering:
 from .fit import fit
 from .ops.asof import asof_join
 from .ops.grouped import (
-    cv_fit_grouped, fit_grouped, predict_grouped, score_grouped,
+    cv_fit_grouped, cv_optimum_path, fit_grouped, predict_grouped,
+    score_grouped,
 )
 from .ops.rangejoin import range_join
 from .ops.rollup import time_rollup
@@ -32,6 +33,7 @@ __all__ = [
     "fit",
     "fit_grouped",
     "cv_fit_grouped",
+    "cv_optimum_path",
     "predict_grouped",
     "score_grouped",
     "asof_join",

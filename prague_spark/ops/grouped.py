@@ -34,7 +34,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["fit_grouped", "predict_grouped", "score_grouped", "cv_fit_grouped"]
+__all__ = [
+    "fit_grouped", "predict_grouped", "score_grouped", "cv_fit_grouped",
+    "cv_optimum_path",
+]
 
 #: coefficient rows use this pseudo-feature name for the intercept
 INTERCEPT = "(intercept)"
@@ -205,8 +208,10 @@ def fit_grouped(
 
 
 def _slice_path(c: DataFrame, group_cols, path_idx):
-    """One path point per group: the caller's explicit index, else each
-    group's DEEPEST (max path_idx, per group — paths may stop early)."""
+    """One path point per group: the caller's explicit global index, a
+    PER-GROUP selection frame (group_cols..., path_idx — e.g.
+    :func:`cv_optimum_path` from a grouped CV), else each group's
+    DEEPEST (max path_idx, per group — paths may stop early)."""
     from pyspark.sql import Window
 
     if path_idx is None:
@@ -214,7 +219,35 @@ def _slice_path(c: DataFrame, group_cols, path_idx):
         return c.withColumn("_kmax", F.max("path_idx").over(w)).filter(
             F.col("path_idx") == F.col("_kmax")
         ).drop("_kmax")
+    if isinstance(path_idx, DataFrame):
+        sel_cols = set(path_idx.columns)
+        need = set(group_cols) | {"path_idx"}
+        if not need <= sel_cols:
+            raise ValueError(
+                f"per-group path selection needs columns {sorted(need)}, "
+                f"got {sorted(sel_cols)}"
+            )
+        # model-sized join: one row per group picks that group's point
+        return c.join(
+            path_idx.select(*group_cols, "path_idx"),
+            [*group_cols, "path_idx"],
+        )
     return c.filter(F.col("path_idx") == int(path_idx))
+
+
+def cv_optimum_path(cv_out: DataFrame, group_cols) -> DataFrame:
+    """Each group's CV-optimal path point as a selection frame for
+    ``predict_grouped(path_idx=...)`` / ``score_grouped(path_idx=...)``:
+    (group_cols..., path_idx). ``cv_out`` is :func:`cv_fit_grouped`'s
+    output; its ``sigma_idx`` indexes the SAME grid as
+    :func:`fit_grouped`'s ``path_idx`` when both ran with the same
+    penalty parameters (q, n_sigma, lambda_min_ratio, lambda_type) —
+    both fix the grid with the identical in-core full fit."""
+    group_cols = list(group_cols)
+    return (
+        cv_out.filter(F.col("is_optimum"))
+        .select(*group_cols, F.col("sigma_idx").cast("int").alias("path_idx"))
+    )
 
 
 def predict_grouped(
@@ -224,13 +257,16 @@ def predict_grouped(
     group_cols: Sequence[str],
     *,
     family: str = "gaussian",
-    path_idx: int | None = None,
+    path_idx: "int | DataFrame | None" = None,
     type: str = "response",
     out: str = "pred",
     classes: Sequence[str] | None = None,
 ) -> DataFrame:
     """Score rows with the per-segment models :func:`fit_grouped`
-    produced: one path point per group (default: each group's DEEPEST),
+    produced: one path point per group (default: each group's DEEPEST;
+    pass an int for one global point, or a (group_cols..., path_idx)
+    DataFrame — e.g. :func:`cv_optimum_path` — to score each segment
+    at its OWN CV-chosen point),
     the coefficient rows pivoted to a feature->beta map and
     broadcast-joined on the group key, then one codegen dot product in
     ORIGINAL units. Rows whose group has no model get NULL.
@@ -405,7 +441,7 @@ def score_grouped(
     *,
     family: str = "gaussian",
     measure: str = "mse",
-    path_idx: int | None = None,
+    path_idx: "int | DataFrame | None" = None,
     classes: Sequence[str] | None = None,
 ) -> DataFrame:
     """Per-segment goodness of fit: :func:`predict_grouped` responses

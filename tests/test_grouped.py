@@ -721,6 +721,52 @@ def test_score_grouped_auc(spark, li):
     cb.unpersist()
 
 
+def test_predict_at_per_group_cv_optimum(spark, li):
+    """The fit -> CV -> predict loop per segment: cv_optimum_path turns
+    grouped-CV optima into a per-group path selection, and
+    predict_grouped scores each segment at its OWN chosen point — equal
+    to the driver recompute from that group's coefficients at exactly
+    that path index."""
+    from prague_spark import (
+        cv_fit_grouped, cv_optimum_path, predict_grouped,
+    )
+
+    kw = dict(n_sigma=4, lambda_min_ratio=0.1)
+    coefs = fit_grouped(
+        li, FEATS, "l_extendedprice", "gaussian", ["l_returnflag"],
+        order_col="_rid", **kw,
+    ).cache()
+    cv = cv_fit_grouped(
+        li, FEATS, "l_extendedprice", "gaussian", ["l_returnflag"],
+        fold_col="l_orderkey", order_col="_rid", measure="mse", n_folds=3,
+        **kw,
+    )
+    sel = cv_optimum_path(cv, ["l_returnflag"]).cache()
+    opt = {r["l_returnflag"]: r["path_idx"] for r in sel.collect()}
+    assert len(opt) == 3 and all(0 <= k < 4 for k in opt.values())
+    pred = predict_grouped(
+        li, coefs, FEATS, ["l_returnflag"], family="gaussian",
+        type="link", path_idx=sel, out="lp",
+    )
+    crows = coefs.collect()
+    beta = {
+        (r["l_returnflag"], r["feature"]): r["beta"]
+        for r in crows if r["path_idx"] == opt[r["l_returnflag"]]
+    }
+    for r in pred.select("l_returnflag", *FEATS, "lp").limit(300).collect():
+        g = r["l_returnflag"]
+        exp = beta.get((g, INTERCEPT), 0.0) + sum(
+            beta.get((g, f), 0.0) * float(r[f]) for f in FEATS
+        )
+        assert r["lp"] == pytest.approx(exp, rel=1e-12), g
+    # a malformed selection frame fails loud
+    with pytest.raises(ValueError, match="path selection"):
+        predict_grouped(li, coefs, FEATS, ["l_returnflag"],
+                        path_idx=sel.select("path_idx"))
+    sel.unpersist()
+    coefs.unpersist()
+
+
 def test_fit_grouped_errors(spark, li):
     # single-class binomial group fails loud, naming the group
     df = li.withColumn("const", F.lit("same"))
