@@ -14,8 +14,8 @@ Layering:
 from .fit import fit
 from .ops.asof import asof_join
 from .ops.grouped import (
-    cv_fit_grouped, cv_optimum_path, fit_grouped, predict_grouped,
-    score_grouped,
+    cap_group_rows, cv_fit_grouped, cv_optimum_path, fit_grouped,
+    predict_grouped, score_grouped,
 )
 from .ops.rangejoin import range_join
 from .ops.rollup import time_rollup
@@ -34,6 +34,7 @@ __all__ = [
     "fit_grouped",
     "cv_fit_grouped",
     "cv_optimum_path",
+    "cap_group_rows",
     "predict_grouped",
     "score_grouped",
     "asof_join",

@@ -36,7 +36,7 @@ from pyspark.sql.types import (
 
 __all__ = [
     "fit_grouped", "predict_grouped", "score_grouped", "cv_fit_grouped",
-    "cv_optimum_path",
+    "cv_optimum_path", "cap_group_rows",
 ]
 
 #: coefficient rows use this pseudo-feature name for the intercept
@@ -233,6 +233,67 @@ def _slice_path(c: DataFrame, group_cols, path_idx):
             [*group_cols, "path_idx"],
         )
     return c.filter(F.col("path_idx") == int(path_idx))
+
+
+def cap_group_rows(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    max_rows: int,
+    key_cols: Sequence[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-group downsampling to ~``max_rows`` rows,
+    applied BEFORE a grouped solve: ``fit_grouped``'s ``max_group_rows``
+    guard fails loud only after ``applyInPandas`` has already
+    materialized the whale group in one task — the memory is spent by
+    the time the check runs. This helper keeps the job alive instead:
+    one count aggregation finds the oversized groups, their keep
+    fractions broadcast-join back, and rows survive by a deterministic
+    hash threshold on ``key_cols`` (same rule as the oracle-gated
+    stratified sampler — engine-portable, partition-invariant,
+    reproducible across runs). Groups at or under the cap pass through
+    untouched; capped group sizes concentrate binomially around
+    ``max_rows`` (expected size, not exact).
+
+    ``key_cols`` must identify rows uniquely within a group — a reused
+    key survives or dies as a block, skewing the sample."""
+    import logging
+
+    group_cols = list(group_cols)
+    key_cols = list(key_cols)
+    if not key_cols:
+        raise ValueError("cap_group_rows: key_cols must be non-empty")
+    if max_rows <= 0:
+        raise ValueError("cap_group_rows: max_rows must be positive")
+    over = (
+        df.groupBy(*group_cols)
+        .count()
+        .filter(F.col("count") > max_rows)
+        .select(
+            *group_cols,
+            (F.lit(float(max_rows)) / F.col("count")).alias("_keep_frac"),
+        )
+    )
+    if over.isEmpty():
+        return df
+    logging.getLogger("prague_spark.grouped").warning(
+        "cap_group_rows: downsampling %d group(s) above %d rows",
+        over.count(), max_rows,
+    )
+    from pyspark.sql.functions import broadcast
+
+    joined = df.join(broadcast(over), group_cols, "left")
+    # uniform in [0, 1): the low 53 bits of the keyed hash (plus seed)
+    u = (
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed)),
+            F.lit(2**53),
+        ).cast("double")
+        / F.lit(float(2**53))
+    )
+    return joined.filter(
+        F.col("_keep_frac").isNull() | (u < F.col("_keep_frac"))
+    ).drop("_keep_frac")
 
 
 def cv_optimum_path(cv_out: DataFrame, group_cols) -> DataFrame:

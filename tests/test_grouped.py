@@ -784,6 +784,54 @@ def test_fit_grouped_errors(spark, li):
         fit_grouped(li, FEATS, "l_extendedprice", "gaussian", [])
 
 
+def test_cap_group_rows(spark, li):
+    """Upstream whale-segment guard: oversized groups downsample to
+    ~max_rows by a deterministic hash threshold BEFORE the grouped solve
+    materializes them; groups under the cap pass through byte-identical,
+    reruns reproduce the exact surviving set, and the capped frame fits
+    where the raw one fails loud."""
+    from prague_spark import cap_group_rows
+
+    # l_returnflag groups are ~2k rows each at sf0.001
+    sizes = {r["l_returnflag"]: r["n"] for r in li.groupBy("l_returnflag")
+             .agg(F.count("*").alias("n")).collect()}
+    big = max(sizes.values())
+    cap = 500
+    keys = ["l_orderkey", "l_linenumber"]
+    out = cap_group_rows(li, ["l_returnflag"], cap, keys).cache()
+    got = {r["l_returnflag"]: r["n"] for r in out.groupBy("l_returnflag")
+           .agg(F.count("*").alias("n")).collect()}
+    for g, n in got.items():
+        # binomial concentration around the cap (sd ~ sqrt(cap) ~ 22)
+        assert n <= cap + 120 and n >= cap - 120, (g, n)
+    # determinism: the exact same rows survive a rerun
+    a = {tuple(r) for r in out.select(*keys).collect()}
+    b = {tuple(r) for r in
+         cap_group_rows(li, ["l_returnflag"], cap, keys).select(*keys).collect()}
+    assert a == b
+    # a different seed deals a different (but same-sized-ish) hand
+    c = {tuple(r) for r in
+         cap_group_rows(li, ["l_returnflag"], cap, keys, seed=7)
+         .select(*keys).collect()}
+    assert c != a
+    # groups under the cap are untouched
+    untouched = cap_group_rows(li, ["l_returnflag"], big + 1, keys)
+    assert untouched.count() == li.count()
+    # composition: the whale fails the grouped fit raw, passes capped
+    with pytest.raises(Exception, match="max_group_rows"):
+        fit_grouped(li, FEATS, "l_extendedprice", "gaussian",
+                    ["l_returnflag"], n_sigma=2, lambda_min_ratio=0.5,
+                    max_group_rows=cap + 200).collect()
+    fit_grouped(out, FEATS, "l_extendedprice", "gaussian",
+                ["l_returnflag"], n_sigma=2, lambda_min_ratio=0.5,
+                max_group_rows=cap + 200).collect()
+    out.unpersist()
+    with pytest.raises(ValueError, match="key_cols"):
+        cap_group_rows(li, ["l_returnflag"], cap, [])
+    with pytest.raises(ValueError, match="max_rows"):
+        cap_group_rows(li, ["l_returnflag"], 0, keys)
+
+
 def test_fit_grouped_plan_shape(spark, li):
     # ONE shuffle (the groupBy), ONE python stage (the per-group solve)
     a = audit(fit_grouped(li, FEATS, "l_extendedprice", "gaussian",
