@@ -249,15 +249,19 @@ def cap_group_rows(
     the time the check runs. This helper keeps the job alive instead:
     one count aggregation finds the oversized groups, their keep
     fractions broadcast-join back, and rows survive by a deterministic
-    hash threshold on ``key_cols`` (same rule as the oracle-gated
-    stratified sampler — engine-portable, partition-invariant,
-    reproducible across runs). Groups at or under the cap pass through
-    untouched; capped group sizes concentrate binomially around
-    ``max_rows`` (expected size, not exact).
+    hash threshold on ``key_cols`` — the SAME md5 hash-unit rule as the
+    oracle-gated stratified sampler (pipeline.sample), so the surviving
+    set is engine-portable, partition-invariant, and replayable in SQL.
+    Groups at or under the cap pass through untouched; capped group
+    sizes concentrate binomially around ``max_rows`` (expected size,
+    not exact). Exactly ONE aggregation pass over ``df``: the oversized
+    frame is persisted before being counted and joined.
 
     ``key_cols`` must identify rows uniquely within a group — a reused
     key survives or dies as a block, skewing the sample."""
     import logging
+
+    from ..pipeline.sample import _hash_unit_expr
 
     group_cols = list(group_cols)
     key_cols = list(key_cols)
@@ -273,24 +277,20 @@ def cap_group_rows(
             *group_cols,
             (F.lit(float(max_rows)) / F.col("count")).alias("_keep_frac"),
         )
+        .persist()
     )
-    if over.isEmpty():
+    n_over = over.count()
+    if n_over == 0:
+        over.unpersist()
         return df
     logging.getLogger("prague_spark.grouped").warning(
         "cap_group_rows: downsampling %d group(s) above %d rows",
-        over.count(), max_rows,
+        n_over, max_rows,
     )
     from pyspark.sql.functions import broadcast
 
     joined = df.join(broadcast(over), group_cols, "left")
-    # uniform in [0, 1): the low 53 bits of the keyed hash (plus seed)
-    u = (
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed)),
-            F.lit(2**53),
-        ).cast("double")
-        / F.lit(float(2**53))
-    )
+    u = _hash_unit_expr(*[F.col(c) for c in key_cols], F.lit(seed))
     return joined.filter(
         F.col("_keep_frac").isNull() | (u < F.col("_keep_frac"))
     ).drop("_keep_frac")
@@ -303,7 +303,9 @@ def cv_optimum_path(cv_out: DataFrame, group_cols) -> DataFrame:
     output; its ``sigma_idx`` indexes the SAME grid as
     :func:`fit_grouped`'s ``path_idx`` when both ran with the same
     penalty parameters (q, n_sigma, lambda_min_ratio, lambda_type) —
-    both fix the grid with the identical in-core full fit."""
+    both fix the grid with the identical in-core full fit.
+    ``is_optimum`` is direction-aware (min for loss measures, MAX for
+    auc), so the selection is always each segment's best model."""
     group_cols = list(group_cols)
     return (
         cv_out.filter(F.col("is_optimum"))
@@ -859,7 +861,14 @@ def cv_fit_grouped(
                                        classes)
         mean = scores.mean(axis=0)
         se = scores.std(axis=0, ddof=1) / np.sqrt(n_folds)
-        best = int(np.argmin(mean))
+        # direction-aware optimum: every loss measure minimizes, auc
+        # MAXIMIZES. Deliberate delta from the distributed twin, which
+        # reference-exactly replicates trainOwl's which.min-on-everything
+        # (R/trainOwl.R:165, see ops.cv._aggregate's note): the grouped
+        # layer is greenfield, and cv_optimum_path feeds is_optimum
+        # straight into scoring — argmin on auc would silently select
+        # every segment's WORST model.
+        best = int(np.argmax(mean) if measure == "auc" else np.argmin(mean))
         out: dict = {c: [v] * len(sig) for c, v in zip(group_cols, key)}
         out.update(
             sigma_idx=list(range(len(sig))),

@@ -60,6 +60,15 @@ def train_quality_filter(
     label becomes the positive class, so ``score_quality``'s probability
     is P(that label). ``fit_kwargs`` pass through to ``fit_sparse``
     (n_sigma, lambda_min_ratio, q, ...)."""
+    if weighting == "tfidf":
+        # reject BEFORE the (potentially corpus-scale) fit is paid for:
+        # idf statistics are train-corpus-dependent, so the filter could
+        # never score another corpus — see score_quality's guard
+        raise ValueError(
+            "train_quality_filter: tfidf weighting is train-corpus-"
+            "dependent and cannot transfer to scoring; use "
+            "'tf'/'logtf'/'binary'"
+        )
     trip = hashing_vectorizer(
         docs, id_col, text_col, n_features=n_features,
         weighting=weighting, l2_norm=l2_norm,

@@ -161,11 +161,19 @@ def calendar_rollup_sink(
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(state_dir, "CURRENT"))
-        # 3. best-effort GC of superseded / orphaned versions
+        # 3. best-effort GC of orphaned versions — KEEPING the
+        #    just-superseded generation: a reader that resolved the old
+        #    CURRENT before this flip still holds a lazy plan over it,
+        #    and deleting it under that plan fails the reader's next
+        #    action. One extra rollup-sized directory buys one full
+        #    batch interval of read grace.
         import shutil
 
+        keep = {f"v_{batch_id}"}
+        if cur_dir is not None:
+            keep.add(os.path.basename(cur_dir))
         for d in os.listdir(state_dir):
-            if d.startswith("v_") and d != f"v_{batch_id}":
+            if d.startswith("v_") and d not in keep:
                 shutil.rmtree(os.path.join(state_dir, d),
                               ignore_errors=True)
 

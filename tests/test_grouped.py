@@ -652,6 +652,13 @@ def test_cv_fit_grouped_auc_and_poisson(spark, li):
     got = {r["sigma_idx"]: r["mean"] for r in out if r["l_linestatus"] == gv}
     for si in range(len(sig)):
         assert got[si] == pytest.approx(float(scores[:, si].mean()), rel=1e-9)
+    # auc is higher-is-better: is_optimum must mark each group's MAX
+    # (direction-aware, unlike the reference's which.min quirk)
+    for g in {r["l_linestatus"] for r in out}:
+        rows_g = [r for r in out if r["l_linestatus"] == g]
+        opt = [r for r in rows_g if r["is_optimum"]]
+        assert len(opt) == 1
+        assert opt[0]["mean"] == max(r["mean"] for r in rows_g)
 
     # poisson CV on the exp-link response runs and orders sanely
     dfp = li.withColumn("cnt", F.round("l_quantity").cast("double"))

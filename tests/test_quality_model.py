@@ -73,10 +73,17 @@ def test_quality_filter_learns_and_scores_heldout(spark, labeled):
 
 
 def test_quality_filter_tfidf_rejected(labeled):
+    # rejected at TRAIN time — before the corpus-scale fit is paid for
     with pytest.raises(ValueError, match="tfidf"):
-        qf = train_quality_filter(
+        train_quality_filter(
             labeled, "doc_id", "text", "ql",
             n_features=2**10, weighting="tfidf", n_sigma=3,
             lambda_min_ratio=0.2,
         )
+    # ... and at SCORE time for a hand-built filter object
+    from prague_spark.pipeline.quality_model import QualityFilter
+
+    qf = QualityFilter(model=None, n_features=2**10, weighting="tfidf",
+                       l2_norm=False, positive_class="good")
+    with pytest.raises(ValueError, match="tfidf"):
         score_quality(labeled, qf, "doc_id", "text")

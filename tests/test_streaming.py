@@ -678,13 +678,21 @@ def test_streaming_calendar_rollup_matches_batch(spark, events_stream_dir, tmp_p
         base_n, base_sv = got.get(k, (0, 0.0))
         assert after[k][0] == base_n + n, k
         assert after[k][1] == pytest.approx(base_sv + sv, rel=1e-9), k
-    versions = [p for p in os.listdir(state) if p.startswith("v_")]
-    assert versions == ["v_7"]  # orphans + superseded states GC'd
+    versions = {p for p in os.listdir(state) if p.startswith("v_")}
+    # the new state plus ONE superseded generation (read grace for lazy
+    # plans resolved against the old CURRENT); older orphans GC'd
+    assert "v_7" in versions and len(versions) == 2
     with open(f"{state}/CURRENT") as f:
         assert f.read().strip() == "v_7"
     # and a re-redelivery of the now-committed batch is a no-op again
     sink(extra, 7)
     assert _state() == after
+    # a reader holding the PRE-FLIP state keeps working for one batch
+    pre = read_rollup_state(spark, state)
+    sink(batch_df.limit(10), 8)  # flips to v_8, keeps v_7
+    assert pre.count() > 0  # v_7 still on disk
+    versions = {p for p in os.listdir(state) if p.startswith("v_")}
+    assert versions == {"v_7", "v_8"}
 
 
 def test_streaming_bm25_matches_batch(spark, sf_dir, tmp_path):
