@@ -15,7 +15,7 @@ from .fit import fit
 from .ops.asof import asof_join
 from .ops.grouped import (
     cap_group_rows, cv_fit_grouped, cv_optimum_path, fit_grouped,
-    predict_grouped, score_grouped,
+    load_grouped, predict_grouped, save_grouped, score_grouped,
 )
 from .ops.rangejoin import range_join
 from .ops.rollup import time_rollup
@@ -35,6 +35,8 @@ __all__ = [
     "cv_fit_grouped",
     "cv_optimum_path",
     "cap_group_rows",
+    "save_grouped",
+    "load_grouped",
     "predict_grouped",
     "score_grouped",
     "asof_join",

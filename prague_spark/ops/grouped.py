@@ -36,7 +36,7 @@ from pyspark.sql.types import (
 
 __all__ = [
     "fit_grouped", "predict_grouped", "score_grouped", "cv_fit_grouped",
-    "cv_optimum_path", "cap_group_rows",
+    "cv_optimum_path", "cap_group_rows", "save_grouped", "load_grouped",
 ]
 
 #: coefficient rows use this pseudo-feature name for the intercept
@@ -233,6 +233,45 @@ def _slice_path(c: DataFrame, group_cols, path_idx):
             [*group_cols, "path_idx"],
         )
     return c.filter(F.col("path_idx") == int(path_idx))
+
+
+#: columns every grouped coefficient frame must carry (plus group cols)
+_COEF_COLS = (
+    "path_idx", "sigma", "feature", "cls", "beta", "n_nonzero", "classes",
+)
+
+
+def save_grouped(coefs: DataFrame, path: str) -> None:
+    """Persist a :func:`fit_grouped` coefficient frame (the grouped
+    model sink, the per-segment analogue of ``SlopeModel.save`` —
+    ``R/owl.R:471-486``'s S5 for many models at once). The frame is
+    model-sized, so it lands as one parquet file; the schema is
+    validated BEFORE writing so a wrong frame fails loud here, not at
+    some later scoring call."""
+    missing = [c for c in _COEF_COLS if c not in coefs.columns]
+    if missing:
+        raise ValueError(
+            f"save_grouped: not a fit_grouped coefficient frame — "
+            f"missing columns {missing}"
+        )
+    coefs.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_grouped(spark, path: str, group_cols: Sequence[str]) -> DataFrame:
+    """Restore a :func:`save_grouped` frame, validating that it carries
+    the coefficient schema AND the caller's expected group columns —
+    scoring with the wrong segmentation key would otherwise surface as
+    an opaque join error (or worse, all-NULL predictions)."""
+    coefs = spark.read.parquet(path)
+    missing = [
+        c for c in (*group_cols, *_COEF_COLS) if c not in coefs.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"load_grouped: {path!r} is not a grouped coefficient frame "
+            f"for groups {list(group_cols)} — missing columns {missing}"
+        )
+    return coefs
 
 
 def cap_group_rows(

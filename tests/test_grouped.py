@@ -791,6 +791,38 @@ def test_fit_grouped_errors(spark, li):
         fit_grouped(li, FEATS, "l_extendedprice", "gaussian", [])
 
 
+def test_save_load_grouped_roundtrip(spark, li, tmp_path):
+    """Grouped model sink: save/load round-trips the coefficient frame
+    byte-exactly (classes column included), restored models score
+    identically, and schema validation fails loud on wrong frames."""
+    from prague_spark import load_grouped, predict_grouped, save_grouped
+
+    df = li.withColumn(
+        "big", F.when(F.col("l_extendedprice") > 30000.0, "hi").otherwise("lo")
+    )
+    cb = fit_grouped(df, FEATS, "big", "binomial", ["l_returnflag"],
+                     n_sigma=3, lambda_min_ratio=0.1, order_col="_rid")
+    path = str(tmp_path / "grouped_model")
+    save_grouped(cb, path)
+    back = load_grouped(spark, path, ["l_returnflag"])
+    key = lambda r: (r["l_returnflag"], r["path_idx"], r["feature"], r["cls"])
+    a = {key(r): (r["beta"], r["sigma"], tuple(r["classes"])) for r in cb.collect()}
+    b = {key(r): (r["beta"], r["sigma"], tuple(r["classes"])) for r in back.collect()}
+    assert a == b
+    p1 = predict_grouped(df, cb, FEATS, ["l_returnflag"],
+                         family="binomial", type="response", out="p")
+    p2 = predict_grouped(df, back, FEATS, ["l_returnflag"],
+                         family="binomial", type="response", out="p")
+    k = ["l_orderkey", "l_linenumber"]
+    g1 = {tuple(r[c] for c in k): r["p"] for r in p1.select(*k, "p").collect()}
+    g2 = {tuple(r[c] for c in k): r["p"] for r in p2.select(*k, "p").collect()}
+    assert g1 == g2
+    with pytest.raises(ValueError, match="missing columns"):
+        save_grouped(li, str(tmp_path / "bad"))
+    with pytest.raises(ValueError, match="missing columns"):
+        load_grouped(spark, path, ["no_such_group_col"])
+
+
 def test_cap_group_rows(spark, li):
     """Upstream whale-segment guard: oversized groups downsample to
     ~max_rows by a deterministic hash threshold BEFORE the grouped solve
