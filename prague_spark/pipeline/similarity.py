@@ -402,6 +402,51 @@ def assign_pq_codes(
     return df.withColumn(out, F.array(*codes)).drop(nv)
 
 
+def reconstruct_pq(
+    df: DataFrame,
+    code_col: str,
+    codebooks: np.ndarray,
+    out: str = "recon_vec",
+    centroids: np.ndarray | None = None,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Decode PQ codes back to approximate vectors, as PURE column
+    expressions: per block, one ``element_at`` on the literal codebook
+    table, concatenated with ``flatten`` — no UDF, no shuffle, so a
+    corpus stored as 8-byte codes re-materializes approximate floats at
+    scan speed. With ``centroids`` the codes are treated as IVF-PQ
+    RESIDUAL codes (``assign_ivfpq``): the assigned cell's centroid adds
+    back per element, reconstructing normalized(v) ~ centroid[cell] +
+    decode(residual codes).
+
+    The decode path every compressed consumer needs — feed the result
+    to :func:`ivf_knn_join` / :func:`cosine_topk` to run float
+    operators over a codes-only corpus."""
+    M, K, dsub = np.asarray(codebooks).shape
+    code = F.col(code_col)
+    blocks = [
+        F.element_at(
+            F.array(*[
+                F.array(*[F.lit(float(x)) for x in codebooks[m, j]])
+                for j in range(K)
+            ]),
+            F.element_at(code, m + 1) + F.lit(1),
+        )
+        for m in range(M)
+    ]
+    recon = F.flatten(F.array(*blocks))
+    if centroids is not None:
+        cents = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+        ])
+        recon = F.zip_with(
+            recon,
+            F.element_at(cents, F.col(cell_col) + 1),
+            lambda r, c: r + c,
+        )
+    return df.withColumn(out, recon)
+
+
 def pq_adc_topk(
     corpus_with_codes: DataFrame,
     id_col: str,

@@ -323,6 +323,63 @@ def test_exact_rerank_is_candidate_linear(spark):
         assert r["score"] == pytest.approx(exp, rel=1e-12)
 
 
+def test_reconstruct_pq_decode_path(emb, spark):
+    """reconstruct_pq: the codegen decode equals the numpy codebook
+    lookup bit-exactly, the plan is a zero-shuffle projection, the
+    IVF-PQ residual variant reconstructs close to the normalized vector
+    (cosine >> raw-code distortion), and a codes-only corpus composes
+    with ivf_knn_join — float search over 8-byte storage."""
+    import numpy as np
+
+    from prague_spark.plan_audit import audit
+
+    vec = emb.withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    ).select("vec_id", "vec")
+    books = similarity.train_pq_codebooks(
+        vec, "vec", n_subvectors=8, n_codes=16, sample_rows=2000
+    )
+    coded = similarity.assign_pq_codes(vec, "vec", books).cache()
+    rec = similarity.reconstruct_pq(coded, "pq_code", books)
+    a = audit(rec)
+    assert a.shuffles == 0 and a.py_stages == 0
+    M, K, dsub = books.shape
+    for r in rec.select("pq_code", "recon_vec").limit(50).collect():
+        exp = np.concatenate([books[m, r["pq_code"][m]] for m in range(M)])
+        assert list(r["recon_vec"]) == [float(x) for x in exp]  # bit-exact
+
+    # IVF-PQ residual decode: recon ~ normalized(v), much closer than
+    # chance (the whole point of residual coding)
+    C, rbooks = similarity.train_ivfpq(
+        vec, "vec", n_centroids=8, n_subvectors=8, n_codes=16,
+        sample_rows=2000,
+    )
+    idx = similarity.assign_ivfpq(vec, "vec", C, rbooks)
+    rec2 = similarity.reconstruct_pq(
+        idx, "pq_code", rbooks, centroids=C, out="rv"
+    )
+    cos = rec2.select(
+        similarity.cosine_expr(F.col("rv"), F.col("vec")).alias("c")
+    ).agg(F.avg("c")).first()[0]
+    assert cos > 0.55  # near-random 64-dim vectors: chance ~ 0
+
+    # codes-only corpus + knn join: self rank-1 for most queries
+    qdf = vec.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    corpus = similarity.reconstruct_pq(
+        idx.select("vec_id", "cell", "pq_code"), "pq_code", rbooks,
+        centroids=C, out="rv",
+    )
+    out = similarity.ivf_knn_join(
+        qdf, corpus, C, k=3, nprobe=4, corpus_vec_col="rv"
+    )
+    top1 = {r["query_id"]: r["vec_id"] for r in out.filter("rank = 1").collect()}
+    self_hits = sum(1 for q, v in top1.items() if q == v)
+    assert self_hits >= 6  # approximate decode, but mostly self-first
+    coded.unpersist()
+
+
 def test_pq_kmeans_validation():
     import numpy as np
 
