@@ -254,7 +254,15 @@ def save_grouped(coefs: DataFrame, path: str) -> None:
             f"save_grouped: not a fit_grouped coefficient frame — "
             f"missing columns {missing}"
         )
-    coefs.coalesce(1).write.mode("overwrite").parquet(path)
+    # materialize driver-side BEFORE the overwrite: if `coefs` was
+    # loaded from (or lazily depends on) `path` itself, overwriting the
+    # files under a plan that still reads them would destroy the only
+    # copy mid-write. The frame is model-sized by construction.
+    spark = coefs.sparkSession
+    rows = coefs.collect()
+    spark.createDataFrame(rows, coefs.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def load_grouped(spark, path: str, group_cols: Sequence[str]) -> DataFrame:
@@ -270,6 +278,17 @@ def load_grouped(spark, path: str, group_cols: Sequence[str]) -> DataFrame:
         raise ValueError(
             f"load_grouped: {path!r} is not a grouped coefficient frame "
             f"for groups {list(group_cols)} — missing columns {missing}"
+        )
+    # the saved frame's group columns must match EXACTLY: loading a
+    # (region, lang)-segmented model as region-only would pass a
+    # missing-columns check but then pivot/aggregate betas ACROSS the
+    # lang models into one garbage coefficient set per region
+    extra = set(coefs.columns) - set(_COEF_COLS) - set(group_cols)
+    if extra:
+        raise ValueError(
+            f"load_grouped: {path!r} was saved with additional group "
+            f"column(s) {sorted(extra)} — load it with the FULL "
+            f"segmentation key, not {list(group_cols)}"
         )
     return coefs
 
@@ -288,13 +307,19 @@ def cap_group_rows(
     the time the check runs. This helper keeps the job alive instead:
     one count aggregation finds the oversized groups, their keep
     fractions broadcast-join back, and rows survive by a deterministic
-    hash threshold on ``key_cols`` — the SAME md5 hash-unit rule as the
+    md5 hash threshold on ``key_cols`` — the same hash-unit rule as the
     oracle-gated stratified sampler (pipeline.sample), so the surviving
     set is engine-portable, partition-invariant, and replayable in SQL.
-    Groups at or under the cap pass through untouched; capped group
-    sizes concentrate binomially around ``max_rows`` (expected size,
-    not exact). Exactly ONE aggregation pass over ``df``: the oversized
-    frame is persisted before being counted and joined.
+    Each key column is md5-hashed SEPARATELY (NULLs coalesced to a
+    sentinel) before the combined hash: fixed-width parts make the
+    concatenation delimiter-unambiguous ('a:1'+'2' vs 'a'+'1:2') and a
+    NULL in one column cannot collapse distinct keys. Groups at or
+    under the cap pass through untouched; capped group sizes
+    concentrate binomially around ``max_rows`` (expected size, not
+    exact). ONE aggregation pass over ``df``: the (group-count-sized)
+    oversized frame is collected and rebuilt as local rows — the same
+    driver footprint its broadcast join already requires, with no cache
+    left pinned.
 
     ``key_cols`` must identify rows uniquely within a group — a reused
     key survives or dies as a block, skewing the sample."""
@@ -308,7 +333,7 @@ def cap_group_rows(
         raise ValueError("cap_group_rows: key_cols must be non-empty")
     if max_rows <= 0:
         raise ValueError("cap_group_rows: max_rows must be positive")
-    over = (
+    over_rows = (
         df.groupBy(*group_cols)
         .count()
         .filter(F.col("count") > max_rows)
@@ -316,20 +341,26 @@ def cap_group_rows(
             *group_cols,
             (F.lit(float(max_rows)) / F.col("count")).alias("_keep_frac"),
         )
-        .persist()
+        .collect()
     )
-    n_over = over.count()
-    if n_over == 0:
-        over.unpersist()
+    if not over_rows:
         return df
     logging.getLogger("prague_spark.grouped").warning(
         "cap_group_rows: downsampling %d group(s) above %d rows",
-        n_over, max_rows,
+        len(over_rows), max_rows,
     )
     from pyspark.sql.functions import broadcast
 
+    over = df.sparkSession.createDataFrame(
+        over_rows,
+        df.select(*group_cols).schema.add("_keep_frac", DoubleType()),
+    )
     joined = df.join(broadcast(over), group_cols, "left")
-    u = _hash_unit_expr(*[F.col(c) for c in key_cols], F.lit(seed))
+    parts = [
+        F.md5(F.coalesce(F.col(c).cast("string"), F.lit("\x00null\x00")))
+        for c in key_cols
+    ]
+    u = _hash_unit_expr(*parts, F.lit(seed))
     return joined.filter(
         F.col("_keep_frac").isNull() | (u < F.col("_keep_frac"))
     ).drop("_keep_frac")

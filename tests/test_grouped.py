@@ -821,6 +821,23 @@ def test_save_load_grouped_roundtrip(spark, li, tmp_path):
         save_grouped(li, str(tmp_path / "bad"))
     with pytest.raises(ValueError, match="missing columns"):
         load_grouped(spark, path, ["no_such_group_col"])
+    # resave to the SAME path must not destroy the model mid-write
+    save_grouped(back, path)
+    again = load_grouped(spark, path, ["l_returnflag"])
+    assert {key(r): r["beta"] for r in again.collect()} == {
+        k: v[0] for k, v in a.items()
+    }
+    # loading a multi-key model with a PARTIAL segmentation key is the
+    # silent-garbage case (betas would pivot across the dropped key's
+    # models) — rejected loud
+    c2 = fit_grouped(df, FEATS, "big", "binomial",
+                     ["l_returnflag", "l_linestatus"],
+                     n_sigma=2, lambda_min_ratio=0.3, order_col="_rid")
+    p2path = str(tmp_path / "grouped_model2")
+    save_grouped(c2, p2path)
+    with pytest.raises(ValueError, match="FULL segmentation key"):
+        load_grouped(spark, p2path, ["l_returnflag"])
+    load_grouped(spark, p2path, ["l_returnflag", "l_linestatus"])
 
 
 def test_cap_group_rows(spark, li):
@@ -869,6 +886,24 @@ def test_cap_group_rows(spark, li):
         cap_group_rows(li, ["l_returnflag"], cap, [])
     with pytest.raises(ValueError, match="max_rows"):
         cap_group_rows(li, ["l_returnflag"], 0, keys)
+    # NULL/delimiter key patterns hash DISTINCTLY (per-column md5): the
+    # four rows below would collide pairwise under a naive ':' concat
+    tricky = spark.createDataFrame(
+        [("g", None, "x", i) for i in range(2)]
+        + [("g", "x", None, i) for i in range(2, 4)]
+        + [("g", "a:1", "2", i) for i in range(4, 6)]
+        + [("g", "a", "1:2", i) for i in range(6, 8)],
+        "g string, k1 string, k2 string, i int",
+    )
+    from prague_spark.pipeline.sample import _hash_unit_expr
+
+    parts = [
+        F.md5(F.coalesce(F.col(c).cast("string"), F.lit("\x00null\x00")))
+        for c in ("k1", "k2")
+    ]
+    us = tricky.select(_hash_unit_expr(*parts, F.lit(42)).alias("u")) \
+        .distinct().count()
+    assert us == 4  # four distinct key patterns -> four distinct hashes
 
 
 def test_fit_grouped_plan_shape(spark, li):
