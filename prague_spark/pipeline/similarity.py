@@ -175,6 +175,64 @@ def ivf_topk(
     return out
 
 
+def ivf_knn_candidates(
+    queries: DataFrame,
+    corpus_idx: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    corpus_id_col: str = "vec_id",
+    corpus_vec_col: str = "vec",
+    cell_col: str = "cell",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """The candidate generator under :func:`ivf_knn_join` — probe-cell
+    explode on the query side, cell EQUI-join against the indexed
+    corpus, one exact cosine per candidate — WITHOUT the final rank
+    window, so it runs on a STREAMING query frame too (stream-static
+    equi-join; the twin is ``streaming.similarity.knn_join_stream``).
+    Returns (query_id, corpus_id, cosine) — every probed candidate."""
+    qv = F.col(query_vec_col)
+    qn = _norm(qv)
+    C = np.asarray(centroids, dtype=np.float64)
+    entries = [
+        F.struct(
+            (
+                -(
+                    _dot(qv, F.array(*[F.lit(float(x)) for x in c]))
+                    / (qn * F.lit(float(np.linalg.norm(c))))
+                )
+            ).alias("negsim"),
+            F.lit(ci).alias("ci"),
+        )
+        for ci, c in enumerate(C)
+    ]
+    # struct sort = (negsim asc, ci asc) = cosine desc with cell-id ties
+    probe_cells = F.transform(
+        F.slice(F.array_sort(F.array(*entries)), 1, int(nprobe)),
+        lambda s: s["ci"],
+    )
+    qx = queries.select(
+        F.col(query_id_col),
+        qv.alias("_qv"),
+        qn.alias("_qn"),
+        F.explode(probe_cells).alias(cell_col),
+    )
+    if broadcast_queries:
+        from pyspark.sql.functions import broadcast as _bc
+
+        qx = _bc(qx)
+    cvec = F.col(corpus_vec_col)
+    return corpus_idx.join(qx, cell_col).select(
+        F.col(query_id_col),
+        F.col(corpus_id_col),
+        (_dot(cvec, F.col("_qv")) / (_norm(cvec) * F.col("_qn"))).alias(
+            "cosine"
+        ),
+    )
+
+
 def ivf_knn_join(
     queries: DataFrame,
     corpus_idx: DataFrame,
@@ -208,43 +266,11 @@ def ivf_knn_join(
     (query_id, corpus_id, cosine, rank <= k)."""
     if queries.isStreaming or corpus_idx.isStreaming:
         raise ValueError("ivf_knn_join: batch DataFrames only")
-    from pyspark.sql.functions import broadcast as _bc
-
-    qv = F.col(query_vec_col)
-    qn = _norm(qv)
-    C = np.asarray(centroids, dtype=np.float64)
-    entries = [
-        F.struct(
-            (
-                -(
-                    _dot(qv, F.array(*[F.lit(float(x)) for x in c]))
-                    / (qn * F.lit(float(np.linalg.norm(c))))
-                )
-            ).alias("negsim"),
-            F.lit(ci).alias("ci"),
-        )
-        for ci, c in enumerate(C)
-    ]
-    # struct sort = (negsim asc, ci asc) = cosine desc with cell-id ties
-    probe_cells = F.transform(
-        F.slice(F.array_sort(F.array(*entries)), 1, int(nprobe)),
-        lambda s: s["ci"],
-    )
-    qx = queries.select(
-        F.col(query_id_col),
-        qv.alias("_qv"),
-        qn.alias("_qn"),
-        F.explode(probe_cells).alias(cell_col),
-    )
-    if broadcast_queries:
-        qx = _bc(qx)
-    cvec = F.col(corpus_vec_col)
-    cand = corpus_idx.join(qx, cell_col).select(
-        F.col(query_id_col),
-        F.col(corpus_id_col),
-        (_dot(cvec, F.col("_qv")) / (_norm(cvec) * F.col("_qn"))).alias(
-            "cosine"
-        ),
+    cand = ivf_knn_candidates(
+        queries, corpus_idx, centroids, nprobe=nprobe,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        corpus_id_col=corpus_id_col, corpus_vec_col=corpus_vec_col,
+        cell_col=cell_col, broadcast_queries=broadcast_queries,
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(corpus_id_col).asc()
@@ -655,6 +681,214 @@ def ivfpq_topk(
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
+    )
+
+
+def ivfpq_knn_candidates(
+    queries: DataFrame,
+    corpus_idx: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    corpus_id_col: str = "vec_id",
+    cell_col: str = "cell",
+    code_col: str = "pq_code",
+    keep_cols: "Sequence[str] | None" = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """The candidate generator under :func:`ivfpq_knn_join`: every
+    probed (query, candidate) pair scored by residual ADC over the PQ
+    codes column — no float corpus vector is ever touched. Query-side
+    work is all per-row codegen over the LITERAL index constants:
+
+    1. stage the normalized query once (``_qnv``), rank the literal
+       centroid table by cosine and explode the ``nprobe`` best cells,
+       carrying each probed cell's ``q . centroid[cell]`` dot (the term
+       the ADC score starts from — exactly :func:`ivfpq_topk`'s
+       ``celldot`` lookup, computed per query ROW instead of per query
+       literal);
+    2. build the residual lookup table ``lut[m][j] = q_m . codebook[m,j]``
+       as ONE flat array column of M*K doubles (:func:`pq_adc_topk`
+       computes the same numbers driver-side with numpy; a DataFrame of
+       queries computes them as codegen folds — plan width constant in
+       |Q|);
+    3. cell EQUI-join against the (cell, codes) index; per candidate the
+       score is ``celldot + sum_m lut[m*K + code_m]`` — M array lookups,
+       zero UDF, and the candidate volume is the IVF bound
+       sum_q |probed cells of q|.
+
+    ``keep_cols``: extra corpus columns to carry through (e.g. the float
+    vector / the code columns for a re-rank stage). Returns
+    (query_id, corpus_id, *keep_cols, _qv, _qn, score)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    M, K, dsub = books.shape
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    qv = F.col(query_vec_col)
+    qx = queries.select(
+        F.col(query_id_col), qv.alias("_qv"), _norm(qv).alias("_qn")
+    ).withColumn(
+        # staged once: the norm fold must not re-inline into every
+        # centroid / codebook dot below (the assign_pq_codes lesson)
+        "_qnv", F.transform(F.col("_qv"), lambda x: x / F.col("_qn"))
+    )
+    qnv = F.col("_qnv")
+    # probe ranking by cosine to the numpy-normalized centroid literals
+    # (ivfpq_topk's argsort over Cn @ qn); celldot keeps the RAW-centroid
+    # dot its ADC score opens with (centroids @ qn)
+    entries = [
+        F.struct(
+            (-_dot(qnv, F.array(*[F.lit(float(x)) for x in cn]))).alias(
+                "negsim"
+            ),
+            F.lit(ci).alias("ci"),
+            _dot(qnv, F.array(*[F.lit(float(x)) for x in c])).alias(
+                "celldot"
+            ),
+        )
+        for ci, (c, cn) in enumerate(zip(C, Cn))
+    ]
+    probes = F.slice(F.array_sort(F.array(*entries)), 1, int(nprobe))
+    lut = F.flatten(
+        F.array(
+            *[
+                F.transform(
+                    F.array(
+                        *[
+                            F.array(*[F.lit(float(x)) for x in books[m, j]])
+                            for j in range(K)
+                        ]
+                    ),
+                    # the lambda runs NOW (F.transform builds the tree
+                    # inside this comprehension step), so closing over m
+                    # is safe — no late binding
+                    lambda cb: _dot(F.slice(qnv, m * dsub + 1, dsub), cb),
+                )
+                for m in range(M)
+            ]
+        )
+    )
+    qx = (
+        qx.withColumn("_lut", lut)
+        .withColumn("_pc", F.explode(probes))
+        .select(
+            F.col(query_id_col),
+            "_qv",
+            "_qn",
+            "_lut",
+            F.col("_pc.ci").alias(cell_col),
+            F.col("_pc.celldot").alias("_celldot"),
+        )
+    )
+    if broadcast_queries:
+        from pyspark.sql.functions import broadcast as _bc
+
+        qx = _bc(qx)
+    code = F.col(code_col)
+    score = F.col("_celldot")
+    for m in range(M):
+        score = score + F.element_at(
+            F.col("_lut"), F.lit(m * K) + F.element_at(code, m + 1) + F.lit(1)
+        )
+    return corpus_idx.join(qx, cell_col).select(
+        F.col(query_id_col),
+        F.col(corpus_id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        F.col("_qv"),
+        F.col("_qn"),
+        score.alias("score"),
+    )
+
+
+def ivfpq_knn_join(
+    queries: DataFrame,
+    corpus_idx: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    corpus_id_col: str = "vec_id",
+    cell_col: str = "cell",
+    code_col: str = "pq_code",
+    rerank_vec_col: str | None = None,
+    rerank_codes: bool = False,
+    shortlist: int = 50,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """COMPRESSED k-NN JOIN: approximate top-k corpus neighbors for
+    every row of a query DataFrame, scored by residual ADC over the PQ
+    ``code_col`` — the form a 100 TB codes-only corpus needs.
+    :func:`ivf_knn_join` requires the float vectors on every candidate;
+    :func:`ivfpq_topk` takes queries as literal expressions (plan width
+    grows per query). This operator is the missing cell of that grid:
+    queries stay a DataFrame (millions of rows fine), candidates never
+    decode — see :func:`ivfpq_knn_candidates` for the plan shape.
+
+    Re-ranking the per-query ADC ``shortlist`` with exact cosine (the
+    standard two-stage search) has two forms:
+
+    - ``rerank_vec_col``: the corpus retains float vectors — exact
+      cosine against the carried query vector;
+    - ``rerank_codes=True``: codes-only corpus — the shortlist (and
+      ONLY the shortlist, O(Q x shortlist) rows) is decoded with
+      :func:`reconstruct_pq` (+ the cell centroid) and scored against
+      the query; the approximation error is the PQ quantization error.
+
+    Returns (query_id, corpus_id, score, rank <= k): ``score`` is the
+    ADC approximation, or the (reconstructed-)exact cosine when
+    re-ranking."""
+    if queries.isStreaming or corpus_idx.isStreaming:
+        raise ValueError("ivfpq_knn_join: batch DataFrames only")
+    if rerank_vec_col and rerank_codes:
+        raise ValueError(
+            "ivfpq_knn_join: rerank_vec_col and rerank_codes are exclusive"
+        )
+    keep = []
+    if rerank_vec_col:
+        keep = [rerank_vec_col]
+    elif rerank_codes:
+        keep = [cell_col, code_col]
+    cand = ivfpq_knn_candidates(
+        queries, corpus_idx, centroids, codebooks, nprobe=nprobe,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        corpus_id_col=corpus_id_col, cell_col=cell_col, code_col=code_col,
+        keep_cols=keep, broadcast_queries=broadcast_queries,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(corpus_id_col).asc()
+    )
+    ranked = cand.withColumn("rank", F.row_number().over(w))
+    if not (rerank_vec_col or rerank_codes):
+        return ranked.filter(F.col("rank") <= k).select(
+            query_id_col, corpus_id_col, "score", "rank"
+        )
+    short = ranked.filter(F.col("rank") <= int(shortlist)).drop(
+        "rank", "score"
+    )
+    if rerank_vec_col:
+        cvec = F.col(rerank_vec_col)
+    else:
+        short = reconstruct_pq(
+            short, code_col, codebooks, out="_rv",
+            centroids=centroids, cell_col=cell_col,
+        )
+        cvec = F.col("_rv")
+    exact = short.select(
+        F.col(query_id_col),
+        F.col(corpus_id_col),
+        (_dot(cvec, F.col("_qv")) / (_norm(cvec) * F.col("_qn"))).alias(
+            "score"
+        ),
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, corpus_id_col, "score", "rank")
     )
 
 

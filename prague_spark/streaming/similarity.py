@@ -99,3 +99,68 @@ def ivf_candidates_stream(
         .withColumn("cosine", cos)
         .select("query_id", id_col, "cosine")
     )
+
+
+def knn_join_stream(
+    queries: DataFrame,
+    corpus_idx: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    corpus_id_col: str = "vec_id",
+    corpus_vec_col: str = "vec",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """The streaming twin of ``pipeline.similarity.ivf_knn_join``: a
+    STREAM of query rows k-NN-joined against a static IVF-indexed
+    corpus. Same candidate plan as the batch operator — it IS the batch
+    operator's :func:`~prague_spark.pipeline.similarity.
+    ivf_knn_candidates` (probe-cell explode, stream-static cell
+    EQUI-join, exact cosine), identical expressions, so batch/stream
+    parity is structural. Stateless append mode: no watermark, no state
+    store.
+
+    Output: (query_id, corpus_id, cosine) candidate rows. All of a
+    query's candidates co-arrive in its micro-batch, so exact top-k is
+    a per-batch rank window in the sink (:func:`topk_batch`):
+
+        cands.writeStream.foreachBatch(
+            lambda b, _: sink(topk_batch(b, k=10))).start()
+
+    Persist ``corpus_idx`` — every micro-batch probes it."""
+    from ..pipeline.similarity import ivf_knn_candidates
+
+    return ivf_knn_candidates(
+        queries, corpus_idx, centroids, nprobe=nprobe,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        corpus_id_col=corpus_id_col, corpus_vec_col=corpus_vec_col,
+        cell_col=cell_col,
+        # the query side is the stream: broadcasting a streaming frame
+        # is not planable; the static corpus side broadcasts per batch
+        # when small under AQE
+        broadcast_queries=False,
+    )
+
+
+def topk_batch(
+    batch_df: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "vec_id",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Per-micro-batch exact top-k over :func:`knn_join_stream`
+    candidates — the rank window ``ivf_knn_join`` appends in batch,
+    applied inside ``foreachBatch`` where windows are legal. Same
+    (score desc, id asc) tie-break as the batch operator."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col(score_col).desc(), F.col(corpus_id_col).asc()
+    )
+    return (
+        batch_df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, corpus_id_col, score_col, "rank")
+    )

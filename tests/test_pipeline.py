@@ -380,6 +380,109 @@ def test_reconstruct_pq_decode_path(emb, spark):
     coded.unpersist()
 
 
+def test_ivfpq_knn_join(emb, spark):
+    """The COMPRESSED many-queries k-NN join: per-query residual-ADC
+    results equal ivfpq_topk's literal-query results (same probes, same
+    arithmetic up to fold-order ulps), the plan has zero Python stages
+    and CONSTANT width in |Q|, and both re-rank modes work — exact
+    cosine over a retained float column, and shortlist-only decode over
+    a codes-ONLY corpus (the 100 TB form: no float vector ever leaves
+    the shortlist)."""
+    import numpy as np
+
+    from prague_spark.plan_audit import assert_scale_shape
+
+    vec = emb.withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    ).select("vec_id", "vec")
+    C, books = similarity.train_ivfpq(
+        vec, "vec", n_centroids=8, n_subvectors=8, n_codes=16,
+        sample_rows=2000,
+    )
+    idx = similarity.assign_ivfpq(vec, "vec", C, books).cache()
+
+    qdf = vec.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    out = similarity.ivfpq_knn_join(qdf, idx, C, books, k=5, nprobe=4)
+    a = assert_scale_shape(out, max_py_stages=0)
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+        for r in out.collect()
+    }
+    qrows = vec.filter(F.col("vec_id") < 4).collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in qrows]
+    exp = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+        for r in similarity.ivfpq_topk(
+            idx, "vec_id", C, books, queries, k=5, nprobe=4
+        ).collect()
+    }
+    # literal-queries twin computes its LUTs driver-side with numpy; the
+    # join form computes the same dots as Spark folds — equal to
+    # fold-order ulps, so ranks match unless two scores tie to ~1e-12
+    assert set(got) == set(exp)
+    for key in exp:
+        assert got[key][0] == exp[key][0], key
+        assert got[key][1] == pytest.approx(exp[key][1], rel=1e-9, abs=1e-12), key
+
+    # plan width constant in |Q|
+    rng = np.random.default_rng(13)
+    d = len(qrows[0]["vec"])
+    big = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=d)]) for i in range(300)],
+        "query_id long, qvec array<double>",
+    )
+    big_out = similarity.ivfpq_knn_join(big, idx, C, books, k=3, nprobe=2)
+    b = assert_scale_shape(big_out, max_py_stages=0)
+    assert b.shuffles == a.shuffles
+    per_q = big_out.groupBy("query_id").count()
+    assert per_q.count() == 300
+    assert per_q.filter(F.col("count") > 3).count() == 0
+
+    # float re-rank: matches ivfpq_topk's rerank form
+    rr = similarity.ivfpq_knn_join(
+        qdf, idx, C, books, k=5, nprobe=4,
+        rerank_vec_col="vec", shortlist=50,
+    )
+    rr_exp = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+        for r in similarity.ivfpq_topk(
+            idx, "vec_id", C, books, queries, k=5, nprobe=4,
+            rerank_vec_col="vec", shortlist=50,
+        ).collect()
+    }
+    rr_got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+        for r in rr.collect()
+    }
+    assert set(rr_got) == set(rr_exp)
+    for key in rr_exp:
+        assert rr_got[key][0] == rr_exp[key][0], key
+        assert rr_got[key][1] == pytest.approx(rr_exp[key][1], rel=1e-9), key
+    # exact re-rank puts the query's own vector first at cosine 1
+    for q in range(4):
+        assert rr_got[(q, 1)][0] == q
+        assert rr_got[(q, 1)][1] == pytest.approx(1.0)
+
+    # codes-only corpus: rerank_codes decodes ONLY the shortlist; self
+    # is rank-1 for most queries (approximate decode) and the plan keeps
+    # zero Python stages
+    codes_only = idx.select("vec_id", "cell", "pq_code")
+    co = similarity.ivfpq_knn_join(
+        qdf, codes_only, C, books, k=3, nprobe=4,
+        rerank_codes=True, shortlist=50,
+    )
+    assert_scale_shape(co, max_py_stages=0)
+    top1 = {r["query_id"]: r["vec_id"] for r in co.filter("rank = 1").collect()}
+    assert sum(1 for q, v in top1.items() if q == v) >= 3
+    with pytest.raises(ValueError, match="exclusive"):
+        similarity.ivfpq_knn_join(
+            qdf, idx, C, books, rerank_vec_col="vec", rerank_codes=True
+        )
+    idx.unpersist()
+
+
 def test_pq_kmeans_validation():
     import numpy as np
 

@@ -493,6 +493,58 @@ def test_streaming_ivf_probe_matches_batch_topk(spark, sf_dir):
     corpus.unpersist()
 
 
+def test_streaming_knn_join_matches_batch(spark, sf_dir):
+    """knn_join_stream: a streamed query frame k-NN-joined against the
+    static IVF index reproduces batch ivf_knn_join row for row — the
+    candidate plan is literally shared (ivf_knn_candidates), and the
+    sink-side topk_batch applies the identical rank window."""
+    from prague_spark.pipeline.similarity import (
+        assign_ivf_cells, ivf_knn_join, train_ivf_centroids,
+    )
+    from prague_spark.streaming.similarity import knn_join_stream, topk_batch
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # double up front: the stream side reads the query parquet back
+        # as array<double>, so the batch twin must fold the same type
+        .withColumn("vec", F.transform("embedding", lambda x: x.cast("double")))
+        .select("vec_id", "vec").limit(300)
+    )
+    C = train_ivf_centroids(emb, "vec", n_centroids=8, iters=5)
+    corpus = assign_ivf_cells(emb, "vec", C).persist()
+
+    qdf = emb.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    expected = {
+        (r["query_id"], r["vec_id"], round(r["cosine"], 9), r["rank"])
+        for r in ivf_knn_join(qdf, corpus, C, k=5, nprobe=3).collect()
+    }
+
+    d = tempfile.mkdtemp(prefix="prague_knn_stream_")
+    qdf.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(
+        "query_id long, qvec array<double>"
+    ).parquet(d)
+    cands = knn_join_stream(stream, corpus, C, nprobe=3)
+    collected = []
+    q = (
+        cands.writeStream.foreachBatch(
+            lambda b, _: collected.extend(topk_batch(b, k=5).collect())
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["query_id"], r["vec_id"], round(r["cosine"], 9), r["rank"])
+        for r in collected
+    }
+    assert got == expected
+    corpus.unpersist()
+
+
 def test_streaming_boilerplate_strip_matches_batch(spark):
     """The projection-based strip runs unchanged under readStream and
     matches the batch join-based strip_boilerplate row for row."""
