@@ -431,8 +431,8 @@ def q_q1_predict_link(spark, sf_dir):
     the identity link (Q2, R/predict.R:73-87) — as a second column.
 
     Round-7 merge (session 2): 'grouped' tagged rows pin the NEW
-    ops.grouped.predict_grouped — per-segment scoring via the pivoted
-    coefficient map and a broadcast join. The coefficient frame is built
+    ops.grouped.predict_grouped — per-segment scoring via coefficients
+    flat-pivoted to broadcast double columns. The coefficient frame is built
     from the SAME pinned per-group reference fits the f11 grouped slices
     verify (deepest path point, original units), so the oracle recomputes
     every row's linear predictor as a per-group CASE over the raw
@@ -532,9 +532,11 @@ def q_q5_predict_multinomial(spark, sf_dir):
 
     Round-8 merge: 'grpm' tagged rows pin the grouped layer's LAST
     family — ops.grouped.predict_grouped for MULTINOMIAL per-segment
-    models (one 3-class model per l_linestatus segment, nested
-    cls->feature->beta broadcast map, per-segment softmax + argmax
-    class). The engine's fit_grouped must agree with the independently
+    models (one 3-class model per l_linestatus segment, coefficients
+    FLAT-PIVOTED to (m-1)x(p+1) broadcast double columns — not a
+    per-row map, which costs an object deserialization per lookup —
+    per-segment softmax + argmax class). The engine's fit_grouped must
+    agree with the independently
     pinned per-segment reference fits (fit_agrees), and the oracle
     re-derives every row's class simplex from those pinned betas as
     per-group CASE expressions over the raw columns."""
@@ -3035,7 +3037,15 @@ def q_sim_ivf_topk(spark, sf_dir):
     assigned coarse centroid, then probed ADC scored as q.centroid[cell]
     + the residual lookup sum): the oracle rebuilds the residual with
     DuckDB's list_zip and re-derives every code and score from the same
-    pinned constants."""
+    pinned constants.
+
+    Round-8 merge: 'knn' rows pin ivf_knn_join (queries as a DataFrame).
+    Round-9 merges: 'knnpq' rows pin the COMPRESSED join ivfpq_knn_join
+    (DataFrame queries vs the codes-only index — probes, celldots and
+    residual-ADC LUTs computed as Spark folds, re-derived in SQL with
+    list_dot_product over the same literals); 'recon' rows pin
+    reconstruct_pq's element-wise decode (codebook element_at + cell
+    centroid add-back) for vec_id < 4."""
     import numpy as np
 
     emb = load(spark, sf_dir, "embeddings").withColumn(
@@ -3089,7 +3099,46 @@ def q_sim_ivf_topk(spark, sf_dir):
         F.round("cosine", 4).alias("score"),
         F.col("rank").cast("int").alias("rank"),
     )
-    return ivf.unionByName(pq).unionByName(ivfpq).unionByName(knn)
+    # round-9 'knnpq' slice: the COMPRESSED many-queries k-NN join
+    # (similarity.ivfpq_knn_join) — the same two query rows against the
+    # CODES-ONLY ivfpq index, scored by residual ADC with the lookup
+    # tables computed Spark-side as codegen folds; the oracle re-derives
+    # the probes, the per-cell centroid dot, and every LUT entry from
+    # the identical literals with DuckDB list arithmetic
+    knnpq = similarity.ivfpq_knn_join(
+        qdf, idx.select("vec_id", "cell", "pq_code"), C, ibooks,
+        k=5, nprobe=4,
+    )
+    knnpq = knnpq.select(
+        F.lit("knnpq").alias("slice"),
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    # round-9 'recon' slice: reconstruct_pq's codegen decode of the
+    # IVF-PQ residual codes back to floats (codebook element_at + cell
+    # centroid add-back), element-wise: one output row per (decoded
+    # vec_id, 1-based element position); rank carries the cell id
+    rec = similarity.reconstruct_pq(
+        idx.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("_rid"), "cell", "pq_code"
+        ),
+        "pq_code", ibooks, out="_rv", centroids=C, cell_col="cell",
+    )
+    recon = rec.select(
+        "_rid", "cell", F.posexplode("_rv").alias("pos", "val")
+    ).select(
+        F.lit("recon").alias("slice"),
+        F.col("_rid").cast("bigint").alias("query_id"),
+        (F.col("pos") + 1).cast("bigint").alias("vec_id"),
+        F.round("val", 4).alias("score"),
+        F.col("cell").cast("int").alias("rank"),
+    )
+    return (
+        ivf.unionByName(pq).unionByName(ivfpq).unionByName(knn)
+        .unionByName(knnpq).unionByName(recon)
+    )
 
 
 def _ivf_topk_sql(sf_dir: str) -> str:
@@ -3209,6 +3258,44 @@ def _ivf_topk_sql(sf_dir: str) -> str:
         )
     iv_adc_union = " UNION ALL ".join(iv_adc_selects)
 
+    # --- knnpq slice: the DataFrame-queries compressed join re-derived
+    # with DuckDB list arithmetic (the Spark side computes LUTs/celldots
+    # as codegen folds per query ROW, not numpy literals — so the oracle
+    # must fold too; list_dot_product bit-matches Spark's fold) ---
+    centn_rows = ", ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(
+            i, ", ".join(repr(float(x)) for x in Crn[i])
+        )
+        for i in range(len(cents))
+    )
+    knnpq_terms = []
+    for m in range(M):
+        a, b = m * dsub + 1, (m + 1) * dsub
+        lut_list = ", ".join(
+            "list_dot_product(p.qnv[{}:{}], [{}])".format(
+                a, b, ", ".join(repr(float(x)) for x in ibooks[m, j])
+            )
+            for j in range(K)
+        )
+        knnpq_terms.append(f"([{lut_list}])[i.ic_{m} + 1]")
+    knnpq_score = "p.celldot + " + " + ".join(knnpq_terms)
+
+    # --- recon slice: decode the residual codes + add the cell centroid
+    # back, then explode element-wise ---
+    d = len(cents[0])
+    recon_cases = ", ".join(
+        "CASE ic_{} {} END".format(
+            m,
+            " ".join(
+                "WHEN {} THEN CAST([{}] AS DOUBLE[])".format(
+                    j, ", ".join(repr(float(x)) for x in ibooks[m, j])
+                )
+                for j in range(K)
+            ),
+        )
+        for m in range(M)
+    )
+
     return f"""
     WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -3270,6 +3357,35 @@ def _ivf_topk_sql(sf_dir: str) -> str:
                row_number() OVER (PARTITION BY qid
                    ORDER BY score DESC, vec_id) AS rank
         FROM iadc
+    ), centsn(ci, cvn) AS (VALUES {centn_rows}),
+    kpq AS (
+        SELECT vec_id AS qid,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS qnv
+        FROM v WHERE vec_id IN (2, 3)
+    ), kpqp AS (
+        SELECT q.qid, q.qnv, c.ci,
+               list_dot_product(q.qnv, c.cv) AS celldot,
+               row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_dot_product(q.qnv, n.cvn) DESC, c.ci) AS pr
+        FROM kpq q CROSS JOIN cents c JOIN centsn n ON n.ci = c.ci
+    ), kpqc AS (
+        SELECT p.qid, i.vec_id, {knnpq_score} AS score
+        FROM kpqp p JOIN icd i ON i.cell = p.ci
+        WHERE p.pr <= 4
+    ), kpqr AS (
+        SELECT qid, vec_id, score,
+               row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, vec_id) AS rank
+        FROM kpqc
+    ), krc AS (
+        SELECT vec_id, cell,
+               list_transform(
+                   list_zip(flatten([{recon_cases}]), {cent_case}),
+                   s -> s[1] + s[2]) AS rv
+        FROM icd WHERE vec_id < 4
+    ), krx AS (
+        SELECT vec_id, cell, g AS pos, rv[g] AS val
+        FROM krc, generate_series(1, {d}) AS s(g)
     ), kq AS (
         SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id IN (2, 3)
     ), kprobe AS (
@@ -3306,6 +3422,16 @@ def _ivf_topk_sql(sf_dir: str) -> str:
            CAST(vec_id AS BIGINT) AS vec_id,
            round(cosine, 4) AS score, CAST(rank AS INTEGER) AS rank
     FROM kr WHERE rank <= 5
+    UNION ALL
+    SELECT 'knnpq' AS slice, CAST(qid AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           round(score, 4) AS score, CAST(rank AS INTEGER) AS rank
+    FROM kpqr WHERE rank <= 5
+    UNION ALL
+    SELECT 'recon' AS slice, CAST(vec_id AS BIGINT) AS query_id,
+           CAST(pos AS BIGINT) AS vec_id,
+           round(val, 4) AS score, CAST(cell AS INTEGER) AS rank
+    FROM krx
 """
 
 
@@ -3796,7 +3922,13 @@ def q_sparse_ingest(spark, sf_dir):
     pipeline.vectorize.hashing_vectorizer — the feature-hashing text
     vectorizer whose output IS this query's long-format triplet
     contract (documents -> 64-bucket md5 hashing trick -> (row, col,
-    tf)); the oracle recomputes every bucket from md5 arithmetic."""
+    tf)); the oracle recomputes every bucket from md5 arithmetic.
+
+    Round-9 merge: 'qfilter' tagged rows pin quality_model.score_quality
+    end-to-end with the pinned-beta model (_QF_BETAS): logtf hashing ->
+    sparse predict -> sigmoid probability + 0.5 keep gate, all
+    re-derived in SQL — a train/score featurization-config drift would
+    trip this hash."""
     from .ops.sparse import long_to_features, sparse_scales, sparse_xtv
     from .pipeline.vectorize import hashing_vectorizer
 
@@ -3840,7 +3972,61 @@ def q_sparse_ingest(spark, sf_dir):
         F.col("value").alias("x1"),
         F.lit(0.0).alias("x2"),
     )
-    return ingest.unionByName(xtv).unionByName(hashvec)
+    # round-9 'qfilter' slice: pipeline.quality_model.score_quality
+    # END-TO-END with a PINNED-beta model — re-featurize (64-bucket md5
+    # logtf hashing) -> O(nnz) sparse predict -> sigmoid -> keep gate.
+    # The fit itself is KKT-oracled via sparse_fit; this slice pins the
+    # scoring composition, so a featurization-config drift (hash space,
+    # weighting) between train and score would trip the hash.
+    qfilter = _quality_filter_scores(docs).select(
+        F.lit("qfilter").alias("part"),
+        F.col("doc_id").cast("bigint").alias("key"),
+        F.round("q_prob", 4).alias("x0"),
+        F.when(F.col("q_prob_keep"), 1.0).otherwise(0.0).alias("x1"),
+        F.lit(0.0).alias("x2"),
+    )
+    return (
+        ingest.unionByName(xtv).unionByName(hashvec).unionByName(qfilter)
+    )
+
+
+#: the pinned quality-filter coefficients: (col_id, beta) over the
+#: 64-bucket hash space + the intercept — identical literals reach the
+#: Spark model and the DuckDB oracle
+_QF_BETAS = ((1, 0.6), (7, -0.9), (23, 1.1), (42, -0.4), (63, 0.3))
+_QF_INTERCEPT = -0.2
+
+
+def _quality_filter_scores(docs):
+    """score_quality with a hand-pinned binomial model (the q_model_sink
+    trick, applied to the quality gate): betas fixed at _QF_BETAS so the
+    whole featurize->predict->threshold path is deterministic."""
+    import numpy as np
+
+    from .model import SlopeModel
+    from .pipeline.quality_model import QualityFilter, score_quality
+
+    betas = np.zeros((1, 65, 1))
+    betas[0, 0, 0] = _QF_INTERCEPT
+    for col, b in _QF_BETAS:
+        betas[0, col + 1, 0] = b
+    model = SlopeModel(
+        family="binomial",
+        feature_names=[f"h{j}" for j in range(64)],
+        intercept=True, betas=betas, sigma=np.array([1.0]),
+        lam=np.array([0.1]), null_deviance=1.0,
+        deviances=np.array([1.0]), deviance_ratios=np.array([0.0]),
+        passes=np.array([1]), active_sets=[],
+        n_unique=np.array([len(_QF_BETAS)]),
+        class_names=["bad", "good"],
+    )
+    qf = QualityFilter(
+        model=model, n_features=64, weighting="logtf", l2_norm=False,
+        positive_class="good",
+    )
+    return score_quality(
+        docs, qf, "doc_id", "text", keep_threshold=0.5, out="q_prob"
+    )
 
 
 SQL_SPARSE_INGEST = """
@@ -3882,7 +4068,44 @@ SQL_SPARSE_INGEST = """
             FROM documents
         )
     ) GROUP BY row_id, col_id
-"""
+    UNION ALL
+    SELECT 'qfilter' AS part, key, x0,
+           CASE WHEN p >= 0.5 THEN 1.0 ELSE 0.0 END AS x1, 0.0 AS x2
+    FROM (
+        SELECT d.doc_id AS key, round(p.p, 4) AS x0, p.p
+        FROM documents d
+        JOIN (
+            SELECT f.row_id,
+                   1.0 / (1.0 + exp(-(coalesce(l.s, 0.0) + ({intercept}))))
+                       AS p
+            FROM (SELECT DISTINCT doc_id AS row_id FROM documents) f
+            LEFT JOIN (
+                SELECT t.row_id, sum(t.value * b.beta) AS s
+                FROM (
+                    SELECT row_id, col_id,
+                           1.0 + ln(count(*)::DOUBLE) AS value
+                    FROM (
+                        SELECT doc_id AS row_id,
+                               ('0x' || substr(md5(term), 1, 8))::BIGINT % 64
+                                   AS col_id
+                        FROM (
+                            SELECT doc_id,
+                                   unnest(list_filter(
+                                       string_split_regex(lower(text), '\\s+'),
+                                       t -> t != '')) AS term
+                            FROM documents
+                        )
+                    ) GROUP BY row_id, col_id
+                ) t
+                JOIN (VALUES {qf_betas}) AS b(col_id, beta) USING (col_id)
+                GROUP BY t.row_id
+            ) l ON l.row_id = f.row_id
+        ) p ON p.row_id = d.doc_id
+    )
+""".format(
+    intercept=repr(float(_QF_INTERCEPT)),
+    qf_betas=", ".join(f"({c}, {repr(float(b))})" for c, b in _QF_BETAS),
+)
 
 
 _SPARSE_FIT_KW = dict(n_cols=5, n_sigma=2, lambda_min_ratio=0.5)
@@ -4972,6 +5195,19 @@ SQL_DOCS_SAMPLE = f"""
 # dedup_embedding gains a 'cells' slice (the NEW SemDeDup
 # dedup.embedding_cell_pairs — pinned-centroid cell assignment +
 # within-cell pair equi-join, both re-derived in SQL).
+#
+# Round-9 merges (still exactly 50): sim_ivf_topk gains a 'knnpq' slice
+# (the NEW similarity.ivfpq_knn_join COMPRESSED many-queries k-NN join —
+# queries as a DataFrame against the codes-only ivfpq index, probe
+# ranking/celldot/residual-ADC lookup tables all computed Spark-side as
+# codegen folds and re-derived in SQL with list_dot_product over the
+# identical literals) and a 'recon' slice (similarity.reconstruct_pq's
+# codegen decode of the residual codes + cell-centroid add-back,
+# element-wise rows re-built in SQL from CASE-picked codebook literals);
+# sparse_ingest gains a 'qfilter' slice (pipeline.quality_model
+# .score_quality end-to-end with the pinned _QF_BETAS model: md5 logtf
+# featurization -> O(nnz) sparse predict -> sigmoid + keep gate, every
+# probability re-derived in SQL).
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,
