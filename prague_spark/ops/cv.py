@@ -75,6 +75,7 @@ def cv_fit(
     seed: int = 42,
     fold_col: str | None = None,
     method: str = "auto",  # auto | gram | refit
+    optimum: str = "reference",  # reference (argmin always) | best
     incore_limit: int = DEFAULT_INCORE_LIMIT,
     **fit_kwargs,
 ) -> CvResult:
@@ -82,6 +83,23 @@ def cv_fit(
     measures = [m for m in (measures or ok[:1]) if m in ok]
     if not measures:
         raise ValueError(f"measure needs to be one of {ok}")
+    if optimum not in ("reference", "best"):
+        raise ValueError(
+            f"cv_fit: optimum must be 'reference' or 'best', got {optimum!r}"
+        )
+    if optimum == "reference" and "auc" in measures:
+        import warnings
+
+        # replicating which.min(x$mean) (R/trainOwl.R:165) applies argmin
+        # to auc too — the reference-exact default, but it selects the
+        # WORST model by that measure. The grouped twin (cv_fit_grouped)
+        # is direction-aware; opt in with optimum='best' to match it.
+        warnings.warn(
+            "cv_fit: optimum='reference' applies the reference's argmin "
+            "to auc, selecting the LOWEST-auc path point "
+            "(R/trainOwl.R:165); pass optimum='best' for the argmax",
+            UserWarning, stacklevel=2,
+        )
 
     # initial full fit freezes the sigma grid (R/trainOwl.R:69, 84)
     base = fit(df, features, label, family, q=q_values[0], **fit_kwargs)
@@ -107,7 +125,7 @@ def cv_fit(
             seed, fold_col, fit_kwargs,
         )
         return _aggregate(cells, sigma, q_values, measures, n_folds,
-                          n_repeats, base)
+                          n_repeats, base, optimum=optimum)
     if method == "gram":
         raise ValueError(
             "method='gram' needs family='gaussian', measures=['mse'], "
@@ -177,16 +195,20 @@ def cv_fit(
     for fdf in prepared:
         fdf.unpersist()
 
-    return _aggregate(cells, sigma, q_values, measures, n_folds, n_repeats, base)
+    return _aggregate(cells, sigma, q_values, measures, n_folds, n_repeats,
+                      base, optimum=optimum)
 
 
-def _aggregate(cells, sigma, q_values, measures, n_folds, n_repeats, base) -> CvResult:
+def _aggregate(cells, sigma, q_values, measures, n_folds, n_repeats, base,
+               optimum: str = "reference") -> CvResult:
     """mean / se / 95% t-CI per (q, sigma, measure) + per-measure argmin
-    (R/trainOwl.R:146-166). NOTE: argmin applies to EVERY measure —
-    including auc, where higher is better — because the reference's
+    (R/trainOwl.R:146-166). NOTE: under the default
+    ``optimum='reference'`` argmin applies to EVERY measure — including
+    auc, where higher is better — because the reference's
     ``which.min(x$mean)`` (R/trainOwl.R:165) does exactly that on the raw
-    values. Reference-exact by design; callers tuning on auc should read
-    ``summary`` directly."""
+    values (cv_fit warns when that combination is requested).
+    ``optimum='best'`` is direction-aware (argmax for auc), matching
+    ops.grouped.cv_fit_grouped."""
     n_cells = n_folds * n_repeats
     tq = t_ppf(0.975, n_cells - 1) if n_cells > 1 else 0.0
     summary = []
@@ -210,7 +232,8 @@ def _aggregate(cells, sigma, q_values, measures, n_folds, n_repeats, base) -> Cv
     optima = []
     for meas in measures:
         rows = [r for r in summary if r["measure"] == meas]
-        optima.append(min(rows, key=lambda r: r["mean"]))
+        pick = max if (optimum == "best" and meas == "auc") else min
+        optima.append(pick(rows, key=lambda r: r["mean"]))
 
     return CvResult(summary=summary, optima=optima, model=base, measures=measures)
 

@@ -228,10 +228,26 @@ def _slice_path(c: DataFrame, group_cols, path_idx):
                 f"got {sorted(sel_cols)}"
             )
         # model-sized join: one row per group picks that group's point
-        return c.join(
-            path_idx.select(*group_cols, "path_idx"),
-            [*group_cols, "path_idx"],
-        )
+        sel = path_idx.select(*group_cols, "path_idx")
+        out = c.join(sel, [*group_cols, "path_idx"])
+        # fail loud on selections the inner join silently dropped: a
+        # selection frame built with DIFFERENT penalty params than the
+        # coefficient frame can name a path_idx the group's path never
+        # reached — every row of that segment would otherwise score
+        # NULL. Both frames are model-sized, so the distinct-group
+        # compare is driver-cheap.
+        want = {tuple(r) for r in sel.select(*group_cols).distinct().collect()}
+        got = {tuple(r) for r in out.select(*group_cols).distinct().collect()}
+        missing = sorted(want - got)
+        if missing:
+            raise ValueError(
+                "per-group path selection matched no coefficient rows for "
+                f"group(s) {missing[:10]}{'...' if len(missing) > 10 else ''}"
+                " — the selection's path_idx is absent from those groups' "
+                "paths (were the CV and the fit run with the same penalty "
+                "parameters?)"
+            )
+        return out
     return c.filter(F.col("path_idx") == int(path_idx))
 
 
@@ -299,27 +315,41 @@ def cap_group_rows(
     max_rows: int,
     key_cols: Sequence[str],
     seed: int = 42,
+    exact: bool = False,
 ) -> DataFrame:
-    """Deterministic per-group downsampling to ~``max_rows`` rows,
+    """Deterministic per-group downsampling to ``max_rows`` rows,
     applied BEFORE a grouped solve: ``fit_grouped``'s ``max_group_rows``
     guard fails loud only after ``applyInPandas`` has already
     materialized the whale group in one task — the memory is spent by
-    the time the check runs. This helper keeps the job alive instead:
-    one count aggregation finds the oversized groups, their keep
-    fractions broadcast-join back, and rows survive by a deterministic
-    md5 hash threshold on ``key_cols`` — the same hash-unit rule as the
-    oracle-gated stratified sampler (pipeline.sample), so the surviving
-    set is engine-portable, partition-invariant, and replayable in SQL.
-    Each key column is md5-hashed SEPARATELY (NULLs coalesced to a
-    sentinel) before the combined hash: fixed-width parts make the
-    concatenation delimiter-unambiguous ('a:1'+'2' vs 'a'+'1:2') and a
-    NULL in one column cannot collapse distinct keys. Groups at or
-    under the cap pass through untouched; capped group sizes
-    concentrate binomially around ``max_rows`` (expected size, not
-    exact). ONE aggregation pass over ``df``: the (group-count-sized)
-    oversized frame is collected and rebuilt as local rows — the same
-    driver footprint its broadcast join already requires, with no cache
-    left pinned.
+    the time the check runs. This helper keeps the job alive instead.
+    Rows survive by a deterministic md5 hash on ``key_cols`` — the same
+    hash-unit rule as the oracle-gated stratified sampler
+    (pipeline.sample), so the surviving set is engine-portable,
+    partition-invariant, and replayable in SQL. Each key column is
+    md5-hashed SEPARATELY (NULLs coalesced to a sentinel) before the
+    combined hash: fixed-width parts make the concatenation
+    delimiter-unambiguous ('a:1'+'2' vs 'a'+'1:2') and a NULL in one
+    column cannot collapse distinct keys. Groups at or under the cap
+    pass through untouched.
+
+    Two modes:
+
+    - ``exact=False`` (default, the zero-shuffle path): one count
+      aggregation finds the oversized groups, their keep fractions
+      broadcast-join back (NULL-safe on the group key — a NULL-keyed
+      whale group is capped like any other), and each row survives iff
+      hash < fraction. Capped group sizes concentrate binomially around
+      ``max_rows`` — EXPECTED size, not exact, so a group can land a few
+      rows above the cap: leave a margin (cap at ~0.9x) before a hard
+      ``fit_grouped(max_group_rows=max_rows)`` limit, or use exact mode.
+    - ``exact=True``: each group keeps the ``max_rows`` rows with the
+      LOWEST hash values (ties broken by ``key_cols``) via ONE
+      row_number window partitioned by the group key — guaranteed
+      ``<= max_rows``, so composing with ``fit_grouped(max_group_rows=
+      max_rows)`` can never fail. Costs a hash-partition shuffle on
+      ``group_cols`` — which the grouped solve right after it repartitions
+      on anyway (same keys, so the exchange is reusable) — and a
+      per-partition sort; still no count pass, no join, no cache.
 
     ``key_cols`` must identify rows uniquely within a group — a reused
     key survives or dies as a block, skewing the sample."""
@@ -333,6 +363,20 @@ def cap_group_rows(
         raise ValueError("cap_group_rows: key_cols must be non-empty")
     if max_rows <= 0:
         raise ValueError("cap_group_rows: max_rows must be positive")
+    parts = [
+        F.md5(F.coalesce(F.col(c).cast("string"), F.lit("\x00null\x00")))
+        for c in key_cols
+    ]
+    u = _hash_unit_expr(*parts, F.lit(seed))
+    if exact:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*group_cols).orderBy(
+            u.asc(), *[F.col(c).asc() for c in key_cols]
+        )
+        return df.withColumn("_cap_rn", F.row_number().over(w)).filter(
+            F.col("_cap_rn") <= int(max_rows)
+        ).drop("_cap_rn")
     over_rows = (
         df.groupBy(*group_cols)
         .count()
@@ -355,12 +399,18 @@ def cap_group_rows(
         over_rows,
         df.select(*group_cols).schema.add("_keep_frac", DoubleType()),
     )
-    joined = df.join(broadcast(over), group_cols, "left")
-    parts = [
-        F.md5(F.coalesce(F.col(c).cast("string"), F.lit("\x00null\x00")))
-        for c in key_cols
-    ]
-    u = _hash_unit_expr(*parts, F.lit(seed))
+    # NULL-safe equality on the group key: plain column-name joins use
+    # null-unsafe '=', so a whale group keyed by NULL would never match
+    # its keep fraction and silently bypass the cap — the exact segment
+    # this helper exists to save
+    lhs, rhs = df.alias("_cap_l"), broadcast(over.alias("_cap_r"))
+    cond = None
+    for c in group_cols:
+        e = F.col(f"_cap_l.{c}").eqNullSafe(F.col(f"_cap_r.{c}"))
+        cond = e if cond is None else cond & e
+    joined = lhs.join(rhs, cond, "left").select(
+        "_cap_l.*", F.col("_cap_r._keep_frac").alias("_keep_frac")
+    )
     return joined.filter(
         F.col("_keep_frac").isNull() | (u < F.col("_keep_frac"))
     ).drop("_keep_frac")
@@ -400,9 +450,9 @@ def predict_grouped(
     pass an int for one global point, or a (group_cols..., path_idx)
     DataFrame — e.g. :func:`cv_optimum_path` — to score each segment
     at its OWN CV-chosen point),
-    the coefficient rows pivoted to a feature->beta map and
-    broadcast-joined on the group key, then one codegen dot product in
-    ORIGINAL units. Rows whose group has no model get NULL.
+    the coefficient rows FLAT-PIVOTED to one broadcast double column per
+    (feature) and joined on the group key, then one codegen dot product
+    in ORIGINAL units. Rows whose group has no model get NULL.
 
     The coefficient frame is model-sized (segments x path x nonzeros) —
     always broadcastable — so scoring 100 TB with 10k segment models is
@@ -446,24 +496,28 @@ def predict_grouped(
     # feature->beta map: a per-row map lookup costs an object
     # deserialization per reference, ~30x slower than plain column
     # arithmetic in codegen. Arithmetic is unchanged (missing
-    # coefficient -> coalesce to 0.0).
+    # coefficient -> coalesce to 0.0). Internal join columns carry the
+    # ``out`` name as a suffix (like _probs_{out}) so they cannot
+    # collide with same-named columns in the scored DataFrame.
     names = [INTERCEPT] + features
+    hm = f"_has_model_{out}"
+    bname = [f"_beta_{out}_{j}" for j in range(len(names))]
     bflat = c.groupBy(*group_cols).agg(
-        F.lit(True).alias("_has_model"),
+        F.lit(True).alias(hm),
         *[
             F.max(
                 F.when(F.col("feature") == F.lit(nm), F.col("beta"))
-            ).alias(f"_beta_{j}")
+            ).alias(bname[j])
             for j, nm in enumerate(names)
         ],
     )
     joined = df.join(broadcast(bflat), group_cols, "left")
-    lp = F.coalesce(F.col("_beta_0"), F.lit(0.0))
+    lp = F.coalesce(F.col(bname[0]), F.lit(0.0))
     for j, f in enumerate(features):
         lp = lp + F.coalesce(
-            F.col(f"_beta_{j + 1}"), F.lit(0.0)
+            F.col(bname[j + 1]), F.lit(0.0)
         ) * F.col(f).cast("double")
-    has = F.col("_has_model").isNotNull()
+    has = F.col(hm).isNotNull()
     lp = F.when(has, lp)
     if type == "class":
         # lp > 0 <=> response > 0.5; second sorted class is the positive
@@ -479,9 +533,7 @@ def predict_grouped(
             lp = F.lit(1.0) / (F.lit(1.0) + F.exp(-lp))
         elif family == "poisson":
             lp = F.exp(lp)
-    return joined.withColumn(out, lp).drop(
-        "_has_model", *[f"_beta_{j}" for j in range(len(names))]
-    )
+    return joined.withColumn(out, lp).drop(hm, *bname)
 
 
 def _predict_grouped_multinomial(
@@ -513,32 +565,39 @@ def _predict_grouped_multinomial(
         )
     c = _slice_path(coefs, group_cols, path_idx)
     names = [INTERCEPT] + features
+    # internal columns suffixed with ``out`` (like _probs_{out}) so a
+    # same-named user column cannot collide with the broadcast join
+    hm = f"_has_model_{out}"
+
+    def bname(t, j):
+        return f"_beta_{out}_{t}_{j}"
+
     bflat = c.groupBy(*group_cols).agg(
-        F.lit(True).alias("_has_model"),
+        F.lit(True).alias(hm),
         *[
             F.max(
                 F.when(
                     (F.col("cls") == t) & (F.col("feature") == F.lit(nm)),
                     F.col("beta"),
                 )
-            ).alias(f"_beta_{t}_{j}")
+            ).alias(bname(t, j))
             for t in range(m - 1)
             for j, nm in enumerate(names)
         ],
     )
     joined = df.join(broadcast(bflat), group_cols, "left")
-    drop_cols = ["_has_model"] + [
-        f"_beta_{t}_{j}" for t in range(m - 1) for j in range(len(names))
+    drop_cols = [hm] + [
+        bname(t, j) for t in range(m - 1) for j in range(len(names))
     ]
     lps = []
     for t in range(m - 1):
-        lp = F.coalesce(F.col(f"_beta_{t}_0"), F.lit(0.0))
+        lp = F.coalesce(F.col(bname(t, 0)), F.lit(0.0))
         for j, f in enumerate(features):
             lp = lp + F.coalesce(
-                F.col(f"_beta_{t}_{j + 1}"), F.lit(0.0)
+                F.col(bname(t, j + 1)), F.lit(0.0)
             ) * F.col(f).cast("double")
         lps.append(lp)
-    has = F.col("_has_model").isNotNull()
+    has = F.col(hm).isNotNull()
     if type == "link":
         return joined.withColumn(
             out, F.when(has, F.array(*lps))

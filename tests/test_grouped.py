@@ -446,6 +446,52 @@ def test_cv_fit_grouped_matches_distributed_cv(spark, li):
             base[r["sigma_idx"]]["mean"], rel=5e-6)
 
 
+def test_cv_fit_auc_optimum_direction(spark, li):
+    """optimum='best' makes the distributed cv_fit direction-aware on
+    auc (argmax), agreeing with cv_fit_grouped's is_optimum on the same
+    single-segment data; the reference-exact default still argmins and
+    WARNS that it is selecting the lowest-auc point (R/trainOwl.R:165
+    applies which.min to every measure)."""
+    from prague_spark import cv_fit_grouped
+    from prague_spark.ops.cv import cv_fit
+
+    df = li.withColumn(
+        "big", F.when(F.col("l_extendedprice") > 30000, "hi").otherwise("lo")
+    )
+    kw = dict(n_folds=3, n_sigma=3, lambda_min_ratio=0.1)
+    with pytest.warns(UserWarning, match="argmin"):
+        res_ref = cv_fit(
+            df, FEATS, "big", "binomial", measures=["auc"],
+            fold_col="l_orderkey", method="refit", tol_rel_gap=1e-10, **kw,
+        )
+    res_best = cv_fit(
+        df, FEATS, "big", "binomial", measures=["auc"],
+        fold_col="l_orderkey", method="refit", optimum="best",
+        tol_rel_gap=1e-10, **kw,
+    )
+    by_idx = {r["sigma_idx"]: r["mean"] for r in res_best.summary}
+    # same summary either way; only the optimum pick flips direction
+    assert {r["sigma_idx"]: r["mean"] for r in res_ref.summary} == by_idx
+    ref_pick = res_ref.optima[0]
+    best_pick = res_best.optima[0]
+    assert ref_pick["mean"] == min(by_idx.values())
+    assert best_pick["mean"] == max(by_idx.values())
+
+    grp = cv_fit_grouped(
+        df.withColumn("_g", F.lit("all")), FEATS, "big", "binomial",
+        ["_g"], fold_col="l_orderkey", order_col="_rid", measure="auc",
+        tol_rel_gap=1e-10, **kw,
+    ).collect()
+    gmeans = {r["sigma_idx"]: r["mean"] for r in grp}
+    for si, mv in gmeans.items():
+        assert mv == pytest.approx(by_idx[si], rel=1e-7)
+    g_opt = [r["sigma_idx"] for r in grp if r["is_optimum"]]
+    assert g_opt == [best_pick["sigma_idx"]]
+    with pytest.raises(ValueError, match="optimum"):
+        cv_fit(df, FEATS, "big", "binomial", measures=["auc"],
+               optimum="bogus")
+
+
 def test_cv_fit_grouped_fold_class_coding(spark, li):
     """Binomial fold scoring uses the GROUP's class pair, never the
     fold's own labels: a fold whose held-out rows are single-class (or
@@ -904,6 +950,104 @@ def test_cap_group_rows(spark, li):
     us = tricky.select(_hash_unit_expr(*parts, F.lit(42)).alias("u")) \
         .distinct().count()
     assert us == 4  # four distinct key patterns -> four distinct hashes
+
+
+def test_cap_group_rows_exact_and_null_keys(spark, li):
+    """exact=True guarantees <= max_rows per group (ONE row_number
+    window over the same md5 hash order, deterministic), so composing
+    cap_group_rows(N, exact=True) -> fit_grouped(max_group_rows=N) can
+    NEVER fail — the expectation mode's binomial wobble is gone. And a
+    NULL-keyed whale group is capped like any other (the keep-fraction
+    join is NULL-safe)."""
+    from prague_spark import cap_group_rows, fit_grouped
+
+    cap = 500
+    keys = ["l_orderkey", "l_linenumber"]
+    out = cap_group_rows(li, ["l_returnflag"], cap, keys, exact=True).cache()
+    got = {r["l_returnflag"]: r["n"] for r in out.groupBy("l_returnflag")
+           .agg(F.count("*").alias("n")).collect()}
+    for g, n in got.items():
+        assert n == cap, (g, n)  # whales land EXACTLY at the cap
+    # deterministic: rerun keeps the identical surviving set
+    a = {tuple(r) for r in out.select("l_returnflag", *keys).collect()}
+    b = {tuple(r) for r in
+         cap_group_rows(li, ["l_returnflag"], cap, keys, exact=True)
+         .select("l_returnflag", *keys).collect()}
+    assert a == b
+    # exact-mode survivors are the LOWEST-hash rows — a strict subset
+    # ordering vs the expectation mode is not required, but composing
+    # with an equal hard limit must never raise
+    fit_grouped(out, FEATS, "l_extendedprice", "gaussian",
+                ["l_returnflag"], n_sigma=2, lambda_min_ratio=0.5,
+                max_group_rows=cap).collect()
+    out.unpersist()
+
+    # NULL group key: the whale group keyed by NULL is capped too
+    # (expectation mode's broadcast join is eqNullSafe); before the fix
+    # it silently bypassed the cap entirely
+    rows = [(None if i % 2 == 0 else "g", i) for i in range(4000)]
+    df = spark.createDataFrame(rows, "seg string, k int")
+    capped = cap_group_rows(df, ["seg"], 300, ["k"])
+    by_seg = {r["seg"]: r["n"] for r in capped.groupBy("seg")
+              .agg(F.count("*").alias("n")).collect()}
+    assert by_seg["g"] <= 450 and by_seg["g"] >= 150
+    assert by_seg[None] <= 450 and by_seg[None] >= 150, (
+        "NULL-keyed group bypassed the cap"
+    )
+    exact_null = cap_group_rows(df, ["seg"], 300, ["k"], exact=True)
+    ns = {r["seg"]: r["n"] for r in exact_null.groupBy("seg")
+          .agg(F.count("*").alias("n")).collect()}
+    assert ns == {None: 300, "g": 300}
+
+
+def test_slice_path_selection_fails_loud_on_unmatched(spark, li):
+    """A per-group path selection naming a path_idx the group's
+    coefficient frame never reached (e.g. CV run with different penalty
+    params) raises naming the segment — before, the inner join silently
+    dropped it and every row scored NULL."""
+    from prague_spark.ops.grouped import predict_grouped
+
+    coefs = fit_grouped(
+        li, FEATS, "l_extendedprice", "gaussian", ["l_returnflag"],
+        n_sigma=3, lambda_min_ratio=0.1,
+    ).cache()
+    groups = [r[0] for r in coefs.select("l_returnflag").distinct().collect()]
+    # a selection that points one segment at a nonexistent path point
+    sel = spark.createDataFrame(
+        [(g, 1) for g in groups[:-1]] + [(groups[-1], 99)],
+        "l_returnflag string, path_idx int",
+    )
+    with pytest.raises(ValueError, match="matched no coefficient rows"):
+        predict_grouped(li, coefs, FEATS, ["l_returnflag"],
+                        path_idx=sel).collect()
+    # a fully valid selection still works
+    ok = spark.createDataFrame(
+        [(g, 1) for g in groups], "l_returnflag string, path_idx int"
+    )
+    assert predict_grouped(
+        li, coefs, FEATS, ["l_returnflag"], path_idx=ok
+    ).filter(F.col("pred").isNull()).count() == 0
+    coefs.unpersist()
+
+
+def test_predict_grouped_internal_columns_no_collision(spark, li):
+    """User columns named like the scorer's internals (_has_model,
+    _beta_0) survive scoring untouched — the internal join columns are
+    suffixed with the output name."""
+    from prague_spark.ops.grouped import predict_grouped
+
+    coefs = fit_grouped(
+        li, FEATS, "l_extendedprice", "gaussian", ["l_returnflag"],
+        n_sigma=2, lambda_min_ratio=0.5,
+    )
+    df = li.withColumn("_has_model", F.lit("mine")).withColumn(
+        "_beta_0", F.lit(123.0)
+    )
+    out = predict_grouped(df, coefs, FEATS, ["l_returnflag"], out="pred")
+    row = out.select("_has_model", "_beta_0", "pred").first()
+    assert row["_has_model"] == "mine"
+    assert row["_beta_0"] == 123.0
+    assert row["pred"] is not None
 
 
 def test_fit_grouped_plan_shape(spark, li):
