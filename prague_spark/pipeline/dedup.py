@@ -559,7 +559,15 @@ def embedding_cell_pairs(
     centroid count for purer cells or lower it for higher recall).
     ``max_cell`` drops degenerate cells (e.g. a near-zero-vector
     attractor) before the self-join with a warning — one such cell
-    would re-quadratize the join."""
+    would re-quadratize the join.
+
+    Nothing stays persisted after the call returns: the over-full cell
+    list (at most ``len(centroids)`` rows) is collected driver-side from
+    ONE count aggregation and pushed back as an ``isin`` filter — the
+    cap_group_rows collect-and-rebuild pattern. The self-join therefore
+    recomputes the (codegen, zero-shuffle) cell assignment on each side;
+    re-running a cheap projection beats pinning the corpus in executor
+    storage, which is exactly what a 100 TB caller cannot afford."""
     import logging
 
     from .similarity import assign_ivf_cells
@@ -576,20 +584,20 @@ def embedding_cell_pairs(
                 lambda a, v: a + v,
             )
         ),
-    ).persist()
+    )
     if max_cell is not None:
-        hot = (
-            base.groupBy("_cell").count()
-            .filter(F.col("count") > max_cell).persist()
-        )
-        if hot.count():
+        hot_cells = [
+            r["_cell"]
+            for r in base.groupBy("_cell").count()
+            .filter(F.col("count") > max_cell).collect()
+        ]
+        if hot_cells:
             log.warning(
-                "embedding_cell_pairs: dropping over-full cells (> %d "
-                "members) before the self-join", max_cell,
+                "embedding_cell_pairs: dropping %d over-full cell(s) "
+                "(> %d members) before the self-join",
+                len(hot_cells), max_cell,
             )
-        base = base.join(
-            F.broadcast(hot.select("_cell")), "_cell", "left_anti"
-        )
+            base = base.filter(~F.col("_cell").isin(hot_cells))
     dot_ab = F.aggregate(
         F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
         F.lit(0.0),

@@ -616,6 +616,32 @@ def test_embedding_cell_pairs_semdedup(emb, spark):
     assert capped.count() == 0
 
 
+def test_embedding_cell_pairs_leaves_no_pinned_cache(emb, spark):
+    """Regression: the operator must not leave persisted DataFrames
+    behind — a long-lived curation session calling it per shard would
+    otherwise accumulate pinned executor storage until eviction churn.
+    Materializing the result (with and without the hot-cell path firing)
+    leaves the persistent-RDD registry exactly as it was."""
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+
+    def live():
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    vec = emb.withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    ).select("vec_id", "vec")
+    C = similarity.train_ivf_centroids(vec, "vec", n_centroids=8, iters=5)
+    before = live()
+    dedup.embedding_cell_pairs(vec, "vec_id", "vec", C, threshold=0.3).count()
+    assert live() == before
+    # hot-cell branch (max_cell=1 trips it for every cell)
+    dedup.embedding_cell_pairs(
+        vec, "vec_id", "vec", C, threshold=0.3, max_cell=1
+    ).count()
+    assert live() == before
+
+
 def test_ivf_partitioned_index_prunes(emb, spark, tmp_path):
     vec = emb.withColumn("vec", F.transform("embedding", lambda x: x.cast("double")))
     C = similarity.train_ivf_centroids(vec, "vec", n_centroids=4, iters=3)
