@@ -450,6 +450,25 @@ def main() -> None:
         )
         similarity.ivf_knn_join(qdf, idx, C, k=10, nprobe=2).count()
 
+    @bench("sim_ivfpq_knn_join")
+    def _():
+        # the COMPRESSED many-queries k-NN join: 200 query ROWS against
+        # the codes-only two-level index — residual-ADC candidate scoring
+        # (no float corpus vector touched) + shortlist-only decode
+        # re-rank, the form a codes-only 100 TB corpus calls
+        C, books = similarity.train_ivfpq(
+            emb, "vec", n_centroids=8, n_subvectors=8, n_codes=16,
+            sample_rows=2000,
+        )
+        idx = similarity.assign_ivfpq(emb, "vec", C, books)
+        qdf = emb.limit(200).select(
+            F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        )
+        similarity.ivfpq_knn_join(
+            qdf, idx.select("vec_id", "cell", "pq_code"), C, books,
+            k=10, nprobe=2, rerank_codes=True, shortlist=50,
+        ).count()
+
     @bench("events_sessionize")
     def _():
         # pure sessionization (the registry's q_events_sessionize now

@@ -156,6 +156,51 @@ def test_decontaminate_bench_shape(docs):
                        max_read_width=5)
 
 
+def test_embedding_cells_bench_shape(emb):
+    # bench's dedup_embedding_cells config: 16 trained centroids,
+    # planted near-dups, threshold 0.9. Assignment is a zero-shuffle
+    # codegen projection; the within-cell self-join must stay an
+    # EQUI-join (broadcast here, shuffle at scale — never nested-loop),
+    # and the whole path is JVM-side.
+    C = similarity.train_ivf_centroids(emb, "vec", n_centroids=16, iters=5)
+    pert = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr("transform(vec, x -> x * 1.001d)").alias("vec"),
+    )
+    both = emb.select("vec_id", "vec").unionByName(pert)
+    out = dedup.embedding_cell_pairs(both, "vec_id", "vec", C, threshold=0.9)
+    assert_scale_shape(out, max_shuffles=2, max_py_stages=0,
+                       max_read_width=2)
+
+
+def test_knn_join_bench_shapes(emb):
+    # bench's sim_knn_join + sim_ivfpq_knn_join configs: 200 query ROWS,
+    # nprobe=2 — probe-cell explode + cell equi-join + one rank window.
+    # Both joins must keep constant plan width in |Q| and zero Python;
+    # the compressed form additionally re-ranks a decoded shortlist
+    # without adding shuffles.
+    C8 = similarity.train_ivf_centroids(emb, "vec", n_centroids=8, iters=5)
+    idx = similarity.assign_ivf_cells(emb, "vec", C8)
+    qdf = emb.limit(200).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    out = similarity.ivf_knn_join(qdf, idx, C8, k=10, nprobe=2)
+    assert_scale_shape(out, max_shuffles=2, max_py_stages=0,
+                       max_read_width=2)
+
+    C, books = similarity.train_ivfpq(
+        emb, "vec", n_centroids=8, n_subvectors=8, n_codes=16,
+        sample_rows=2000,
+    )
+    pidx = similarity.assign_ivfpq(emb, "vec", C, books)
+    out2 = similarity.ivfpq_knn_join(
+        qdf, pidx.select("vec_id", "cell", "pq_code"), C, books,
+        k=10, nprobe=2, rerank_codes=True, shortlist=50,
+    )
+    assert_scale_shape(out2, max_shuffles=2, max_py_stages=0,
+                       max_read_width=2)
+
+
 def test_hashvec_bench_shape(docs):
     # bench's docs_hashvec: raw text -> fit_sparse-ready triplets in ONE
     # shuffle (the no-vocabulary 100 TB vectorizer)
