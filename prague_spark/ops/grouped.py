@@ -227,18 +227,21 @@ def _slice_path(c: DataFrame, group_cols, path_idx):
                 f"per-group path selection needs columns {sorted(need)}, "
                 f"got {sorted(sel_cols)}"
             )
-        # model-sized join: one row per group picks that group's point
         sel = path_idx.select(*group_cols, "path_idx")
-        out = c.join(sel, [*group_cols, "path_idx"])
-        # fail loud on selections the inner join silently dropped: a
-        # selection frame built with DIFFERENT penalty params than the
+        # fail loud on selections an inner join would silently drop: a
+        # selection built with DIFFERENT penalty params than the
         # coefficient frame can name a path_idx the group's path never
         # reached — every row of that segment would otherwise score
-        # NULL. Both frames are model-sized, so the distinct-group
-        # compare is driver-cheap.
-        want = {tuple(r) for r in sel.select(*group_cols).distinct().collect()}
-        got = {tuple(r) for r in out.select(*group_cols).distinct().collect()}
-        missing = sorted(want - got)
+        # NULL. Validated DRIVER-SIDE from the two model-sized frames'
+        # distinct keys (NULL group keys compare fine as Python tuples —
+        # a join-based check would need null-safe equality), so the
+        # returned plan stays a plain lazy join. NOTE: this costs one
+        # eager pass over each frame at CALL time — persist `coefs` if
+        # the same fit also feeds the scoring action.
+        keys = [*group_cols, "path_idx"]
+        have = {tuple(r) for r in c.select(*keys).distinct().collect()}
+        want = {tuple(r) for r in sel.distinct().collect()}
+        missing = sorted(want - have, key=repr)
         if missing:
             raise ValueError(
                 "per-group path selection matched no coefficient rows for "
@@ -247,8 +250,33 @@ def _slice_path(c: DataFrame, group_cols, path_idx):
                 "paths (were the CV and the fit run with the same penalty "
                 "parameters?)"
             )
-        return out
+        # model-sized join: one row per group picks that group's point.
+        # NULL-safe on the group key — a NULL-keyed segment with a valid
+        # selection must match, not vanish (plain '=' would drop it).
+        lhs, rhs = c.alias("_sp_l"), sel.alias("_sp_r")
+        cond = F.col("_sp_l.path_idx") == F.col("_sp_r.path_idx")
+        for g in group_cols:
+            cond = cond & F.col(f"_sp_l.{g}").eqNullSafe(F.col(f"_sp_r.{g}"))
+        return lhs.join(rhs, cond).select("_sp_l.*")
     return c.filter(F.col("path_idx") == int(path_idx))
+
+
+def _join_models(df: DataFrame, bflat: DataFrame, group_cols, model_cols):
+    """Broadcast-left-join the model-sized pivoted coefficient frame onto
+    the data, NULL-SAFE on the group key: fit_grouped/applyInPandas
+    happily model a NULL-keyed segment, so scoring must match it too —
+    plain '=' would leave every row of that segment NULL. Returns all of
+    ``df``'s columns plus ``model_cols`` from the coefficient side."""
+    from pyspark.sql.functions import broadcast
+
+    lhs, rhs = df.alias("_pg_l"), broadcast(bflat.alias("_pg_r"))
+    cond = None
+    for g in group_cols:
+        e = F.col(f"_pg_l.{g}").eqNullSafe(F.col(f"_pg_r.{g}"))
+        cond = e if cond is None else cond & e
+    return lhs.join(rhs, cond, "left").select(
+        "_pg_l.*", *[F.col(f"_pg_r.{c}") for c in model_cols]
+    )
 
 
 #: columns every grouped coefficient frame must carry (plus group cols)
@@ -452,7 +480,9 @@ def predict_grouped(
     at its OWN CV-chosen point),
     the coefficient rows FLAT-PIVOTED to one broadcast double column per
     (feature) and joined on the group key, then one codegen dot product
-    in ORIGINAL units. Rows whose group has no model get NULL.
+    in ORIGINAL units. Rows whose group has no model get NULL; the join
+    is NULL-SAFE on the group key, so a NULL-keyed segment scores with
+    its own model (fit_grouped models it like any other).
 
     The coefficient frame is model-sized (segments x path x nonzeros) —
     always broadcastable — so scoring 100 TB with 10k segment models is
@@ -511,7 +541,7 @@ def predict_grouped(
             for j, nm in enumerate(names)
         ],
     )
-    joined = df.join(broadcast(bflat), group_cols, "left")
+    joined = _join_models(df, bflat, group_cols, [hm, *bname])
     lp = F.coalesce(F.col(bname[0]), F.lit(0.0))
     for j, f in enumerate(features):
         lp = lp + F.coalesce(
@@ -585,10 +615,10 @@ def _predict_grouped_multinomial(
             for j, nm in enumerate(names)
         ],
     )
-    joined = df.join(broadcast(bflat), group_cols, "left")
     drop_cols = [hm] + [
         bname(t, j) for t in range(m - 1) for j in range(len(names))
     ]
+    joined = _join_models(df, bflat, group_cols, drop_cols)
     lps = []
     for t in range(m - 1):
         lp = F.coalesce(F.col(bname(t, 0)), F.lit(0.0))

@@ -1497,13 +1497,18 @@ def cv_fit_sparse(
     row_col: str = "row_id",
     col_col: str = "col_id",
     val_col: str = "value",
+    optimum: str = "reference",
     **fit_kwargs,
 ):
     """Repeated k-fold CV on the long-format sparse input path — trainOwl
     (``R/trainOwl.R:44-201``) for designs that never densify. Mirrors
     ``ops.cv.cv_fit``: an initial full fit freezes the sigma grid, each
     (q, repeat, fold) cell refits on the train rows and scores the whole
-    path on the test rows, and the aggregation/optima logic is shared.
+    path on the test rows, and the aggregation/optima logic is shared —
+    including ``optimum='reference'|'best'`` (the reference's
+    which.min applies argmin to EVERY measure, auc included; 'best'
+    argmaxes auc; the default warns when auc is requested, exactly like
+    the dense ``cv_fit``).
 
     Fold assignment hashes ``row_col`` (xxhash64, seeded per repeat), so
     the SAME expression filters both the triplets and the y frame without
@@ -1517,6 +1522,20 @@ def cv_fit_sparse(
     measures = [mm for mm in (measures or ok[:1]) if mm in ok]
     if not measures:
         raise ValueError(f"measure needs to be one of {ok}")
+    if optimum not in ("reference", "best"):
+        raise ValueError(
+            f"cv_fit_sparse: optimum must be 'reference' or 'best', "
+            f"got {optimum!r}"
+        )
+    if optimum == "reference" and "auc" in measures:
+        import warnings
+
+        warnings.warn(
+            "cv_fit_sparse: optimum='reference' applies the reference's "
+            "argmin to auc, selecting the LOWEST-auc path point "
+            "(R/trainOwl.R:165); pass optimum='best' for the argmax",
+            UserWarning, stacklevel=2,
+        )
 
     base = fit_sparse(
         triplets, y_df, label, family, n_cols=n_cols, q=q_values[0],
@@ -1555,7 +1574,8 @@ def cv_fit_sparse(
                         )
     triplets.unpersist()
     y_df.unpersist()
-    return _aggregate(cells, sigma, q_values, measures, n_folds, n_repeats, base)
+    return _aggregate(cells, sigma, q_values, measures, n_folds, n_repeats,
+                      base, optimum=optimum)
 
 
 def sparse_xtv(

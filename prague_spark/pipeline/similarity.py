@@ -194,7 +194,11 @@ def ivf_knn_candidates(
     equi-join; the twin is ``streaming.similarity.knn_join_stream``).
     Returns (query_id, corpus_id, cosine) — every probed candidate."""
     qv = F.col(query_vec_col)
-    qn = _norm(qv)
+    # norm floor mirrors the literal-query twins' max(|q|, 1e-12): an
+    # all-zero query row would otherwise emit NaN cosines, and NaN sorts
+    # ABOVE every double — garbage at rank 1. Same double for any real
+    # vector, so existing oracles are unchanged.
+    qn = F.greatest(_norm(qv), F.lit(1e-12))
     C = np.asarray(centroids, dtype=np.float64)
     entries = [
         F.struct(
@@ -728,8 +732,11 @@ def ivfpq_knn_candidates(
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
     qv = F.col(query_vec_col)
+    # norm floor = ivfpq_topk's max(|q|, 1e-12): a zero query must score
+    # ~0 (and rank last), never NaN (which sorts first under DESC)
     qx = queries.select(
-        F.col(query_id_col), qv.alias("_qv"), _norm(qv).alias("_qn")
+        F.col(query_id_col), qv.alias("_qv"),
+        F.greatest(_norm(qv), F.lit(1e-12)).alias("_qn"),
     ).withColumn(
         # staged once: the norm fold must not re-inline into every
         # centroid / codebook dot below (the assign_pq_codes lesson)

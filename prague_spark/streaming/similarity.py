@@ -81,23 +81,28 @@ def ivf_candidates_stream(
             batch_df.withColumn("rank", F.row_number().over(w)) \\
                 .filter(F.col("rank") <= k)...
 
-    Persist ``corpus_with_cells`` — every micro-batch probes it."""
-    probed = ivf_probe_cells(
+    Persist ``corpus_with_cells`` — every micro-batch probes it.
+
+    Implemented as the batch k-NN join's candidate generator
+    (``pipeline.similarity.ivf_knn_candidates``) — ONE expression tree
+    serves ivf_knn_join, knn_join_stream, and this legacy-signature
+    wrapper, so there is a single probe-ranking/cosine arithmetic to
+    keep in sync."""
+    from ..pipeline.similarity import ivf_knn_candidates
+
+    return ivf_knn_candidates(
         queries.select(
-            F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("_qv")
+            F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("_qsv")
         ),
-        "_qv", centroids, nprobe=nprobe, out="probe_cell",
-    )
-    corpus = corpus_with_cells.select(
-        F.col(id_col), F.col(vec_col).alias("_cv"), F.col(cell_col)
-    )
-    cos = _dot(F.col("_qv"), F.col("_cv")) / (
-        _norm(F.col("_qv")) * _norm(F.col("_cv"))
-    )
-    return (
-        probed.join(corpus, probed["probe_cell"] == corpus[cell_col])
-        .withColumn("cosine", cos)
-        .select("query_id", id_col, "cosine")
+        corpus_with_cells,
+        centroids,
+        nprobe=nprobe,
+        query_id_col="query_id",
+        query_vec_col="_qsv",
+        corpus_id_col=id_col,
+        corpus_vec_col=vec_col,
+        cell_col=cell_col,
+        broadcast_queries=False,
     )
 
 

@@ -1030,6 +1030,40 @@ def test_slice_path_selection_fails_loud_on_unmatched(spark, li):
     coefs.unpersist()
 
 
+def test_predict_grouped_null_keyed_segment(spark):
+    """A NULL-keyed segment is a real segment: fit_grouped models it,
+    the per-group path selection matches it (NULL-safe join), and
+    predict_grouped scores its rows with its own model instead of NULL
+    — end to end, gaussian and multinomial."""
+    from prague_spark import fit_grouped
+    from prague_spark.ops.grouped import predict_grouped
+
+    rows = [
+        (None if i % 2 else "g", float(i % 13), float(i % 7),
+         float(i % 17), ["a", "b", "c"][i % 3])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "seg string, x1 double, x2 double, y double, cls3 string"
+    )
+    coefs = fit_grouped(df, ["x1", "x2"], "y", "gaussian", ["seg"],
+                        n_sigma=2, lambda_min_ratio=0.5)
+    sel = spark.createDataFrame(
+        [(None, 1), ("g", 1)], "seg string, path_idx int"
+    )
+    out = predict_grouped(df, coefs, ["x1", "x2"], ["seg"], path_idx=sel)
+    assert out.filter(F.col("pred").isNull()).count() == 0
+    # and without a selection frame (deepest point), same property
+    out2 = predict_grouped(df, coefs, ["x1", "x2"], ["seg"])
+    assert out2.filter(F.col("pred").isNull()).count() == 0
+    # multinomial path goes through its own pivoted join
+    cm = fit_grouped(df, ["x1", "x2"], "cls3", "multinomial", ["seg"],
+                     n_sigma=2, lambda_min_ratio=0.5)
+    om = predict_grouped(df, cm, ["x1", "x2"], ["seg"],
+                         family="multinomial", type="class")
+    assert om.filter(F.col("pred").isNull()).count() == 0
+
+
 def test_predict_grouped_internal_columns_no_collision(spark, li):
     """User columns named like the scorer's internals (_has_model,
     _beta_0) survive scoring untouched — the internal join columns are

@@ -519,6 +519,25 @@ def test_score_path_sparse_and_cv_fit_sparse(spark):
     # each summary row aggregates all 3 folds
     assert all(r["se"] >= 0.0 for r in res.summary)
 
+    # optimum direction mirrors the dense cv_fit: the default warns on
+    # auc (reference argmin selects the WORST point), 'best' argmaxes
+    yb = ydf.withColumn(
+        "yb", F.when(F.col("y") > 0, "hi").otherwise("lo")
+    ).drop("y")
+    with pytest.warns(UserWarning, match="argmin"):
+        rref = cv_fit_sparse(trip, yb, "yb", "binomial", n_cols=60,
+                             n_folds=3, measures=["auc"], n_sigma=3,
+                             lambda_min_ratio=0.3)
+    rbest = cv_fit_sparse(trip, yb, "yb", "binomial", n_cols=60,
+                          n_folds=3, measures=["auc"], n_sigma=3,
+                          lambda_min_ratio=0.3, optimum="best")
+    means = sorted(r["mean"] for r in rbest.summary)
+    assert rref.optima[0]["mean"] == means[0]
+    assert rbest.optima[0]["mean"] == means[-1]
+    with pytest.raises(ValueError, match="optimum"):
+        cv_fit_sparse(trip, yb, "yb", "binomial", n_cols=60,
+                      measures=["auc"], optimum="bogus")
+
 
 def test_fit_sparse_rejects_out_of_range_col_ids(spark):
     from prague_spark.ops.sparse import fit_sparse
