@@ -688,6 +688,36 @@ def ivfpq_topk(
     )
 
 
+def write_ivfpq_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+    cell_col: str = "cell",
+    code_col: str = "pq_code",
+    keep_vec: bool = False,
+) -> None:
+    """Materialize the compressed index layout: (id, cell, codes[, vec])
+    parquet PARTITIONED BY cell. The two-level analogue of
+    :func:`write_ivf_index` — a probed search (:func:`ivfpq_topk`) or a
+    compressed k-NN join (:func:`ivfpq_knn_join`) over the written
+    layout reads only the nprobe matching partitions of 8-byte codes,
+    nprobe/n_cells of an already ~100x-compressed corpus.
+    ``keep_vec=False`` (default) drops the float vectors — the
+    codes-only layout; re-rank via ``rerank_codes=True`` or
+    :func:`reconstruct_pq`."""
+    idx = assign_ivfpq(
+        corpus, vec_col, centroids, codebooks,
+        cell_col=cell_col, code_col=code_col,
+    )
+    cols = [id_col, cell_col, code_col] + ([vec_col] if keep_vec else [])
+    idx.select(*cols).write.mode("overwrite").partitionBy(cell_col).parquet(
+        path
+    )
+
+
 def ivfpq_knn_candidates(
     queries: DataFrame,
     corpus_idx: DataFrame,

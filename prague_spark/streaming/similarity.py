@@ -148,6 +148,44 @@ def knn_join_stream(
     )
 
 
+def knnpq_join_stream(
+    queries: DataFrame,
+    corpus_idx: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    corpus_id_col: str = "vec_id",
+    cell_col: str = "cell",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """The streaming twin of ``pipeline.similarity.ivfpq_knn_join``'s
+    candidate stage: a STREAM of query rows residual-ADC-scored against
+    a static CODES-ONLY IVF-PQ corpus — no float corpus vector touched,
+    so the static side an online retrieval service keeps resident is
+    the ~100x-compressed index. Every per-row step (normalize, probe
+    ranking, the M*K lookup-table folds) is a pure projection and the
+    join is stream-static on the cell id: stateless append mode,
+    identical expressions to the batch operator
+    (:func:`~prague_spark.pipeline.similarity.ivfpq_knn_candidates`).
+
+    Output: (query_id, corpus_id, score) ADC candidates; exact top-k is
+    a per-batch window in the sink — :func:`topk_batch` with
+    ``score_col='score'``. Re-rank in the sink too if needed (the
+    shortlist is batch-local): ``reconstruct_pq`` the k survivors.
+
+    Persist ``corpus_idx`` — every micro-batch probes it."""
+    from ..pipeline.similarity import ivfpq_knn_candidates
+
+    return ivfpq_knn_candidates(
+        queries, corpus_idx, centroids, codebooks, nprobe=nprobe,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        corpus_id_col=corpus_id_col, cell_col=cell_col, code_col=code_col,
+        broadcast_queries=False,
+    ).select(query_id_col, corpus_id_col, "score")
+
+
 def topk_batch(
     batch_df: DataFrame,
     k: int,

@@ -663,6 +663,36 @@ def test_ivf_partitioned_index_prunes(emb, spark, tmp_path):
     assert len(out) == 3
 
 
+def test_ivfpq_partitioned_index_and_knn_join(emb, spark, tmp_path):
+    """write_ivfpq_index: the codes-only cell-partitioned layout round-
+    trips, cell filters prune at the scan (PartitionFilters), and the
+    compressed k-NN join runs directly over the read-back index —
+    storage-to-search, no float vector in the corpus path."""
+    vec = emb.withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    ).select("vec_id", "vec")
+    C, books = similarity.train_ivfpq(
+        vec, "vec", n_centroids=4, n_subvectors=8, n_codes=16,
+        sample_rows=500,
+    )
+    path = str(tmp_path / "ivfpq")
+    similarity.write_ivfpq_index(vec, "vec_id", "vec", C, books, path)
+    idx = spark.read.parquet(path)
+    assert idx.count() == vec.count()
+    assert set(idx.columns) == {"vec_id", "cell", "pq_code"}  # codes-only
+    probe = idx.filter(F.col("cell").isin([0, 1]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    qdf = vec.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    out = similarity.ivfpq_knn_join(
+        qdf, idx, C, books, k=3, nprobe=2, rerank_codes=True, shortlist=30
+    )
+    per_q = {r["query_id"]: r["vec_id"] for r in out.filter("rank = 1").collect()}
+    assert len(per_q) == 3
+
+
 def test_connected_components_clusters(spark):
     from prague_spark.pipeline.dedup import connected_components
 

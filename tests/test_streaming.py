@@ -545,6 +545,63 @@ def test_streaming_knn_join_matches_batch(spark, sf_dir):
     corpus.unpersist()
 
 
+def test_streaming_knnpq_join_matches_batch(spark, sf_dir):
+    """knnpq_join_stream: streamed queries residual-ADC-scored against
+    the static codes-only IVF-PQ index reproduce batch ivfpq_knn_join
+    (no rerank) row for row — shared candidate expressions + the same
+    sink-side rank window."""
+    from prague_spark.pipeline.similarity import (
+        assign_ivfpq, ivfpq_knn_join, train_ivfpq,
+    )
+    from prague_spark.streaming.similarity import knnpq_join_stream, topk_batch
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("vec", F.transform("embedding", lambda x: x.cast("double")))
+        .select("vec_id", "vec").limit(300)
+    )
+    C, books = train_ivfpq(
+        emb, "vec", n_centroids=8, n_subvectors=8, n_codes=16,
+        sample_rows=300,
+    )
+    corpus = assign_ivfpq(emb, "vec", C, books).select(
+        "vec_id", "cell", "pq_code"
+    ).persist()
+
+    qdf = emb.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    expected = {
+        (r["query_id"], r["vec_id"], round(r["score"], 9), r["rank"])
+        for r in ivfpq_knn_join(qdf, corpus, C, books, k=5, nprobe=3).collect()
+    }
+
+    d = tempfile.mkdtemp(prefix="prague_knnpq_stream_")
+    qdf.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(
+        "query_id long, qvec array<double>"
+    ).parquet(d)
+    cands = knnpq_join_stream(stream, corpus, C, books, nprobe=3)
+    collected = []
+    q = (
+        cands.writeStream.foreachBatch(
+            lambda b, _: collected.extend(
+                topk_batch(b, k=5, score_col="score").collect()
+            )
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["query_id"], r["vec_id"], round(r["score"], 9), r["rank"])
+        for r in collected
+    }
+    assert got == expected
+    corpus.unpersist()
+
+
 def test_streaming_boilerplate_strip_matches_batch(spark):
     """The projection-based strip runs unchanged under readStream and
     matches the batch join-based strip_boilerplate row for row."""
