@@ -634,12 +634,15 @@ def test_embedding_cell_pairs_leaves_no_pinned_cache(emb, spark):
     C = similarity.train_ivf_centroids(vec, "vec", n_centroids=8, iters=5)
     before = live()
     dedup.embedding_cell_pairs(vec, "vec_id", "vec", C, threshold=0.3).count()
-    assert live() == before
+    # no NEW pinned ids (subset, not equality: an earlier test's ASYNC
+    # unpersist may complete between the two snapshots under full-suite
+    # order, legitimately shrinking the registry)
+    assert not (live() - before)
     # hot-cell branch (max_cell=1 trips it for every cell)
     dedup.embedding_cell_pairs(
         vec, "vec_id", "vec", C, threshold=0.3, max_cell=1
     ).count()
-    assert live() == before
+    assert not (live() - before)
 
 
 def test_ivf_partitioned_index_prunes(emb, spark, tmp_path):
