@@ -616,14 +616,17 @@ def test_embedding_cell_pairs_semdedup(emb, spark):
     assert capped.count() == 0
 
 
-def test_embedding_cell_pairs_leaves_no_pinned_cache(emb, spark):
-    """Regression: the operator must not leave persisted DataFrames
-    behind — a long-lived curation session calling it per shard would
-    otherwise accumulate pinned executor storage until eviction churn.
-    Materializing the result (with and without the hot-cell path firing)
-    leaves the persistent-RDD registry exactly as it was."""
+def test_embedding_cell_pairs_cache_discipline(emb, spark):
+    """The operator's pinned storage is bounded: persist=False pins
+    NOTHING (the 100 TB path), and the default persist=True keeps at
+    most ONE generation alive — a per-shard curation loop frees each
+    previous call's assignment cache instead of accumulating until
+    eviction churn (the regression this pins)."""
+    from prague_spark.pipeline.dedup import _CELL_PAIRS_CACHE
+
     sc = spark.sparkContext
     spark.catalog.clearCache()
+    _CELL_PAIRS_CACHE.clear()
 
     def live():
         return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
@@ -633,15 +636,25 @@ def test_embedding_cell_pairs_leaves_no_pinned_cache(emb, spark):
     ).select("vec_id", "vec")
     C = similarity.train_ivf_centroids(vec, "vec", n_centroids=8, iters=5)
     before = live()
-    dedup.embedding_cell_pairs(vec, "vec_id", "vec", C, threshold=0.3).count()
-    # no NEW pinned ids (subset, not equality: an earlier test's ASYNC
-    # unpersist may complete between the two snapshots under full-suite
-    # order, legitimately shrinking the registry)
-    assert not (live() - before)
-    # hot-cell branch (max_cell=1 trips it for every cell)
+    # persist=False: no NEW pinned ids at all (subset, not equality: an
+    # earlier test's ASYNC unpersist may complete between snapshots)
     dedup.embedding_cell_pairs(
-        vec, "vec_id", "vec", C, threshold=0.3, max_cell=1
+        vec, "vec_id", "vec", C, threshold=0.3, persist=False
     ).count()
+    assert not (live() - before)
+    dedup.embedding_cell_pairs(
+        vec, "vec_id", "vec", C, threshold=0.3, max_cell=1, persist=False
+    ).count()
+    assert not (live() - before)
+    # default: repeated per-shard calls hold at most ONE generation
+    for _ in range(3):
+        dedup.embedding_cell_pairs(
+            vec, "vec_id", "vec", C, threshold=0.3
+        ).count()
+        assert len(live() - before) <= 1
+    # and the handle is releasable
+    while _CELL_PAIRS_CACHE:
+        _CELL_PAIRS_CACHE.pop().unpersist(blocking=True)
     assert not (live() - before)
 
 
