@@ -241,6 +241,22 @@ def _slice_path(c: DataFrame, group_cols, path_idx):
         keys = [*group_cols, "path_idx"]
         have = {tuple(r) for r in c.select(*keys).distinct().collect()}
         want = {tuple(r) for r in sel.distinct().collect()}
+        # exactly ONE path point per group: two selection rows for a
+        # group would both survive the inner join and the downstream
+        # max(when(...)) pivot would silently merge two models
+        # elementwise — a model that was never fit
+        by_group: dict = {}
+        for t in want:
+            by_group.setdefault(t[:-1], set()).add(t[-1])
+        dupes = sorted(
+            (g for g, pts in by_group.items() if len(pts) > 1), key=repr
+        )
+        if dupes:
+            raise ValueError(
+                "per-group path selection has MULTIPLE path_idx rows for "
+                f"group(s) {dupes[:10]}{'...' if len(dupes) > 10 else ''}"
+                " — deduplicate the selection to one point per group"
+            )
         missing = sorted(want - have, key=repr)
         if missing:
             raise ValueError(
@@ -496,8 +512,6 @@ def predict_grouped(
     ``classes=`` or the coefficient frame's ``classes`` column; all
     groups must share one class set (the output columns are fixed at
     plan time)."""
-    from pyspark.sql.functions import broadcast
-
     if type not in ("link", "response", "class"):
         raise ValueError(f"predict_grouped: unknown type {type!r}")
     if family not in ("gaussian", "binomial", "poisson", "multinomial"):
@@ -585,8 +599,6 @@ def _predict_grouped_multinomial(
     product, and the m-class simplex is the stabilized softmax with the
     implicit last class at lp=0 — exactly the dense
     :func:`prague_spark.ops.predict.predict` arithmetic, per segment."""
-    from pyspark.sql.functions import broadcast
-
     classes = _resolve_classes(coefs, classes, "predict_grouped")
     m = len(classes)
     if m < 3:

@@ -598,9 +598,15 @@ def embedding_cell_pairs(
             )
         ),
     )
-    if persist:
-        while _CELL_PAIRS_CACHE:
+    # evict the previous generation UNCONDITIONALLY (a persist=False
+    # 100 TB run must not inherit a smoke-test call's pinned cache);
+    # tolerate handles from a stopped/replaced SparkSession
+    while _CELL_PAIRS_CACHE:
+        try:
             _CELL_PAIRS_CACHE.pop().unpersist()
+        except Exception:  # dead JVM context — nothing left to free
+            pass
+    if persist:
         base = base.persist()
         _CELL_PAIRS_CACHE.append(base)
     if max_cell is not None:

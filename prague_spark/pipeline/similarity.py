@@ -26,8 +26,19 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
+def _norm_safe(a):
+    """Norm floored at 1e-12 — the denominator form every operator here
+    divides by. A dead/padded all-zero vector would otherwise be a HARD
+    JOB FAILURE under ANSI mode (Spark 4 default: DIVIDE_BY_ZERO), or a
+    NaN that sorts above every real score with ANSI off. Identical
+    doubles for any nonzero vector, so the SQL oracles (which divide by
+    the raw sqrt) keep hash-matching; zero vectors score ~0 and rank
+    last — the literal-query twins' max(|q|, 1e-12) convention."""
+    return F.greatest(_norm(a), F.lit(1e-12))
+
+
 def cosine_expr(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    return _dot(a, b) / (_norm_safe(a) * _norm_safe(b))
 
 
 def _exact_rerank_scores(cand: DataFrame, id_col: str, vec_col: str,
@@ -49,11 +60,11 @@ def _exact_rerank_scores(cand: DataFrame, id_col: str, vec_col: str,
     qnorms = F.map_from_arrays(
         qids,
         F.array(*[
-            F.lit(float(np.linalg.norm(qv))) for _, qv in queries
+            F.lit(max(float(np.linalg.norm(qv)), 1e-12)) for _, qv in queries
         ]),
     )
     score = _dot(F.col(vec_col), F.element_at(qvecs, F.col("query_id"))) / (
-        _norm(F.col(vec_col)) * F.element_at(qnorms, F.col("query_id"))
+        _norm_safe(F.col(vec_col)) * F.element_at(qnorms, F.col("query_id"))
     )
     return cand.select("query_id", id_col, score.alias("score"))
 
@@ -78,7 +89,8 @@ def cosine_topk(
             F.struct(
                 F.lit(int(qid)).alias("query_id"),
                 (
-                    _dot(vec, qlit) / (_norm(vec) * F.lit(float(np.linalg.norm(qv))))
+                    _dot(vec, qlit)
+                    / (_norm_safe(vec) * F.lit(max(float(np.linalg.norm(qv)), 1e-12)))
                 ).alias("cosine"),
             )
         )
@@ -137,7 +149,7 @@ def assign_ivf_cells(
     (argmax over a literal centroid array — no UDF, no shuffle)."""
     vec = F.col(vec_col)
     sims = [
-        _dot(vec, F.array(*[F.lit(float(x)) for x in c])) / _norm(vec)
+        _dot(vec, F.array(*[F.lit(float(x)) for x in c])) / _norm_safe(vec)
         for c in centroids
     ]
     best = F.greatest(*sims)
@@ -228,12 +240,13 @@ def ivf_knn_candidates(
 
         qx = _bc(qx)
     cvec = F.col(corpus_vec_col)
+    # corpus norm floored too: a dead/padded all-zero corpus row must
+    # score ~0 (rank last), never NaN (rank FIRST under DESC)
+    cn = F.greatest(_norm(cvec), F.lit(1e-12))
     return corpus_idx.join(qx, cell_col).select(
         F.col(query_id_col),
         F.col(corpus_id_col),
-        (_dot(cvec, F.col("_qv")) / (_norm(cvec) * F.col("_qn"))).alias(
-            "cosine"
-        ),
+        (_dot(cvec, F.col("_qv")) / (cn * F.col("_qn"))).alias("cosine"),
     )
 
 
@@ -409,7 +422,7 @@ def assign_pq_codes(
     #    exact score, the same tie-break as a when-chain.
     nv = f"_pq_nv_{out}"
     if normalize:
-        nrm = _norm(vec)
+        nrm = _norm_safe(vec)
         df = df.withColumn(nv, F.transform(vec, lambda x: x / nrm))
     else:
         df = df.withColumn(nv, vec)
@@ -601,7 +614,7 @@ def assign_ivfpq(
     cents = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
-    nrm = _norm(vec)
+    nrm = _norm_safe(vec)
     resid = F.zip_with(
         F.transform(vec, lambda x: x / nrm),
         F.element_at(cents, F.col(cell_col) + 1),
@@ -918,9 +931,10 @@ def ivfpq_knn_join(
     exact = short.select(
         F.col(query_id_col),
         F.col(corpus_id_col),
-        (_dot(cvec, F.col("_qv")) / (_norm(cvec) * F.col("_qn"))).alias(
-            "score"
-        ),
+        (
+            _dot(cvec, F.col("_qv"))
+            / (F.greatest(_norm(cvec), F.lit(1e-12)) * F.col("_qn"))
+        ).alias("score"),
     )
     return (
         exact.withColumn("rank", F.row_number().over(w))

@@ -16,41 +16,6 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-from ..pipeline.similarity import _dot, _norm
-
-
-def ivf_probe_cells(
-    df: DataFrame,
-    vec_col: str,
-    centroids: np.ndarray,
-    nprobe: int = 4,
-    out: str = "probe_cell",
-) -> DataFrame:
-    """Explode each vector into its ``nprobe`` nearest centroid cells —
-    the streaming-safe coarse-quantizer lookup: an argsort over literal
-    centroid dot products, built entirely from column expressions
-    (sort_array over (−sim, cell) structs), so it is a pure projection on
-    batch AND streaming frames alike. One output row per (vector, probed
-    cell)."""
-    Cn = centroids / np.maximum(
-        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
-    )
-    vec = F.col(vec_col)
-    scored = F.array(
-        *[
-            F.struct(
-                (-_dot(vec, F.array(*[F.lit(float(x)) for x in c]))
-                 / _norm(vec)).alias("neg_sim"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(Cn)
-        ]
-    )
-    probed = F.slice(F.sort_array(scored), 1, int(nprobe))
-    return df.withColumn(
-        out, F.explode(F.transform(probed, lambda s: s["cell"]))
-    )
-
 
 def ivf_candidates_stream(
     queries: DataFrame,
@@ -65,7 +30,7 @@ def ivf_candidates_stream(
 ) -> DataFrame:
     """Probed ANN candidates for a STREAM of query vectors against a
     static IVF corpus: each arriving query explodes into its ``nprobe``
-    nearest cells (:func:`ivf_probe_cells`) and stream-static equi-joins
+    nearest cells and stream-static equi-joins
     the corpus on the cell id — only nprobe/n_cells of the corpus is
     scanned per query, exactly the batch ``ivf_topk`` pruning. A corpus
     vector belongs to ONE cell, so every (query, candidate) pair is
@@ -94,7 +59,10 @@ def ivf_candidates_stream(
         queries.select(
             F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("_qsv")
         ),
-        corpus_with_cells,
+        # project to exactly the three consumed columns: extra corpus
+        # columns named like the query side's internals (query_id, _qv)
+        # would otherwise make the join's references ambiguous
+        corpus_with_cells.select(id_col, vec_col, cell_col),
         centroids,
         nprobe=nprobe,
         query_id_col="query_id",
@@ -159,6 +127,7 @@ def knnpq_join_stream(
     corpus_id_col: str = "vec_id",
     cell_col: str = "cell",
     code_col: str = "pq_code",
+    keep_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """The streaming twin of ``pipeline.similarity.ivfpq_knn_join``'s
     candidate stage: a STREAM of query rows residual-ADC-scored against
@@ -170,20 +139,22 @@ def knnpq_join_stream(
     identical expressions to the batch operator
     (:func:`~prague_spark.pipeline.similarity.ivfpq_knn_candidates`).
 
-    Output: (query_id, corpus_id, score) ADC candidates; exact top-k is
-    a per-batch window in the sink — :func:`topk_batch` with
-    ``score_col='score'``. Re-rank in the sink too if needed (the
-    shortlist is batch-local): ``reconstruct_pq`` the k survivors.
+    Output: (query_id, corpus_id, *keep_cols, score) ADC candidates;
+    exact top-k is a per-batch window in the sink — :func:`topk_batch`
+    with ``score_col='score'``. For a sink-side decode re-rank, pass
+    ``keep_cols=[cell_col, code_col]`` so ``reconstruct_pq`` has the
+    columns it needs on the k survivors.
 
     Persist ``corpus_idx`` — every micro-batch probes it."""
     from ..pipeline.similarity import ivfpq_knn_candidates
 
+    keep = list(keep_cols or [])
     return ivfpq_knn_candidates(
         queries, corpus_idx, centroids, codebooks, nprobe=nprobe,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
         corpus_id_col=corpus_id_col, cell_col=cell_col, code_col=code_col,
-        broadcast_queries=False,
-    ).select(query_id_col, corpus_id_col, "score")
+        keep_cols=keep, broadcast_queries=False,
+    ).select(query_id_col, corpus_id_col, *keep, "score")
 
 
 def topk_batch(
@@ -193,17 +164,18 @@ def topk_batch(
     corpus_id_col: str = "vec_id",
     score_col: str = "cosine",
 ) -> DataFrame:
-    """Per-micro-batch exact top-k over :func:`knn_join_stream`
-    candidates — the rank window ``ivf_knn_join`` appends in batch,
-    applied inside ``foreachBatch`` where windows are legal. Same
-    (score desc, id asc) tie-break as the batch operator."""
+    """Per-micro-batch exact top-k over :func:`knn_join_stream` /
+    :func:`knnpq_join_stream` candidates — the rank window the batch
+    join appends, applied inside ``foreachBatch`` where windows are
+    legal. Same (score desc, id asc) tie-break as the batch operators.
+    ALL input columns survive (plus ``rank``), so carried ``keep_cols``
+    — e.g. the codes for a sink-side decode re-rank — stay available on
+    the k survivors."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(query_id_col).orderBy(
         F.col(score_col).desc(), F.col(corpus_id_col).asc()
     )
-    return (
-        batch_df.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, corpus_id_col, score_col, "rank")
+    return batch_df.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

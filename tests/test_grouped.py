@@ -1020,6 +1020,16 @@ def test_slice_path_selection_fails_loud_on_unmatched(spark, li):
     with pytest.raises(ValueError, match="matched no coefficient rows"):
         predict_grouped(li, coefs, FEATS, ["l_returnflag"],
                         path_idx=sel).collect()
+    # a selection with TWO path points for one group is rejected (the
+    # inner join would keep both and the max-pivot would silently merge
+    # two models elementwise)
+    dup = spark.createDataFrame(
+        [(groups[0], 0), (groups[0], 1)] + [(g, 1) for g in groups[1:]],
+        "l_returnflag string, path_idx int",
+    )
+    with pytest.raises(ValueError, match="MULTIPLE path_idx"):
+        predict_grouped(li, coefs, FEATS, ["l_returnflag"],
+                        path_idx=dup).collect()
     # a fully valid selection still works
     ok = spark.createDataFrame(
         [(g, 1) for g in groups], "l_returnflag string, path_idx int"
