@@ -35,13 +35,16 @@ class QualityFilter:
     """A fitted quality gate: the sparse GLM plus the featurization
     config scoring must replay exactly (same hash space, same
     weighting). ``positive_class`` is the label scored as "good"
-    (= the model's SECOND sorted class, matching preprocess_response)."""
+    (= the model's SECOND sorted class, matching preprocess_response).
+    ``path_idx``: the CV-chosen path point (set by ``cv_folds``; None
+    scores the deepest point, the pre-round-9 behavior)."""
 
     model: object  # SlopeModel from fit_sparse
     n_features: int
     weighting: str
     l2_norm: bool
     positive_class: str
+    path_idx: int | None = None
 
 
 def train_quality_filter(
@@ -53,13 +56,23 @@ def train_quality_filter(
     n_features: int = 2**15,
     weighting: str = "logtf",
     l2_norm: bool = False,
+    cv_folds: int | None = None,
+    cv_measure: str = "auc",
     **fit_kwargs,
 ) -> QualityFilter:
     """Fit the quality classifier on labeled documents. ``label_col``
     must hold exactly two values (e.g. 'good'/'bad'); the LAST sorted
     label becomes the positive class, so ``score_quality``'s probability
     is P(that label). ``fit_kwargs`` pass through to ``fit_sparse``
-    (n_sigma, lambda_min_ratio, q, ...)."""
+    (n_sigma, lambda_min_ratio, q, ...).
+
+    ``cv_folds``: tune the penalty level instead of scoring the deepest
+    path point — k-fold CV on the SAME sparse triplets
+    (:func:`prague_spark.ops.sparse.cv_fit_sparse`, direction-aware
+    ``optimum='best'``, default measure auc), reusing the CV's own
+    full-data base fit as the filter's model (no second fit). The
+    chosen point travels on the filter (``path_idx``), so scoring
+    replays it."""
     if weighting == "tfidf":
         # reject BEFORE the (potentially corpus-scale) fit is paid for:
         # idf statistics are train-corpus-dependent, so the filter could
@@ -77,19 +90,32 @@ def train_quality_filter(
         F.col(id_col).cast("bigint").alias("row_id"),
         F.col(label_col).cast("string").alias("_y"),
     )
-    from ..ops.sparse import fit_sparse
-
     fit_kwargs.setdefault("n_sigma", 20)
     fit_kwargs.setdefault("lambda_min_ratio", 0.05)
-    model = fit_sparse(
-        trip, ydf, "_y", "binomial", n_cols=n_features, **fit_kwargs,
-    )
+    path_idx = None
+    if cv_folds:
+        from ..ops.sparse import cv_fit_sparse
+
+        res = cv_fit_sparse(
+            trip, ydf, "_y", "binomial", n_cols=n_features,
+            n_folds=int(cv_folds), measures=[cv_measure], optimum="best",
+            **fit_kwargs,
+        )
+        model = res.model  # the CV's full-data base fit — no second fit
+        path_idx = int(res.optima[0]["sigma_idx"])
+    else:
+        from ..ops.sparse import fit_sparse
+
+        model = fit_sparse(
+            trip, ydf, "_y", "binomial", n_cols=n_features, **fit_kwargs,
+        )
     return QualityFilter(
         model=model,
         n_features=n_features,
         weighting=weighting,
         l2_norm=l2_norm,
         positive_class=str(model.class_names[1]),
+        path_idx=path_idx,
     )
 
 
@@ -106,8 +132,10 @@ def score_quality(
     """Attach P(positive class) to every document (and, with
     ``keep_threshold``, a boolean ``{out}_keep`` gate). Re-featurizes
     with the filter's OWN config — a mismatched hash space would score
-    garbage silently, so the config travels with the model. The plan is
-    one vectorizer shuffle + one broadcast-coefficient join + one
+    garbage silently, so the config travels with the model. ``path_idx``
+    defaults to the filter's CV-chosen point (``qf.path_idx``, set by
+    ``train_quality_filter(cv_folds=...)``), else the deepest. The plan
+    is one vectorizer shuffle + one broadcast-coefficient join + one
     groupBy(row): O(nnz), no densification, corpus-scale safe.
 
     Documents with no tokens hitting a nonzero coefficient score the
@@ -128,6 +156,8 @@ def score_quality(
         weighting=qf.weighting, l2_norm=qf.l2_norm,
     )
     rows = docs.select(F.col(id_col).cast("bigint").alias("row_id"))
+    if path_idx is None:
+        path_idx = qf.path_idx  # the CV-chosen point travels on the filter
     pred = predict_sparse(
         trip, qf.model, rows=rows, path_idx=path_idx,
         type="response", out=out,

@@ -483,6 +483,58 @@ def test_ivfpq_knn_join(emb, spark):
     idx.unpersist()
 
 
+def test_knn_join_full_probe_equals_brute_force(emb, spark):
+    """Exactness invariant for the whole k-NN join ladder: probing ALL
+    cells with a full-corpus re-rank shortlist must reproduce the exact
+    brute-force top-k — ivf_knn_join trivially (it scores exact cosine),
+    ivfpq_knn_join because the rerank stage rescoring the full
+    candidate set IS brute force. Catches probe-set bugs, LUT indexing
+    bugs, and rank tie-break drift in one assertion, across seeds."""
+    import numpy as np
+
+    vec = emb.withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    ).select("vec_id", "vec").limit(120).cache()
+    n = vec.count()
+    nc = 4
+    C, books = similarity.train_ivfpq(
+        vec, "vec", n_centroids=nc, n_subvectors=8, n_codes=16,
+        sample_rows=n,
+    )
+    cells = similarity.assign_ivf_cells(vec, "vec", C)
+    idx = similarity.assign_ivfpq(vec, "vec", C, books)
+    d = len(vec.first()["vec"])
+    for seed in (3, 7):
+        rng = np.random.default_rng(seed)
+        qdf = spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=d)]) for i in range(5)],
+            "query_id long, qvec array<double>",
+        )
+        queries = [(r["query_id"], list(r["qvec"])) for r in qdf.collect()]
+        exact = {
+            (r["query_id"], r["rank"]): r["vec_id"]
+            for r in similarity.cosine_topk(
+                vec, "vec_id", "vec", queries, k=4
+            ).collect()
+        }
+        knn = {
+            (r["query_id"], r["rank"]): r["vec_id"]
+            for r in similarity.ivf_knn_join(
+                qdf, cells, C, k=4, nprobe=nc
+            ).collect()
+        }
+        assert knn == exact, f"seed {seed}: ivf_knn_join != brute force"
+        knnpq = {
+            (r["query_id"], r["rank"]): r["vec_id"]
+            for r in similarity.ivfpq_knn_join(
+                qdf, idx, C, books, k=4, nprobe=nc,
+                rerank_vec_col="vec", shortlist=n,
+            ).collect()
+        }
+        assert knnpq == exact, f"seed {seed}: ivfpq_knn_join != brute force"
+    vec.unpersist()
+
+
 def test_pq_kmeans_validation():
     import numpy as np
 

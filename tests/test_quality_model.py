@@ -72,6 +72,38 @@ def test_quality_filter_learns_and_scores_heldout(spark, labeled):
     assert r["q_prob"] is not None and 0.0 <= r["q_prob"] <= 1.0
 
 
+def test_quality_filter_cv_picks_path_point(spark, labeled):
+    """cv_folds tunes the penalty level: the filter carries the
+    CV-chosen path_idx (direction-aware auc optimum), scoring replays
+    it by default, and the CV's own base fit is reused as the model —
+    held-out separation must still hold at the chosen point."""
+    train = labeled.filter(F.col("doc_id") % 10 < 7)
+    test = labeled.filter(F.col("doc_id") % 10 >= 7)
+    qf = train_quality_filter(
+        train, "doc_id", "text", "ql",
+        n_features=2**12, n_sigma=4, lambda_min_ratio=0.1,
+        cv_folds=3,
+    )
+    assert qf.path_idx is not None
+    assert 0 <= qf.path_idx < qf.model.n_path
+    scored = score_quality(test, qf, "doc_id", "text")
+    rows = scored.select("ql", "q_prob").collect()
+    good = [r["q_prob"] for r in rows if r["ql"] == "good"]
+    bad = [r["q_prob"] for r in rows if r["ql"] == "bad"]
+    assert min(good) > max(bad)
+    # default scoring replays the filter's point: identical to asking
+    # for it explicitly, different from a forced path_idx=0 (the
+    # intercept-heavy start of the path) unless CV chose 0
+    explicit = {
+        r["doc_id"]: r["q_prob"]
+        for r in score_quality(
+            test, qf, "doc_id", "text", path_idx=qf.path_idx
+        ).collect()
+    }
+    default = {r["doc_id"]: r["q_prob"] for r in scored.collect()}
+    assert default == explicit
+
+
 def test_quality_filter_tfidf_rejected(labeled):
     # rejected at TRAIN time — before the corpus-scale fit is paid for
     with pytest.raises(ValueError, match="tfidf"):
