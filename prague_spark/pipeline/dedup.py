@@ -91,10 +91,15 @@ def ngram_jaccard_pairs(
             F.explode_outer(shingles_expr(F.col(text_col), n)).alias("shingle"),
         ).filter(F.col("shingle").isNotNull())
     )
-    sh = sh.persist()  # consumed by sizes + both sides of the self-join
+    _evict_generation(_JACCARD_CACHE)
+    # consumed by sizes + both sides of the self-join
+    sh = _pin(_JACCARD_CACHE, sh)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("set_size"))
     if max_df is not None:
-        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_df).persist()
+        hot = _pin(
+            _JACCARD_CACHE,
+            sh.groupBy("shingle").count().filter(F.col("count") > max_df),
+        )
         n_hot = hot.count()
         if n_hot:
             logging.getLogger("prague_spark.dedup").warning(
@@ -279,15 +284,16 @@ def minhash_lsh_candidates(
     Dropped buckets are logged."""
     import logging
 
-    signatures = signatures.persist()
+    _evict_generation(_MINHASH_CACHE)
+    signatures = _pin(_MINHASH_CACHE, signatures)
     banded = lsh_band_keys(signatures, id_col, bands, rows_per_band)
     if max_bucket is not None:
-        banded = banded.persist()
-        hot = (
+        banded = _pin(_MINHASH_CACHE, banded)
+        hot = _pin(
+            _MINHASH_CACHE,
             banded.groupBy("band", "key")
             .count()
-            .filter(F.col("count") > max_bucket)
-            .persist()
+            .filter(F.col("count") > max_bucket),
         )
         n_hot = hot.count()
         if n_hot:
@@ -420,16 +426,15 @@ def embedding_cosine_pairs(
 
     log = logging.getLogger("prague_spark.dedup")
 
+    from .similarity import _norm_safe
+
+    _evict_generation(_COSINE_PAIRS_CACHE)
+    # norm floored at 1e-12: an all-zero embedding must rank as
+    # cosine ~0, not raise DIVIDE_BY_ZERO under ANSI mode (greatest is
+    # bitwise-identity for real vectors, so existing hashes don't move)
     base = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).withColumn(
-        "_n",
-        F.sqrt(
-            F.aggregate(
-                F.transform("_v", lambda x: x * x), F.lit(0.0), lambda a, v: a + v
-            )
-        ),
-    )
+    ).withColumn("_n", _norm_safe(F.col("_v")))
     dot_ab = F.aggregate(
         F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
         F.lit(0.0),
@@ -441,7 +446,7 @@ def embedding_cosine_pairs(
                 base, "_v", n_planes=n_planes, seed=seed + 7919 * k,
                 out=f"_bkt{k}",
             )
-        base = base.persist()
+        base = _pin(_COSINE_PAIRS_CACHE, base)
         sig = base.select(
             "_id",
             F.posexplode(
@@ -449,12 +454,12 @@ def embedding_cosine_pairs(
             ).alias("_band", "_bkt"),
         )
         if max_bucket is not None:
-            sig = sig.persist()
-            hot = (
+            sig = _pin(_COSINE_PAIRS_CACHE, sig)
+            hot = _pin(
+                _COSINE_PAIRS_CACHE,
                 sig.groupBy("_band", "_bkt")
                 .count()
-                .filter(F.col("count") > max_bucket)
-                .persist()
+                .filter(F.col("count") > max_bucket),
             )
             if hot.count():
                 log.warning(
@@ -504,11 +509,11 @@ def embedding_cosine_pairs(
         )
     if n_planes is not None:
         base = hyperplane_lsh_buckets(base, "_v", n_planes=n_planes, seed=seed, out="_bkt")
-    base = base.persist()
+    base = _pin(_COSINE_PAIRS_CACHE, base)
     if n_planes is not None and max_bucket is not None:
-        hot = (
-            base.groupBy("_bkt").count().filter(F.col("count") > max_bucket)
-            .persist()
+        hot = _pin(
+            _COSINE_PAIRS_CACHE,
+            base.groupBy("_bkt").count().filter(F.col("count") > max_bucket),
         )
         if hot.count():
             log.warning(
@@ -534,10 +539,36 @@ def embedding_cosine_pairs(
     )
 
 
-#: the previous embedding_cell_pairs assignment cache (one generation):
-#: each persist=True call frees its predecessor, so per-shard loops
-#: never accumulate pinned storage
+#: one-generation pinned-storage registries, one per pair generator:
+#: each call frees its OWN previous call's caches at entry, so a
+#: per-shard curation loop never accumulates pinned executor storage
+#: (the leak embedding_cell_pairs used to have — now the discipline for
+#: every generator that persists an intermediate). Module-global, so
+#: not thread-safe across concurrent callers in one SparkContext.
 _CELL_PAIRS_CACHE: list = []
+_COSINE_PAIRS_CACHE: list = []
+_JACCARD_CACHE: list = []
+_MINHASH_CACHE: list = []
+_CONTAM_CACHE: list = []
+
+
+def _evict_generation(cache: list) -> None:
+    """Unpersist and drop every frame a previous call left pinned.
+    Runs UNCONDITIONALLY at generator entry (a persist-free 100 TB run
+    must not inherit a smoke-test call's pinned cache); tolerates
+    handles from a stopped/replaced SparkSession."""
+    while cache:
+        try:
+            cache.pop().unpersist()
+        except Exception:  # dead JVM context — nothing left to free
+            pass
+
+
+def _pin(cache: list, df: DataFrame) -> DataFrame:
+    """persist() + track in the generator's one-generation registry."""
+    df = df.persist()
+    cache.append(df)
+    return df
 
 
 def embedding_cell_pairs(
@@ -583,32 +614,21 @@ def embedding_cell_pairs(
     one SparkContext (the one-generation cache is module-global)."""
     import logging
 
-    from .similarity import assign_ivf_cells
+    from .similarity import _norm_safe, assign_ivf_cells
 
     log = logging.getLogger("prague_spark.dedup")
     base = assign_ivf_cells(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
         "_v", centroids, out="_cell",
     ).withColumn(
+        # floored at 1e-12 (similarity._norm_safe): a dead all-zero
+        # vector must score cosine ~0, not DIVIDE_BY_ZERO under ANSI
         "_n",
-        F.sqrt(
-            F.aggregate(
-                F.transform("_v", lambda x: x * x), F.lit(0.0),
-                lambda a, v: a + v,
-            )
-        ),
+        _norm_safe(F.col("_v")),
     )
-    # evict the previous generation UNCONDITIONALLY (a persist=False
-    # 100 TB run must not inherit a smoke-test call's pinned cache);
-    # tolerate handles from a stopped/replaced SparkSession
-    while _CELL_PAIRS_CACHE:
-        try:
-            _CELL_PAIRS_CACHE.pop().unpersist()
-        except Exception:  # dead JVM context — nothing left to free
-            pass
+    _evict_generation(_CELL_PAIRS_CACHE)
     if persist:
-        base = base.persist()
-        _CELL_PAIRS_CACHE.append(base)
+        base = _pin(_CELL_PAIRS_CACHE, base)
     if max_cell is not None:
         hot_cells = [
             r["_cell"]
@@ -818,7 +838,10 @@ def contamination(
     # persisted: consumed by BOTH the per-doc sizes aggregation and the
     # hits join — without it the O(len*w) md5 winnowing scan of the whole
     # training corpus runs twice (same pattern as ngram_jaccard_pairs)
-    t = winnow_minima(train_df, id_col, text_col, k, w).alias("t").persist()
+    _evict_generation(_CONTAM_CACHE)
+    t = _pin(
+        _CONTAM_CACHE, winnow_minima(train_df, id_col, text_col, k, w).alias("t")
+    )
     e_idx = eval_minima_index(eval_df, id_col, text_col, k, w)
     sizes = t.groupBy(id_col).agg(F.count("*").alias("_n_minima"))
     hits = (
@@ -882,4 +905,128 @@ def canonical_by_score(
             F.col("_score").alias(score_col),
             "n_members",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplicate spans (the Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better" pass, re-expressed as
+# relational operators instead of a suffix array)
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal token spans whose every length-``k`` window recurs in the
+    corpus — the exact-substring dedup tier BETWEEN document-level
+    near-dup (MinHash/SimHash) and fingerprint decontamination: two
+    otherwise-distinct documents sharing a boilerplate paragraph get
+    that paragraph (and only it) flagged, where whole-document Jaccard
+    never fires. Token-resolution port of the suffix-array recipe in
+    Lee et al. 2022: a position is duplicated iff some corpus k-gram
+    occurring >= ``min_count`` times covers it (within-document repeats
+    count, as in the paper), and runs of duplicated k-gram starts closer
+    than ``k`` merge into one span.
+
+    Returns one row per maximal span: ``(id, span_start, span_end,
+    n_dup_grams)`` with INCLUSIVE token indices into the whitespace
+    tokenization of the lowercased text (``text.tokens_expr``).
+
+    Scale design (a suffix array is the one thing Spark cannot build
+    cheaply; this needs none): one O(total tokens) posexplode of md5
+    k-gram hashes, ONE hash-keyed aggregation for the recurring-gram
+    set, a semi-join back (AQE broadcasts it when small), then two
+    per-document windows (lag + running sum) for the gaps-and-islands
+    merge. No step is quadratic in anything; the heavy shuffle is the
+    gram-hash aggregation, which is the problem's lower bound. Documents
+    shorter than ``k`` tokens emit no grams and so no spans."""
+    from pyspark.sql import Window
+
+    toks = tokens_expr(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos_grams = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(grams).alias("_pos", "_h")
+    )
+    recurring = (
+        pos_grams.groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_h")
+    )
+    hits = pos_grams.join(recurring, "_h", "left_semi")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    islands = hits.withColumn(
+        "_brk",
+        F.when(F.col("_pos") - F.lag("_pos").over(w) > k, 1).otherwise(0),
+    ).withColumn(
+        "_isl",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("_id", "_isl")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + F.lit(k - 1)).alias("span_end"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start", "span_end", "n_dup_grams",
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    out: str = "clean_text",
+) -> DataFrame:
+    """Drop every token covered by a :func:`duplicate_spans` row and
+    reassemble the remainder (single-space joined — the operator works
+    at token resolution, so original whitespace is not preserved).
+    Documents with no spans pass through verbatim-tokenized; documents
+    entirely covered keep their row with ``out`` = ''.
+
+    The span->position expansion is an explode of ``sequence(start,
+    end)`` followed by an (id, pos) EQUI anti-join — never a range theta
+    join — so the cost is O(total tokens + total covered positions)."""
+    covered = spans.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.sequence("span_start", "span_end")).alias("_pos"),
+    ).distinct()
+    toks_pos = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens_expr(F.col(text_col))).alias("_pos", "_tok"),
+    )
+    kept = toks_pos.join(covered, ["_id", "_pos"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias(out)
+    )
+    return (
+        df.alias("_d")
+        .join(
+            rebuilt.withColumnRenamed("_id", "_rb_id"),
+            F.col(id_col) == F.col("_rb_id"),
+            "left",
+        )
+        .select("_d.*", F.coalesce(F.col(out), F.lit("")).alias(out))
     )

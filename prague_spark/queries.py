@@ -966,16 +966,75 @@ SQL_Q12_PATH = (
 # pipeline extensions: dedup / similarity / text
 # ---------------------------------------------------------------------------
 
+_SPAN_K = 5  # duplicate-span window: k=5 is the adversarial regime on the
+             # word-bag fixture (vocab-collision grams die off, real
+             # near-dup runs survive — 2266 dup positions / 71 docs at sf0.01)
+
+
 def q_dedup_exact(spark, sf_dir):
+    """Exact content dedup (one md5 hash-agg), plus — round-9 'spans'
+    slice — the exact-substring duplicate-span pass
+    (dedup.duplicate_spans at k=5: positions of corpus k-grams recurring
+    >= 2x, merged into maximal spans by the gaps-and-islands windows —
+    the Lee et al. 2022 substring-dedup tier, re-derived in SQL with the
+    identical md5 gram hashes and window chain). Columns are
+    slice-tagged: exact -> (a=n_copies, b=-1, c=-1); spans ->
+    (a=span_start, b=span_end, c=n_dup_grams)."""
     docs = load(spark, sf_dir, "documents")
-    return dedup.exact_dedup(docs, "text", "doc_id").select(
-        "doc_id", F.col("n_copies").cast("bigint").alias("n_copies")
+    base = dedup.exact_dedup(docs, "text", "doc_id").select(
+        F.lit("exact").alias("slice"),
+        "doc_id",
+        F.col("n_copies").cast("bigint").alias("a"),
+        F.lit(-1).cast("bigint").alias("b"),
+        F.lit(-1).cast("bigint").alias("c"),
     )
+    spans = dedup.duplicate_spans(docs, "doc_id", "text", k=_SPAN_K).select(
+        F.lit("spans").alias("slice"),
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("a"),
+        F.col("span_end").cast("bigint").alias("b"),
+        F.col("n_dup_grams").cast("bigint").alias("c"),
+    )
+    return base.unionByName(spans)
 
 
-SQL_DEDUP_EXACT = """
-    SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
+SQL_DEDUP_EXACT = f"""
+    SELECT 'exact' AS slice, min(doc_id) AS doc_id,
+           count(*)::BIGINT AS a, (-1)::BIGINT AS b, (-1)::BIGINT AS c
     FROM documents GROUP BY md5(text)
+    UNION ALL
+    SELECT 'spans' AS slice, doc_id, min(pos)::BIGINT AS a,
+           (max(pos) + {_SPAN_K} - 1)::BIGINT AS b, count(*)::BIGINT AS c
+    FROM (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos) > {_SPAN_K}
+                        THEN 1 ELSE 0 END AS brk
+            FROM (
+                WITH toks AS (
+                    SELECT doc_id,
+                           list_filter(string_split_regex(lower(text),
+                                                          '\\s+'),
+                                       x -> x != '') AS t
+                    FROM documents
+                ), grams AS (
+                    SELECT doc_id, g.i AS pos,
+                           md5(array_to_string(
+                               t[g.i+1:g.i+{_SPAN_K}], ' ')) AS h
+                    FROM toks,
+                         LATERAL unnest(
+                             range(0, len(t)-{_SPAN_K}+1)) AS g(i)
+                    WHERE len(t) >= {_SPAN_K}
+                )
+                SELECT doc_id, pos FROM grams
+                WHERE h IN (SELECT h FROM grams
+                            GROUP BY h HAVING count(*) >= 2)
+            )
+        )
+    ) GROUP BY doc_id, isl
 """
 
 

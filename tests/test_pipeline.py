@@ -1188,3 +1188,168 @@ def test_boilerplate_index_and_strip(spark):
     assert out[3] == "third body"
     assert out[4] == ""          # all-boilerplate doc kept as a row
     assert out[5] == "entirely unique document"
+
+
+def test_pair_generator_cache_discipline(docs, emb, spark):
+    """Every pair generator that persists an intermediate keeps at most
+    ONE generation pinned: a per-shard curation loop frees the previous
+    call's caches instead of accumulating pinned executor storage until
+    eviction churn (the leak embedding_cell_pairs used to have, now the
+    module-wide discipline). unpersist is async, so the bound is two
+    generations, not one — the point is it does not GROW with calls."""
+    from prague_spark.pipeline.dedup import (
+        _CONTAM_CACHE, _COSINE_PAIRS_CACHE, _JACCARD_CACHE, _MINHASH_CACHE,
+        _evict_generation,
+    )
+
+    sc = spark.sparkContext
+
+    def live():
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    small = docs.limit(40)
+    vec = (
+        emb.limit(40)
+        .withColumn("vec", F.transform("embedding", lambda x: x.cast("double")))
+        .select("vec_id", "vec")
+    )
+    sigs = dedup.minhash_signatures(small, "doc_id", "text", num_hashes=8)
+    cases = [
+        # (cache, frames pinned per generation, call)
+        (_JACCARD_CACHE, 2,
+         lambda: dedup.ngram_jaccard_pairs(small, "doc_id", "text", n=1,
+                                           threshold=0.9, max_df=30)),
+        (_MINHASH_CACHE, 3,
+         lambda: dedup.minhash_lsh_candidates(sigs, "doc_id", bands=2,
+                                              rows_per_band=4)),
+        (_COSINE_PAIRS_CACHE, 2,
+         lambda: dedup.embedding_cosine_pairs(vec, "vec_id", "vec",
+                                              threshold=0.9, n_planes=4)),
+        (_CONTAM_CACHE, 1,
+         lambda: dedup.contamination(small, small.limit(5), "doc_id", "text")),
+    ]
+    for cache, gen_size, run in cases:
+        _evict_generation(cache)
+        before = live()
+        for _ in range(4):
+            run().count()
+            created = live() - before
+            assert len(created) <= 2 * gen_size, (
+                f"accumulating pinned caches: {created}"
+            )
+        # and the handles are releasable
+        _evict_generation(cache)
+
+
+def test_zero_vector_embeddings_do_not_fail(spark):
+    """An all-zero (dead/padded) embedding must score cosine ~0 and drop
+    out of the pair lists — not raise DIVIDE_BY_ZERO under ANSI mode
+    (Spark 4 default). Pins the _norm_safe floor in dedup's generators."""
+    vec = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [1.0, 0.0, 1e-9])],
+        "vec_id long, vec array<double>",
+    )
+    exact = dedup.embedding_cosine_pairs(vec, "vec_id", "vec", threshold=0.5)
+    assert {(r.id_a, r.id_b) for r in exact.collect()} == {(2, 3)}
+    lsh = dedup.embedding_cosine_pairs(
+        vec, "vec_id", "vec", threshold=0.5, n_planes=2, n_bands=2
+    )
+    assert (1, 2) not in {(r.id_a, r.id_b) for r in lsh.collect()}
+    cells = dedup.embedding_cell_pairs(
+        vec, "vec_id", "vec", [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+        threshold=0.5, persist=False,
+    )
+    got = {(r.id_a, r.id_b) for r in cells.collect()}
+    assert (2, 3) in got and (1, 2) not in got
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplicate spans
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    return spark.createDataFrame(
+        [
+            # 6-token boilerplate shared across docs 1 and 2 in different
+            # contexts — the case document-level Jaccard never fires on
+            (1, "Alpha beta gamma delta epsilon zeta uniqA uniqB"),
+            (2, "uniqC alpha beta gamma delta epsilon zeta uniqD"),
+            (3, "totally different words all over here now"),
+            (4, "tiny doc"),                  # shorter than k: no grams
+            (5, "x y z w x y z w"),           # WITHIN-doc repeat counts
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_duplicate_spans_crafted(span_docs):
+    spans = dedup.duplicate_spans(span_docs, "doc_id", "text", k=4)
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
+        for r in spans.collect()
+    }
+    assert got == {
+        (1, 0, 5, 3),   # alpha..zeta at positions 0-5 (3 dup 4-grams)
+        (2, 1, 6, 3),   # same run shifted by the uniqC prefix
+        (5, 0, 7, 2),   # "x y z w" recurs at 0 and 4 -> merged whole-doc
+    }
+
+
+def test_remove_duplicate_spans(span_docs):
+    spans = dedup.duplicate_spans(span_docs, "doc_id", "text", k=4)
+    out = dedup.remove_duplicate_spans(span_docs, spans, "doc_id", "text")
+    clean = {r.doc_id: r.clean_text for r in out.collect()}
+    assert clean[1] == "uniqa uniqb"          # covered run gone (lowercased)
+    assert clean[2] == "uniqc uniqd"
+    assert clean[3] == "totally different words all over here now"
+    assert clean[4] == "tiny doc"             # sub-k doc passes through
+    assert clean[5] == ""                     # fully-covered doc keeps its row
+    assert out.count() == span_docs.count()
+
+
+def test_duplicate_spans_matches_duckdb(docs, sf_dir):
+    """Full cross-engine check at k=5 on the real fixture: same maximal
+    spans from DuckDB's window-function formulation."""
+    k = 5
+    spans = dedup.duplicate_spans(docs, "doc_id", "text", k=k)
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
+        for r in spans.collect()
+    }
+    want = set(
+        map(
+            tuple,
+            duckdb.sql(f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x != '') AS t
+            FROM '{sf_dir}/documents.parquet'
+        ), grams AS (
+            SELECT doc_id, g.i AS pos,
+                   md5(array_to_string(t[g.i+1:g.i+{k}], ' ')) AS h
+            FROM toks,
+                 LATERAL unnest(range(0, len(t)-{k}+1)) AS g(i)
+            WHERE len(t) >= {k}
+        ), dup AS (
+            SELECT h FROM grams GROUP BY h HAVING count(*) >= 2
+        ), hits AS (
+            SELECT doc_id, pos FROM grams WHERE h IN (SELECT h FROM dup)
+        ), flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos) > {k}
+                        THEN 1 ELSE 0 END AS brk
+            FROM hits
+        ), isl AS (
+            SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS i
+            FROM flagged
+        )
+        SELECT doc_id, min(pos), max(pos) + {k} - 1, count(*)
+        FROM isl GROUP BY doc_id, i
+    """).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 10
