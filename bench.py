@@ -73,6 +73,16 @@ def main() -> None:
         docs_s.filter(F.col("source") != "src0"),
         docs_s.filter(F.col("source") == "src0"), "doc_id", "text",
     ).count()
+    dedup.duplicate_spans(docs_s, "doc_id", "text", k=5).count()
+    from prague_spark.pipeline.dsir import (
+        dsir_log_ratio as _dlr,
+        dsir_logweights as _dlw,
+        dsir_ngram_counts as _dnc,
+    )
+
+    _wt = _dlr(_dnc(docs_s, "text", n_buckets=64),
+               _dnc(docs_s, "text", n_buckets=64), n_buckets=64)
+    _dlw(docs_s, "doc_id", "text", _wt).count()
     # wide-p sparse inputs (generated once, cached; the bench times the
     # FIT, not the generator) + a small warmup through the same route
     from prague_spark.ops.sparse import fit_sparse as _fs
@@ -640,6 +650,33 @@ def main() -> None:
         tr = docs.filter(F.col("source") != "src0")
         ev = docs.filter(F.col("source") == "src0")
         dedup.contamination(tr, ev, "doc_id", "text").count()
+
+    @bench("dedup_spans")
+    def _():
+        # exact-substring duplicate spans (Lee et al. tier): gram-hash
+        # agg + semi-join + per-doc gaps-and-islands windows
+        dedup.duplicate_spans(docs, "doc_id", "text", k=5).agg(
+            F.sum("n_dup_grams")
+        ).collect()
+
+    @bench("dsir_select")
+    def _():
+        # DSIR importance resampling end to end: two count aggs ->
+        # driver log-ratio table -> literal-fold scoring (pure
+        # projection) -> Gumbel top-k (TakeOrdered)
+        from prague_spark.pipeline.dsir import (
+            dsir_gumbel_select, dsir_log_ratio, dsir_logweights,
+            dsir_ngram_counts,
+        )
+
+        B = 2**14
+        tc = dsir_ngram_counts(
+            docs.filter(F.col("lang") == "en"), "text", n_buckets=B
+        )
+        rc = dsir_ngram_counts(docs, "text", n_buckets=B)
+        table = dsir_log_ratio(tc, rc, n_buckets=B)
+        scored = dsir_logweights(docs, "doc_id", "text", table)
+        dsir_gumbel_select(scored, "doc_id", "dsir_logw", 1000).count()
 
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else None

@@ -1,0 +1,220 @@
+"""DSIR-style data selection: importance resampling toward a target
+distribution over hashed n-gram features (Xie et al. 2023, "Data
+Selection for Language Models via Importance Resampling").
+
+Greenfield beyond the reference surface (SURVEY.md §7.9). The recipe a
+pretraining pipeline runs to pull target-domain-like documents out of a
+raw web corpus:
+
+1. featurize every document as a bag of hashed (uni+bi)gram buckets —
+   the same md5 bucket rule as ``vectorize.hashing_vectorizer``, so
+   features are engine-portable and need no vocabulary build;
+2. estimate two bucket distributions from INTEGER counts (target
+   corpus, raw corpus) — one groupBy each, then a driver-side
+   ``n_buckets``-sized log-ratio table (model-sized, like a coefficient
+   vector);
+3. score every raw document with the log importance weight
+   ``log w(x) = sum over grams of log p_target(b) - log p_raw(b)``;
+4. select via deterministic Gumbel top-k — sampling WITHOUT replacement
+   proportional to ``w(x)``, replayable because the Gumbel noise comes
+   from md5 of the document id, not an RNG.
+
+Scale design: the featurization is a zero-shuffle projection; the two
+count aggregations shuffle slim (bucket, count) rows; scoring is a pure
+codegen fold over a broadcast literal table (``method='literal'``, the
+default up to ~2^16 buckets) or one explode + broadcast equi-join +
+groupBy(id) (``method='join'``, for bucket spaces too wide to inline);
+selection is a TakeOrdered top-k (per-partition heads + driver merge),
+never a global sort.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import ngrams_expr, tokens_expr
+
+__all__ = [
+    "dsir_grams_expr",
+    "dsir_bucket_expr",
+    "dsir_ngram_counts",
+    "dsir_log_ratio",
+    "dsir_logweights",
+    "dsir_gumbel_select",
+]
+
+
+def dsir_grams_expr(text_col):
+    """Unigram + bigram feature grams of the lowercased whitespace
+    tokenization (the DSIR paper's hashed-ngram feature set). Uses the
+    shared ``text.ngrams_expr`` sliding window, so the DuckDB mirror is
+    the documented ``list_transform(range(...))`` form; the empty
+    partial gram a token-less document would emit is filtered so an
+    empty document has NO features and scores exactly 0."""
+    toks = tokens_expr(F.col(text_col))
+    return F.filter(
+        F.concat(toks, ngrams_expr(toks, 2)), lambda g: g != ""
+    )
+
+
+def dsir_bucket_expr(gram, n_buckets: int):
+    """gram -> bucket in [0, n_buckets) via the first 8 hex chars of md5
+    (engine-portable: ``('0x' || substr(md5(g),1,8))::BIGINT % B`` in
+    DuckDB). Non-negative because the 32-bit value is."""
+    return F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long") % n_buckets
+
+
+def dsir_ngram_counts(
+    df: DataFrame, text_col: str, *, n_buckets: int = 2**14
+) -> DataFrame:
+    """Corpus bucket counts: one explode + ONE groupBy on the bucket id.
+    Returns (bucket, cnt) with only occupied buckets present."""
+    grams = dsir_grams_expr(text_col)
+    return (
+        df.select(F.explode(grams).alias("_g"))
+        .select(dsir_bucket_expr(F.col("_g"), n_buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_log_ratio(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    *,
+    n_buckets: int,
+    smoothing: float = 1.0,
+) -> list[float]:
+    """Driver-side log importance-ratio table (``n_buckets`` floats —
+    model-sized, the legitimate collect): ``log p_target(b) -
+    log p_raw(b)`` with add-``smoothing`` regularization so unseen
+    buckets are defined. The two inputs are :func:`dsir_ngram_counts`
+    frames."""
+    def _vec(cdf: DataFrame) -> tuple[list[int], int]:
+        v = [0] * n_buckets
+        for r in cdf.collect():
+            v[int(r["bucket"])] = int(r["cnt"])
+        return v, sum(v)
+
+    t, t_tot = _vec(target_counts)
+    r, r_tot = _vec(raw_counts)
+    td = float(t_tot) + smoothing * n_buckets
+    rd = float(r_tot) + smoothing * n_buckets
+    return [
+        math.log((t[b] + smoothing) / td) - math.log((r[b] + smoothing) / rd)
+        for b in range(n_buckets)
+    ]
+
+
+def dsir_logweights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    log_ratio: list[float],
+    *,
+    out: str = "dsir_logw",
+    method: str = "literal",
+) -> DataFrame:
+    """Attach the log importance weight: the sum of the table entry for
+    every feature gram (occurrences counted, as in the paper's product
+    of per-gram ratios).
+
+    ``method='literal'`` (default): the table rides the plan as ONE
+    array literal and the sum is a codegen left fold — zero shuffle,
+    zero Python, the whole-corpus scoring pass is a projection. The
+    fold order is the gram order, so a DuckDB oracle reproduces it
+    bit-exactly via ``list_dot_product(vals, ones)``. Right up to
+    ~2^16 buckets (the literal is 8B/bucket in the task binary).
+
+    ``method='join'``: explode grams -> broadcast equi-join against the
+    (bucket, ratio) table -> groupBy(id) sum — one data shuffle on the
+    id, for bucket spaces too wide to inline. Summation order is then
+    partition-dependent (equal up to float reassociation)."""
+    n_buckets = len(log_ratio)
+    if method == "literal":
+        # the table literal is built as split(<csv literal>)::array<double>
+        # — ONE string literal, constant-folded by Catalyst into the
+        # array before execution. The naive forms (F.array of 16k
+        # F.lit's, or F.lit(list)) cost ~8 s of DRIVER time at 2^14
+        # buckets: one py4j round trip per element plus a
+        # 16k-child CreateArray the analyzer walks per rule. repr()
+        # round-trips doubles exactly, so the folded values are
+        # bit-identical (pinned by the DuckDB cross-check).
+        vals_csv = []
+        for x in log_ratio:
+            x = float(x)
+            if not math.isfinite(x):
+                raise ValueError(
+                    "dsir_logweights: log_ratio entries must be finite"
+                )
+            vals_csv.append(repr(x))
+        table = F.split(F.lit(",".join(vals_csv)), ",").cast("array<double>")
+        vals = F.transform(
+            dsir_grams_expr(text_col),
+            lambda g: F.element_at(table, dsir_bucket_expr(g, n_buckets).cast("int") + 1),
+        )
+        return df.withColumn(
+            out, F.aggregate(vals, F.lit(0.0), lambda acc, v: acc + v)
+        )
+    if method != "join":
+        raise ValueError(f"dsir_logweights: unknown method {method!r}")
+    spark = df.sparkSession
+    ratios = spark.createDataFrame(
+        [(b, float(x)) for b, x in enumerate(log_ratio)],
+        "bucket long, _ratio double",
+    )
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(dsir_grams_expr(text_col)).alias("_g"),
+        )
+        .select("_id", dsir_bucket_expr(F.col("_g"), n_buckets).alias("bucket"))
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy("_id")
+        .agg(F.sum("_ratio").alias(out))
+    )
+    return (
+        df.alias("_d")
+        .join(
+            per_doc.withColumnRenamed("_id", "_dw_id"),
+            F.col(id_col) == F.col("_dw_id"),
+            "left",
+        )
+        # a doc with zero grams has weight 0 (empty product), not NULL
+        .select("_d.*", F.coalesce(F.col(out), F.lit(0.0)).alias(out))
+    )
+
+
+def dsir_gumbel_select(
+    df: DataFrame,
+    id_col: str,
+    logw_col: str,
+    n_keep: int,
+    *,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Deterministic Gumbel top-k: keep the ``n_keep`` rows with the
+    largest ``logw + Gumbel(md5(seed:id))`` — exactly sampling without
+    replacement with probability proportional to ``exp(logw)``, but
+    replayable (the noise is a hash of the id, the
+    ``sample.hash_unit`` convention) and shard-stable.
+
+    Plan: one TakeOrdered (per-partition top-``n_keep`` heads merged on
+    the driver) — NEVER a global sort; ``n_keep`` must be driver-sized,
+    which a selection budget is."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col))), 1, 8),
+            16, 10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))  # u in (0, 1), never exactly 0 or 1
+    gumbel = -F.log(-F.log(u))
+    return (
+        df.withColumn("_dsir_key", F.col(logw_col) + gumbel)
+        .orderBy(F.col("_dsir_key").desc(), F.col(id_col))
+        .limit(int(n_keep))
+        .drop("_dsir_key")
+    )

@@ -5000,7 +5000,19 @@ def q_docs_sample_stratified(spark, sf_dir):
     fixed bounds, 8 bits each — the multi-dimensional file-layout key
     whose write order makes footer min/max stats skip files on EITHER
     column's predicate; every shift/mask re-derived in SQL, the key
-    rides ``order_key`` zero-padded)."""
+    rides ``order_key`` zero-padded).
+
+    Round-9 merge (session 2): the NEW pipeline.dsir importance-
+    resampling selector, two slices. 'dsirc' pins the index BUILD —
+    hashed (uni+bi)gram bucket counts for target (lang='en') vs raw
+    (whole corpus), INTEGER-exact cross-engine (doc_id=bucket,
+    epoch=target count, shard=raw count). 'dsirw' pins the SCORING
+    pass — every document's log importance weight under the pinned
+    64-bucket literal ratio table (_DSIR_RATIOS), computed as a codegen
+    left fold and re-derived BIT-exactly in SQL via
+    list_dot_product(vals, ones) over the identical literals; the
+    weight rides order_key as floor(logw * 1e6) so the compare stays
+    integer-exact."""
     from .pipeline.sample import (
         mix_corpus, shard_assign, split_assign, stratified_sample,
         zorder_key,
@@ -5036,7 +5048,52 @@ def q_docs_sample_stratified(spark, sf_dir):
         F.lit(-1).alias("epoch"), F.lit(-1).alias("shard"),
         F.lpad(F.col("zorder").cast("string"), 6, "0").alias("order_key"),
     )
-    return samp.unionByName(sharded).unionByName(split).unionByName(zo)
+    from .pipeline.dsir import dsir_logweights, dsir_ngram_counts
+
+    tcnt = dsir_ngram_counts(
+        docs.filter(F.col("lang") == "en"), "text", n_buckets=_DSIR_B
+    ).withColumnRenamed("cnt", "_ct")
+    rcnt = dsir_ngram_counts(docs, "text", n_buckets=_DSIR_B)
+    # left join FROM raw: the target corpus is a subset of raw, so every
+    # target bucket is raw-occupied
+    cnts = rcnt.join(tcnt, "bucket", "left").select(
+        F.lit("dsirc").alias("tag"),
+        F.col("bucket").cast("bigint").alias("doc_id"),
+        F.lit("").alias("lang"), F.lit("").alias("source"),
+        F.coalesce("_ct", F.lit(0)).cast("int").alias("epoch"),
+        F.col("cnt").cast("int").alias("shard"),
+        F.lit("").alias("order_key"),
+    )
+    wts = dsir_logweights(docs, "doc_id", "text", _DSIR_RATIOS).select(
+        F.lit("dsirw").alias("tag"), "doc_id", "lang", "source",
+        F.lit(-1).alias("epoch"), F.lit(-1).alias("shard"),
+        F.floor(F.col("dsir_logw") * F.lit(1e6))
+        .cast("bigint").cast("string").alias("order_key"),
+    )
+    return (
+        samp.unionByName(sharded).unionByName(split).unionByName(zo)
+        .unionByName(cnts).unionByName(wts)
+    )
+
+
+_DSIR_B = 64
+# pinned log importance-ratio table for the 'dsirw' slice (64 buckets;
+# numpy default_rng(7).normal(0, 0.1) rounded to 6dp — arbitrary but
+# realistic magnitudes, embedded as IDENTICAL literals in the Spark plan
+# and the SQL text so the fold is bit-exact cross-engine)
+_DSIR_RATIOS = [
+    0.000123, 0.029875, -0.027414, -0.089059, -0.045467, -0.099165,
+    0.006014, 0.134022, -0.049221, -0.062047, 0.048984, 0.035689,
+    0.010541, -0.093047, -0.002925, 0.06953, -0.134421, -0.045762,
+    -0.190122, -0.128954, -0.184174, -0.023509, -0.126745, 0.027126,
+    0.015675, -0.018693, -0.251676, -0.053869, -0.00485, 0.011331,
+    -0.153014, -0.047775, -0.097852, -0.080884, 0.10609, -0.080753,
+    -0.003252, 0.088439, -0.05836, -0.01117, 0.011046, 0.006378,
+    -0.122506, 0.007614, 0.135882, -0.154714, 0.085938, 0.011935,
+    -0.064147, 0.200042, 0.076226, -0.119929, 0.007452, 0.057669,
+    -0.018878, 0.068291, -0.006652, 0.066725, 0.143852, -0.067566,
+    0.020314, -0.046331, 0.012727, -0.118719,
+]
 
 
 # zorder slice constants: fixed bounds (clamped; deterministic whatever
@@ -5125,8 +5182,54 @@ SQL_DOCS_SAMPLE = f"""
                    AS order_key
         FROM documents
     )
+    , ds_toks AS (
+        SELECT doc_id, lang, source,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x != '') AS toks
+        FROM documents
+    ), ds_grams AS (
+        SELECT doc_id, lang, source,
+               list_filter(list_concat(
+                   toks,
+                   list_transform(range(1, greatest(len(toks)-2, 0)+2),
+                                  i -> array_to_string(toks[i:i+1], ' '))
+               ), x -> x != '') AS grams
+        FROM ds_toks
+    ), ds_buckets AS (
+        SELECT lang,
+               ('0x' || substr(md5(g.gram), 1, 8))::BIGINT % {_DSIR_B}
+                   AS bucket
+        FROM ds_grams, LATERAL unnest(grams) AS g(gram)
+    ), ds_t AS (
+        SELECT bucket, count(*) AS c FROM ds_buckets
+        WHERE lang = 'en' GROUP BY bucket
+    ), ds_r AS (
+        SELECT bucket, count(*) AS c FROM ds_buckets GROUP BY bucket
+    ), dsirc AS (
+        SELECT 'dsirc' AS tag, r.bucket::BIGINT AS doc_id,
+               '' AS lang, '' AS source,
+               coalesce(t.c, 0)::INTEGER AS epoch, r.c::INTEGER AS shard,
+               '' AS order_key
+        FROM ds_r r LEFT JOIN ds_t t USING (bucket)
+    ), dsirw AS (
+        SELECT 'dsirw' AS tag, doc_id, lang, source,
+               -1 AS epoch, -1 AS shard,
+               CAST(floor(
+                   list_dot_product(vals, list_transform(vals, x -> 1.0))
+                   * 1000000.0) AS BIGINT)::VARCHAR AS order_key
+        FROM (
+            SELECT doc_id, lang, source,
+                   list_transform(
+                       grams,
+                       x -> ({_DSIR_RATIOS!r})[
+                           ((('0x' || substr(md5(x), 1, 8))::BIGINT
+                             % {_DSIR_B}) + 1)::INT]) AS vals
+            FROM ds_grams
+        )
+    )
     SELECT * FROM samp UNION ALL SELECT * FROM sharded
     UNION ALL SELECT * FROM splitq UNION ALL SELECT * FROM zo
+    UNION ALL SELECT * FROM dsirc UNION ALL SELECT * FROM dsirw
 """
 
 
@@ -5267,6 +5370,17 @@ SQL_DOCS_SAMPLE = f"""
 # .score_quality end-to-end with the pinned _QF_BETAS model: md5 logtf
 # featurization -> O(nnz) sparse predict -> sigmoid + keep gate, every
 # probability re-derived in SQL).
+#
+# Round-9 merges (session 2, still exactly 50): dedup_exact gains a
+# 'spans' slice (the NEW dedup.duplicate_spans exact-substring pass —
+# recurring k-gram positions merged into maximal spans via the
+# gaps-and-islands windows, re-derived in SQL with the identical md5
+# gram hashes); docs_sample_stratified gains 'dsirc' + 'dsirw' slices
+# (the NEW pipeline.dsir importance-resampling selector: integer-exact
+# hashed-ngram bucket counts for target-vs-raw, and the per-document
+# log importance weight under the pinned _DSIR_RATIOS literal table,
+# re-derived BIT-exactly via DuckDB list_dot_product over the same
+# literals).
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,

@@ -71,3 +71,36 @@ def rolling_metric_stream(
         )
         .select(F.col("w.start").alias("window_start"), "mse", "n")
     )
+
+
+def quality_gate_stream(
+    qf,
+    id_col: str,
+    text_col: str,
+    sink,
+    **score_kwargs,
+):
+    """Streaming twin of :func:`prague_spark.pipeline.quality_model
+    .score_quality`: gate a document STREAM through a trained quality
+    filter. The batch scorer's plan needs a groupBy(row) over the
+    hashed-feature triplets (stateful on a raw stream), but the score is
+    strictly PER-DOCUMENT — featurization, the optional l2 norm, and the
+    sigmoid all close over one row — so micro-batch boundaries cannot
+    change any document's score. The twin therefore runs the BATCH
+    operator inside ``foreachBatch`` (the ``calendar_rollup_sink``
+    convention): per-batch results are bit-identical to scoring the same
+    rows in one batch job, which the parity test pins.
+
+    Returns ``fn(batch_df, batch_id)`` for
+    ``stream.writeStream.foreachBatch(fn)``; each invocation scores the
+    micro-batch with the filter's own featurization config and passes
+    the scored frame to ``sink(scored_df, batch_id)``. Train-corpus-
+    dependent weightings were already rejected at TRAIN time, so a
+    filter that exists can always score a stream."""
+    from ..pipeline.quality_model import score_quality
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        sink(score_quality(batch_df, qf, id_col, text_col, **score_kwargs),
+             batch_id)
+
+    return fn

@@ -209,3 +209,33 @@ def test_hashvec_bench_shape(docs):
     out = hashing_vectorizer(docs, "doc_id", "text", n_features=2**15)
     assert_scale_shape(out, max_shuffles=1, max_py_stages=0,
                        max_read_width=5)
+
+
+def test_duplicate_spans_bench_shape(docs):
+    # bench's dedup_spans config (k=5): ONE gram-hash aggregation, a
+    # semi-join back, two per-doc windows — the shuffles are the
+    # problem's lower bound; the path is all-JVM and never pairwise
+    out = dedup.duplicate_spans(docs, "doc_id", "text", k=5)
+    assert_scale_shape(out, max_shuffles=4, max_py_stages=0,
+                       max_read_width=2)
+
+
+def test_dsir_bench_shapes(docs):
+    # bench's dsir_select config: counts are one explode + ONE groupBy
+    # each; the literal-fold scoring is a ZERO-shuffle codegen
+    # projection (the property that makes whole-corpus scoring one scan
+    # at 100 TB); selection is a TakeOrdered, never a global sort.
+    from prague_spark.pipeline.dsir import (
+        dsir_gumbel_select, dsir_logweights, dsir_ngram_counts,
+    )
+
+    cnt = dsir_ngram_counts(docs, "text", n_buckets=2**14)
+    assert_scale_shape(cnt, max_shuffles=1, max_py_stages=0,
+                       max_read_width=2)
+    table = [0.001 * (i % 7) for i in range(2**14)]
+    scored = dsir_logweights(docs, "doc_id", "text", table)
+    assert_scale_shape(scored, max_shuffles=0, max_py_stages=0)
+    sel = dsir_gumbel_select(scored, "doc_id", "dsir_logw", 1000)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:500]
+    assert_scale_shape(sel, max_shuffles=0, max_py_stages=0)

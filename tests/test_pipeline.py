@@ -1353,3 +1353,163 @@ def test_duplicate_spans_matches_duckdb(docs, sf_dir):
         )
     )
     assert got == want and len(got) > 10
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+def _duck_dsir_weights(sf_dir, log_ratio, n_buckets):
+    """DuckDB mirror of the literal-fold scoring: same grams, same md5
+    buckets, same left-to-right fold (list_dot_product against ones)."""
+    lst = "[" + ", ".join(repr(x) for x in log_ratio) + "]"
+    return dict(
+        duckdb.sql(f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x != '') AS toks
+            FROM '{sf_dir}/documents.parquet'
+        ), g AS (
+            SELECT doc_id,
+                   list_filter(list_concat(
+                       toks,
+                       list_transform(
+                           range(1, greatest(len(toks)-2, 0)+2),
+                           i -> array_to_string(toks[i:i+1], ' '))
+                   ), x -> x != '') AS grams
+            FROM t
+        ), v AS (
+            SELECT doc_id,
+                   list_transform(
+                       grams,
+                       x -> ({lst})[
+                           ((('0x' || substr(md5(x), 1, 8))::BIGINT
+                             % {n_buckets}) + 1)::INT]) AS vals
+            FROM g
+        )
+        SELECT doc_id,
+               list_dot_product(vals, list_transform(vals, x -> 1.0))
+        FROM v
+    """).fetchall()
+    )
+
+
+@pytest.fixture(scope="module")
+def dsir_mod():
+    from prague_spark.pipeline import dsir
+    return dsir
+
+
+def test_dsir_counts_match_duckdb(dsir_mod, docs, sf_dir):
+    """Bucket counts are INTEGER-exact cross-engine."""
+    B = 64
+    got = {
+        (r.bucket, r.cnt)
+        for r in dsir_mod.dsir_ngram_counts(docs, "text", n_buckets=B).collect()
+    }
+    want = set(
+        duckdb.sql(f"""
+        WITH t AS (
+            SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x != '') AS toks
+            FROM '{sf_dir}/documents.parquet'
+        ), g AS (
+            SELECT unnest(list_filter(list_concat(
+                toks,
+                list_transform(range(1, greatest(len(toks)-2, 0)+2),
+                               i -> array_to_string(toks[i:i+1], ' '))
+            ), x -> x != '')) AS gram FROM t
+        )
+        SELECT ('0x' || substr(md5(gram), 1, 8))::BIGINT % {B}, count(*)
+        FROM g GROUP BY 1
+    """).fetchall()
+    )
+    assert got == want and len(got) == 64
+
+
+def test_dsir_logweights_bit_exact_vs_duckdb(dsir_mod, docs, sf_dir):
+    """The literal-fold scoring reproduces bit-exactly in DuckDB (same
+    literals, same fold order) — no rounding needed."""
+    import numpy as np
+
+    B = 64
+    rng = np.random.default_rng(7)
+    table = [round(float(x), 6) for x in rng.normal(0.0, 0.1, B)]
+    out = dsir_mod.dsir_logweights(docs, "doc_id", "text", table)
+    got = {r.doc_id: r.dsir_logw for r in out.select("doc_id", "dsir_logw").collect()}
+    want = _duck_dsir_weights(sf_dir, table, B)
+    assert got.keys() == want.keys()
+    for d in got:
+        assert got[d] == want[d], (d, got[d], want[d])
+
+
+def test_dsir_join_method_agrees(dsir_mod, docs):
+    """The wide-bucket-space join path computes the same weights as the
+    literal fold (up to float reassociation across the shuffle)."""
+    import numpy as np
+
+    B = 128
+    table = [float(x) for x in np.random.default_rng(3).normal(0.0, 0.05, B)]
+    lit = {
+        r.doc_id: r.dsir_logw
+        for r in dsir_mod.dsir_logweights(docs, "doc_id", "text", table)
+        .select("doc_id", "dsir_logw").collect()
+    }
+    jn = {
+        r.doc_id: r.dsir_logw
+        for r in dsir_mod.dsir_logweights(
+            docs, "doc_id", "text", table, method="join"
+        ).select("doc_id", "dsir_logw").collect()
+    }
+    assert lit.keys() == jn.keys()
+    for d in lit:
+        assert jn[d] == pytest.approx(lit[d], rel=1e-9, abs=1e-12)
+
+
+def test_dsir_end_to_end_prefers_target_like_docs(dsir_mod, docs):
+    """Target = English docs; raw = whole corpus. English documents must
+    score higher average importance weight than non-English ones, and
+    Gumbel selection must be deterministic and skew English."""
+    B = 1024
+    target = docs.filter(F.col("lang") == "en")
+    tc = dsir_mod.dsir_ngram_counts(target, "text", n_buckets=B)
+    rc = dsir_mod.dsir_ngram_counts(docs, "text", n_buckets=B)
+    table = dsir_mod.dsir_log_ratio(tc, rc, n_buckets=B)
+    scored = dsir_mod.dsir_logweights(docs, "doc_id", "text", table)
+    means = {
+        r["lang"]: r["m"]
+        for r in scored.groupBy("lang").agg(F.avg("dsir_logw").alias("m")).collect()
+    }
+    non_en = [v for k, v in means.items() if k != "en"]
+    assert non_en and means["en"] > max(non_en)
+
+    n_docs = docs.count()
+    n_keep = max(10, n_docs // 5)
+    sel1 = dsir_mod.dsir_gumbel_select(scored, "doc_id", "dsir_logw", n_keep)
+    sel2 = dsir_mod.dsir_gumbel_select(scored, "doc_id", "dsir_logw", n_keep)
+    ids1 = {r.doc_id for r in sel1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in sel2.select("doc_id").collect()}
+    assert ids1 == ids2 and len(ids1) == n_keep     # deterministic replay
+    en_frac_all = target.count() / n_docs
+    en_frac_sel = sel1.filter(F.col("lang") == "en").count() / n_keep
+    assert en_frac_sel > en_frac_all               # selection skews target-ward
+    # different seed -> different (but same-sized) draw
+    ids3 = {
+        r.doc_id
+        for r in dsir_mod.dsir_gumbel_select(
+            scored, "doc_id", "dsir_logw", n_keep, seed="other"
+        ).select("doc_id").collect()
+    }
+    assert len(ids3) == n_keep and ids3 != ids1
+
+
+def test_dsir_logweights_is_pure_projection(dsir_mod, docs):
+    """The literal scoring path must stay a zero-shuffle, zero-Python
+    codegen projection — the property that makes whole-corpus scoring
+    one scan at 100 TB."""
+    from prague_spark.plan_audit import assert_scale_shape
+
+    table = [0.01 * i for i in range(64)]
+    out = dsir_mod.dsir_logweights(docs, "doc_id", "text", table)
+    assert_scale_shape(out, max_shuffles=0, max_py_stages=0)

@@ -1095,3 +1095,65 @@ def test_streaming_gopher_flags_match_batch(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_streaming_quality_gate_matches_batch(spark, sf_dir, tmp_path):
+    """quality_gate_stream (foreachBatch over the batch scorer) must
+    reproduce score_quality's probabilities and keep flags exactly:
+    the score closes over one document, so micro-batch boundaries
+    cannot move it."""
+    from prague_spark.pipeline.quality_model import (
+        score_quality, train_quality_filter,
+    )
+    from prague_spark.streaming.scoring import quality_gate_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labeled = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "good").otherwise("bad").alias("ql"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" lucid cogent lucid")),
+        ).otherwise(
+            F.concat(F.col("text"), F.lit(" spammy junky spammy")),
+        ).alias("text"),
+    ).cache()
+    qf = train_quality_filter(
+        labeled, "doc_id", "text", "ql",
+        n_features=2**12, n_sigma=4, lambda_min_ratio=0.1,
+    )
+    expected = {
+        r["doc_id"]: (r["q_prob"], r["q_prob_keep"])
+        for r in score_quality(
+            labeled, qf, "doc_id", "text", keep_threshold=0.5
+        ).collect()
+    }
+
+    ddir = str(tmp_path / "qdocs")
+    # several files -> several micro-batches with maxFilesPerTrigger
+    labeled.select("doc_id", "text").repartition(3).write.parquet(ddir)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ddir)
+    )
+    got = {}
+    batches = []
+
+    def sink(scored_df, batch_id):
+        batches.append(batch_id)
+        for r in scored_df.collect():
+            got[r["doc_id"]] = (r["q_prob"], r["q_prob_keep"])
+
+    fn = quality_gate_stream(qf, "doc_id", "text", sink, keep_threshold=0.5)
+    q = stream.writeStream.foreachBatch(fn).trigger(availableNow=True).start()
+    try:
+        assert q.awaitTermination(180), "quality gate stream did not finish"
+    finally:
+        q.stop()
+    assert len(batches) > 1          # parity held ACROSS micro-batches
+    assert set(got) == set(expected)
+    for d in expected:
+        assert got[d][1] == expected[d][1]
+        assert got[d][0] == pytest.approx(expected[d][0], rel=1e-9)
+    labeled.unpersist()
