@@ -285,10 +285,15 @@ def minhash_lsh_candidates(
     import logging
 
     _evict_generation(_MINHASH_CACHE)
-    signatures = _pin(_MINHASH_CACHE, signatures)
-    banded = lsh_band_keys(signatures, id_col, bands, rows_per_band)
+    # pin only INTERNALLY-built frames: pinning the caller's signatures
+    # frame would let the next call's eviction unpersist a cache the
+    # caller owns (a band-config sweep over one signatures frame would
+    # silently recompute it). banded embeds the signature pipeline, so
+    # persisting it alone still computes signatures once.
+    banded = _pin(
+        _MINHASH_CACHE, lsh_band_keys(signatures, id_col, bands, rows_per_band)
+    )
     if max_bucket is not None:
-        banded = _pin(_MINHASH_CACHE, banded)
         hot = _pin(
             _MINHASH_CACHE,
             banded.groupBy("band", "key")
@@ -550,6 +555,7 @@ _COSINE_PAIRS_CACHE: list = []
 _JACCARD_CACHE: list = []
 _MINHASH_CACHE: list = []
 _CONTAM_CACHE: list = []
+_SPANS_CACHE: list = []
 
 
 def _evict_generation(cache: list) -> None:
@@ -921,6 +927,7 @@ def duplicate_spans(
     *,
     k: int = 20,
     min_count: int = 2,
+    persist: bool = True,
 ) -> DataFrame:
     """Maximal token spans whose every length-``k`` window recurs in the
     corpus — the exact-substring dedup tier BETWEEN document-level
@@ -944,7 +951,14 @@ def duplicate_spans(
     per-document windows (lag + running sum) for the gaps-and-islands
     merge. No step is quadratic in anything; the heavy shuffle is the
     gram-hash aggregation, which is the problem's lower bound. Documents
-    shorter than ``k`` tokens emit no grams and so no spans."""
+    shorter than ``k`` tokens emit no grams and so no spans.
+
+    The (id, pos, gram-hash) frame feeds BOTH the recurring-gram
+    aggregation and the semi-join probe side; it is persisted (one
+    generation, freed by the next call — the module discipline) so the
+    dominant tokenize+md5 scan runs once, not twice. ``persist=False``
+    pins nothing (the 100 TB path: materialize the gram frame yourself
+    if two scans are worse than storage)."""
     from pyspark.sql import Window
 
     toks = tokens_expr(F.col(text_col))
@@ -958,6 +972,9 @@ def duplicate_spans(
     pos_grams = df.select(
         F.col(id_col).alias("_id"), F.posexplode(grams).alias("_pos", "_h")
     )
+    _evict_generation(_SPANS_CACHE)
+    if persist:
+        pos_grams = _pin(_SPANS_CACHE, pos_grams)
     recurring = (
         pos_grams.groupBy("_h")
         .agg(F.count("*").alias("_c"))

@@ -35,6 +35,7 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 from .text import ngrams_expr, tokens_expr
+from .vectorize import term_hash_expr
 
 __all__ = [
     "dsir_grams_expr",
@@ -49,21 +50,29 @@ __all__ = [
 def dsir_grams_expr(text_col):
     """Unigram + bigram feature grams of the lowercased whitespace
     tokenization (the DSIR paper's hashed-ngram feature set). Uses the
-    shared ``text.ngrams_expr`` sliding window, so the DuckDB mirror is
-    the documented ``list_transform(range(...))`` form; the empty
-    partial gram a token-less document would emit is filtered so an
-    empty document has NO features and scores exactly 0."""
+    shared ``text.ngrams_expr`` sliding window, guarded to documents
+    with >= 2 tokens — the clipped partial gram ``ngrams_expr`` emits
+    for shorter documents would double-count a 1-token document's only
+    token (and give a token-less document a phantom '' feature), so
+    sub-bigram documents contribute unigrams only and an empty document
+    has NO features and scores exactly 0. DuckDB mirror:
+    list_concat(toks, CASE WHEN len(toks) >= 2 THEN
+    list_transform(range(1, len(toks)), i ->
+    array_to_string(toks[i:i+1], ' ')) ELSE [] END)."""
     toks = tokens_expr(F.col(text_col))
-    return F.filter(
-        F.concat(toks, ngrams_expr(toks, 2)), lambda g: g != ""
+    return F.concat(
+        toks,
+        F.when(F.size(toks) >= 2, ngrams_expr(toks, 2))
+        .otherwise(F.array().cast("array<string>")),
     )
 
 
 def dsir_bucket_expr(gram, n_buckets: int):
-    """gram -> bucket in [0, n_buckets) via the first 8 hex chars of md5
-    (engine-portable: ``('0x' || substr(md5(g),1,8))::BIGINT % B`` in
-    DuckDB). Non-negative because the 32-bit value is."""
-    return F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long") % n_buckets
+    """gram -> bucket in [0, n_buckets): the ONE engine-portable bucket
+    rule (``vectorize.term_hash_expr`` — first 8 md5 hex chars mod B),
+    shared with the hashing vectorizer so the two feature spaces and
+    their SQL mirrors can never drift."""
+    return term_hash_expr(gram, n_buckets)
 
 
 def dsir_ngram_counts(
@@ -95,7 +104,20 @@ def dsir_log_ratio(
     def _vec(cdf: DataFrame) -> tuple[list[int], int]:
         v = [0] * n_buckets
         for r in cdf.collect():
-            v[int(r["bucket"])] = int(r["cnt"])
+            b = int(r["bucket"])
+            if b >= n_buckets:
+                # a mismatched table is not an error Spark would raise:
+                # too-large n_buckets pads phantom smoothing-only slots
+                # and MISALIGNS scoring's hash space with the counts —
+                # every weight silently garbage. Fail loud instead.
+                raise ValueError(
+                    f"dsir_log_ratio: bucket {b} >= n_buckets="
+                    f"{n_buckets}; the count frames were built with a "
+                    "different n_buckets — pass the same value to "
+                    "dsir_ngram_counts, dsir_log_ratio and "
+                    "dsir_logweights"
+                )
+            v[b] = int(r["cnt"])
         return v, sum(v)
 
     t, t_tot = _vec(target_counts)

@@ -5189,11 +5189,14 @@ SQL_DOCS_SAMPLE = f"""
         FROM documents
     ), ds_grams AS (
         SELECT doc_id, lang, source,
-               list_filter(list_concat(
+               list_concat(
                    toks,
-                   list_transform(range(1, greatest(len(toks)-2, 0)+2),
-                                  i -> array_to_string(toks[i:i+1], ' '))
-               ), x -> x != '') AS grams
+                   CASE WHEN len(toks) >= 2 THEN
+                       list_transform(range(1, len(toks)),
+                                      i -> array_to_string(
+                                          toks[i:i+1], ' '))
+                   ELSE [] END
+               ) AS grams
         FROM ds_toks
     ), ds_buckets AS (
         SELECT lang,

@@ -1372,12 +1372,14 @@ def _duck_dsir_weights(sf_dir, log_ratio, n_buckets):
             FROM '{sf_dir}/documents.parquet'
         ), g AS (
             SELECT doc_id,
-                   list_filter(list_concat(
+                   list_concat(
                        toks,
-                       list_transform(
-                           range(1, greatest(len(toks)-2, 0)+2),
-                           i -> array_to_string(toks[i:i+1], ' '))
-                   ), x -> x != '') AS grams
+                       CASE WHEN len(toks) >= 2 THEN
+                           list_transform(
+                               range(1, len(toks)),
+                               i -> array_to_string(toks[i:i+1], ' '))
+                       ELSE [] END
+                   ) AS grams
             FROM t
         ), v AS (
             SELECT doc_id,
@@ -1415,11 +1417,13 @@ def test_dsir_counts_match_duckdb(dsir_mod, docs, sf_dir):
                                x -> x != '') AS toks
             FROM '{sf_dir}/documents.parquet'
         ), g AS (
-            SELECT unnest(list_filter(list_concat(
+            SELECT unnest(list_concat(
                 toks,
-                list_transform(range(1, greatest(len(toks)-2, 0)+2),
-                               i -> array_to_string(toks[i:i+1], ' '))
-            ), x -> x != '')) AS gram FROM t
+                CASE WHEN len(toks) >= 2 THEN
+                    list_transform(range(1, len(toks)),
+                                   i -> array_to_string(toks[i:i+1], ' '))
+                ELSE [] END
+            )) AS gram FROM t
         )
         SELECT ('0x' || substr(md5(gram), 1, 8))::BIGINT % {B}, count(*)
         FROM g GROUP BY 1
