@@ -705,3 +705,55 @@ def pack_chunks(
         (span_s - F.col("start")).alias("tok_start"),
         (span_e - span_s).alias("tok_len"),
     )
+
+
+def score_buckets(
+    df: DataFrame,
+    score_col: str,
+    *,
+    by: list[str] | None = None,
+    n_buckets: int = 3,
+    out: str = "bucket",
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet-style quantile bucketing of a per-document quality score:
+    assign each row the 1-based bucket of its ``score_col`` quantile
+    (ascending — with :func:`lm_logprob` as the score, bucket
+    ``n_buckets`` is CCNet's low-perplexity "head", bucket 1 the tail),
+    optionally within ``by`` groups (CCNet buckets per language).
+    NULL scores stay NULL (documents too short to score — callers
+    decide their fate, as in ``lm_logprob``).
+
+    Plan: ONE aggregation computes the n-1 cutoffs
+    (``percentile_approx`` by default — the sketch is what survives
+    100 TB; ``exact=True`` switches to exact interpolated percentiles
+    for cross-engine verification), then bucketing is a pure
+    projection: global cutoffs are collected driver-side (n-1 doubles)
+    and inlined as literals; per-group cutoffs come back through ONE
+    broadcast equi-join (the cutoff frame is group-count-sized). Never
+    a global sort, never a window over an unpartitioned table."""
+    if n_buckets < 2:
+        raise ValueError("score_buckets: n_buckets must be >= 2")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    pct = (
+        F.percentile(F.col(score_col), F.lit(qs))
+        if exact
+        else F.percentile_approx(F.col(score_col), F.lit(qs), F.lit(accuracy))
+    )
+    s = F.col(score_col)
+
+    def _bucket(th_col):
+        return F.when(
+            s.isNotNull(),
+            F.lit(1)
+            + F.size(F.filter(th_col, lambda t: (s > t) & t.isNotNull())),
+        )
+
+    if not by:
+        th = df.agg(pct.alias("_th")).collect()[0]["_th"] or []
+        lits = F.array(*[F.lit(float(t)) for t in th])
+        return df.withColumn(out, _bucket(lits))
+    cuts = df.groupBy(*by).agg(pct.alias("_th"))
+    joined = df.join(F.broadcast(cuts), by, "left")
+    return joined.withColumn(out, _bucket(F.col("_th"))).drop("_th")

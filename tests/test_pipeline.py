@@ -1517,3 +1517,73 @@ def test_dsir_logweights_is_pure_projection(dsir_mod, docs):
     table = [0.01 * i for i in range(64)]
     out = dsir_mod.dsir_logweights(docs, "doc_id", "text", table)
     assert_scale_shape(out, max_shuffles=0, max_py_stages=0)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style quantile bucketing
+# ---------------------------------------------------------------------------
+
+def test_score_buckets_global_and_grouped(docs, sf_dir):
+    """Exact-percentile terciles match DuckDB's quantile_cont cutoffs
+    (same interpolation formula), globally and per language; NULL
+    scores stay NULL; approx mode agrees with exact on bucket counts
+    at fixture scale."""
+    scored = docs.withColumn("s", F.col("n_chars").cast("double"))
+    out = text.score_buckets(scored, "s", n_buckets=3, exact=True)
+    got = {r.doc_id: r.bucket for r in out.collect()}
+    duck = dict(
+        duckdb.sql(f"""
+        WITH cut AS (
+            SELECT quantile_cont(n_chars::DOUBLE, [1.0/3, 2.0/3]) AS th
+            FROM '{sf_dir}/documents.parquet'
+        )
+        SELECT doc_id,
+               1 + len(list_filter(th, t -> n_chars::DOUBLE > t))
+        FROM '{sf_dir}/documents.parquet', cut
+    """).fetchall()
+    )
+    assert got == duck
+    assert set(got.values()) == {1, 2, 3}
+
+    grouped = text.score_buckets(
+        scored, "s", by=["lang"], n_buckets=3, exact=True
+    )
+    gg = {r.doc_id: r.bucket for r in grouped.collect()}
+    duck_g = dict(
+        duckdb.sql(f"""
+        WITH cut AS (
+            SELECT lang, quantile_cont(n_chars::DOUBLE, [1.0/3, 2.0/3]) AS th
+            FROM '{sf_dir}/documents.parquet' GROUP BY lang
+        )
+        SELECT d.doc_id,
+               1 + len(list_filter(cut.th, t -> d.n_chars::DOUBLE > t))
+        FROM '{sf_dir}/documents.parquet' d JOIN cut USING (lang)
+    """).fetchall()
+    )
+    assert gg == duck_g
+
+    # NULL scores stay NULL
+    withnull = scored.withColumn(
+        "s", F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("s"))
+    )
+    nn = text.score_buckets(withnull, "s", n_buckets=3, exact=True)
+    for r in nn.collect():
+        assert (r.bucket is None) == (r.doc_id % 7 == 0)
+
+    # approx sketch: same bucket for almost every row at this scale
+    ap = {r.doc_id: r.bucket for r in text.score_buckets(
+        scored, "s", n_buckets=3).collect()}
+    agree = sum(ap[d] == got[d] for d in got) / len(got)
+    assert agree > 0.95
+
+
+def test_score_buckets_is_projection_after_one_agg(docs):
+    """Global bucketing is a pure projection (cutoffs inlined); grouped
+    bucketing is ONE broadcast join — no sort, no window, no Python."""
+    from prague_spark.plan_audit import assert_scale_shape
+
+    scored = docs.withColumn("s", F.col("n_chars").cast("double"))
+    out = text.score_buckets(scored, "s", n_buckets=4)
+    assert_scale_shape(out, max_shuffles=0, max_py_stages=0)
+    grouped = text.score_buckets(scored, "s", by=["lang"], n_buckets=4)
+    assert_scale_shape(grouped, max_shuffles=1, max_py_stages=0)

@@ -1157,3 +1157,35 @@ def test_streaming_quality_gate_matches_batch(spark, sf_dir, tmp_path):
         assert got[d][1] == expected[d][1]
         assert got[d][0] == pytest.approx(expected[d][0], rel=1e-9)
     labeled.unpersist()
+
+
+def test_streaming_dsir_scoring_matches_batch(spark, sf_dir, tmp_path):
+    """dsir_logweights(method='literal') is a zero-shuffle codegen
+    projection, so the SAME call runs under readStream with no
+    watermark/state — pin exact weight parity (bit-exact: identical
+    fold over identical literals)."""
+    from prague_spark.pipeline.dsir import dsir_logweights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    table = [0.001 * ((7 * i) % 23 - 11) for i in range(1024)]
+    expected = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_logweights(docs, "doc_id", "text", table)
+        .select("doc_id", "dsir_logw").collect()
+    }
+    ddir = str(tmp_path / "dsir_docs")
+    docs.select("doc_id", "text").repartition(2).write.parquet(ddir)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(ddir)
+    scored = dsir_logweights(stream, "doc_id", "text", table)
+    got = {}
+
+    def sink(batch_df, _):
+        for r in batch_df.select("doc_id", "dsir_logw").collect():
+            got[r["doc_id"]] = r["dsir_logw"]
+
+    q = scored.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    try:
+        assert q.awaitTermination(120), "dsir stream did not finish"
+    finally:
+        q.stop()
+    assert got == expected          # exact equality, not approx
