@@ -1047,3 +1047,39 @@ def remove_duplicate_spans(
         )
         .select("_d.*", F.coalesce(F.col(out), F.lit("")).alias(out))
     )
+
+
+def span_dup_stats(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    out: str = "dup_token_frac",
+) -> DataFrame:
+    """Per-document duplicated-token fraction from a
+    :func:`duplicate_spans` frame — the gate metric (drop documents
+    whose duplicate fraction exceeds a budget, keep-and-strip the
+    rest). Span lengths sum per document (maximal spans never overlap,
+    so the sum IS the covered-token count) and divide by the document's
+    token count; documents with no spans score 0.0.
+
+    ONE model-free aggregation over the span frame (already tiny
+    relative to the corpus) + one join — no re-tokenization of covered
+    positions, no explode."""
+    covered = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("_cov")
+    )
+    ntok = F.size(tokens_expr(F.col(text_col)))
+    return (
+        df.join(covered.withColumnRenamed(id_col, "_sd_id"),
+                F.col(id_col) == F.col("_sd_id"), "left")
+        .drop("_sd_id")
+        .withColumn(
+            out,
+            F.when(
+                ntok > 0,
+                F.coalesce(F.col("_cov"), F.lit(0)).cast("double") / ntok,
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_cov")
+    )

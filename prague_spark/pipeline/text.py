@@ -757,3 +757,32 @@ def score_buckets(
     cuts = df.groupBy(*by).agg(pct.alias("_th"))
     joined = df.join(F.broadcast(cuts), by, "left")
     return joined.withColumn(out, _bucket(F.col("_th"))).drop("_th")
+
+
+#: redaction placeholders, keyed like PII_PATTERNS
+PII_PLACEHOLDERS = {
+    "n_emails": "<EMAIL>",
+    "n_urls": "<URL>",
+    "n_phones": "<PHONE>",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    out: str = "redacted_text",
+    kinds: tuple[str, ...] = ("n_emails", "n_urls", "n_phones"),
+) -> DataFrame:
+    """Replace email/URL/phone-shaped spans with typed placeholders —
+    the scrub step :func:`pii_counts` triages for, using the SAME
+    ``PII_PATTERNS`` so counting and redaction can never disagree on
+    what a match is. A chained ``regexp_replace`` projection: pure
+    codegen, zero shuffle, zero Python; order follows ``kinds`` (emails
+    before phones by default, so a number inside an address is consumed
+    by the email match exactly as ``regexp_count`` would)."""
+    col = F.col(text_col)
+    for kind in kinds:
+        col = F.regexp_replace(
+            col, F.lit(PII_PATTERNS[kind]), F.lit(PII_PLACEHOLDERS[kind])
+        )
+    return df.withColumn(out, col)

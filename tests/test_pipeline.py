@@ -1587,3 +1587,41 @@ def test_score_buckets_is_projection_after_one_agg(docs):
     assert_scale_shape(out, max_shuffles=0, max_py_stages=0)
     grouped = text.score_buckets(scored, "s", by=["lang"], n_buckets=4)
     assert_scale_shape(grouped, max_shuffles=1, max_py_stages=0)
+
+
+def test_redact_pii_matches_counts(spark):
+    """Redaction and counting share PII_PATTERNS: the number of
+    placeholders inserted equals pii_counts' tallies, and clean text
+    passes through untouched."""
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@ex-ample.org or visit https://x.io/p?q=1"),
+            (2, "call +1 (555) 123-4567 today"),
+            (3, "no personal data here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.redact_pii(text.pii_counts(df, "text"), "text")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].redacted_text == "mail me at <EMAIL> or visit <URL>"
+    assert rows[2].redacted_text == "call <PHONE> today"
+    assert rows[3].redacted_text == "no personal data here"
+    for r in rows.values():
+        for kind, ph in text.PII_PLACEHOLDERS.items():
+            assert r.redacted_text.count(ph) == r[kind]
+    # pure projection
+    from prague_spark.plan_audit import assert_scale_shape
+    assert_scale_shape(text.redact_pii(df, "text"),
+                       max_shuffles=0, max_py_stages=0)
+
+
+def test_span_dup_stats(span_docs):
+    spans = dedup.duplicate_spans(span_docs, "doc_id", "text", k=4)
+    out = dedup.span_dup_stats(span_docs, spans, "doc_id", "text")
+    got = {r.doc_id: r.dup_token_frac for r in out.collect()}
+    assert got[1] == pytest.approx(6 / 8)   # 6 covered of 8 tokens
+    assert got[2] == pytest.approx(6 / 8)
+    assert got[3] == 0.0
+    assert got[4] == 0.0                    # sub-k doc
+    assert got[5] == 1.0                    # fully covered
+    assert out.count() == span_docs.count()
