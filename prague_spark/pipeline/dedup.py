@@ -962,12 +962,11 @@ def duplicate_spans(
     from pyspark.sql import Window
 
     toks = tokens_expr(F.col(text_col))
+    # the shared ngrams_expr sliding window (identical to the hand-rolled
+    # form for size >= k; the guard excludes its short-doc partial gram)
     grams = F.when(
         F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
-        ),
+        F.transform(ngrams_expr(toks, k), F.md5),
     ).otherwise(F.array().cast("array<string>"))
     pos_grams = df.select(
         F.col(id_col).alias("_id"), F.posexplode(grams).alias("_pos", "_h")
@@ -1020,10 +1019,13 @@ def remove_duplicate_spans(
     The span->position expansion is an explode of ``sequence(start,
     end)`` followed by an (id, pos) EQUI anti-join — never a range theta
     join — so the cost is O(total tokens + total covered positions)."""
+    # no distinct(): duplicate right-side rows cannot change a left_anti
+    # join's output, and duplicate_spans' maximal spans never overlap
+    # anyway — a distinct here would be a whole extra shuffle
     covered = spans.select(
         F.col(id_col).alias("_id"),
         F.explode(F.sequence("span_start", "span_end")).alias("_pos"),
-    ).distinct()
+    )
     toks_pos = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(tokens_expr(F.col(text_col))).alias("_pos", "_tok"),

@@ -58,8 +58,12 @@ def dsir_grams_expr(text_col):
     has NO features and scores exactly 0. DuckDB mirror:
     list_concat(toks, CASE WHEN len(toks) >= 2 THEN
     list_transform(range(1, len(toks)), i ->
-    array_to_string(toks[i:i+1], ' ')) ELSE [] END)."""
-    toks = tokens_expr(F.col(text_col))
+    array_to_string(toks[i:i+1], ' ')) ELSE [] END). NULL text is an
+    EMPTY gram set (not NULL), so both scoring methods agree that such
+    a document weighs exactly 0."""
+    toks = F.coalesce(
+        tokens_expr(F.col(text_col)), F.array().cast("array<string>")
+    )
     return F.concat(
         toks,
         F.when(F.size(toks) >= 2, ngrams_expr(toks, 2))

@@ -755,7 +755,17 @@ def score_buckets(
         lits = F.array(*[F.lit(float(t)) for t in th])
         return df.withColumn(out, _bucket(lits))
     cuts = df.groupBy(*by).agg(pct.alias("_th"))
-    joined = df.join(F.broadcast(cuts), by, "left")
+    # eqNullSafe join: groupBy computed cutoffs for the NULL group too,
+    # and a plain equi-join would silently drop its rows from every
+    # bucket (null-safe equality is still hash-joinable, so the
+    # broadcast plan shape is unchanged)
+    cond = None
+    for c in by:
+        e = F.col(f"_sb_d.{c}").eqNullSafe(F.col(f"_sb_c.{c}"))
+        cond = e if cond is None else (cond & e)
+    joined = df.alias("_sb_d").join(
+        F.broadcast(cuts.alias("_sb_c")), cond, "left"
+    ).select("_sb_d.*", F.col("_sb_c._th").alias("_th"))
     return joined.withColumn(out, _bucket(F.col("_th"))).drop("_th")
 
 
@@ -775,11 +785,19 @@ def redact_pii(
 ) -> DataFrame:
     """Replace email/URL/phone-shaped spans with typed placeholders —
     the scrub step :func:`pii_counts` triages for, using the SAME
-    ``PII_PATTERNS`` so counting and redaction can never disagree on
-    what a match is. A chained ``regexp_replace`` projection: pure
-    codegen, zero shuffle, zero Python; order follows ``kinds`` (emails
-    before phones by default, so a number inside an address is consumed
-    by the email match exactly as ``regexp_count`` would)."""
+    ``PII_PATTERNS`` so the two can never disagree on what a match is.
+    A chained ``regexp_replace`` projection: pure codegen, zero
+    shuffle, zero Python.
+
+    Passes apply in ``kinds`` order and each consumes text: a span
+    matching SEVERAL kinds (an email inside a URL, a phone-shaped
+    number that is an email's local part) is redacted exactly ONCE, by
+    the first matching pass — so placeholder tallies can be LOWER than
+    ``pii_counts`` (which counts each kind independently on the
+    original text) whenever kinds overlap. The defaults put emails
+    before phones so 555-shaped local parts become <EMAIL>, not a
+    <PHONE> splice inside an address; every PII span is still covered
+    by some placeholder either way, which is the scrub contract."""
     col = F.col(text_col)
     for kind in kinds:
         col = F.regexp_replace(

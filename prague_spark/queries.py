@@ -1648,7 +1648,12 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     Columns: (part, id_a, id_b, v) — for 'sig', id_b is the hash index
     and v the signature value; for 'pair', v is the Jaccard estimate."""
     docs = load(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=_MH_N, shingle_n=1)
+    # the caller owns the signatures cache (minhash_lsh_candidates pins
+    # only its own frames): persist it here, where the signature
+    # pipeline feeds the banding AND both sides of the estimate's join
+    sig = dedup.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=_MH_N, shingle_n=1
+    ).persist()
     pairs = dedup.minhash_lsh_candidates(sig, "doc_id", bands=2, rows_per_band=2)
     out = dedup.minhash_jaccard_estimate(sig, pairs)
     sig_rows = sig.select(

@@ -1590,9 +1590,11 @@ def test_score_buckets_is_projection_after_one_agg(docs):
 
 
 def test_redact_pii_matches_counts(spark):
-    """Redaction and counting share PII_PATTERNS: the number of
-    placeholders inserted equals pii_counts' tallies, and clean text
-    passes through untouched."""
+    """Redaction and counting share PII_PATTERNS: on NON-overlapping
+    spans the placeholder tallies equal pii_counts'; a span matching
+    several kinds is redacted exactly once by the first pass (the scrub
+    contract — no PII fragment may survive), so its other kinds' counts
+    exceed their placeholder tallies."""
     df = spark.createDataFrame(
         [
             (1, "mail me at a.b+c@ex-ample.org or visit https://x.io/p?q=1"),
@@ -1609,6 +1611,20 @@ def test_redact_pii_matches_counts(spark):
     for r in rows.values():
         for kind, ph in text.PII_PLACEHOLDERS.items():
             assert r.redacted_text.count(ph) == r[kind]
+    # overlapping kinds: one placeholder covers the span, nothing leaks
+    ov = spark.createDataFrame(
+        [
+            (1, "see https://x.com/?u=a@b.co now"),   # email inside URL
+            (2, "fax 1234567890@mail.co ok"),         # phone-shaped local part
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.redacted_text
+           for r in text.redact_pii(ov, "text").collect()}
+    assert got[1] == "see <URL> now"                  # URL pass consumed it
+    assert got[2] == "fax <EMAIL> ok"                 # email pass ran first
+    for t in got.values():
+        assert "@" not in t and "http" not in t       # no fragment survives
     # pure projection
     from prague_spark.plan_audit import assert_scale_shape
     assert_scale_shape(text.redact_pii(df, "text"),
@@ -1625,3 +1641,34 @@ def test_span_dup_stats(span_docs):
     assert got[4] == 0.0                    # sub-k doc
     assert got[5] == 1.0                    # fully covered
     assert out.count() == span_docs.count()
+
+
+def test_score_buckets_null_group_key(spark):
+    """Rows whose group key is NULL form their own group (eqNullSafe
+    cutoff join): their non-NULL scores still land in a valid bucket."""
+    df = spark.createDataFrame(
+        [(i, None if i % 2 == 0 else "en", float(i)) for i in range(1, 13)],
+        "doc_id long, lang string, s double",
+    )
+    out = text.score_buckets(df, "s", by=["lang"], n_buckets=2, exact=True)
+    rows = out.collect()
+    assert all(r.bucket in (1, 2) for r in rows)
+    null_rows = sorted((r.s, r.bucket) for r in rows if r.lang is None)
+    # the NULL group's own median splits ITS scores, not en's
+    assert [b for _, b in null_rows] == [1, 1, 1, 2, 2, 2]
+
+
+def test_dsir_null_text_scores_zero_both_methods(spark):
+    """NULL text = no grams = weight exactly 0.0 under BOTH scoring
+    methods (the literal fold must not propagate NULL)."""
+    from prague_spark.pipeline.dsir import dsir_logweights
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "hello world")], "doc_id long, text string"
+    )
+    for m in ("literal", "join"):
+        got = {r.doc_id: r.dsir_logw
+               for r in dsir_logweights(df, "doc_id", "text",
+                                        [0.25] * 64, method=m).collect()}
+        assert got[1] == 0.0, (m, got)
+        assert got[2] == pytest.approx(0.75)   # 2 unigrams + 1 bigram
