@@ -44,6 +44,7 @@ __all__ = [
     "dsir_log_ratio",
     "dsir_logweights",
     "dsir_gumbel_select",
+    "dsir_threshold_select",
 ]
 
 
@@ -213,6 +214,21 @@ def dsir_logweights(
     )
 
 
+def _gumbel_expr(id_col: str, seed: str):
+    """Deterministic standard-Gumbel noise from md5(seed:id) — the
+    ``sample.hash_unit`` convention, shared by both selectors."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col))), 1, 8
+            ),
+            16, 10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))  # u in (0, 1), never exactly 0 or 1
+    return -F.log(-F.log(u))
+
+
 def dsir_gumbel_select(
     df: DataFrame,
     id_col: str,
@@ -228,19 +244,42 @@ def dsir_gumbel_select(
     ``sample.hash_unit`` convention) and shard-stable.
 
     Plan: one TakeOrdered (per-partition top-``n_keep`` heads merged on
-    the driver) — NEVER a global sort; ``n_keep`` must be driver-sized,
-    which a selection budget is."""
-    u = (
-        F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col))), 1, 8),
-            16, 10,
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(1 << 32))  # u in (0, 1), never exactly 0 or 1
-    gumbel = -F.log(-F.log(u))
+    the driver, k x partitions rows) — NEVER a global sort. ``n_keep``
+    must be driver-sized; for corpus-fraction budgets use
+    :func:`dsir_threshold_select` instead."""
     return (
-        df.withColumn("_dsir_key", F.col(logw_col) + gumbel)
+        df.withColumn("_dsir_key", F.col(logw_col) + _gumbel_expr(id_col, seed))
         .orderBy(F.col("_dsir_key").desc(), F.col(id_col))
         .limit(int(n_keep))
         .drop("_dsir_key")
     )
+
+
+def dsir_threshold_select(
+    df: DataFrame,
+    id_col: str,
+    logw_col: str,
+    frac: float,
+    *,
+    seed: str = "dsir",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Corpus-fraction variant of :func:`dsir_gumbel_select` for budgets
+    too large to merge on the driver (TakeOrdered collects
+    k x partitions head rows): estimate the (1 - frac) quantile of the
+    Gumbel-perturbed key with ONE ``percentile_approx`` aggregation,
+    then keep rows above it — a pure filter afterwards, so the selected
+    fraction is approximate (sketch error) but the plan touches nothing
+    driver-sized. Same deterministic md5 Gumbel noise as the exact
+    top-k, so a row's key is identical under both selectors."""
+    if not 0.0 < frac < 1.0:
+        raise ValueError("dsir_threshold_select: frac must be in (0, 1)")
+    keyed = df.withColumn(
+        "_dsir_key", F.col(logw_col) + _gumbel_expr(id_col, seed)
+    )
+    cut = keyed.agg(
+        F.percentile_approx(
+            F.col("_dsir_key"), F.lit(1.0 - frac), F.lit(accuracy)
+        )
+    ).collect()[0][0]
+    return keyed.filter(F.col("_dsir_key") > float(cut)).drop("_dsir_key")

@@ -1672,3 +1672,39 @@ def test_dsir_null_text_scores_zero_both_methods(spark):
                                         [0.25] * 64, method=m).collect()}
         assert got[1] == 0.0, (m, got)
         assert got[2] == pytest.approx(0.75)   # 2 unigrams + 1 bigram
+
+
+def test_dsir_threshold_select_agrees_with_topk(dsir_mod, docs):
+    """The scale-path threshold selector keeps ~frac of the corpus and
+    agrees with the exact Gumbel top-k on the shared key (identical
+    noise), up to sketch error at the cut."""
+    table = [0.01 * ((i % 11) - 5) for i in range(256)]
+    scored = dsir_mod.dsir_logweights(docs, "doc_id", "text", table).cache()
+    n = scored.count()
+    frac = 0.3
+    sel = dsir_mod.dsir_threshold_select(scored, "doc_id", "dsir_logw", frac)
+    k = sel.count()
+    assert abs(k - frac * n) <= max(3, 0.05 * n)    # sketch-accurate size
+    # determinism + column hygiene
+    assert sel.columns == scored.columns
+    ids_a = {r.doc_id for r in sel.select("doc_id").collect()}
+    ids_b = {
+        r.doc_id
+        for r in dsir_mod.dsir_threshold_select(
+            scored, "doc_id", "dsir_logw", frac
+        ).select("doc_id").collect()
+    }
+    assert ids_a == ids_b
+    # same key as the exact selector: top-k(k) == thresholded set up to
+    # ties/sketch error at the boundary
+    topk = {
+        r.doc_id
+        for r in dsir_mod.dsir_gumbel_select(
+            scored, "doc_id", "dsir_logw", k
+        ).select("doc_id").collect()
+    }
+    overlap = len(ids_a & topk) / max(k, 1)
+    assert overlap > 0.95
+    with pytest.raises(ValueError):
+        dsir_mod.dsir_threshold_select(scored, "doc_id", "dsir_logw", 1.5)
+    scored.unpersist()
