@@ -51,11 +51,53 @@ def _run_pipe(spark, sf_dir):
     # pervasive (median contamination ~0.69 at sf0.01) and 0.5 would
     # leave a ~4-doc tail that no longer exercises the downstream
     # stages. 0.8 removes a small real set and keeps the population.
+    # 2c. exact-substring span gate (round-9 tier): documents that are
+    # mostly recurring k-gram runs are template spam — the gate drops
+    # them by duplicated-token fraction (the strip variant is pinned in
+    # test_pipeline; the fixture's word bags make stripping destructive)
+    spans = dedup.duplicate_spans(clean, "doc_id", "text", k=5)
+    stats = dedup.span_dup_stats(clean, spans, "doc_id", "text")
+    clean = stats.filter(F.col("dup_token_frac") <= 0.9).drop(
+        "dup_token_frac"
+    )
+
     _CONTAM = 0.8
     bad = dedup.contamination(clean, evals, "doc_id", "text").filter(
         F.col("contamination") >= _CONTAM
     )
     clean = clean.join(bad.select("doc_id"), "doc_id", "left_anti").cache()
+
+    # 3c. DSIR selection toward the English target distribution
+    # (round-9 tier): a gentle 85% keep — the point is the composition,
+    # and the deterministic Gumbel draw replays exactly
+    from prague_spark.pipeline.dsir import (
+        dsir_gumbel_select, dsir_log_ratio, dsir_logweights,
+        dsir_ngram_counts,
+    )
+
+    _B = 1024
+    ratio = dsir_log_ratio(
+        dsir_ngram_counts(clean.filter(F.col("lang") == "en"), "text",
+                          n_buckets=_B),
+        dsir_ngram_counts(clean, "text", n_buckets=_B),
+        n_buckets=_B,
+    )
+    weighted = dsir_logweights(clean, "doc_id", "text", ratio)
+    n_keep = int(clean.count() * 0.85)
+    clean = dsir_gumbel_select(
+        weighted, "doc_id", "dsir_logw", n_keep
+    ).drop("dsir_logw").cache()
+
+    # 3d. CCNet-style quality terciles per language (round-9 tier) —
+    # the bucket travels as a column; downstream stages are unaffected
+    scored_q = text.quality_score(clean, "text")
+    bucketed = text.score_buckets(
+        scored_q, "q_score", by=["lang"], n_buckets=3, out="q_bucket",
+    )
+    clean = bucketed.drop(
+        *[c for c in bucketed.columns
+          if c.startswith("q_") and c != "q_bucket"]
+    )
 
     # 3b. held-out split before mixing
     split = split_assign(clean, "doc_id", {"train": 0.9, "val": 0.1})
@@ -99,6 +141,16 @@ def test_curation_recipe_end_to_end(spark, sf_dir, tmp_path):
         F.col("contamination") >= 0.8
     )
     assert again.count() == 0
+
+    # span gate converged: no surviving doc is >90% recurring k-grams
+    sp = dedup.duplicate_spans(clean, "doc_id", "text", k=5)
+    frac = dedup.span_dup_stats(clean, sp, "doc_id", "text")
+    assert frac.filter(F.col("dup_token_frac") > 0.9).count() == 0
+
+    # quality terciles: every survivor carries a valid bucket
+    assert clean.filter(
+        ~F.col("q_bucket").isin(1, 2, 3) | F.col("q_bucket").isNull()
+    ).count() == 0
 
     # split partitions clean exactly
     by_split = {r["split"]: r["n"] for r in
