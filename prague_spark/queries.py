@@ -977,9 +977,13 @@ def q_dedup_exact(spark, sf_dir):
     (dedup.duplicate_spans at k=5: positions of corpus k-grams recurring
     >= 2x, merged into maximal spans by the gaps-and-islands windows —
     the Lee et al. 2022 substring-dedup tier, re-derived in SQL with the
-    identical md5 gram hashes and window chain). Columns are
+    identical md5 gram hashes and window chain), and a round-9
+    session-2 'sfrac' slice (dedup.span_dup_stats — the gate metric:
+    per-document covered-token count and token count, INTEGER-exact,
+    one row per document that has at least one span). Columns are
     slice-tagged: exact -> (a=n_copies, b=-1, c=-1); spans ->
-    (a=span_start, b=span_end, c=n_dup_grams)."""
+    (a=span_start, b=span_end, c=n_dup_grams); sfrac ->
+    (a=covered_tokens, b=n_tokens, c=-1)."""
     docs = load(spark, sf_dir, "documents")
     base = dedup.exact_dedup(docs, "text", "doc_id").select(
         F.lit("exact").alias("slice"),
@@ -988,53 +992,74 @@ def q_dedup_exact(spark, sf_dir):
         F.lit(-1).cast("bigint").alias("b"),
         F.lit(-1).cast("bigint").alias("c"),
     )
-    spans = dedup.duplicate_spans(docs, "doc_id", "text", k=_SPAN_K).select(
+    span_frame = dedup.duplicate_spans(docs, "doc_id", "text", k=_SPAN_K)
+    spans = span_frame.select(
         F.lit("spans").alias("slice"),
         "doc_id",
         F.col("span_start").cast("bigint").alias("a"),
         F.col("span_end").cast("bigint").alias("b"),
         F.col("n_dup_grams").cast("bigint").alias("c"),
     )
-    return base.unionByName(spans)
+    ntok = F.size(F.filter(F.split(F.lower("text"), r"\s+"),
+                           lambda t: t != ""))
+    sfrac = (
+        dedup.span_dup_stats(docs, span_frame, "doc_id", "text",
+                             out="_frac")
+        .filter(F.col("_frac") > 0)
+        .select(
+            F.lit("sfrac").alias("slice"),
+            "doc_id",
+            F.round(F.col("_frac") * ntok).cast("bigint").alias("a"),
+            ntok.cast("bigint").alias("b"),
+            F.lit(-1).cast("bigint").alias("c"),
+        )
+    )
+    return base.unionByName(spans).unionByName(sfrac)
 
 
 SQL_DEDUP_EXACT = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x != '') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, g.i AS pos,
+               md5(array_to_string(t[g.i+1:g.i+{_SPAN_K}], ' ')) AS h
+        FROM toks,
+             LATERAL unnest(range(0, len(t)-{_SPAN_K}+1)) AS g(i)
+        WHERE len(t) >= {_SPAN_K}
+    ), hits AS (
+        SELECT doc_id, pos FROM grams
+        WHERE h IN (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2)
+    ), flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) > {_SPAN_K}
+                    THEN 1 ELSE 0 END AS brk
+        FROM hits
+    ), isl AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS i
+        FROM flagged
+    ), sp AS (
+        SELECT doc_id, min(pos)::BIGINT AS a,
+               (max(pos) + {_SPAN_K} - 1)::BIGINT AS b,
+               count(*)::BIGINT AS c
+        FROM isl GROUP BY doc_id, i
+    )
     SELECT 'exact' AS slice, min(doc_id) AS doc_id,
            count(*)::BIGINT AS a, (-1)::BIGINT AS b, (-1)::BIGINT AS c
     FROM documents GROUP BY md5(text)
     UNION ALL
-    SELECT 'spans' AS slice, doc_id, min(pos)::BIGINT AS a,
-           (max(pos) + {_SPAN_K} - 1)::BIGINT AS b, count(*)::BIGINT AS c
+    SELECT 'spans' AS slice, doc_id, a, b, c FROM sp
+    UNION ALL
+    SELECT 'sfrac' AS slice, cov.doc_id, cov.cv AS a,
+           len(toks.t)::BIGINT AS b, (-1)::BIGINT AS c
     FROM (
-        SELECT doc_id, pos,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-        FROM (
-            SELECT doc_id, pos,
-                   CASE WHEN pos - lag(pos) OVER
-                        (PARTITION BY doc_id ORDER BY pos) > {_SPAN_K}
-                        THEN 1 ELSE 0 END AS brk
-            FROM (
-                WITH toks AS (
-                    SELECT doc_id,
-                           list_filter(string_split_regex(lower(text),
-                                                          '\\s+'),
-                                       x -> x != '') AS t
-                    FROM documents
-                ), grams AS (
-                    SELECT doc_id, g.i AS pos,
-                           md5(array_to_string(
-                               t[g.i+1:g.i+{_SPAN_K}], ' ')) AS h
-                    FROM toks,
-                         LATERAL unnest(
-                             range(0, len(t)-{_SPAN_K}+1)) AS g(i)
-                    WHERE len(t) >= {_SPAN_K}
-                )
-                SELECT doc_id, pos FROM grams
-                WHERE h IN (SELECT h FROM grams
-                            GROUP BY h HAVING count(*) >= 2)
-            )
-        )
-    ) GROUP BY doc_id, isl
+        SELECT doc_id, sum(b - a + 1)::BIGINT AS cv
+        FROM sp GROUP BY doc_id
+    ) cov JOIN toks USING (doc_id)
 """
 
 
@@ -5017,7 +5042,10 @@ def q_docs_sample_stratified(spark, sf_dir):
     left fold and re-derived BIT-exactly in SQL via
     list_dot_product(vals, ones) over the identical literals; the
     weight rides order_key as floor(logw * 1e6) so the compare stays
-    integer-exact."""
+    integer-exact. A 'qbuck' slice pins text.score_buckets (CCNet-style
+    per-language EXACT quantile terciles of n_chars — Spark's exact
+    interpolated percentile bit-matches DuckDB quantile_cont, so the
+    bucket ids compare integer-exact; bucket rides epoch)."""
     from .pipeline.sample import (
         mix_corpus, shard_assign, split_assign, stratified_sample,
         zorder_key,
@@ -5075,9 +5103,19 @@ def q_docs_sample_stratified(spark, sf_dir):
         F.floor(F.col("dsir_logw") * F.lit(1e6))
         .cast("bigint").cast("string").alias("order_key"),
     )
+    from .pipeline.text import score_buckets
+
+    qb = score_buckets(
+        docs.withColumn("_s", F.col("n_chars").cast("double")),
+        "_s", by=["lang"], n_buckets=3, exact=True, out="_qb",
+    ).select(
+        F.lit("qbuck").alias("tag"), "doc_id", "lang", "source",
+        F.col("_qb").cast("int").alias("epoch"),
+        F.lit(-1).alias("shard"), F.lit("").alias("order_key"),
+    )
     return (
         samp.unionByName(sharded).unionByName(split).unionByName(zo)
-        .unionByName(cnts).unionByName(wts)
+        .unionByName(cnts).unionByName(wts).unionByName(qb)
     )
 
 
@@ -5235,9 +5273,22 @@ SQL_DOCS_SAMPLE = f"""
             FROM ds_grams
         )
     )
+    , qcut AS (
+        SELECT lang,
+               quantile_cont(n_chars::DOUBLE, [1.0/3, 2.0/3]) AS th
+        FROM documents GROUP BY lang
+    ), qbuck AS (
+        SELECT 'qbuck' AS tag, d.doc_id, d.lang, d.source,
+               (1 + len(list_filter(qcut.th,
+                                    t -> d.n_chars::DOUBLE > t)))::INTEGER
+                   AS epoch,
+               -1 AS shard, '' AS order_key
+        FROM documents d JOIN qcut USING (lang)
+    )
     SELECT * FROM samp UNION ALL SELECT * FROM sharded
     UNION ALL SELECT * FROM splitq UNION ALL SELECT * FROM zo
     UNION ALL SELECT * FROM dsirc UNION ALL SELECT * FROM dsirw
+    UNION ALL SELECT * FROM qbuck
 """
 
 
@@ -5388,7 +5439,10 @@ SQL_DOCS_SAMPLE = f"""
 # hashed-ngram bucket counts for target-vs-raw, and the per-document
 # log importance weight under the pinned _DSIR_RATIOS literal table,
 # re-derived BIT-exactly via DuckDB list_dot_product over the same
-# literals).
+# literals). Late session-2 merges: dedup_exact also gains an 'sfrac'
+# slice (span_dup_stats' covered-token / token counts, integer-exact);
+# docs_sample_stratified also gains a 'qbuck' slice (score_buckets
+# exact per-language terciles, bit-matching quantile_cont).
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,
