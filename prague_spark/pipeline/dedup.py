@@ -959,18 +959,7 @@ def duplicate_spans(
     dominant tokenize+md5 scan runs once, not twice. ``persist=False``
     pins nothing (the 100 TB path: materialize the gram frame yourself
     if two scans are worse than storage)."""
-    from pyspark.sql import Window
-
-    toks = tokens_expr(F.col(text_col))
-    # the shared ngrams_expr sliding window (identical to the hand-rolled
-    # form for size >= k; the guard excludes its short-doc partial gram)
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(ngrams_expr(toks, k), F.md5),
-    ).otherwise(F.array().cast("array<string>"))
-    pos_grams = df.select(
-        F.col(id_col).alias("_id"), F.posexplode(grams).alias("_pos", "_h")
-    )
+    pos_grams = _span_gram_positions(df, id_col, text_col, k)
     _evict_generation(_SPANS_CACHE)
     if persist:
         pos_grams = _pin(_SPANS_CACHE, pos_grams)
@@ -981,6 +970,28 @@ def duplicate_spans(
         .select("_h")
     )
     hits = pos_grams.join(recurring, "_h", "left_semi")
+    return _merge_islands(hits, id_col, k)
+
+
+def _span_gram_positions(df, id_col, text_col, k):
+    """(id, pos, md5 k-gram hash) rows — ngrams_expr's sliding window
+    (identical to the hand-rolled form for size >= k; the guard excludes
+    its short-doc partial gram)."""
+    toks = tokens_expr(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(ngrams_expr(toks, k), F.md5),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("_id"), F.posexplode(grams).alias("_pos", "_h")
+    )
+
+
+def _merge_islands(hits, id_col, k):
+    """Gaps-and-islands merge of duplicated gram-start positions into
+    maximal spans (two per-document windows)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("_id").orderBy("_pos")
     islands = hits.withColumn(
         "_brk",
@@ -1001,6 +1012,59 @@ def duplicate_spans(
             "span_start", "span_end", "n_dup_grams",
         )
     )
+
+
+def write_span_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 20,
+    min_count: int = 2,
+) -> None:
+    """Materialize the corpus's recurring-k-gram hash set — the
+    substring-dedup INDEX of the incremental pipeline: build it once
+    over the existing corpus (one gram aggregation), then gate every
+    new shard with :func:`duplicate_spans_against` instead of
+    re-aggregating 100 TB per shard. One (hash) column, stored with the
+    occurrence count for re-thresholding at read time."""
+    (
+        _span_gram_positions(df, id_col, text_col, k)
+        .groupBy("_h")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+        .select(F.col("_h").alias("gram_md5"), "n_occurrences")
+        .write.mode("overwrite").parquet(path)
+    )
+
+
+def duplicate_spans_against(
+    df: DataFrame,
+    recurring: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 20,
+) -> DataFrame:
+    """Incremental :func:`duplicate_spans`: flag spans of ``df`` (a new
+    shard) whose every k-gram already recurs in a PRE-BUILT index
+    (:func:`write_span_index` output, or any frame with a ``gram_md5``
+    column). Semantics delta from the one-shot form, by design: only
+    index recurrence counts — a gram repeated within the new shard but
+    absent from the index is NOT flagged (union the shard into the
+    index, or run the one-shot form on it, to catch those).
+
+    The plan is a semi-join + the per-document windows — NO corpus-wide
+    aggregation, so a shard's pass costs O(shard tokens), not
+    O(corpus). Every step is stream-safe except the island windows, so
+    a streaming shard gate runs this in foreachBatch (a document's
+    positions co-arrive; exactness is pinned in tests)."""
+    pos_grams = _span_gram_positions(df, id_col, text_col, k)
+    hits = pos_grams.join(
+        recurring.select(F.col("gram_md5").alias("_h")), "_h", "left_semi"
+    )
+    return _merge_islands(hits, id_col, k)
 
 
 def remove_duplicate_spans(

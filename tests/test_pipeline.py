@@ -1708,3 +1708,79 @@ def test_dsir_threshold_select_agrees_with_topk(dsir_mod, docs):
     with pytest.raises(ValueError):
         dsir_mod.dsir_threshold_select(scored, "doc_id", "dsir_logw", 1.5)
     scored.unpersist()
+
+
+def test_duplicate_spans_against_index(docs, spark, tmp_path):
+    """The incremental form: an index built from the corpus yields
+    EXACTLY the one-shot operator's spans when the same corpus is
+    gated against it (the recurring set is identical); a shard-local
+    repeat absent from the index is not flagged (documented delta);
+    and the pass against the index needs no corpus-wide aggregation."""
+    from prague_spark.plan_audit import assert_scale_shape
+
+    k = 5
+    path = str(tmp_path / "span_index")
+    dedup.write_span_index(docs, path, "doc_id", "text", k=k)
+    idx = spark.read.parquet(path)
+    assert idx.columns == ["gram_md5", "n_occurrences"]
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
+        for r in dedup.duplicate_spans_against(
+            docs, idx, "doc_id", "text", k=k
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
+        for r in dedup.duplicate_spans(docs, "doc_id", "text", k=k).collect()
+    }
+    assert got == want and len(got) > 10
+
+    # shard-local repeats are NOT flagged by the index-only form
+    shard = spark.createDataFrame(
+        [(9001, "q r s t u q r s t u")], "doc_id long, text string"
+    )
+    assert dedup.duplicate_spans_against(
+        shard, idx, "doc_id", "text", k=k
+    ).count() == 0
+    assert dedup.duplicate_spans(shard, "doc_id", "text", k=k).count() == 1
+
+    # plan: semi-join + windows only — ONE aggregation for the islands,
+    # no corpus-wide gram count, no Python
+    out = dedup.duplicate_spans_against(docs, idx, "doc_id", "text", k=k)
+    assert_scale_shape(out, max_py_stages=0, max_shuffles=4)
+
+
+def test_streaming_span_gate_matches_batch(docs, spark, tmp_path):
+    """A streaming shard gate (foreachBatch over duplicate_spans_against
+    a STATIC index) reproduces the batch spans exactly — a document's
+    gram positions co-arrive in its micro-batch."""
+    k = 5
+    path = str(tmp_path / "span_index_s")
+    dedup.write_span_index(docs, path, "doc_id", "text", k=k)
+    idx = spark.read.parquet(path).cache()
+    expected = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup.duplicate_spans_against(
+            docs, idx, "doc_id", "text", k=k
+        ).collect()
+    }
+    ddir = str(tmp_path / "shard_docs")
+    docs.select("doc_id", "text").repartition(2).write.parquet(ddir)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(ddir)
+    got = set()
+
+    def sink(batch_df, _):
+        spans = dedup.duplicate_spans_against(
+            batch_df, idx, "doc_id", "text", k=k
+        )
+        got.update(
+            (r.doc_id, r.span_start, r.span_end) for r in spans.collect()
+        )
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    assert got == expected
