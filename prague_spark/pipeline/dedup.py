@@ -1034,7 +1034,13 @@ def write_span_index(
         .groupBy("_h")
         .agg(F.count("*").alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= min_count)
-        .select(F.col("_h").alias("gram_md5"), "n_occurrences")
+        .select(
+            F.col("_h").alias("gram_md5"), "n_occurrences",
+            # the window size travels WITH the index: hashes of
+            # different-length grams never match, so a k mismatch at
+            # read time would silently flag nothing
+            F.lit(int(k)).alias("k"),
+        )
         .write.mode("overwrite").parquet(path)
     )
 
@@ -1060,6 +1066,15 @@ def duplicate_spans_against(
     O(corpus). Every step is stream-safe except the island windows, so
     a streaming shard gate runs this in foreachBatch (a document's
     positions co-arrive; exactness is pinned in tests)."""
+    if "k" in recurring.columns:  # write_span_index output: fail loud
+        idx_k = recurring.select("k").first()
+        if idx_k is not None and int(idx_k["k"]) != int(k):
+            raise ValueError(
+                f"duplicate_spans_against: index was built with k="
+                f"{int(idx_k['k'])} but k={k} was requested — md5 "
+                "hashes of different-length grams never match, so the "
+                "gate would silently flag nothing"
+            )
     pos_grams = _span_gram_positions(df, id_col, text_col, k)
     hits = pos_grams.join(
         recurring.select(F.col("gram_md5").alias("_h")), "_h", "left_semi"

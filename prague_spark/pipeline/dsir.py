@@ -282,4 +282,6 @@ def dsir_threshold_select(
             F.col("_dsir_key"), F.lit(1.0 - frac), F.lit(accuracy)
         )
     ).collect()[0][0]
+    if cut is None:  # empty input: nothing to select, don't TypeError
+        return df.filter(F.lit(False))
     return keyed.filter(F.col("_dsir_key") > float(cut)).drop("_dsir_key")

@@ -978,9 +978,10 @@ def q_dedup_exact(spark, sf_dir):
     >= 2x, merged into maximal spans by the gaps-and-islands windows —
     the Lee et al. 2022 substring-dedup tier, re-derived in SQL with the
     identical md5 gram hashes and window chain), and a round-9
-    session-2 'sfrac' slice (dedup.span_dup_stats — the gate metric:
-    per-document covered-token count and token count, INTEGER-exact,
-    one row per document that has at least one span). Columns are
+    session-2 'sfrac' slice (the span-gate metric span_dup_stats
+    thresholds on: per-document covered-token count aggregated straight
+    off the span frame plus the shared-tokenizer token count,
+    INTEGER-exact, one row per document that has at least one span). Columns are
     slice-tagged: exact -> (a=n_copies, b=-1, c=-1); spans ->
     (a=span_start, b=span_end, c=n_dup_grams); sfrac ->
     (a=covered_tokens, b=n_tokens, c=-1)."""
@@ -1000,17 +1001,21 @@ def q_dedup_exact(spark, sf_dir):
         F.col("span_end").cast("bigint").alias("b"),
         F.col("n_dup_grams").cast("bigint").alias("c"),
     )
-    ntok = F.size(F.filter(F.split(F.lower("text"), r"\s+"),
-                           lambda t: t != ""))
+    from .pipeline.text import tokens_expr as _tokens_expr
+
+    # covered-token counts aggregated DIRECTLY from the span frame (the
+    # SQL mirror's sp/cov CTE) — integers end to end, no float
+    # round-trip through the fraction; ntok via the SHARED tokenizer
+    # expression so the denominator can never drift from the operators'
     sfrac = (
-        dedup.span_dup_stats(docs, span_frame, "doc_id", "text",
-                             out="_frac")
-        .filter(F.col("_frac") > 0)
+        span_frame.groupBy("doc_id")
+        .agg(F.sum(F.col("span_end") - F.col("span_start") + 1).alias("_cov"))
+        .join(docs.select("doc_id", "text"), "doc_id")
         .select(
             F.lit("sfrac").alias("slice"),
             "doc_id",
-            F.round(F.col("_frac") * ntok).cast("bigint").alias("a"),
-            ntok.cast("bigint").alias("b"),
+            F.col("_cov").cast("bigint").alias("a"),
+            F.size(_tokens_expr(F.col("text"))).cast("bigint").alias("b"),
             F.lit(-1).cast("bigint").alias("c"),
         )
     )
@@ -5283,7 +5288,8 @@ SQL_DOCS_SAMPLE = f"""
                                     t -> d.n_chars::DOUBLE > t)))::INTEGER
                    AS epoch,
                -1 AS shard, '' AS order_key
-        FROM documents d JOIN qcut USING (lang)
+        FROM documents d
+        JOIN qcut ON d.lang IS NOT DISTINCT FROM qcut.lang
     )
     SELECT * FROM samp UNION ALL SELECT * FROM sharded
     UNION ALL SELECT * FROM splitq UNION ALL SELECT * FROM zo

@@ -45,12 +45,6 @@ def _run_pipe(spark, sf_dir):
         min_avg_word_len=1.0, max_avg_word_len=20.0,
     ).filter(F.col("gq_keep"))
 
-    # 3. decontaminate vs the eval slice. Threshold 0.8, not the 0.5 a
-    # real web corpus would use: the synthetic word-bag docs share one
-    # small vocabulary with the src0 eval slice, so winnowing overlap is
-    # pervasive (median contamination ~0.69 at sf0.01) and 0.5 would
-    # leave a ~4-doc tail that no longer exercises the downstream
-    # stages. 0.8 removes a small real set and keeps the population.
     # 2c. exact-substring span gate (round-9 tier): documents that are
     # mostly recurring k-gram runs are template spam — the gate drops
     # them by duplicated-token fraction (the strip variant is pinned in
@@ -61,6 +55,14 @@ def _run_pipe(spark, sf_dir):
         "dup_token_frac"
     )
 
+    # 3. decontaminate vs the eval slice. Threshold 0.8, not the 0.5 a
+    # real web corpus would use: the synthetic word-bag docs share one
+    # small vocabulary with the src0 eval slice, so winnowing overlap is
+    # pervasive (median contamination ~0.69 at sf0.01, measured BEFORE
+    # the 2c span gate — the gate removes few docs, so the shape holds)
+    # and 0.5 would leave a ~4-doc tail that no longer exercises the
+    # downstream stages. 0.8 removes a small real set and keeps the
+    # population.
     _CONTAM = 0.8
     bad = dedup.contamination(clean, evals, "doc_id", "text").filter(
         F.col("contamination") >= _CONTAM

@@ -1722,7 +1722,11 @@ def test_duplicate_spans_against_index(docs, spark, tmp_path):
     path = str(tmp_path / "span_index")
     dedup.write_span_index(docs, path, "doc_id", "text", k=k)
     idx = spark.read.parquet(path)
-    assert idx.columns == ["gram_md5", "n_occurrences"]
+    assert idx.columns == ["gram_md5", "n_occurrences", "k"]
+    # the carried k fails loud on a window-size mismatch (different-k
+    # gram hashes never match, so the gate would silently flag nothing)
+    with pytest.raises(ValueError, match="built with k=5"):
+        dedup.duplicate_spans_against(docs, idx, "doc_id", "text", k=7)
 
     got = {
         (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
@@ -1784,3 +1788,11 @@ def test_streaming_span_gate_matches_batch(docs, spark, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_dsir_threshold_select_empty_input(dsir_mod, spark):
+    """An empty (or fully pre-filtered) shard selects nothing instead of
+    raising on the NULL percentile."""
+    empty = spark.createDataFrame([], "doc_id long, dsir_logw double")
+    out = dsir_mod.dsir_threshold_select(empty, "doc_id", "dsir_logw", 0.5)
+    assert out.count() == 0 and out.columns == ["doc_id", "dsir_logw"]
