@@ -733,40 +733,91 @@ def score_buckets(
     and inlined as literals; per-group cutoffs come back through ONE
     broadcast equi-join (the cutoff frame is group-count-sized). Never
     a global sort, never a window over an unpartitioned table."""
+    return apply_cutoffs(
+        df, score_col,
+        compute_cutoffs(df, score_col, by=by, n_buckets=n_buckets,
+                        exact=exact, accuracy=accuracy),
+        by=by, out=out,
+    )
+
+
+def compute_cutoffs(
+    df: DataFrame,
+    score_col: str,
+    *,
+    by: list[str] | None = None,
+    n_buckets: int = 3,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The cutoff half of :func:`score_buckets`, separable so cutoffs
+    can be FROZEN: compute them once on a reference corpus (the CCNet
+    deployment shape — per-language perplexity cutoffs from the
+    reference LM corpus, then applied to every crawl snapshot), persist
+    the group-count-sized frame, and :func:`apply_cutoffs` any later
+    data — including a STREAM — against it. Returns (by..., cutoffs)
+    with n-1 ascending cutoffs per group (one global row when ``by`` is
+    None)."""
     if n_buckets < 2:
-        raise ValueError("score_buckets: n_buckets must be >= 2")
+        raise ValueError("compute_cutoffs: n_buckets must be >= 2")
     qs = [i / n_buckets for i in range(1, n_buckets)]
     pct = (
         F.percentile(F.col(score_col), F.lit(qs))
         if exact
         else F.percentile_approx(F.col(score_col), F.lit(qs), F.lit(accuracy))
     )
+    if not by:
+        return df.agg(pct.alias("cutoffs"))
+    return df.groupBy(*by).agg(pct.alias("cutoffs"))
+
+
+def apply_cutoffs(
+    df: DataFrame,
+    score_col: str,
+    cutoffs: DataFrame,
+    *,
+    by: list[str] | None = None,
+    out: str = "bucket",
+) -> DataFrame:
+    """Bucket ``score_col`` against a PRE-COMPUTED
+    :func:`compute_cutoffs` frame: bucket = 1 + (cutoffs strictly below
+    the score), NULL scores stay NULL. A pure projection (global
+    cutoffs collected driver-side — one tiny row — and inlined) or one
+    broadcast join (per-group), so it runs unchanged on a STREAMING
+    DataFrame against static cutoffs; rows of a group absent from the
+    cutoff frame get a NULL bucket (score distribution never seen —
+    callers route them explicitly)."""
     s = F.col(score_col)
 
     def _bucket(th_col):
         return F.when(
-            s.isNotNull(),
+            s.isNotNull() & th_col.isNotNull(),
             F.lit(1)
             + F.size(F.filter(th_col, lambda t: (s > t) & t.isNotNull())),
         )
 
     if not by:
-        th = df.agg(pct.alias("_th")).collect()[0]["_th"] or []
-        lits = F.array(*[F.lit(float(t)) for t in th])
-        return df.withColumn(out, _bucket(lits))
-    cuts = df.groupBy(*by).agg(pct.alias("_th"))
-    # eqNullSafe join: groupBy computed cutoffs for the NULL group too,
-    # and a plain equi-join would silently drop its rows from every
-    # bucket (null-safe equality is still hash-joinable, so the
-    # broadcast plan shape is unchanged)
+        row = cutoffs.select("cutoffs").collect()
+        th = (row[0]["cutoffs"] if row else None) or []
+        lits = F.array(*[F.lit(float(t)) for t in th]) if th else None
+        if lits is None:  # empty reference corpus: nothing bucketable
+            return df.withColumn(out, F.lit(None).cast("int"))
+        return df.withColumn(out, _bucket(lits).cast("int"))
+    # eqNullSafe join: cutoffs exist for the NULL group too, and a
+    # plain equi-join would silently drop its rows from every bucket
+    # (null-safe equality is still hash-joinable, so the broadcast plan
+    # shape is unchanged)
     cond = None
     for c in by:
         e = F.col(f"_sb_d.{c}").eqNullSafe(F.col(f"_sb_c.{c}"))
         cond = e if cond is None else (cond & e)
     joined = df.alias("_sb_d").join(
-        F.broadcast(cuts.alias("_sb_c")), cond, "left"
-    ).select("_sb_d.*", F.col("_sb_c._th").alias("_th"))
-    return joined.withColumn(out, _bucket(F.col("_th"))).drop("_th")
+        F.broadcast(cutoffs.alias("_sb_c")), cond, "left"
+    ).select("_sb_d.*", F.col("_sb_c.cutoffs").alias("_th"))
+    return (
+        joined.withColumn(out, _bucket(F.col("_th")).cast("int"))
+        .drop("_th")
+    )
 
 
 #: redaction placeholders, keyed like PII_PATTERNS

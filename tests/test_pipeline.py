@@ -1796,3 +1796,61 @@ def test_dsir_threshold_select_empty_input(dsir_mod, spark):
     empty = spark.createDataFrame([], "doc_id long, dsir_logw double")
     out = dsir_mod.dsir_threshold_select(empty, "doc_id", "dsir_logw", 0.5)
     assert out.count() == 0 and out.columns == ["doc_id", "dsir_logw"]
+
+
+def test_frozen_cutoffs_roundtrip(docs, spark, tmp_path):
+    """The CCNet deployment shape: cutoffs computed ONCE on a reference
+    corpus, persisted, and applied to later data — identical buckets to
+    the one-shot operator when applied to the reference itself, and a
+    group absent from the cutoff frame gets a NULL bucket (never a
+    silent wrong one)."""
+    scored = docs.withColumn("s", F.col("n_chars").cast("double"))
+    cuts = text.compute_cutoffs(scored, "s", by=["lang"], n_buckets=3,
+                                exact=True)
+    path = str(tmp_path / "cutoffs")
+    cuts.write.parquet(path)
+    frozen = spark.read.parquet(path)
+    got = {
+        r.doc_id: r.bucket
+        for r in text.apply_cutoffs(scored, "s", frozen, by=["lang"]).collect()
+    }
+    want = {
+        r.doc_id: r.bucket
+        for r in text.score_buckets(scored, "s", by=["lang"], n_buckets=3,
+                                    exact=True).collect()
+    }
+    assert got == want
+    # unseen group -> NULL bucket, fail-visible
+    alien = spark.createDataFrame(
+        [(9001, "xx", 50.0)], "doc_id long, lang string, s double"
+    )
+    row = text.apply_cutoffs(alien, "s", frozen, by=["lang"]).first()
+    assert row.bucket is None
+
+
+def test_streaming_apply_cutoffs_matches_batch(docs, spark, tmp_path):
+    """apply_cutoffs is a stream-static broadcast join / pure
+    projection, so the SAME call buckets a stream against frozen
+    cutoffs — exact bucket parity with batch."""
+    scored = docs.withColumn("s", F.col("n_chars").cast("double"))
+    cuts = text.compute_cutoffs(scored, "s", by=["lang"], n_buckets=3).cache()
+    expected = {
+        r.doc_id: r.bucket
+        for r in text.apply_cutoffs(scored, "s", cuts, by=["lang"]).collect()
+    }
+    ddir = str(tmp_path / "bucket_docs")
+    scored.select("doc_id", "lang", "s").repartition(2).write.parquet(ddir)
+    stream = spark.readStream.schema("doc_id bigint, lang string, s double").parquet(ddir)
+    out = text.apply_cutoffs(stream, "s", cuts, by=["lang"])
+    got = {}
+
+    def sink(batch_df, _):
+        for r in batch_df.collect():
+            got[r.doc_id] = r.bucket
+
+    q = out.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    assert got == expected
