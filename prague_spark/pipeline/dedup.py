@@ -19,6 +19,8 @@ oracle.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, functions as F
 
 from .text import ngrams_expr, tokens_expr
@@ -91,13 +93,13 @@ def ngram_jaccard_pairs(
             F.explode_outer(shingles_expr(F.col(text_col), n)).alias("shingle"),
         ).filter(F.col("shingle").isNotNull())
     )
-    _evict_generation(_JACCARD_CACHE)
+    _evict_generation(_gen_cache("jaccard"))
     # consumed by sizes + both sides of the self-join
-    sh = _pin(_JACCARD_CACHE, sh)
+    sh = _pin(_gen_cache("jaccard"), sh)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("set_size"))
     if max_df is not None:
         hot = _pin(
-            _JACCARD_CACHE,
+            _gen_cache("jaccard"),
             sh.groupBy("shingle").count().filter(F.col("count") > max_df),
         )
         n_hot = hot.count()
@@ -284,18 +286,18 @@ def minhash_lsh_candidates(
     Dropped buckets are logged."""
     import logging
 
-    _evict_generation(_MINHASH_CACHE)
+    _evict_generation(_gen_cache("minhash"))
     # pin only INTERNALLY-built frames: pinning the caller's signatures
     # frame would let the next call's eviction unpersist a cache the
     # caller owns (a band-config sweep over one signatures frame would
     # silently recompute it). banded embeds the signature pipeline, so
     # persisting it alone still computes signatures once.
     banded = _pin(
-        _MINHASH_CACHE, lsh_band_keys(signatures, id_col, bands, rows_per_band)
+        _gen_cache("minhash"), lsh_band_keys(signatures, id_col, bands, rows_per_band)
     )
     if max_bucket is not None:
         hot = _pin(
-            _MINHASH_CACHE,
+            _gen_cache("minhash"),
             banded.groupBy("band", "key")
             .count()
             .filter(F.col("count") > max_bucket),
@@ -433,7 +435,7 @@ def embedding_cosine_pairs(
 
     from .similarity import _norm_safe
 
-    _evict_generation(_COSINE_PAIRS_CACHE)
+    _evict_generation(_gen_cache("cosine_pairs"))
     # norm floored at 1e-12: an all-zero embedding must rank as
     # cosine ~0, not raise DIVIDE_BY_ZERO under ANSI mode (greatest is
     # bitwise-identity for real vectors, so existing hashes don't move)
@@ -451,7 +453,7 @@ def embedding_cosine_pairs(
                 base, "_v", n_planes=n_planes, seed=seed + 7919 * k,
                 out=f"_bkt{k}",
             )
-        base = _pin(_COSINE_PAIRS_CACHE, base)
+        base = _pin(_gen_cache("cosine_pairs"), base)
         sig = base.select(
             "_id",
             F.posexplode(
@@ -459,9 +461,9 @@ def embedding_cosine_pairs(
             ).alias("_band", "_bkt"),
         )
         if max_bucket is not None:
-            sig = _pin(_COSINE_PAIRS_CACHE, sig)
+            sig = _pin(_gen_cache("cosine_pairs"), sig)
             hot = _pin(
-                _COSINE_PAIRS_CACHE,
+                _gen_cache("cosine_pairs"),
                 sig.groupBy("_band", "_bkt")
                 .count()
                 .filter(F.col("count") > max_bucket),
@@ -514,10 +516,10 @@ def embedding_cosine_pairs(
         )
     if n_planes is not None:
         base = hyperplane_lsh_buckets(base, "_v", n_planes=n_planes, seed=seed, out="_bkt")
-    base = _pin(_COSINE_PAIRS_CACHE, base)
+    base = _pin(_gen_cache("cosine_pairs"), base)
     if n_planes is not None and max_bucket is not None:
         hot = _pin(
-            _COSINE_PAIRS_CACHE,
+            _gen_cache("cosine_pairs"),
             base.groupBy("_bkt").count().filter(F.col("count") > max_bucket),
         )
         if hot.count():
@@ -544,18 +546,31 @@ def embedding_cosine_pairs(
     )
 
 
-#: one-generation pinned-storage registries, one per pair generator:
-#: each call frees its OWN previous call's caches at entry, so a
+#: one-generation pinned-storage registries, one per pair generator PER
+#: THREAD: each call frees its OWN previous call's caches at entry, so a
 #: per-shard curation loop never accumulates pinned executor storage
 #: (the leak embedding_cell_pairs used to have — now the discipline for
-#: every generator that persists an intermediate). Module-global, so
-#: not thread-safe across concurrent callers in one SparkContext.
-_CELL_PAIRS_CACHE: list = []
-_COSINE_PAIRS_CACHE: list = []
-_JACCARD_CACHE: list = []
-_MINHASH_CACHE: list = []
-_CONTAM_CACHE: list = []
-_SPANS_CACHE: list = []
+#: every generator that persists an intermediate). THREAD-LOCAL so two
+#: concurrent callers in one SparkContext (Spark's scheduler is
+#: thread-safe; pipelines do fan out) cannot evict each other's live
+#: caches mid-plan. The residual leak is bounded and documented: a
+#: thread that exits without a subsequent generator call leaves its last
+#: generation pinned until session end — free it explicitly with
+#: ``_evict_generation(_gen_cache(name))`` if that matters. Interleaved
+#: calls to the SAME generator from ONE thread (build two shards' pair
+#: frames, materialize later) still evict each other — materialize (or
+#: ``persist=False``) before the next call.
+_GEN_LOCAL = threading.local()
+
+
+def _gen_cache(name: str) -> list:
+    """The calling thread's one-generation registry for generator
+    ``name`` (cell_pairs / cosine_pairs / jaccard / minhash / contam /
+    spans)."""
+    caches = getattr(_GEN_LOCAL, "caches", None)
+    if caches is None:
+        caches = _GEN_LOCAL.caches = {}
+    return caches.setdefault(name, [])
 
 
 def _evict_generation(cache: list) -> None:
@@ -632,9 +647,9 @@ def embedding_cell_pairs(
         "_n",
         _norm_safe(F.col("_v")),
     )
-    _evict_generation(_CELL_PAIRS_CACHE)
+    _evict_generation(_gen_cache("cell_pairs"))
     if persist:
-        base = _pin(_CELL_PAIRS_CACHE, base)
+        base = _pin(_gen_cache("cell_pairs"), base)
     if max_cell is not None:
         hot_cells = [
             r["_cell"]
@@ -844,9 +859,9 @@ def contamination(
     # persisted: consumed by BOTH the per-doc sizes aggregation and the
     # hits join — without it the O(len*w) md5 winnowing scan of the whole
     # training corpus runs twice (same pattern as ngram_jaccard_pairs)
-    _evict_generation(_CONTAM_CACHE)
+    _evict_generation(_gen_cache("contam"))
     t = _pin(
-        _CONTAM_CACHE, winnow_minima(train_df, id_col, text_col, k, w).alias("t")
+        _gen_cache("contam"), winnow_minima(train_df, id_col, text_col, k, w).alias("t")
     )
     e_idx = eval_minima_index(eval_df, id_col, text_col, k, w)
     sizes = t.groupBy(id_col).agg(F.count("*").alias("_n_minima"))
@@ -960,9 +975,9 @@ def duplicate_spans(
     pins nothing (the 100 TB path: materialize the gram frame yourself
     if two scans are worse than storage)."""
     pos_grams = _span_gram_positions(df, id_col, text_col, k)
-    _evict_generation(_SPANS_CACHE)
+    _evict_generation(_gen_cache("spans"))
     if persist:
-        pos_grams = _pin(_SPANS_CACHE, pos_grams)
+        pos_grams = _pin(_gen_cache("spans"), pos_grams)
     recurring = (
         pos_grams.groupBy("_h")
         .agg(F.count("*").alias("_c"))
@@ -1067,11 +1082,26 @@ def duplicate_spans_against(
     a streaming shard gate runs this in foreachBatch (a document's
     positions co-arrive; exactness is pinned in tests)."""
     if "k" in recurring.columns:  # write_span_index output: fail loud
-        idx_k = recurring.select("k").first()
-        if idx_k is not None and int(idx_k["k"]) != int(k):
+        # validate against the DISTINCT k values, not one arbitrary row:
+        # an index unioned from two builds with different k would pass or
+        # fail a single-row sample nondeterministically (row order), then
+        # silently mis-gate the other partition's grams. Index-sized agg.
+        idx_ks = sorted(
+            int(r["k"])
+            for r in recurring.select("k").distinct().collect()
+            if r["k"] is not None
+        )
+        if len(idx_ks) > 1:
+            raise ValueError(
+                f"duplicate_spans_against: index mixes window sizes "
+                f"k={idx_ks} (a union of differently-built indexes?) — "
+                "md5 hashes of different-length grams never match, so "
+                "part of the gate would silently flag nothing"
+            )
+        if idx_ks and idx_ks[0] != int(k):
             raise ValueError(
                 f"duplicate_spans_against: index was built with k="
-                f"{int(idx_k['k'])} but k={k} was requested — md5 "
+                f"{idx_ks[0]} but k={k} was requested — md5 "
                 "hashes of different-length grams never match, so the "
                 "gate would silently flag nothing"
             )
@@ -1098,6 +1128,15 @@ def remove_duplicate_spans(
     The span->position expansion is an explode of ``sequence(start,
     end)`` followed by an (id, pos) EQUI anti-join — never a range theta
     join — so the cost is O(total tokens + total covered positions)."""
+    if out in df.columns:
+        # the closing select emits _d.* PLUS the alias(out) column — a
+        # pre-existing column of the same name would come out duplicated
+        # and every downstream reference ambiguous. Fail loud (the
+        # module's convention), don't silently shadow.
+        raise ValueError(
+            f"remove_duplicate_spans: df already has a column named "
+            f"{out!r} — pass a different `out` (or drop the column first)"
+        )
     # no distinct(): duplicate right-side rows cannot change a left_anti
     # join's output, and duplicate_spans' maximal spans never overlap
     # anyway — a distinct here would be a whole extra shuffle

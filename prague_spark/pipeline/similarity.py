@@ -22,6 +22,21 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _lit_vec(xs) -> "F.Column":
+    """A literal double array as ONE split-cast string literal.
+
+    ``F.array(*[F.lit(x) ...])`` (and ``F.lit(list)``) cost ~8 s of
+    driver-side analysis at 2^14 elements — per-item py4j calls plus a
+    CreateArray with that many children walked per analyzer rule. One
+    string literal constant-folds to a bit-identical array (``repr``
+    round-trips doubles exactly) in ~0.09 s, and executes faster than
+    CreateArray too. Use for any literal vector whose length scales with
+    a model dimension."""
+    return F.split(
+        F.lit(",".join(repr(float(x)) for x in xs)), ","
+    ).cast("array<double>")
+
+
 def _norm(a):
     return F.sqrt(_dot(a, a))
 
@@ -962,6 +977,10 @@ def hyperplane_lsh_buckets(
     vec = F.col(vec_col)
     bucket = F.lit(0).cast("long")
     for i, pl in enumerate(planes):
-        proj = _dot(vec, F.array(*[F.lit(float(x)) for x in pl]))
+        # split-literal plane (one constant-folded string literal, not a
+        # dim-child CreateArray): at the default 16x64 either form is
+        # cheap, but a large embedding dim must not pay ~8 s of driver
+        # analysis per plane — the assign_pq_codes lesson
+        proj = _dot(vec, _lit_vec(pl))
         bucket = bucket + F.when(proj > 0, F.lit(int(2**i)).cast("long")).otherwise(F.lit(0).cast("long"))
     return df.withColumn(out, bucket)

@@ -674,11 +674,11 @@ def test_embedding_cell_pairs_cache_discipline(emb, spark):
     most ONE generation alive — a per-shard curation loop frees each
     previous call's assignment cache instead of accumulating until
     eviction churn (the regression this pins)."""
-    from prague_spark.pipeline.dedup import _CELL_PAIRS_CACHE
+    from prague_spark.pipeline.dedup import _gen_cache
 
     sc = spark.sparkContext
     spark.catalog.clearCache()
-    _CELL_PAIRS_CACHE.clear()
+    _gen_cache("cell_pairs").clear()
 
     def live():
         return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
@@ -705,8 +705,9 @@ def test_embedding_cell_pairs_cache_discipline(emb, spark):
         ).count()
         assert len(live() - before) <= 1
     # and the handle is releasable
-    while _CELL_PAIRS_CACHE:
-        _CELL_PAIRS_CACHE.pop().unpersist(blocking=True)
+    cache = _gen_cache("cell_pairs")
+    while cache:
+        cache.pop().unpersist(blocking=True)
     assert not (live() - before)
 
 
@@ -1197,10 +1198,7 @@ def test_pair_generator_cache_discipline(docs, emb, spark):
     eviction churn (the leak embedding_cell_pairs used to have, now the
     module-wide discipline). unpersist is async, so the bound is two
     generations, not one — the point is it does not GROW with calls."""
-    from prague_spark.pipeline.dedup import (
-        _CONTAM_CACHE, _COSINE_PAIRS_CACHE, _JACCARD_CACHE, _MINHASH_CACHE,
-        _evict_generation,
-    )
+    from prague_spark.pipeline.dedup import _evict_generation, _gen_cache
 
     sc = spark.sparkContext
 
@@ -1216,16 +1214,16 @@ def test_pair_generator_cache_discipline(docs, emb, spark):
     sigs = dedup.minhash_signatures(small, "doc_id", "text", num_hashes=8)
     cases = [
         # (cache, frames pinned per generation, call)
-        (_JACCARD_CACHE, 2,
+        (_gen_cache("jaccard"), 2,
          lambda: dedup.ngram_jaccard_pairs(small, "doc_id", "text", n=1,
                                            threshold=0.9, max_df=30)),
-        (_MINHASH_CACHE, 3,
+        (_gen_cache("minhash"), 3,
          lambda: dedup.minhash_lsh_candidates(sigs, "doc_id", bands=2,
                                               rows_per_band=4)),
-        (_COSINE_PAIRS_CACHE, 2,
+        (_gen_cache("cosine_pairs"), 2,
          lambda: dedup.embedding_cosine_pairs(vec, "vec_id", "vec",
                                               threshold=0.9, n_planes=4)),
-        (_CONTAM_CACHE, 1,
+        (_gen_cache("contam"), 1,
          lambda: dedup.contamination(small, small.limit(5), "doc_id", "text")),
     ]
     for cache, gen_size, run in cases:
@@ -1854,3 +1852,72 @@ def test_streaming_apply_cutoffs_matches_batch(docs, spark, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_remove_duplicate_spans_out_collision_raises(span_docs):
+    """A pre-existing column named `out` would come out DUPLICATED
+    (the select emits _d.* plus the alias) — fail loud instead."""
+    spans = dedup.duplicate_spans(span_docs, "doc_id", "text", k=4)
+    pre = span_docs.withColumn("clean_text", F.lit("x"))
+    with pytest.raises(ValueError, match="already has a column"):
+        dedup.remove_duplicate_spans(pre, spans, "doc_id", "text")
+    # a different out name works on the same frame
+    ok = dedup.remove_duplicate_spans(
+        pre, spans, "doc_id", "text", out="stripped"
+    )
+    assert ok.columns.count("stripped") == 1
+
+
+def test_span_index_mixed_k_raises(span_docs, spark, tmp_path):
+    """An index UNIONED from two builds with different k must raise —
+    a single-row sample check would pass or fail nondeterministically
+    with row order, then silently mis-gate one partition's grams."""
+    p4 = str(tmp_path / "idx_k4")
+    p5 = str(tmp_path / "idx_k5")
+    dedup.write_span_index(span_docs, p4, "doc_id", "text", k=4)
+    dedup.write_span_index(span_docs, p5, "doc_id", "text", k=5)
+    mixed = spark.read.parquet(p4).unionByName(spark.read.parquet(p5))
+    with pytest.raises(ValueError, match="mixes window sizes"):
+        dedup.duplicate_spans_against(span_docs, mixed, "doc_id", "text", k=4)
+
+
+def test_gen_caches_are_thread_local(docs, spark):
+    """Two concurrent callers of the same pair generator must not evict
+    each other's live caches: the one-generation registry is per-thread.
+    A worker thread's call leaves the main thread's pinned frames
+    cached (before round 10 it unpersisted them, recomputing the
+    dominant scan at materialization time)."""
+    import threading
+
+    from prague_spark.pipeline.dedup import _evict_generation, _gen_cache
+
+    small = docs.limit(30)
+    _evict_generation(_gen_cache("jaccard"))
+    dedup.ngram_jaccard_pairs(
+        small, "doc_id", "text", n=1, threshold=0.9, max_df=30
+    ).count()
+    mine = list(_gen_cache("jaccard"))
+    assert mine and all(df.is_cached for df in mine)
+
+    errs: list = []
+
+    def other():
+        try:
+            dedup.ngram_jaccard_pairs(
+                small, "doc_id", "text", n=1, threshold=0.9, max_df=30
+            ).count()
+            # the worker's own registry is its own generation
+            assert _gen_cache("jaccard") and all(
+                df.is_cached for df in _gen_cache("jaccard")
+            )
+            _evict_generation(_gen_cache("jaccard"))
+        except Exception as e:  # surface into the main thread
+            errs.append(e)
+
+    t = threading.Thread(target=other)
+    t.start()
+    t.join(120)
+    assert not errs, errs
+    # main thread's generation survived the concurrent call
+    assert all(df.is_cached for df in mine)
+    _evict_generation(_gen_cache("jaccard"))
