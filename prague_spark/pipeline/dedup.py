@@ -327,6 +327,223 @@ def minhash_lsh_candidates(
     )
 
 
+#: parameter columns a write_minhash_index parquet carries on every row
+#: (RLE-compressed to nothing): the band keys are md5 of signature
+#: slices, so EVERY one of these changes the key space — a mismatched
+#: probe would silently collide with nothing.
+_MINHASH_INDEX_PARAMS = (
+    "num_hashes", "shingle_n", "seed", "bands", "rows_per_band",
+)
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 32,
+    shingle_n: int = 2,
+    seed: int = 42,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> None:
+    """Materialize the corpus's LSH band-bucket index — the NEAR-DUP
+    dedup index of the incremental pipeline (the MinHash analogue of
+    :func:`write_span_index`): build it once over the existing corpus
+    (one signature aggregation + one bucket-count join), then gate every
+    new crawl shard with :func:`minhash_candidates_against` in O(shard)
+    instead of re-computing 100 TB of signatures per shard.
+
+    Layout: (doc, key, bucket_n, params...) parquet PARTITIONED BY band.
+    ``bucket_n`` is the bucket's member count, precomputed HERE so the
+    gate's hot-bucket skew guard is a pushed ``bucket_n <= max_bucket``
+    predicate — zero index-wide aggregation at probe time. Every
+    signature-pipeline parameter travels WITH the index (the span
+    index's carried-``k`` discipline): band keys are md5 of signature
+    slices, so a probe built with ANY different parameter would silently
+    collide with nothing — :func:`minhash_candidates_against` fails loud
+    instead.
+
+    NOTE: unioning two write_minhash_index outputs (same params) gates
+    correctly for candidate generation, but their ``bucket_n`` counts
+    are per-build — rebuild (or re-count) if the skew cap must see the
+    union's true bucket sizes."""
+    if bands * rows_per_band > num_hashes:
+        raise ValueError(
+            f"write_minhash_index: bands*rows_per_band = "
+            f"{bands * rows_per_band} exceeds num_hashes={num_hashes} — "
+            "bands past the signature would all key on md5('') (one "
+            "mega-bucket of everything)"
+        )
+    sig = minhash_signatures(
+        df, id_col, text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n, seed=seed,
+    )
+    banded = lsh_band_keys(sig, id_col, bands=bands, rows_per_band=rows_per_band)
+    counts = banded.groupBy("band", "key").agg(
+        F.count("*").alias("bucket_n")
+    )
+    (
+        banded.join(counts, ["band", "key"])
+        .select(
+            "doc", "band", "key", "bucket_n",
+            F.lit(int(num_hashes)).alias("num_hashes"),
+            F.lit(int(shingle_n)).alias("shingle_n"),
+            F.lit(int(seed)).alias("seed"),
+            F.lit(int(bands)).alias("bands"),
+            F.lit(int(rows_per_band)).alias("rows_per_band"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path)
+    )
+
+
+def _validate_minhash_index(index: DataFrame, want: dict) -> None:
+    """Fail loud when the index's carried parameters don't match the
+    probe's — checked against the DISTINCT values (one arbitrary row
+    would pass a mixed-parameter union nondeterministically; the
+    span-index lesson). One index-sized aggregation, cheap."""
+    present = [p for p in _MINHASH_INDEX_PARAMS if p in index.columns]
+    if not present:
+        return  # a bare (doc, band, key) frame: caller vouches
+    vals = index.select(
+        *[F.collect_set(p).alias(p) for p in present]
+    ).first()
+    for p in present:
+        got = sorted(int(v) for v in vals[p])
+        if len(got) > 1:
+            raise ValueError(
+                f"minhash_candidates_against: index mixes {p}={got} (a "
+                "union of differently-built indexes?) — band keys from "
+                "different signature configs never match, so part of "
+                "the gate would silently flag nothing"
+            )
+        if got and got[0] != int(want[p]):
+            raise ValueError(
+                f"minhash_candidates_against: index was built with "
+                f"{p}={got[0]} but {p}={want[p]} was requested — band "
+                "keys from different signature configs never match, so "
+                "the gate would silently flag nothing"
+            )
+
+
+def minhash_candidates_against(
+    df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 32,
+    shingle_n: int = 2,
+    seed: int = 42,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    include_shard_pairs: bool = True,
+    max_bucket: int | None = 5000,
+) -> DataFrame:
+    """Incremental :func:`minhash_lsh_candidates`: candidate near-dup
+    pairs between a NEW shard ``df`` and a PRE-BUILT band-bucket index
+    (:func:`write_minhash_index` output, or any frame with (doc, band,
+    key) columns). The plan is the shard's signature aggregation + two
+    slim equi-joins — NO corpus-wide work, so gating a shard costs
+    O(shard), not O(corpus): the per-crawl-snapshot shape every real
+    near-dup pipeline runs.
+
+    Emits BOTH pair kinds a new shard creates: shard-vs-index (the
+    equi-join on (band, key)) and, with ``include_shard_pairs`` (default),
+    shard-vs-shard (the one-shot self-join restricted to the shard).
+    Restricted to pairs touching the shard, the output is EXACTLY the
+    one-shot operator's pairs on (corpus ∪ shard) — pinned in tests —
+    except duplicates BETWEEN index rows, which only the index build
+    sees. Returns distinct (id_a, id_b) with id_a < id_b (ids ordered
+    across the two sides; a shard doc re-gated against an index that
+    already contains it matches keys but never pairs with itself).
+
+    ``max_bucket`` skew guard: index-side hot buckets are dropped via
+    the PRECOMPUTED ``bucket_n`` column (a pushed predicate — no index
+    aggregation here; absent on a bare index, then no index-side cap),
+    shard-side hot buckets by an O(shard) count, mirroring the one-shot
+    cap. Every step before the final distinct is stream-safe, but the
+    shard self-join is not a stream-stream join Structured Streaming
+    runs stateless — gate a STREAM per micro-batch in ``foreachBatch``
+    (each batch = one shard; exactness pinned in tests)."""
+    import logging
+
+    if bands * rows_per_band > num_hashes:
+        raise ValueError(
+            f"minhash_candidates_against: bands*rows_per_band = "
+            f"{bands * rows_per_band} exceeds num_hashes={num_hashes} — "
+            "bands past the signature would all key on md5('') (one "
+            "mega-bucket of everything)"
+        )
+    _validate_minhash_index(
+        index,
+        dict(num_hashes=num_hashes, shingle_n=shingle_n, seed=seed,
+             bands=bands, rows_per_band=rows_per_band),
+    )
+    sig = minhash_signatures(
+        df, id_col, text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n, seed=seed,
+    )
+    _evict_generation(_gen_cache("minhash_gate"))
+    # consumed by the index join AND (optionally) both self-join sides
+    banded = _pin(
+        _gen_cache("minhash_gate"),
+        lsh_band_keys(sig, id_col, bands=bands, rows_per_band=rows_per_band),
+    )
+    idx = index.select("doc", "band", "key", *(
+        ["bucket_n"] if "bucket_n" in index.columns else []
+    ))
+    if max_bucket is not None and "bucket_n" in idx.columns:
+        idx = idx.filter(F.col("bucket_n") <= int(max_bucket))
+    cross = (
+        banded.alias("s")
+        .join(
+            idx.alias("c"),
+            (F.col("s.band") == F.col("c.band"))
+            & (F.col("s.key") == F.col("c.key"))
+            & (F.col("s.doc") != F.col("c.doc")),
+        )
+        .select(
+            F.least(F.col("s.doc"), F.col("c.doc")).alias("id_a"),
+            F.greatest(F.col("s.doc"), F.col("c.doc")).alias("id_b"),
+        )
+    )
+    if not include_shard_pairs:
+        return cross.distinct()
+    shard_banded = banded
+    if max_bucket is not None:
+        hot = _pin(
+            _gen_cache("minhash_gate"),
+            banded.groupBy("band", "key")
+            .count()
+            .filter(F.col("count") > max_bucket),
+        )
+        if hot.count():
+            logging.getLogger("prague_spark.dedup").warning(
+                "minhash_candidates_against: dropping shard-side LSH "
+                "buckets with > %d members before the self-join",
+                max_bucket,
+            )
+        shard_banded = banded.join(
+            F.broadcast(hot.select("band", "key")), ["band", "key"],
+            "left_anti",
+        )
+    within = (
+        shard_banded.alias("a")
+        .join(
+            shard_banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+    )
+    return cross.unionByName(within).distinct()
+
+
 def minhash_jaccard_estimate(signatures: DataFrame, pairs: DataFrame) -> DataFrame:
     """Estimated Jaccard for candidate pairs = fraction of equal signature
     slots (verification step of the MinHash pipeline)."""

@@ -1921,3 +1921,129 @@ def test_gen_caches_are_thread_local(docs, spark):
     # main thread's generation survived the concurrent call
     assert all(df.is_cached for df in mine)
     _evict_generation(_gen_cache("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash index (the near-dup tier's write-once/gate-many form)
+# ---------------------------------------------------------------------------
+
+_MHI_KW = dict(num_hashes=4, shingle_n=1, seed=42, bands=2, rows_per_band=2)
+
+
+def test_minhash_incremental_index_parity(docs, spark, tmp_path):
+    """Gating a shard against a write_minhash_index corpus index yields
+    EXACTLY the one-shot minhash_lsh_candidates pairs on (corpus ∪
+    shard) restricted to shard-touching pairs — the incremental near-dup
+    contract."""
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "mh_index")
+    dedup.write_minhash_index(corpus, path, "doc_id", "text", **_MHI_KW)
+    idx = spark.read.parquet(path)
+    assert set(idx.columns) == {
+        "doc", "band", "key", "bucket_n",
+        "num_hashes", "shingle_n", "seed", "bands", "rows_per_band",
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_candidates_against(
+            shard, idx, "doc_id", "text", max_bucket=None, **_MHI_KW
+        ).collect()
+    }
+    sig_all = dedup.minhash_signatures(
+        docs, "doc_id", "text",
+        num_hashes=_MHI_KW["num_hashes"], shingle_n=_MHI_KW["shingle_n"],
+        seed=_MHI_KW["seed"],
+    )
+    one_shot = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(
+            sig_all, "doc_id", bands=_MHI_KW["bands"],
+            rows_per_band=_MHI_KW["rows_per_band"], max_bucket=None,
+        ).collect()
+    }
+    shard_ids = {r.doc_id for r in shard.select("doc_id").collect()}
+    want = {
+        (a, b) for (a, b) in one_shot
+        if a in shard_ids or b in shard_ids
+    }
+    assert got == want and len(got) > 0
+    # and the gate misses NOTHING the one-shot sees about the shard:
+    # corpus-internal pairs are the index build's business
+    assert not (got - one_shot)
+
+    # cross-only form (the stream-safe projection+join subset)
+    cross = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_candidates_against(
+            shard, idx, "doc_id", "text", max_bucket=None,
+            include_shard_pairs=False, **_MHI_KW
+        ).collect()
+    }
+    assert cross == {
+        (a, b) for (a, b) in want
+        if not (a in shard_ids and b in shard_ids)
+    }
+
+
+def test_minhash_index_param_mismatch_raises(docs, spark, tmp_path):
+    """Every signature-pipeline parameter travels with the index and the
+    gate fails loud on any mismatch — a silent mismatch would flag
+    nothing (band keys from different configs never collide). A union
+    of two differently-built indexes raises too (distinct-checked, not
+    sampled)."""
+    path = str(tmp_path / "mh_index_pm")
+    dedup.write_minhash_index(docs, path, "doc_id", "text", **_MHI_KW)
+    idx = spark.read.parquet(path)
+    for p, v in [("seed", 7), ("shingle_n", 2), ("bands", 1),
+                 ("num_hashes", 8)]:
+        kw = dict(_MHI_KW)
+        kw[p] = v
+        if p == "num_hashes":
+            kw["rows_per_band"] = 2  # keep bands*rpb <= num_hashes
+        with pytest.raises(ValueError, match=f"{p}="):
+            dedup.minhash_candidates_against(docs, idx, "doc_id", "text", **kw)
+    # over-banding the signature is rejected before any job runs
+    with pytest.raises(ValueError, match="exceeds num_hashes"):
+        dedup.minhash_candidates_against(
+            docs, idx, "doc_id", "text",
+            num_hashes=4, shingle_n=1, seed=42, bands=4, rows_per_band=2,
+        )
+    with pytest.raises(ValueError, match="exceeds num_hashes"):
+        dedup.write_minhash_index(
+            docs, path + "_x", "doc_id", "text",
+            num_hashes=4, bands=4, rows_per_band=2,
+        )
+    # mixed-parameter union
+    path2 = str(tmp_path / "mh_index_pm2")
+    kw2 = dict(_MHI_KW)
+    kw2["seed"] = 7
+    dedup.write_minhash_index(docs, path2, "doc_id", "text", **kw2)
+    mixed = idx.unionByName(spark.read.parquet(path2))
+    with pytest.raises(ValueError, match="mixes seed"):
+        dedup.minhash_candidates_against(docs, mixed, "doc_id", "text", **_MHI_KW)
+
+
+def test_minhash_index_bucket_cap_and_plan(docs, spark, tmp_path):
+    """The index-side skew guard is the PRECOMPUTED bucket_n predicate
+    (no index-wide aggregation at probe time), and the gate's plan has
+    no Python stages and a bounded shuffle count — O(shard), never a
+    corpus re-aggregation."""
+    from prague_spark.plan_audit import assert_scale_shape
+
+    path = str(tmp_path / "mh_index_cap")
+    dedup.write_minhash_index(docs, path, "doc_id", "text", **_MHI_KW)
+    idx = spark.read.parquet(path)
+    # max_bucket=0 drops every index bucket -> no cross pairs at all
+    assert dedup.minhash_candidates_against(
+        docs, idx, "doc_id", "text", max_bucket=0,
+        include_shard_pairs=False, **_MHI_KW
+    ).count() == 0
+    # plan pin: cross-only gate = shard signature agg + slim equi-join
+    out = dedup.minhash_candidates_against(
+        docs, idx, "doc_id", "text", include_shard_pairs=False,
+        max_bucket=5000, **_MHI_KW
+    )
+    # measured: 2 shuffles (shard signature agg + the closing distinct),
+    # 1 broadcast, 0 python — the whole gate is O(shard)
+    assert_scale_shape(out, max_py_stages=0, max_shuffles=3)

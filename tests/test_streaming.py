@@ -1189,3 +1189,55 @@ def test_streaming_dsir_scoring_matches_batch(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == expected          # exact equality, not approx
+
+
+def test_streaming_minhash_gate_matches_batch(spark, sf_dir, tmp_path):
+    """The incremental near-dup gate on a STREAM: foreachBatch over
+    minhash_candidates_against(include_shard_pairs=False) against a
+    static write_minhash_index — shard-vs-index pairs are per-document,
+    so micro-batch boundaries cannot change them; exact parity with the
+    one batch-side gate. (Shard-vs-shard pairs are deliberately batch-
+    LOCAL on a stream: new-vs-new pairs across micro-batches need the
+    shard unioned into the index, the documented incremental recipe.)"""
+    from prague_spark.pipeline import dedup
+
+    kw = dict(num_hashes=4, shingle_n=1, seed=42, bands=2, rows_per_band=2)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "mh_idx_stream")
+    dedup.write_minhash_index(corpus, path, "doc_id", "text", **kw)
+    idx = spark.read.parquet(path).cache()
+    expected = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_candidates_against(
+            shard, idx, "doc_id", "text", include_shard_pairs=False, **kw
+        ).collect()
+    }
+    assert expected  # the fixture must actually produce cross pairs
+    sdir = str(tmp_path / "mh_shard_docs")
+    shard.select("doc_id", "text").repartition(2).write.parquet(sdir)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    got = set()
+    batches = []
+
+    def sink(batch_df, epoch_id):
+        batches.append(epoch_id)
+        pairs = dedup.minhash_candidates_against(
+            batch_df, idx, "doc_id", "text",
+            include_shard_pairs=False, **kw
+        )
+        got.update((r.id_a, r.id_b) for r in pairs.collect())
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    assert len(batches) > 1          # parity held ACROSS micro-batches
+    assert got == expected
+    idx.unpersist()
