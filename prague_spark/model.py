@@ -112,12 +112,30 @@ class SlopeModel:
     def save(self, spark, path: str) -> None:
         """Persist the model as parquet: the tidy coefficient table plus a
         one-row JSON metadata table (the reference's model sink,
-        ``R/owl.R:471-486``, re-expressed as a queryable dataset)."""
+        ``R/owl.R:471-486``, re-expressed as a queryable dataset).
+
+        Zero PENALIZED coefficients are skipped on disk (``load`` zero-
+        fills, so the restored model — and its ``coef_df`` — are
+        identical): a sparse wide-p model (e.g. a 2^15-feature quality
+        filter) saves O(nonzero) rows, not O(p x path). Intercept rows
+        always persist."""
         import json
 
-        self.coef_df(spark).coalesce(1).write.mode("overwrite").parquet(
-            f"{path}/coefs"
+        names = (["(Intercept)"] if self.intercept else []) + list(
+            self.feature_names
         )
+        rows = []
+        for i in range(self.n_path):
+            B = self.betas[i]
+            keep = set(np.flatnonzero(np.any(B != 0.0, axis=1)))
+            if self.intercept:
+                keep.add(0)  # intercepts are meaningful even at 0.0
+            for j in sorted(keep):
+                for k in range(B.shape[1]):
+                    rows.append((int(i), int(k), names[j], float(B[j, k])))
+        spark.createDataFrame(
+            rows, "path_idx int, target int, feature string, coef double"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coefs")
         meta = dict(
             family=self.family,
             feature_names=list(self.feature_names),

@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from .vectorize import hashing_vectorizer
 
-__all__ = ["QualityFilter", "train_quality_filter", "score_quality"]
+__all__ = [
+    "QualityFilter", "train_quality_filter", "score_quality",
+    "save_quality_filter", "load_quality_filter",
+]
 
 
 @dataclass
@@ -116,6 +119,83 @@ def train_quality_filter(
         l2_norm=l2_norm,
         positive_class=str(model.class_names[1]),
         path_idx=path_idx,
+    )
+
+
+def save_quality_filter(spark, qf: QualityFilter, path: str) -> None:
+    """Persist a trained quality gate: the sparse GLM through the
+    oracle-gated model sink (``SlopeModel.save`` — zero coefficients are
+    skipped on disk, so a 2^15-feature filter saves O(nonzero) rows)
+    plus a one-row JSON config table (featurization + CV-chosen path
+    point). A filter is only replayable with its EXACT featurization
+    config, so the two always travel together — the ``save_grouped``
+    pattern for the curation layer's model artifact."""
+    import json
+
+    if not isinstance(qf, QualityFilter):
+        raise ValueError(
+            f"save_quality_filter: expected a QualityFilter, got "
+            f"{type(qf).__name__}"
+        )
+    qf.model.save(spark, f"{path}/model")
+    cfg = dict(
+        n_features=int(qf.n_features),
+        weighting=str(qf.weighting),
+        l2_norm=bool(qf.l2_norm),
+        positive_class=str(qf.positive_class),
+        path_idx=None if qf.path_idx is None else int(qf.path_idx),
+    )
+    spark.createDataFrame(
+        [(json.dumps(cfg),)], "config string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/config")
+
+
+def load_quality_filter(spark, path: str) -> QualityFilter:
+    """Restore a :func:`save_quality_filter` artifact, validating the
+    pieces agree BEFORE any corpus is scored: the model must be the
+    binomial GLM the scorer expects, the config's positive class must be
+    the model's second sorted class (``score_quality`` scores P(that
+    label)), the feature space must match the model's width, and the
+    CV-chosen path point must exist on the restored path — a mismatch in
+    any of these would otherwise surface as silently-shifted scores."""
+    import json
+
+    from ..model import SlopeModel
+
+    model = SlopeModel.load(spark, f"{path}/model")
+    cfg = json.loads(
+        spark.read.parquet(f"{path}/config").first()["config"]
+    )
+    if model.family != "binomial":
+        raise ValueError(
+            f"load_quality_filter: {path!r} holds a {model.family!r} "
+            "model — the quality gate is a binomial classifier"
+        )
+    if len(model.feature_names) != int(cfg["n_features"]):
+        raise ValueError(
+            f"load_quality_filter: config says n_features="
+            f"{cfg['n_features']} but the model has "
+            f"{len(model.feature_names)} features — mismatched artifacts?"
+        )
+    if str(model.class_names[1]) != cfg["positive_class"]:
+        raise ValueError(
+            f"load_quality_filter: config positive_class="
+            f"{cfg['positive_class']!r} is not the model's second sorted "
+            f"class {model.class_names[1]!r} — mismatched artifacts?"
+        )
+    pidx = cfg.get("path_idx")
+    if pidx is not None and not (0 <= int(pidx) < model.n_path):
+        raise ValueError(
+            f"load_quality_filter: CV-chosen path_idx={pidx} is outside "
+            f"the restored path (n_path={model.n_path})"
+        )
+    return QualityFilter(
+        model=model,
+        n_features=int(cfg["n_features"]),
+        weighting=str(cfg["weighting"]),
+        l2_norm=bool(cfg["l2_norm"]),
+        positive_class=str(cfg["positive_class"]),
+        path_idx=None if pidx is None else int(pidx),
     )
 
 

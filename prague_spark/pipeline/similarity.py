@@ -320,15 +320,27 @@ def write_ivf_index(
     centroids: np.ndarray,
     path: str,
     cell_col: str = "cell",
+    save_model: bool = True,
 ) -> None:
     """Materialize the IVF layout: corpus parquet partitioned by cell id.
 
     Probing then reads ONLY the nprobe matching partitions (Spark
     partition pruning on the directory structure) — at 100 TB a top-k
-    query touches nprobe/n_cells of the data instead of scanning it all."""
+    query touches nprobe/n_cells of the data instead of scanning it all.
+    ``save_model`` (default) persists the centroids as an underscore-
+    prefixed sidecar inside the directory (restore with
+    :func:`load_ivfpq_model` on ``{path}/_ivfpq_model``; codebooks come
+    back None for this one-level index)."""
     assign_ivf_cells(corpus, vec_col, centroids, out=cell_col).write.mode(
         "overwrite"
     ).partitionBy(cell_col).parquet(path)
+    if save_model:
+        import os
+
+        save_ivfpq_model(
+            corpus.sparkSession, os.path.join(path, "_ivfpq_model"),
+            centroids, None,
+        )
 
 
 def read_ivf_index(spark, path: str) -> DataFrame:
@@ -726,6 +738,7 @@ def write_ivfpq_index(
     cell_col: str = "cell",
     code_col: str = "pq_code",
     keep_vec: bool = False,
+    save_model: bool = True,
 ) -> None:
     """Materialize the compressed index layout: (id, cell, codes[, vec])
     parquet PARTITIONED BY cell. The two-level analogue of
@@ -735,7 +748,13 @@ def write_ivfpq_index(
     nprobe/n_cells of an already ~100x-compressed corpus.
     ``keep_vec=False`` (default) drops the float vectors — the
     codes-only layout; re-rank via ``rerank_codes=True`` or
-    :func:`reconstruct_pq`."""
+    :func:`reconstruct_pq`.
+
+    ``save_model`` (default) also persists the centroids + codebooks as
+    an underscore-prefixed sidecar INSIDE the index directory (ignored
+    by parquet scans of the index itself), so a later session restores
+    the whole searchable index with :func:`read_ivfpq_index` — no
+    retraining, no hand-rolled np.save."""
     idx = assign_ivfpq(
         corpus, vec_col, centroids, codebooks,
         cell_col=cell_col, code_col=code_col,
@@ -744,6 +763,124 @@ def write_ivfpq_index(
     idx.select(*cols).write.mode("overwrite").partitionBy(cell_col).parquet(
         path
     )
+    if save_model:
+        # AFTER the index write: mode("overwrite") above clears the dir
+        import os
+
+        save_ivfpq_model(
+            corpus.sparkSession, os.path.join(path, "_ivfpq_model"),
+            centroids, codebooks,
+        )
+
+
+def save_ivfpq_model(spark, path: str, centroids, codebooks=None) -> None:
+    """Persist the ANN index's DRIVER constants — coarse centroids and
+    (optionally) PQ codebooks — as a small parquet, so a LATER session
+    can probe a written index without retraining (the gap
+    :func:`write_ivfpq_index` alone left: the codes parquet is useless
+    without the constants that decode it). One row per vector:
+    (kind, i, j, vals) with kind 'centroid' (i = cell id, j = 0) or
+    'codebook' (i = block m, j = code id). Doubles round-trip exactly
+    through parquet, so probes over a restored model are bit-identical."""
+    C = np.asarray(centroids, dtype=np.float64)
+    if C.ndim != 2 or not C.size:
+        raise ValueError(
+            f"save_ivfpq_model: centroids must be a non-empty 2-D array, "
+            f"got shape {C.shape}"
+        )
+    rows = [
+        ("centroid", int(i), 0, [float(x) for x in C[i]])
+        for i in range(C.shape[0])
+    ]
+    if codebooks is not None:
+        books = np.asarray(codebooks, dtype=np.float64)
+        if books.ndim != 3 or not books.size:
+            raise ValueError(
+                f"save_ivfpq_model: codebooks must be a 3-D (M, K, dsub) "
+                f"array, got shape {books.shape}"
+            )
+        M, K, dsub = books.shape
+        if M * dsub != C.shape[1]:
+            raise ValueError(
+                f"save_ivfpq_model: codebooks reconstruct dim {M}*{dsub}="
+                f"{M * dsub} but centroids have dim {C.shape[1]}"
+            )
+        rows += [
+            ("codebook", int(m), int(j), [float(x) for x in books[m, j]])
+            for m in range(M)
+            for j in range(K)
+        ]
+    spark.createDataFrame(
+        rows, "kind string, i int, j int, vals array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ivfpq_model(spark, path: str):
+    """Restore :func:`save_ivfpq_model` constants. Returns
+    ``(centroids, codebooks)`` — ``codebooks`` is None for an IVF-only
+    model. Shape-validates on load (contiguous ids, uniform dims): a
+    truncated or hand-mangled sidecar must fail here, not as silent
+    garbage scores."""
+    rows = spark.read.parquet(path).collect()
+    cents = {(r["i"]): list(r["vals"]) for r in rows if r["kind"] == "centroid"}
+    if not cents or sorted(cents) != list(range(len(cents))):
+        raise ValueError(
+            f"load_ivfpq_model: {path!r} has non-contiguous or missing "
+            f"centroid ids {sorted(cents)[:8]}..."
+        )
+    dims = {len(v) for v in cents.values()}
+    if len(dims) != 1:
+        raise ValueError(
+            f"load_ivfpq_model: centroid dims are not uniform: {sorted(dims)}"
+        )
+    C = np.asarray([cents[i] for i in range(len(cents))], dtype=np.float64)
+    book_rows = [r for r in rows if r["kind"] == "codebook"]
+    if not book_rows:
+        return C, None
+    keys = {(r["i"], r["j"]) for r in book_rows}
+    M = 1 + max(k[0] for k in keys)
+    K = 1 + max(k[1] for k in keys)
+    if len(keys) != M * K:
+        raise ValueError(
+            f"load_ivfpq_model: codebook grid is ragged — expected "
+            f"{M}x{K}={M * K} rows, got {len(keys)}"
+        )
+    bdims = {len(r["vals"]) for r in book_rows}
+    if len(bdims) != 1:
+        raise ValueError(
+            f"load_ivfpq_model: codebook dims are not uniform: {sorted(bdims)}"
+        )
+    dsub = bdims.pop()
+    if M * dsub != C.shape[1]:
+        raise ValueError(
+            f"load_ivfpq_model: codebooks reconstruct dim {M}*{dsub}="
+            f"{M * dsub} but centroids have dim {C.shape[1]}"
+        )
+    books = np.empty((M, K, dsub))
+    for r in book_rows:
+        books[int(r["i"]), int(r["j"])] = r["vals"]
+    return C, books
+
+
+def read_ivfpq_index(spark, path: str):
+    """Load a :func:`write_ivfpq_index` layout AND its model sidecar in
+    one call: returns ``(index_df, centroids, codebooks)`` ready for
+    :func:`ivfpq_topk` / :func:`ivfpq_knn_join`. Fails loud when the
+    sidecar is absent (an index written before round 10, or with
+    ``save_model=False`` — load the constants from wherever they were
+    kept and use ``spark.read.parquet`` directly)."""
+    import os
+
+    model_path = os.path.join(path, "_ivfpq_model")
+    try:
+        C, books = load_ivfpq_model(spark, model_path)
+    except Exception as e:
+        raise ValueError(
+            f"read_ivfpq_index: no readable model sidecar at "
+            f"{model_path!r} — was the index written with "
+            f"save_model=True?"
+        ) from e
+    return spark.read.parquet(path), C, books
 
 
 def ivfpq_knn_candidates(

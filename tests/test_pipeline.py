@@ -2047,3 +2047,65 @@ def test_minhash_index_bucket_cap_and_plan(docs, spark, tmp_path):
     # measured: 2 shuffles (shard signature agg + the closing distinct),
     # 1 broadcast, 0 python — the whole gate is O(shard)
     assert_scale_shape(out, max_py_stages=0, max_shuffles=3)
+
+
+# ---------------------------------------------------------------------------
+# ANN model-constant persistence (the index's driver artifacts)
+# ---------------------------------------------------------------------------
+
+def test_ivfpq_model_save_load_roundtrip(emb, spark, tmp_path):
+    """write_ivfpq_index persists the driver constants as a sidecar; a
+    later session restores the WHOLE searchable index with
+    read_ivfpq_index and probes it with BIT-IDENTICAL results (doubles
+    round-trip parquet exactly). Shape validation fails loud on a
+    mangled sidecar."""
+    vec = emb.withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    ).select("vec_id", "vec")
+    C, books = similarity.train_ivfpq(
+        vec, "vec", n_centroids=4, n_subvectors=4, n_codes=8,
+        sample_rows=500, iters=4,
+    )
+    path = str(tmp_path / "ivfpq_idx")
+    similarity.write_ivfpq_index(vec, "vec_id", "vec", C, books, path)
+    idx, C2, books2 = similarity.read_ivfpq_index(spark, path)
+    assert (C2 == C).all() and (books2 == books).all()
+    # the sidecar does NOT pollute the index scan
+    assert set(idx.columns) == {"vec_id", "pq_code", "cell"}
+    assert idx.count() == vec.count()
+
+    qrows = vec.limit(2).collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in qrows]
+    want = {
+        (r.query_id, r.vec_id, r.rank, r.score)
+        for r in similarity.ivfpq_topk(
+            idx, "vec_id", C, books, queries, k=5, nprobe=2
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id, r.rank, r.score)
+        for r in similarity.ivfpq_topk(
+            idx, "vec_id", C2, books2, queries, k=5, nprobe=2
+        ).collect()
+    }
+    assert got == want and len(got) == 10
+
+    # IVF-only sidecar restores with codebooks=None
+    path2 = str(tmp_path / "ivf_idx")
+    similarity.write_ivf_index(vec, "vec", C, path2)
+    C3, nobooks = similarity.load_ivfpq_model(
+        spark, f"{path2}/_ivfpq_model"
+    )
+    assert nobooks is None and (C3 == C).all()
+
+    # mangled sidecar (ragged codebook grid) fails loud
+    mp = str(tmp_path / "mangled_model")
+    full = spark.read.parquet(f"{path}/_ivfpq_model")
+    full.filter(
+        ~((F.col("kind") == "codebook") & (F.col("i") == 1) & (F.col("j") == 3))
+    ).write.parquet(mp)
+    with pytest.raises(ValueError, match="ragged"):
+        similarity.load_ivfpq_model(spark, mp)
+    # and a sidecar-less index dir is a clean error, not garbage
+    with pytest.raises(ValueError, match="sidecar"):
+        similarity.read_ivfpq_index(spark, str(tmp_path / "nope"))

@@ -119,3 +119,66 @@ def test_quality_filter_tfidf_rejected(labeled):
                        l2_norm=False, positive_class="good")
     with pytest.raises(ValueError, match="tfidf"):
         score_quality(labeled, qf, "doc_id", "text")
+
+
+def test_quality_filter_save_load_roundtrip(spark, labeled, tmp_path):
+    """The filter artifact round-trips: load in a fresh-session-shaped
+    test and score with IDENTICAL probabilities (the restored betas and
+    config are the same doubles, so the gate replays bit-exactly).
+    Validation fails loud on mismatched artifacts."""
+    import json
+
+    from prague_spark.pipeline.quality_model import (
+        load_quality_filter, save_quality_filter,
+    )
+
+    train = labeled.filter(F.col("doc_id") % 10 < 7)
+    test = labeled.filter(F.col("doc_id") % 10 >= 7).limit(60)
+    qf = train_quality_filter(
+        train, "doc_id", "text", "ql",
+        n_features=2**12, n_sigma=4, lambda_min_ratio=0.1,
+    )
+    path = str(tmp_path / "qfilter")
+    save_quality_filter(spark, qf, path)
+    qf2 = load_quality_filter(spark, path)
+    assert (qf2.n_features, qf2.weighting, qf2.l2_norm,
+            qf2.positive_class, qf2.path_idx) == (
+        qf.n_features, qf.weighting, qf.l2_norm,
+        qf.positive_class, qf.path_idx,
+    )
+    want = {
+        r["doc_id"]: r["q_prob"]
+        for r in score_quality(test, qf, "doc_id", "text").collect()
+    }
+    got = {
+        r["doc_id"]: r["q_prob"]
+        for r in score_quality(test, qf2, "doc_id", "text").collect()
+    }
+    assert got == want  # exact equality: identical literals
+
+    # sparse disk form: far fewer coef rows than the dense grid
+    n_rows = spark.read.parquet(f"{path}/model/coefs").count()
+    assert n_rows < (2**12 + 1) * qf.model.n_path / 4
+
+    # mismatched artifacts fail loud before anything is scored
+    cfg = json.loads(
+        spark.read.parquet(f"{path}/config").first()["config"]
+    )
+    bad = dict(cfg)
+    bad["n_features"] = 2**10
+    spark.createDataFrame([(json.dumps(bad),)], "config string") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/config")
+    with pytest.raises(ValueError, match="n_features"):
+        load_quality_filter(spark, path)
+    bad = dict(cfg)
+    bad["positive_class"] = "mediocre"
+    spark.createDataFrame([(json.dumps(bad),)], "config string") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/config")
+    with pytest.raises(ValueError, match="positive_class"):
+        load_quality_filter(spark, path)
+    bad = dict(cfg)
+    bad["path_idx"] = 99
+    spark.createDataFrame([(json.dumps(bad),)], "config string") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/config")
+    with pytest.raises(ValueError, match="path_idx=99"):
+        load_quality_filter(spark, path)
