@@ -232,15 +232,21 @@ def _slice_path(c: DataFrame, group_cols, path_idx):
         # selection built with DIFFERENT penalty params than the
         # coefficient frame can name a path_idx the group's path never
         # reached — every row of that segment would otherwise score
-        # NULL. Validated DRIVER-SIDE from the two model-sized frames'
-        # distinct keys (NULL group keys compare fine as Python tuples —
-        # a join-based check would need null-safe equality), so the
-        # returned plan stays a plain lazy join. NOTE: this costs one
-        # eager pass over each frame at CALL time — persist `coefs` if
-        # the same fit also feeds the scoring action.
+        # NULL. Validated DRIVER-SIDE from the two frames' distinct keys
+        # (NULL group keys compare fine as Python tuples — a join-based
+        # check would need null-safe equality). Both frames are
+        # MODEL-SIZED, so they are collected WHOLE and rebuilt as local
+        # frames: validation and the returned join then share ONE
+        # execution of each lineage — an unpersisted applyInPandas fit
+        # used to run once for validation here and AGAIN at scoring.
         keys = [*group_cols, "path_idx"]
-        have = {tuple(r) for r in c.select(*keys).distinct().collect()}
-        want = {tuple(r) for r in sel.distinct().collect()}
+        spark = c.sparkSession
+        c_rows = c.collect()
+        c = spark.createDataFrame(c_rows, c.schema)
+        sel_rows = sel.collect()
+        sel = spark.createDataFrame(sel_rows, sel.schema)
+        have = {tuple(getattr(r, k) for k in keys) for r in c_rows}
+        want = {tuple(getattr(r, k) for k in keys) for r in sel_rows}
         # exactly ONE path point per group: two selection rows for a
         # group would both survive the inner join and the downstream
         # max(when(...)) pivot would silently merge two models
@@ -353,6 +359,54 @@ def load_grouped(spark, path: str, group_cols: Sequence[str]) -> DataFrame:
     return coefs
 
 
+def _approx_cap_filter(df: DataFrame, group_cols, target_rows: int, u):
+    """The shared hash-threshold pass of :func:`cap_group_rows`: ONE
+    count aggregation finds groups above ``target_rows``, their keep
+    fractions broadcast-join back (NULL-safe), each row survives iff
+    its hash unit < fraction. Groups at or under the target pass
+    through untouched; surviving group sizes concentrate binomially
+    around ``target_rows``."""
+    import logging
+
+    over_rows = (
+        df.groupBy(*group_cols)
+        .count()
+        .filter(F.col("count") > target_rows)
+        .select(
+            *group_cols,
+            (F.lit(float(target_rows)) / F.col("count")).alias("_keep_frac"),
+        )
+        .collect()
+    )
+    if not over_rows:
+        return df
+    logging.getLogger("prague_spark.grouped").warning(
+        "cap_group_rows: downsampling %d group(s) above %d rows",
+        len(over_rows), target_rows,
+    )
+    from pyspark.sql.functions import broadcast
+
+    over = df.sparkSession.createDataFrame(
+        over_rows,
+        df.select(*group_cols).schema.add("_keep_frac", DoubleType()),
+    )
+    # NULL-safe equality on the group key: plain column-name joins use
+    # null-unsafe '=', so a whale group keyed by NULL would never match
+    # its keep fraction and silently bypass the cap — the exact segment
+    # this helper exists to save
+    lhs, rhs = df.alias("_cap_l"), broadcast(over.alias("_cap_r"))
+    cond = None
+    for c in group_cols:
+        e = F.col(f"_cap_l.{c}").eqNullSafe(F.col(f"_cap_r.{c}"))
+        cond = e if cond is None else cond & e
+    joined = lhs.join(rhs, cond, "left").select(
+        "_cap_l.*", F.col("_cap_r._keep_frac").alias("_keep_frac")
+    )
+    return joined.filter(
+        F.col("_keep_frac").isNull() | (u < F.col("_keep_frac"))
+    ).drop("_keep_frac")
+
+
 def cap_group_rows(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -360,6 +414,8 @@ def cap_group_rows(
     key_cols: Sequence[str],
     seed: int = 42,
     exact: bool = False,
+    prefilter: bool = False,
+    prefilter_margin: float = 4.0,
 ) -> DataFrame:
     """Deterministic per-group downsampling to ``max_rows`` rows,
     applied BEFORE a grouped solve: ``fit_grouped``'s ``max_group_rows``
@@ -395,10 +451,21 @@ def cap_group_rows(
       on anyway (same keys, so the exchange is reusable) — and a
       per-partition sort; still no count pass, no join, no cache.
 
+      **SKEW WARNING**: the window funnels each ENTIRE group through one
+      task's sort before discarding — a billion-row whale group is one
+      unboundedly-skewed task (sort spill keeps it alive, wall-clock
+      pays). ``prefilter=True`` bounds it: the approximate hash pass
+      runs FIRST at ``prefilter_margin * max_rows``, so the sorted
+      group is already near the cap. The kept set is unchanged — the
+      window keeps the lowest-hash rows and the prefilter keeps a
+      hash-prefix superset — EXCEPT with probability ~exp(-max_rows *
+      (margin-1)^2 / (2*margin)) (binomial tail, astronomically small at
+      the default margin 4 for any real cap) a group can come out
+      slightly UNDER ``max_rows``: still a valid cap, never over, still
+      deterministic. Costs the approximate mode's count pass + join.
+
     ``key_cols`` must identify rows uniquely within a group — a reused
     key survives or dies as a block, skewing the sample."""
-    import logging
-
     from ..pipeline.sample import _hash_unit_expr
 
     group_cols = list(group_cols)
@@ -415,49 +482,23 @@ def cap_group_rows(
     if exact:
         from pyspark.sql import Window
 
+        if prefilter:
+            if prefilter_margin <= 1.0:
+                raise ValueError(
+                    "cap_group_rows: prefilter_margin must be > 1 "
+                    "(headroom over max_rows so the window still sees "
+                    "the full kept set)"
+                )
+            df = _approx_cap_filter(
+                df, group_cols, int(prefilter_margin * max_rows), u
+            )
         w = Window.partitionBy(*group_cols).orderBy(
             u.asc(), *[F.col(c).asc() for c in key_cols]
         )
         return df.withColumn("_cap_rn", F.row_number().over(w)).filter(
             F.col("_cap_rn") <= int(max_rows)
         ).drop("_cap_rn")
-    over_rows = (
-        df.groupBy(*group_cols)
-        .count()
-        .filter(F.col("count") > max_rows)
-        .select(
-            *group_cols,
-            (F.lit(float(max_rows)) / F.col("count")).alias("_keep_frac"),
-        )
-        .collect()
-    )
-    if not over_rows:
-        return df
-    logging.getLogger("prague_spark.grouped").warning(
-        "cap_group_rows: downsampling %d group(s) above %d rows",
-        len(over_rows), max_rows,
-    )
-    from pyspark.sql.functions import broadcast
-
-    over = df.sparkSession.createDataFrame(
-        over_rows,
-        df.select(*group_cols).schema.add("_keep_frac", DoubleType()),
-    )
-    # NULL-safe equality on the group key: plain column-name joins use
-    # null-unsafe '=', so a whale group keyed by NULL would never match
-    # its keep fraction and silently bypass the cap — the exact segment
-    # this helper exists to save
-    lhs, rhs = df.alias("_cap_l"), broadcast(over.alias("_cap_r"))
-    cond = None
-    for c in group_cols:
-        e = F.col(f"_cap_l.{c}").eqNullSafe(F.col(f"_cap_r.{c}"))
-        cond = e if cond is None else cond & e
-    joined = lhs.join(rhs, cond, "left").select(
-        "_cap_l.*", F.col("_cap_r._keep_frac").alias("_keep_frac")
-    )
-    return joined.filter(
-        F.col("_keep_frac").isNull() | (u < F.col("_keep_frac"))
-    ).drop("_keep_frac")
+    return _approx_cap_filter(df, group_cols, int(max_rows), u)
 
 
 def cv_optimum_path(cv_out: DataFrame, group_cols) -> DataFrame:

@@ -1101,3 +1101,68 @@ def test_fit_grouped_plan_shape(spark, li):
     assert a.shuffles == 1
     assert a.py_stages == 1
     assert a.nested_loops == 0 and a.cartesians == 0
+
+
+def test_cap_group_rows_exact_prefilter_same_result(spark, li):
+    """exact=True with the skew prefilter keeps the SAME rows as the
+    plain exact window (the window keeps the lowest-hash rows; the
+    prefilter keeps a hash-prefix superset), still exactly max_rows
+    per over-cap group — the whale group just arrives at the sort
+    already near the cap."""
+    from prague_spark import cap_group_rows
+
+    cap = 400
+    keys = ["l_orderkey", "l_linenumber"]
+    plain = {
+        tuple(r)
+        for r in cap_group_rows(li, ["l_returnflag"], cap, keys, exact=True)
+        .select("l_returnflag", *keys).collect()
+    }
+    pre = {
+        tuple(r)
+        for r in cap_group_rows(
+            li, ["l_returnflag"], cap, keys, exact=True, prefilter=True
+        ).select("l_returnflag", *keys).collect()
+    }
+    assert pre == plain
+    with pytest.raises(ValueError, match="prefilter_margin"):
+        cap_group_rows(li, ["l_returnflag"], cap, keys, exact=True,
+                       prefilter=True, prefilter_margin=0.5)
+
+
+def test_slice_path_selection_executes_coefs_once(spark, li):
+    """predict_grouped(path_idx=<selection frame>) materializes the
+    model-sized coefficient frame ONCE: validation and scoring share the
+    collected rows, so an UNPERSISTED applyInPandas fit is not paid
+    twice (before round 10, validation ran the fit and the scoring
+    action ran it again)."""
+    from prague_spark import fit_grouped
+    from prague_spark.ops.grouped import predict_grouped
+
+    coefs = fit_grouped(
+        li, FEATS, "l_extendedprice", "gaussian", ["l_returnflag"],
+        n_sigma=3, lambda_min_ratio=0.1,
+    )  # deliberately NOT cached
+    _DF = type(coefs)  # the CONCRETE DataFrame class (Spark 4 facade split)
+    groups = [r[0] for r in coefs.select("l_returnflag").distinct().collect()]
+    sel = spark.createDataFrame(
+        [(g, 1) for g in groups], "l_returnflag string, path_idx int"
+    )
+    calls = {"n": 0}
+    orig = _DF.collect
+
+    def counting_collect(self):
+        if "beta" in self.columns:  # the coefficient lineage
+            calls["n"] += 1
+        return orig(self)
+
+    _DF.collect = counting_collect
+    try:
+        out = predict_grouped(li, coefs, FEATS, ["l_returnflag"],
+                              path_idx=sel)
+        assert out.filter(F.col("pred").isNull()).count() == 0
+    finally:
+        _DF.collect = orig
+    # exactly one collect of a beta-carrying frame (the _slice_path
+    # materialization); the scoring action pivots the LOCAL rebuild
+    assert calls["n"] == 1
