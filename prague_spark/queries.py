@@ -1727,16 +1727,38 @@ def q_dedup_cc(spark, sf_dir):
     candidate pairs, with canonical-document selection (the cluster's
     minimum doc_id). The step a production dedup pipeline runs after the
     pair generators; the oracle re-derives the transitive closure with a
-    recursive CTE from the identical pair set."""
+    recursive CTE from the identical pair set.
+
+    Round-10 merged slice 'canon': the RETENTION POLICY —
+    ``canonical_by_score`` keeps each cluster's best-QUALITY member
+    (here score = text length, SQL-replicable; desc, doc_id asc
+    tie-break) with its member count, hash-verified against DuckDB's
+    row_number window over the same recursive closure."""
     docs = load(spark, sf_dir, "documents")
     sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=_MH_N, shingle_n=1)
     pairs = dedup.minhash_lsh_candidates(sig, "doc_id", bands=2, rows_per_band=2)
     cc = dedup.connected_components(pairs, "id_a", "id_b")
-    return cc.select(
+    cc_rows = cc.select(
+        F.lit("cc").alias("part"),
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
-        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+        (F.col("node") == F.col("cluster_id")).alias("flag"),
+        F.lit(0.0).alias("v"),
+        F.lit(0).cast("bigint").alias("n"),
     )
+    scored = docs.select(
+        "doc_id", F.length("text").cast("double").alias("len_score")
+    )
+    canon = dedup.canonical_by_score(cc, scored, "doc_id", "len_score")
+    canon_rows = canon.select(
+        F.lit("canon").alias("part"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.lit(True).alias("flag"),
+        F.col("len_score").alias("v"),
+        F.col("n_members").cast("bigint").alias("n"),
+    )
+    return cc_rows.unionByName(canon_rows)
 
 
 # shared banding + candidate-pair CTE block (2 bands x 2 rows over the
@@ -1789,11 +1811,25 @@ SQL_DEDUP_CC = (
         SELECT src, src FROM und
         UNION
         SELECT u.src, r.lbl FROM und u JOIN reach r ON r.node = u.dst
+    ), lbl AS (
+        SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+    ), ranked AS (
+        SELECT l.cluster_id, l.node, length(d.text)::DOUBLE AS s,
+               count(*) OVER (PARTITION BY l.cluster_id) AS nm,
+               row_number() OVER (
+                   PARTITION BY l.cluster_id
+                   ORDER BY length(d.text) DESC, l.node ASC
+               ) AS rk
+        FROM lbl l JOIN documents d ON d.doc_id = l.node
     )
-    SELECT CAST(node AS BIGINT) AS doc_id,
-           CAST(min(lbl) AS BIGINT) AS cluster_id,
-           (node = min(lbl)) AS is_canonical
-    FROM reach GROUP BY node
+    SELECT 'cc' AS part, CAST(node AS BIGINT) AS doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           (node = cluster_id) AS flag, 0.0 AS v, CAST(0 AS BIGINT) AS n
+    FROM lbl
+    UNION ALL
+    SELECT 'canon', CAST(node AS BIGINT), CAST(cluster_id AS BIGINT),
+           TRUE, s, CAST(nm AS BIGINT)
+    FROM ranked WHERE rk = 1
 """
 )
 
@@ -5449,6 +5485,13 @@ SQL_DOCS_SAMPLE = f"""
 # slice (span_dup_stats' covered-token / token counts, integer-exact);
 # docs_sample_stratified also gains a 'qbuck' slice (score_buckets
 # exact per-language terciles, bit-matching quantile_cont).
+#
+# Round-10 merges (still exactly 50): dedup_cc gains a 'canon' slice —
+# the duplicate-cluster RETENTION POLICY dedup.canonical_by_score
+# (keep each cluster's best-quality member: score desc, id asc
+# tie-break, with member counts), re-derived in SQL as a row_number
+# window over the identical recursive-CTE closure with score =
+# length(text).
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,
