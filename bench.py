@@ -124,6 +124,7 @@ def main() -> None:
         c.unpersist()
 
     timings: dict[str, float] = {}
+    plan_counters: dict[str, dict] = {}
 
     def bench(name):
         # best-of-N: the box shows transient multi-second host-level
@@ -132,17 +133,37 @@ def main() -> None:
         # whichever runs caught a stall window. Normally 3 runs; if no two
         # runs concord within 1.5x (i.e. a stall likely hit several of
         # them) extend to at most 5 so one clean window is near-certain.
+        #
+        # A body that RETURNS its final DataFrame also gets its physical
+        # plan audited (driver-side, after timing — no job runs): the
+        # emitted {shuffles, py_stages} counters let a round-over-round
+        # comparison separate host-stall noise (wall time moved, counters
+        # identical) from a structural regression (counters moved) without
+        # re-running. Driver-side fits return None — their plan budgets
+        # are pinned as scans-per-path-point in the test suite instead.
         def deco(fn):
             times: list[float] = []
+            ret = None
             for attempt in range(5):
                 t0 = time.monotonic()
-                fn()
+                ret = fn()
                 times.append(time.monotonic() - t0)
                 if attempt >= 2:
                     lo = sorted(times)
                     if lo[1] <= 1.5 * lo[0]:
                         break
             timings[name] = round(min(times), 3)
+            if ret is not None:
+                try:
+                    from prague_spark.plan_audit import audit as _audit
+
+                    a = _audit(ret)
+                    plan_counters[name] = {
+                        "shuffles": a.shuffles, "py_stages": a.py_stages,
+                    }
+                except Exception as e:  # never fail the bench on an audit
+                    print(f"[bench] {name}: plan audit failed: {e}",
+                          file=sys.stderr, flush=True)
             print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
         return deco
 
@@ -154,8 +175,9 @@ def main() -> None:
         from prague_spark.ops.standardize import fit_standardizer
 
         std = fit_standardizer(li, FEATURES + [LABEL])
-        out = std.transform(li, suffix="_z")
-        out.agg(F.sum(LABEL + "_z")).collect()
+        out = std.transform(li, suffix="_z").agg(F.sum(LABEL + "_z"))
+        out.collect()
+        return out
 
     model_holder = {}
 
@@ -208,20 +230,24 @@ def main() -> None:
     def _():
         # per-segment fits: one applyInPandas shuffle, one in-core path
         # per l_returnflag segment (3 segments x ~200k rows at sf0.1)
-        ps.fit_grouped(
+        out = ps.fit_grouped(
             li, FEATURES, LABEL, "gaussian", ["l_returnflag"],
             n_sigma=5, lambda_min_ratio=0.01,
-        ).count()
+        )
+        out.count()
+        return out
 
     @bench("cv_grouped_gaussian")
     def _():
         # per-segment CV: 3 segments x 3 folds x 5 sigmas, all in-core
         # solves inside ONE applyInPandas shuffle
-        ps.cv_fit_grouped(
+        out = ps.cv_fit_grouped(
             li, FEATURES, LABEL, "gaussian", ["l_returnflag"],
             n_folds=3, fold_col="l_orderkey", n_sigma=5,
             lambda_min_ratio=0.01,
-        ).count()
+        )
+        out.count()
+        return out
 
     # per-segment scoring benches time PURE scoring: the segment models
     # are fit once here, outside the timed blocks
@@ -244,19 +270,23 @@ def main() -> None:
         # per-segment rank AUC: broadcast coef-map scoring + one
         # (group, p) reduce + one partitioned running-sum window — the
         # full-table single pass a segment-scored binomial needs
-        ps.score_grouped(
+        out = ps.score_grouped(
             _li_big, _grp_bin, FEATURES, "flag", ["l_returnflag"],
             family="binomial", measure="auc",
-        ).count()
+        )
+        out.count()
+        return out
 
     @bench("predict_grouped_multinomial")
     def _():
         # per-segment softmax scoring: stateless broadcast nested-map
         # join + codegen simplex + argmax class, zero data shuffle
-        ps.predict_grouped(
+        out = ps.predict_grouped(
             li, _grp_multi, FEATURES, ["l_linestatus"],
             family="multinomial", type="class", out="cls",
-        ).agg(F.count("cls")).collect()
+        ).agg(F.count("cls"))
+        out.collect()
+        return out
 
     @bench("fit_sparse_gaussian")
     def _():
@@ -346,17 +376,22 @@ def main() -> None:
 
     @bench("dedup_exact")
     def _():
-        dedup.exact_dedup(docs, "text", "doc_id").count()
+        out = dedup.exact_dedup(docs, "text", "doc_id")
+        out.count()
+        return out
 
     @bench("dedup_minhash")
     def _():
         sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=32)
         cands = dedup.minhash_lsh_candidates(sigs, "doc_id", bands=8, rows_per_band=4)
         cands.count()
+        return cands
 
     @bench("dedup_simhash")
     def _():
-        dedup.simhash(docs, "doc_id", "text").agg(F.sum("simhash")).collect()
+        out = dedup.simhash(docs, "doc_id", "text").agg(F.sum("simhash"))
+        out.collect()
+        return out
 
     @bench("dedup_embedding_lsh")
     def _():
@@ -368,9 +403,11 @@ def main() -> None:
         # candidates ~75% of all pairs, so benching it here would measure
         # the fixture's geometry, not the plan (production near-dup
         # thresholds >= 0.9 give recall ~0.99 with sparse candidates)
-        dedup.embedding_cosine_pairs(
+        out = dedup.embedding_cosine_pairs(
             emb, "vec_id", "vec", threshold=0.3, n_planes=8
-        ).count()
+        )
+        out.count()
+        return out
 
     @bench("dedup_embedding_lsh_banded")
     def _():
@@ -389,15 +426,19 @@ def main() -> None:
             ).alias("vec"),
         )
         both = emb.select("vec_id", "vec").unionByName(pert)
-        dedup.embedding_cosine_pairs(
+        out = dedup.embedding_cosine_pairs(
             both, "vec_id", "vec", threshold=0.7, n_planes=8, n_bands=8
-        ).count()
+        )
+        out.count()
+        return out
 
     @bench("sim_cosine_topk")
     def _():
         qrows = emb.limit(3).select("vec_id", "vec").collect()
         queries = [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in qrows]
-        similarity.cosine_topk(emb, "vec_id", "vec", queries, k=10).count()
+        out = similarity.cosine_topk(emb, "vec_id", "vec", queries, k=10)
+        out.count()
+        return out
 
     @bench("sim_pq_topk")
     def _():
@@ -410,10 +451,12 @@ def main() -> None:
             emb, "vec", n_subvectors=8, n_codes=16, sample_rows=2000
         )
         coded = similarity.assign_pq_codes(emb, "vec", books)
-        similarity.pq_adc_topk(
+        out = similarity.pq_adc_topk(
             coded, "vec_id", "pq_code", books, queries, k=10,
             rerank_vec_col="vec", shortlist=100,
-        ).count()
+        )
+        out.count()
+        return out
 
     @bench("sim_ivfpq_topk")
     def _():
@@ -426,10 +469,12 @@ def main() -> None:
             sample_rows=2000,
         )
         idx = similarity.assign_ivfpq(emb, "vec", C, books)
-        similarity.ivfpq_topk(
+        out = similarity.ivfpq_topk(
             idx, "vec_id", C, books, queries, k=10, nprobe=4,
             rerank_vec_col="vec", shortlist=100,
-        ).count()
+        )
+        out.count()
+        return out
 
     @bench("dedup_embedding_cells")
     def _():
@@ -444,8 +489,10 @@ def main() -> None:
             F.expr("transform(vec, x -> x * 1.001d)").alias("vec"),
         )
         both = emb.select("vec_id", "vec").unionByName(pert)
-        dedup.embedding_cell_pairs(both, "vec_id", "vec", C,
-                                   threshold=0.9).count()
+        out = dedup.embedding_cell_pairs(both, "vec_id", "vec", C,
+                                         threshold=0.9)
+        out.count()
+        return out
 
     @bench("sim_knn_join")
     def _():
@@ -458,7 +505,9 @@ def main() -> None:
         qdf = emb.limit(200).select(
             F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
         )
-        similarity.ivf_knn_join(qdf, idx, C, k=10, nprobe=2).count()
+        out = similarity.ivf_knn_join(qdf, idx, C, k=10, nprobe=2)
+        out.count()
+        return out
 
     @bench("sim_ivfpq_knn_join")
     def _():
@@ -474,10 +523,12 @@ def main() -> None:
         qdf = emb.limit(200).select(
             F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
         )
-        similarity.ivfpq_knn_join(
+        out = similarity.ivfpq_knn_join(
             qdf, idx.select("vec_id", "cell", "pq_code"), C, books,
             k=10, nprobe=2, rerank_codes=True, shortlist=50,
-        ).count()
+        )
+        out.count()
+        return out
 
     @bench("events_sessionize")
     def _():
@@ -486,16 +537,14 @@ def main() -> None:
         from prague_spark.queries import load
 
         ev = load(spark, SF_DIR, "events")
-        (
-            ev.groupBy(
-                F.session_window("ts", "30 minutes").alias("w"), "user_id"
-            )
-            .agg(
-                F.count("*").cast("bigint").alias("n_events"),
-                F.round(F.sum("value"), 4).alias("sum_value"),
-            )
-            .count()
+        out = ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        ).agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
         )
+        out.count()
+        return out
 
     @bench("events_rollup")
     def _():
@@ -506,10 +555,12 @@ def main() -> None:
         from prague_spark.queries import load
 
         ev = load(spark, SF_DIR, "events")
-        time_rollup(
+        out = time_rollup(
             ev, "ts", grains=("hour", "day"), keys=("event_type",),
             aggs=[F.count("*").alias("n"), F.avg("value").alias("av")],
-        ).agg(F.sum("n")).collect()
+        ).agg(F.sum("n"))
+        out.collect()
+        return out
 
     @bench("events_range_join")
     def _():
@@ -528,8 +579,10 @@ def main() -> None:
             (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("e"),
             F.col("event_id").alias("iid"),
         )
-        range_join(views, wins, "ts", "s", "e", by="user_id",
-                   bucket=3600).count()
+        out = range_join(views, wins, "ts", "s", "e", by="user_id",
+                         bucket=3600)
+        out.count()
+        return out
 
     @bench("text_bm25")
     def _():
@@ -543,10 +596,12 @@ def main() -> None:
 
         n, avgdl = corpus_stats_from_docs(docs, "text")
         post = build_postings(docs, "doc_id", "text")
-        bm25_search(
+        out = bm25_search(
             post, [(0, "table scan merge"), (1, "window sort hash")],
             k=10, n_docs=n, avgdl=avgdl,
-        ).count()
+        )
+        out.count()
+        return out
 
     @bench("sim_hybrid_rrf")
     def _():
@@ -566,9 +621,11 @@ def main() -> None:
             emb, "vec_id", "vec",
             [(0, [float(x) for x in qrows[0]["vec"]])], k=20,
         ).withColumnRenamed("vec_id", "doc_id")
-        rrf_fuse(
+        out = rrf_fuse(
             [lex, sem.select("query_id", "doc_id", "rank")], topk=10
-        ).count()
+        )
+        out.count()
+        return out
 
     @bench("events_funnel")
     def _():
@@ -578,10 +635,12 @@ def main() -> None:
         from prague_spark.queries import load
 
         ev = load(spark, SF_DIR, "events")
-        funnel(
+        out = funnel(
             ev, "user_id", "ts", "event_type",
             ["view", "click", "purchase"], within=86400.0,
-        ).agg(F.sum("depth")).collect()
+        ).agg(F.sum("depth"))
+        out.collect()
+        return out
 
     @bench("events_asof")
     def _():
@@ -598,31 +657,40 @@ def main() -> None:
             "user_id", "ts", F.col("event_id").alias("click_id"),
             F.col("value").alias("click_value"),
         )
-        asof_join(views, clicks, "ts", "user_id").agg(
+        out = asof_join(views, clicks, "ts", "user_id").agg(
             F.count("click_id_r")
-        ).collect()
+        )
+        out.collect()
+        return out
 
     @bench("text_winnow_fingerprint")
     def _():
-        text_ops.winnow_fingerprint(docs, "text").agg(
+        out = text_ops.winnow_fingerprint(docs, "text").agg(
             F.count("winnow_fp")
-        ).collect()
+        )
+        out.collect()
+        return out
 
     @bench("text_quality")
     def _():
-        out = text_ops.quality_score(docs, "text")
-        out.agg(F.avg("q_score")).collect()
+        out = text_ops.quality_score(docs, "text").agg(F.avg("q_score"))
+        out.collect()
+        return out
 
     @bench("text_fingerprint")
     def _():
-        text_ops.fingerprint(docs, "text").select(
+        out = text_ops.fingerprint(docs, "text").select(
             F.count(F.col("fingerprint"))
-        ).collect()
+        )
+        out.collect()
+        return out
 
     @bench("text_pack")
     def _():
-        text_ops.pack_chunks(docs, "doc_id", "text", capacity=2048,
-                             n_shards=CPUS).agg(F.sum("tok_len")).collect()
+        out = text_ops.pack_chunks(docs, "doc_id", "text", capacity=2048,
+                                   n_shards=CPUS).agg(F.sum("tok_len"))
+        out.collect()
+        return out
 
     @bench("text_lm_score")
     def _():
@@ -631,9 +699,11 @@ def main() -> None:
         from prague_spark.pipeline.text import bigram_lm_index, lm_logprob
 
         uni, big, total = bigram_lm_index(docs, "text")
-        lm_logprob(docs, "doc_id", "text", uni, big, total).agg(
+        out = lm_logprob(docs, "doc_id", "text", uni, big, total).agg(
             F.avg("lm_logprob")
-        ).collect()
+        )
+        out.collect()
+        return out
 
     @bench("docs_hashvec")
     def _():
@@ -641,23 +711,29 @@ def main() -> None:
         # fit_sparse-ready triplets (the no-vocab 100 TB vectorizer)
         from prague_spark.pipeline.vectorize import hashing_vectorizer
 
-        hashing_vectorizer(docs, "doc_id", "text", n_features=2**15).agg(
+        out = hashing_vectorizer(docs, "doc_id", "text", n_features=2**15).agg(
             F.sum("value")
-        ).collect()
+        )
+        out.collect()
+        return out
 
     @bench("text_decontaminate")
     def _():
         tr = docs.filter(F.col("source") != "src0")
         ev = docs.filter(F.col("source") == "src0")
-        dedup.contamination(tr, ev, "doc_id", "text").count()
+        out = dedup.contamination(tr, ev, "doc_id", "text")
+        out.count()
+        return out
 
     @bench("dedup_spans")
     def _():
         # exact-substring duplicate spans (Lee et al. tier): gram-hash
         # agg + semi-join + per-doc gaps-and-islands windows
-        dedup.duplicate_spans(docs, "doc_id", "text", k=5).agg(
+        out = dedup.duplicate_spans(docs, "doc_id", "text", k=5).agg(
             F.sum("n_dup_grams")
-        ).collect()
+        )
+        out.collect()
+        return out
 
     @bench("dsir_select")
     def _():
@@ -676,7 +752,34 @@ def main() -> None:
         rc = dsir_ngram_counts(docs, "text", n_buckets=B)
         table = dsir_log_ratio(tc, rc, n_buckets=B)
         scored = dsir_logweights(docs, "doc_id", "text", table)
-        dsir_gumbel_select(scored, "doc_id", "dsir_logw", 1000).count()
+        out = dsir_gumbel_select(scored, "doc_id", "dsir_logw", 1000)
+        out.count()
+        return out
+
+    # incremental near-dup gate: the index is BUILT ONCE outside the
+    # timed block (that cost amortizes over every future shard); the
+    # entry times what a per-crawl-snapshot run pays — one shard
+    # signature agg + the slim (band, key) equi-joins against the
+    # stored index
+    import tempfile as _tf
+
+    _mh_idx_path = _tf.mkdtemp(prefix="prague_bench_mhidx_") + "/idx"
+    _mh_corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    _mh_shard = docs.filter(F.col("doc_id") % 5 == 0)
+    dedup.write_minhash_index(
+        _mh_corpus, _mh_idx_path, "doc_id", "text",
+        num_hashes=32, shingle_n=2, seed=42, bands=8, rows_per_band=4,
+    )
+    _mh_idx = spark.read.parquet(_mh_idx_path)
+
+    @bench("dedup_minhash_incremental")
+    def _():
+        out = dedup.minhash_candidates_against(
+            _mh_shard, _mh_idx, "doc_id", "text",
+            num_hashes=32, shingle_n=2, seed=42, bands=8, rows_per_band=4,
+        )
+        out.count()
+        return out
 
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
@@ -688,6 +791,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # structural counters per entry (shuffles / python
+                # stages from plan_audit): identical counters + moved
+                # wall time = host noise; moved counters = a real plan
+                # regression. Driver-side fit entries carry no counters.
+                "plans": plan_counters,
                 "sf": sf,
             }
         )
