@@ -56,6 +56,82 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def write_content_index(
+    df: DataFrame, path: str, id_col: str, text_col: str
+) -> None:
+    """Materialize the EXACT-dedup index of the incremental pipeline:
+    one row per distinct content hash — ``(content_md5, canonical_id =
+    min id, n_copies)`` — so every new crawl shard gates against the
+    historical corpus with :func:`exact_dedup_against` in O(shard)
+    instead of re-hashing 100 TB per snapshot. One md5 hash-agg, the
+    same shuffle :func:`exact_dedup` pays once.
+
+    Appending a snapshot's NEW keepers keeps the index incremental too;
+    a hash reaching the index twice that way is tolerated at probe time
+    (the gate collapses duplicate index rows to the min canonical id)."""
+    (
+        df.select(
+            F.md5(F.col(text_col)).alias("content_md5"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.min("_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .write.mode("overwrite").parquet(path)
+    )
+
+
+def exact_dedup_against(
+    df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    include_shard_dups: bool = True,
+) -> DataFrame:
+    """Incremental :func:`exact_dedup`: flag every document of a new
+    shard whose exact content already exists — in a PRE-BUILT
+    :func:`write_content_index` (or any frame with ``content_md5`` +
+    ``canonical_id`` columns), or (``include_shard_dups``, default)
+    repeated WITHIN the shard. Returns one row per input document:
+    ``(id, content_md5, dup_of)`` with ``dup_of`` = the content's
+    canonical id (index id wins over the shard's min id) and NULL for
+    keepers — semi-join the NULL rows back for the surviving documents,
+    append them to the index, move to the next snapshot.
+
+    Plan: one hash join against the index + one per-hash window over
+    the SHARD — O(shard), no corpus re-aggregation. With
+    ``include_shard_dups=False`` the window drops too and the gate is a
+    pure stream-static join, directly runnable on a STREAMING shard
+    (with it, gate per micro-batch in foreachBatch, the
+    :func:`minhash_candidates_against` recipe)."""
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_md5")
+    )
+    idx = index.select("content_md5", F.col("canonical_id").alias("_idx_id"))
+    hit = keyed.join(idx, "content_md5", "left")
+    # collapse duplicate index rows for one hash (unioned/appended
+    # indexes) — O(shard output), deterministic min
+    hit = hit.groupBy(id_col, "content_md5").agg(
+        F.min("_idx_id").alias("_idx_id")
+    )
+    # a doc re-gated against an index that already contains it must not
+    # come out "duplicate of itself" — it IS the canonical
+    idx_hit = F.when(F.col("_idx_id") != F.col(id_col), F.col("_idx_id"))
+    if include_shard_dups:
+        shard_min = F.min(id_col).over(Window.partitionBy("content_md5"))
+        within = F.when(F.col(id_col) != shard_min, shard_min)
+        dup_of = F.coalesce(idx_hit, within)
+    else:
+        dup_of = idx_hit
+    return hit.select(
+        id_col, "content_md5", dup_of.alias("dup_of")
+    )
+
+
 def shingles_expr(text, n: int = 3):
     """Distinct word n-gram shingles of the lowercased text (the shared
     sliding-window construction lives in text.ngrams_expr)."""
@@ -900,6 +976,80 @@ def embedding_cell_pairs(
             "cosine",
         )
     )
+
+
+def embedding_cell_pairs_against(
+    df: DataFrame,
+    index: DataFrame,
+    centroids,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    corpus_id_col: str | None = None,
+    corpus_vec_col: str | None = None,
+    cell_col: str = "cell",
+    include_shard_pairs: bool = True,
+) -> DataFrame:
+    """Incremental SemDeDup: semantic near-dup pairs between a NEW shard
+    and an already-indexed corpus — the :func:`embedding_cell_pairs`
+    analogue of :func:`minhash_candidates_against`, completing the
+    incremental story for the embedding tier. ``index`` is a
+    :func:`~prague_spark.pipeline.similarity.write_ivf_index` layout (or
+    any frame with id, vec and cell columns); ``centroids`` MUST be the
+    constants the index was written with — load them from the index's
+    model sidecar (``similarity.load_ivfpq_model`` on
+    ``{path}/_ivfpq_model``) so they cannot drift.
+
+    Plan: the shard assigns cells via the literal-centroid argmax (pure
+    codegen, no shuffle), a cell EQUI-join against the index pays exact
+    cosine only within cells — with a cell-partitioned index the join
+    prunes at the scan, so the pass reads only the shard's |distinct
+    shard cells| partitions. O(shard x avg cell) work, no corpus-wide
+    aggregation. ``include_shard_pairs`` (default) adds the
+    shard-internal pairs via the one-shot operator (persist-free), so
+    restricted to shard-touching pairs the output is EXACTLY the
+    one-shot pairs on (corpus ∪ shard) — pinned in tests. Returns
+    (id_a, id_b, cosine >= threshold); ids ordered across sides, a
+    shard doc present in the index never pairs with itself. Degenerate
+    hot cells should be excluded at index-write time (the one-shot's
+    ``max_cell`` semantics do not transfer: capping by shard-side
+    counts would drop different cells than the build saw)."""
+    from .similarity import _norm_safe, assign_ivf_cells
+
+    corpus_id_col = corpus_id_col or id_col
+    corpus_vec_col = corpus_vec_col or vec_col
+    shard = assign_ivf_cells(
+        df.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_sv")),
+        "_sv", centroids, out=cell_col,
+    ).withColumn("_sn", _norm_safe(F.col("_sv")))
+    idx = index.select(
+        F.col(corpus_id_col).alias("_cid"),
+        F.col(corpus_vec_col).alias("_cv"),
+        F.col(cell_col),
+    ).withColumn("_cn", _norm_safe(F.col("_cv")))
+    dot = F.aggregate(
+        F.zip_with(F.col("_sv"), F.col("_cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cross = (
+        shard.join(idx, cell_col)
+        .filter(F.col("_sid") != F.col("_cid"))
+        .withColumn("cosine", dot / (F.col("_sn") * F.col("_cn")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.least(F.col("_sid"), F.col("_cid")).alias("id_a"),
+            F.greatest(F.col("_sid"), F.col("_cid")).alias("id_b"),
+            "cosine",
+        )
+    )
+    if not include_shard_pairs:
+        return cross
+    within = embedding_cell_pairs(
+        df, id_col, vec_col, centroids, threshold=threshold,
+        max_cell=None, persist=False,
+    )
+    return cross.unionByName(within)
 
 
 def connected_components(

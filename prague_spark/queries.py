@@ -1019,7 +1019,29 @@ def q_dedup_exact(spark, sf_dir):
             F.lit(-1).cast("bigint").alias("c"),
         )
     )
-    return base.unionByName(spans).unionByName(sfrac)
+    # round-10 'xinc' slice: the incremental exact gate — index the
+    # doc_id % 4 != 0 corpus once (write_content_index), flag the
+    # % 4 == 0 shard in O(shard) (exact_dedup_against): one row per
+    # shard doc, a = canonical id (index wins over shard min; -1 =
+    # keeper). Hash-verifies the whole write/gate path against SQL's
+    # md5 semantics.
+    import tempfile
+
+    cidx_path = tempfile.mkdtemp(prefix="prague_xinc_") + "/idx"
+    dedup.write_content_index(
+        docs.filter(F.col("doc_id") % 4 != 0), cidx_path, "doc_id", "text"
+    )
+    xinc = dedup.exact_dedup_against(
+        docs.filter(F.col("doc_id") % 4 == 0),
+        spark.read.parquet(cidx_path), "doc_id", "text",
+    ).select(
+        F.lit("xinc").alias("slice"),
+        "doc_id",
+        F.coalesce(F.col("dup_of"), F.lit(-1)).cast("bigint").alias("a"),
+        F.lit(-1).cast("bigint").alias("b"),
+        F.lit(-1).cast("bigint").alias("c"),
+    )
+    return base.unionByName(spans).unionByName(sfrac).unionByName(xinc)
 
 
 SQL_DEDUP_EXACT = f"""
@@ -1065,6 +1087,24 @@ SQL_DEDUP_EXACT = f"""
         SELECT doc_id, sum(b - a + 1)::BIGINT AS cv
         FROM sp GROUP BY doc_id
     ) cov JOIN toks USING (doc_id)
+    UNION ALL
+    -- round-10 'xinc': the incremental exact gate (index = % 4 != 0
+    -- corpus, shard = % 4 == 0; index id wins over the shard min,
+    -- never self)
+    SELECT 'xinc' AS slice, s.doc_id,
+           coalesce(
+               CASE WHEN x.cid IS NOT NULL AND x.cid != s.doc_id
+                    THEN x.cid END,
+               CASE WHEN s.doc_id != m.mn THEN m.mn END,
+               -1
+           )::BIGINT AS a,
+           (-1)::BIGINT AS b, (-1)::BIGINT AS c
+    FROM (SELECT doc_id, md5(text) AS h FROM documents
+          WHERE doc_id % 4 = 0) s
+    LEFT JOIN (SELECT md5(text) AS h, min(doc_id) AS cid FROM documents
+               WHERE doc_id % 4 != 0 GROUP BY 1) x ON x.h = s.h
+    JOIN (SELECT md5(text) AS h, min(doc_id) AS mn FROM documents
+          WHERE doc_id % 4 = 0 GROUP BY 1) m ON m.h = s.h
 """
 
 
@@ -1676,7 +1716,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     pairs (2 bands x 2 rows: documents sharing >= 1 band key) with the
     verify step's estimated Jaccard (fraction of equal signature slots).
     Columns: (part, id_a, id_b, v) — for 'sig', id_b is the hash index
-    and v the signature value; for 'pair', v is the Jaccard estimate."""
+    and v the signature value; for 'pair', v is the Jaccard estimate.
+
+    Round-10 merged slice 'inc': the INCREMENTAL gate — an LSH
+    band-bucket index written from the doc_id % 5 != 0 corpus
+    (write_minhash_index) and probed with the % 5 == 0 shard
+    (minhash_candidates_against, shard-vs-index AND shard-vs-shard
+    pairs). By the operator's parity contract those are EXACTLY the
+    one-shot pairs touching the shard, so the oracle is the same pair
+    CTE with a shard-membership WHERE — hash-verifying the whole
+    write/validate/gate path against SQL."""
     docs = load(spark, sf_dir, "documents")
     # the caller owns the signatures cache (minhash_lsh_candidates pins
     # only its own frames): persist it here, where the signature
@@ -1701,7 +1750,27 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         F.col("id_b").cast("bigint").alias("id_b"),
         F.round("jaccard_est", 6).alias("v"),
     )
-    return sig_rows.unionByName(pair_rows)
+    # round-10 'inc' slice: the incremental write-index/gate path
+    import tempfile
+
+    idx_path = tempfile.mkdtemp(prefix="prague_mh_inc_") + "/idx"
+    dedup.write_minhash_index(
+        docs.filter(F.col("doc_id") % 5 != 0), idx_path, "doc_id", "text",
+        num_hashes=_MH_N, shingle_n=1, seed=42, bands=2, rows_per_band=2,
+    )
+    inc = dedup.minhash_candidates_against(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        spark.read.parquet(idx_path), "doc_id", "text",
+        num_hashes=_MH_N, shingle_n=1, seed=42, bands=2, rows_per_band=2,
+        max_bucket=None,
+    )
+    inc_rows = inc.select(
+        F.lit("inc").alias("part"),
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.lit(0.0).alias("v"),
+    )
+    return sig_rows.unionByName(pair_rows).unionByName(inc_rows)
 
 
 _MH_SIG_SQL = (
@@ -1789,6 +1858,12 @@ SQL_DEDUP_MINHASH_LSH = (
     FROM pairs p
     JOIN sig sa ON sa.doc_id = p.id_a
     JOIN sig sb ON sb.doc_id = p.id_b
+    UNION ALL
+    -- round-10 'inc': the incremental gate's contract — one-shot pairs
+    -- restricted to those touching the doc_id % 5 == 0 shard
+    SELECT 'inc' AS part, id_a::BIGINT, id_b::BIGINT, 0.0 AS v
+    FROM pairs
+    WHERE id_a % 5 = 0 OR id_b % 5 = 0
 """
     + "".join(
         f"""
@@ -5491,7 +5566,13 @@ SQL_DOCS_SAMPLE = f"""
 # (keep each cluster's best-quality member: score desc, id asc
 # tie-break, with member counts), re-derived in SQL as a row_number
 # window over the identical recursive-CTE closure with score =
-# length(text).
+# length(text); dedup_minhash_lsh gains an 'inc' slice (the NEW
+# incremental near-dup gate: write_minhash_index over the % 5 != 0
+# corpus probed by the % 5 == 0 shard via minhash_candidates_against —
+# by the parity contract the oracle is the one-shot pair CTE with a
+# shard-membership WHERE); dedup_exact gains an 'xinc' slice (the NEW
+# incremental exact gate write_content_index + exact_dedup_against:
+# per-shard-doc canonical ids, index-wins-over-shard-min, never self).
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,

@@ -2109,3 +2109,131 @@ def test_ivfpq_model_save_load_roundtrip(emb, spark, tmp_path):
     # and a sidecar-less index dir is a clean error, not garbage
     with pytest.raises(ValueError, match="sidecar"):
         similarity.read_ivfpq_index(spark, str(tmp_path / "nope"))
+
+
+def test_exact_dedup_against_index(docs, spark, tmp_path):
+    """The exact tier's incremental gate: write_content_index once, flag
+    a shard's duplicates in O(shard) — index hits, within-shard repeats,
+    self-gating, and the keeper semi-join all pinned against the
+    one-shot exact_dedup on the union."""
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    # plant boundary-crossing duplicates: two shard docs copy corpus
+    # texts, and one shard text repeats within the shard (ids above the
+    # fixture range so canonical/min-id rules are unambiguous)
+    src = [r["text"] for r in corpus.orderBy("doc_id").limit(2).collect()]
+    planted = spark.createDataFrame(
+        [
+            (1_000_004, src[0]),            # dup of a corpus doc
+            (1_000_008, src[1]),            # dup of another corpus doc
+            (1_000_012, "a shard-only novel text"),
+            (1_000_016, "a shard-only novel text"),  # within-shard repeat
+        ],
+        "doc_id long, text string",
+    )
+    shard = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", "text"
+    ).unionByName(planted)
+    path = str(tmp_path / "content_idx")
+    dedup.write_content_index(corpus, path, "doc_id", "text")
+    idx = spark.read.parquet(path)
+    assert set(idx.columns) == {"content_md5", "canonical_id", "n_copies"}
+
+    out = dedup.exact_dedup_against(shard, idx, "doc_id", "text").cache()
+    assert out.count() == shard.count()        # one row per input doc
+    # parity with the one-shot on the union: a shard doc is a keeper iff
+    # it IS the union's canonical (min id) for its content... except
+    # when the index already holds the content under a LARGER corpus id
+    # — then the index id stays canonical (the incremental contract:
+    # history wins). Model that rule directly:
+    union_canon = {
+        r["content_md5"]: r["canonical_id"] for r in idx.collect()
+    }
+    shard_rows = sorted(
+        (r["doc_id"], r["text"]) for r in shard.collect()
+    )
+    import hashlib
+    expect = {}
+    for did, txt in shard_rows:               # ascending id order
+        h = hashlib.md5(txt.encode()).hexdigest()
+        if h in union_canon:
+            expect[did] = union_canon[h] if union_canon[h] != did else None
+        else:
+            union_canon[h] = did              # first shard copy keeps
+            expect[did] = None
+    got = {r["doc_id"]: r["dup_of"] for r in out.collect()}
+    assert got == expect
+    assert any(v is not None for v in got.values())   # fixture has dups
+    # keepers survive; appending them keeps the next snapshot incremental
+    keepers = shard.join(
+        out.filter(F.col("dup_of").isNull()).select("doc_id"), "doc_id",
+        "left_semi",
+    )
+    assert keepers.count() == sum(v is None for v in expect.values())
+    out.unpersist()
+
+    # cross-only form is a pure join (stream-safe shape): no window
+    from prague_spark.plan_audit import audit
+    a = audit(dedup.exact_dedup_against(
+        shard, idx, "doc_id", "text", include_shard_dups=False
+    ))
+    assert a.py_stages == 0
+    # self-gating: the corpus against its own index flags nothing
+    self_out = dedup.exact_dedup_against(
+        corpus, idx, "doc_id", "text", include_shard_dups=False
+    )
+    n_self = self_out.filter(F.col("dup_of") == F.col("doc_id")).count()
+    assert n_self == 0
+
+
+def test_embedding_cell_pairs_against_parity(emb, spark, tmp_path):
+    """The SemDeDup incremental gate: pairs from (shard vs written IVF
+    index) + shard-internal pairs == the one-shot embedding_cell_pairs
+    on (corpus ∪ shard) restricted to shard-touching pairs, with the
+    centroids restored from the index's model sidecar."""
+    vec = emb.withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    ).select("vec_id", "vec")
+    # planted near-dups across the corpus/shard boundary so cross pairs
+    # actually exist at the threshold
+    pert = vec.select(
+        # +1_000_001 flips vec_id parity, so each planted near-dup pair
+        # CROSSES the %2 corpus/shard split below
+        (F.col("vec_id") + 1_000_001).alias("vec_id"),
+        F.expr("transform(vec, x -> x * 1.001d)").alias("vec"),
+    )
+    both = vec.unionByName(pert)
+    corpus = both.filter(F.col("vec_id") % 2 == 0)
+    shard = both.filter(F.col("vec_id") % 2 == 1)
+    C = similarity.train_ivf_centroids(vec, "vec", n_centroids=8, iters=5)
+    path = str(tmp_path / "ivf_inc")
+    similarity.write_ivf_index(corpus, "vec", C, path)
+    idx = similarity.read_ivf_index(spark, path)
+    C2, _ = similarity.load_ivfpq_model(spark, f"{path}/_ivfpq_model")
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cell_pairs_against(
+            shard, idx, C2, "vec_id", "vec", threshold=0.9
+        ).collect()
+    }
+    shard_ids = {r.vec_id for r in shard.select("vec_id").collect()}
+    want = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cell_pairs(
+            both, "vec_id", "vec", C, threshold=0.9, max_cell=None,
+            persist=False,
+        ).collect()
+        if r.id_a in shard_ids or r.id_b in shard_ids
+    }
+    assert got == want and len(got) > 0
+    assert any(
+        (a in shard_ids) != (b in shard_ids) for a, b in got
+    )  # cross-boundary pairs exercised, not just shard-internal
+
+    # cross-only: stream-safe shape (join + projections, no window)
+    from prague_spark.plan_audit import assert_scale_shape
+    out = dedup.embedding_cell_pairs_against(
+        shard, idx, C2, "vec_id", "vec", threshold=0.9,
+        include_shard_pairs=False,
+    )
+    assert_scale_shape(out, max_py_stages=0, max_shuffles=0)
