@@ -1,10 +1,20 @@
 """The README's corpus-curation recipe, executed end to end on the real
-documents fixture: exact dedup -> MinHash/LSH near-dup clustering with
-quality-based keepers -> Gopher gate -> train/eval decontamination ->
-held-out split -> mixture upsampling -> sequence packing -> shard
-layout -> parquet round-trip. Every stage is an already-oracled
-operator; this pins that they COMPOSE (schemas line up, invariants hold
-stage to stage, and the whole pipe is deterministic across reruns)."""
+documents fixture — in BOTH deployment shapes:
+
+1. the one-shot recipe (exact dedup -> MinHash/LSH near-dup clustering
+   with quality-based keepers -> Gopher gate -> train/eval
+   decontamination -> held-out split -> mixture upsampling -> sequence
+   packing -> shard layout -> parquet round-trip), and
+2. the frozen-artifact incremental shape every real pipeline runs per
+   crawl snapshot: build every expensive artifact (content index,
+   MinHash band-bucket index, span gram index, quantile cutoffs,
+   quality-filter model) ONCE on a reference corpus, persist them, then
+   gate a disjoint new shard using ONLY the loaded artifacts — with a
+   plan-level proof that the shard pass never scans the corpus.
+
+Every stage is an already-oracled operator; this pins that they COMPOSE
+(schemas line up, invariants hold stage to stage, and the whole pipe is
+deterministic across reruns)."""
 
 from __future__ import annotations
 
@@ -204,3 +214,228 @@ def test_curation_recipe_end_to_end(spark, sf_dir, tmp_path):
     assert sa == sb
     uniq.unpersist()
     clean.unpersist()
+
+# ---------------------------------------------------------------------------
+# Frozen-artifact deployment: build once, gate every shard incrementally
+# ---------------------------------------------------------------------------
+
+def _scan_paths(df):
+    """Every file location the executed plan would scan (locations are
+    metadata-truncated by default, so raise the cap for the explain)."""
+    import re
+
+    conf = df.sparkSession.conf
+    key = "spark.sql.maxMetadataStringLength"
+    prev = conf.get(key, None)
+    conf.set(key, "10000")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if prev is None:
+            conf.unset(key)
+        else:
+            conf.set(key, prev)
+    return set(re.findall(r"file:[^\s\],]+", plan))
+
+
+def test_frozen_artifact_deployment_end_to_end(spark, sf_dir, tmp_path):
+    """The incremental deployment shape, end to end: every artifact the
+    curation layer can persist is built on a REFERENCE CORPUS, written
+    to disk, and a disjoint NEW SHARD is gated using only the loaded
+    artifacts. Pins three things the per-gate tests can't:
+
+    - the artifacts COMPOSE through a disk round-trip (a fresh-session
+      shape: nothing from the build phase is reused in-memory);
+    - the shard pass does ZERO corpus-wide work — every FileScan in
+      every gate's executed plan reads an artifact or the shard itself,
+      never the corpus parquet (per-gate union parity vs the one-shot
+      operators is pinned in test_pipeline; the exact tier re-proves it
+      here against an independent DuckDB oracle on the union);
+    - planted duplicates behave deterministically through every tier:
+      exact copies are flagged with the corpus canonical, near-dup
+      candidates pair them, a copied token run is span-flagged with
+      exact coverage, and a genuinely fresh document sails through.
+    """
+    import duckdb
+
+    from prague_spark.pipeline.quality_model import (
+        load_quality_filter, save_quality_filter, score_quality,
+        train_quality_filter,
+    )
+    from prague_spark.plan_audit import assert_scale_shape
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("source") != "src1").select(
+        "doc_id", "text", "lang"
+    )
+    base_shard = docs.filter(F.col("source") == "src1").select(
+        "doc_id", "text", "lang"
+    )
+    max_id = int(docs.agg(F.max("doc_id")).first()[0])
+    plant_src = (
+        corpus.filter(F.size(F.split("text", r"\s+")) >= 12)
+        .orderBy("doc_id").limit(2).collect()
+    )
+    t0, l0 = plant_src[0]["text"], plant_src[0]["lang"]
+    t1, l1 = plant_src[1]["text"], plant_src[1]["lang"]
+    span_text = " ".join(t0.split()[:8]) + " xqzuniq1 xqzuniq2"
+    fresh_text = ("xqzfresh0 xqzfresh1 xqzfresh2 xqzfresh3 "
+                  "xqzfresh4 xqzfresh5")
+    plants = [
+        (max_id + 1, t0, l0),          # exact copy of a corpus doc
+        (max_id + 2, t1, l1),          # exact copy of another
+        (max_id + 3, span_text, l0),   # leading 8-token run copied
+        (max_id + 4, fresh_text, l0),  # genuinely new content
+        (max_id + 5, fresh_text, l0),  # ... duplicated WITHIN the shard
+    ]
+    shard = base_shard.unionByName(
+        spark.createDataFrame(plants, "doc_id bigint, text string, lang string")
+    )
+    shard_path = str(tmp_path / "shard")
+    shard.write.parquet(shard_path)
+
+    # ---- build phase: every artifact, from the corpus only ----------
+    MH = dict(num_hashes=16, shingle_n=1, seed=42, bands=4, rows_per_band=4)
+    p_x = str(tmp_path / "content_index")
+    p_m = str(tmp_path / "minhash_index")
+    p_s = str(tmp_path / "span_index")
+    p_c = str(tmp_path / "cutoffs")
+    p_q = str(tmp_path / "qfilter")
+    dedup.write_content_index(corpus, p_x, "doc_id", "text")
+    dedup.write_minhash_index(corpus, p_m, "doc_id", "text", **MH)
+    dedup.write_span_index(corpus, p_s, "doc_id", "text", k=5, min_count=1)
+    cuts_mem = text.compute_cutoffs(
+        text.quality_score(corpus, "text"), "q_score", by=["lang"],
+        n_buckets=3,
+    )
+    cuts_mem.write.parquet(p_c)
+    labeled = corpus.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "good").otherwise("bad").alias("ql"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" lucid cogent lucid")),
+        ).otherwise(
+            F.concat(F.col("text"), F.lit(" spammy junky spammy")),
+        ).alias("text"),
+    )
+    qf = train_quality_filter(
+        labeled, "doc_id", "text", "ql",
+        n_features=2**12, n_sigma=4, lambda_min_ratio=0.1,
+    )
+    save_quality_filter(spark, qf, p_q)
+    # expectations computed NOW with the in-memory artifacts, so the
+    # deployment pass below must reproduce them from disk alone
+    exp_q = {
+        r["doc_id"]: r["q_prob"]
+        for r in score_quality(shard, qf, "doc_id", "text").collect()
+    }
+    exp_bucket = {
+        r["doc_id"]: r["q_bucket"]
+        for r in text.apply_cutoffs(
+            text.quality_score(shard, "text"), "q_score", cuts_mem,
+            by=["lang"], out="q_bucket",
+        ).collect()
+    }
+    exp_canon = {
+        r["text"]: r["canon"]
+        for r in corpus.filter(F.col("text").isin(t0, t1))
+        .groupBy("text").agg(F.min("doc_id").alias("canon")).collect()
+    }
+
+    # ---- deployment phase: loaded artifacts only ---------------------
+    shard2 = spark.read.parquet(shard_path)
+    idx_x = spark.read.parquet(p_x)
+    idx_m = spark.read.parquet(p_m)
+    idx_s = spark.read.parquet(p_s)
+    cuts = spark.read.parquet(p_c)
+    qf2 = load_quality_filter(spark, p_q)
+
+    gate_x = dedup.exact_dedup_against(shard2, idx_x, "doc_id", "text")
+    pairs = dedup.minhash_candidates_against(
+        shard2, idx_m, "doc_id", "text", **MH
+    )
+    spans = dedup.duplicate_spans_against(shard2, idx_s, "doc_id", "text", k=5)
+    bucketed = text.apply_cutoffs(
+        text.quality_score(shard2, "text"), "q_score", cuts,
+        by=["lang"], out="q_bucket",
+    )
+    scored = score_quality(shard2, qf2, "doc_id", "text")
+
+    # plan-level zero-corpus-work proof: every scan of every gate reads
+    # under tmp_path (an artifact or the shard), never the corpus file
+    for df in (gate_x, pairs, spans, bucketed, scored):
+        paths = _scan_paths(df)
+        assert paths, "no FileScan found — the location regex went stale"
+        assert all(str(tmp_path) in p for p in paths), paths
+        assert not any("documents.parquet" in p for p in paths), paths
+    assert_scale_shape(gate_x, max_py_stages=0)
+    assert_scale_shape(pairs, max_py_stages=0)
+    assert_scale_shape(spans, max_py_stages=0)
+    # frozen cutoffs are a pure broadcast-join projection: NO shuffle
+    assert_scale_shape(bucketed, max_shuffles=0, max_py_stages=0)
+    assert_scale_shape(scored, max_py_stages=0)
+
+    # exact tier: planted copies resolve to the corpus canonical; the
+    # fresh pair resolves within the shard
+    xg = {r["doc_id"]: r["dup_of"] for r in gate_x.collect()}
+    assert xg[max_id + 1] == exp_canon[t0]
+    assert xg[max_id + 2] == exp_canon[t1]
+    assert xg[max_id + 4] is None
+    assert xg[max_id + 5] == max_id + 4
+    # ... and the whole keeper set matches an independent DuckDB oracle
+    # of the one-shot rule on (corpus ∪ shard): keep a shard doc iff its
+    # content is new AND it is the shard's min id for that content
+    want_keep = {
+        r[0] for r in duckdb.sql(f"""
+            WITH corpus AS (
+                SELECT * FROM read_parquet('{sf_dir}/documents.parquet')
+                WHERE source <> 'src1'
+            ), shard AS (
+                SELECT * FROM read_parquet('{shard_path}/*.parquet')
+            )
+            SELECT s.doc_id FROM shard s
+            WHERE md5(s.text) NOT IN (SELECT md5(text) FROM corpus)
+              AND s.doc_id = (SELECT min(t.doc_id) FROM shard t
+                              WHERE md5(t.text) = md5(s.text))
+        """).fetchall()
+    }
+    assert {d for d, v in xg.items() if v is None} == want_keep
+
+    # near-dup tier: exact copies signature-collide in every band, so
+    # their pairs are deterministic; the within-shard pair shows too
+    pr = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (plant_src[0]["doc_id"], max_id + 1) in pr
+    assert (plant_src[1]["doc_id"], max_id + 2) in pr
+    assert (max_id + 4, max_id + 5) in pr
+    assert not any(a == b for a, b in pr)
+
+    # span tier: the copied 8-token run is flagged with EXACT coverage
+    # (4 k=5 grams -> one merged island over tokens 0..7; the unique
+    # suffix stays uncovered), and the fresh doc is never flagged
+    sp = {}
+    for r in spans.collect():
+        sp.setdefault(r["doc_id"], set()).add((r["span_start"], r["span_end"]))
+    assert sp[max_id + 3] == {(0, 7)}
+    assert max_id + 4 not in sp and max_id + 5 not in sp
+
+    # frozen cutoffs + loaded quality filter replay the in-memory
+    # artifacts exactly (identical literals through the parquet trip)
+    got_bucket = {r["doc_id"]: r["q_bucket"] for r in bucketed.collect()}
+    assert got_bucket == exp_bucket
+    assert all(got_bucket[max_id + i] in (1, 2, 3) for i in range(1, 6))
+    got_q = {r["doc_id"]: r["q_prob"] for r in scored.collect()}
+    assert got_q == exp_q
+
+    # the funnel composes: survivors of all gates keep the fresh keeper
+    # and drop every planted duplicate
+    flagged_span = {
+        d for d, ss in sp.items()
+        if any(e - s + 1 >= 8 for s, e in ss)  # mostly-copied docs
+    }
+    survivors = {
+        d for d, v in xg.items()
+        if v is None and d not in flagged_span
+    }
+    assert max_id + 4 in survivors
+    assert not {max_id + 1, max_id + 2, max_id + 3, max_id + 5} & survivors
