@@ -1248,6 +1248,106 @@ def contamination(
     )
 
 
+def connected_components_against(
+    assign: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Incremental :func:`connected_components`: fold a NEW shard's
+    candidate pairs (typically :func:`minhash_candidates_against`
+    output) into a PRIOR cluster assignment, producing EXACTLY the
+    labels a one-shot closure over (all prior pairs ∪ new pairs) would
+    — pinned in tests and by the ``incm`` oracle slice — without ever
+    touching the prior EDGE list again.
+
+    The prior assignment is a lossless stand-in for the prior edges:
+    each cluster's star (member -> min-label representative) generates
+    the identical connectivity as the original pair set's transitive
+    closure, and the representative IS the component minimum, so
+    min-label propagation over (stars ∪ new pairs) converges to the
+    same labels as over the raw union. Only clusters containing a node
+    the new pairs touch can change, so the propagation runs on that
+    SUBGRAPH alone and every untouched cluster passes through verbatim:
+    the per-snapshot cost is O(new pairs + affected-cluster members)
+    per iteration — never O(corpus edges), the point of the incremental
+    tier. Iterations needed = diameter of the COLLAPSED graph (prior
+    clusters are depth-1 stars), usually below the raw graph's.
+
+    ``assign``: (node, cluster_id) from :func:`connected_components` or
+    a previous merge — labels must be the component-minimum ids both
+    produce (validated per batch: a representative absent from its own
+    cluster fails loud). Returns the same shape covering prior nodes ∪
+    new-pair nodes. Labels of merged clusters CHANGE (to the union
+    component's minimum id) — downstream state keyed by cluster_id must
+    re-key, which is inherent to min-label canon, not this operator."""
+    for c in ("node", "cluster_id"):
+        if c not in assign.columns:
+            raise ValueError(
+                f"connected_components_against: prior assignment lacks "
+                f"column {c!r} — expected connected_components output "
+                "(node, cluster_id)"
+            )
+    # pin a PROJECTION of the caller's pair frame (never the caller's
+    # own handle — unpersisting that would evict their cache) for the
+    # duration of the call: it is consumed by the affected-cluster walk
+    # and the closure's edge build, both of which materialize eagerly
+    # below, so the pin is dropped before returning the lazy result
+    np_pinned = new_pairs.select(id_a, id_b).persist()
+    try:
+        touched = (
+            np_pinned.select(F.col(id_a).alias("node"))
+            .unionByName(np_pinned.select(F.col(id_b).alias("node")))
+            .distinct()
+        )
+        # the only prior clusters whose labels can change are those with
+        # a member among the new pairs' nodes — two slim equi-joins.
+        # Eager localCheckpoint: the frame is tiny (one id per affected
+        # cluster) and the returned untouched-branch plan must scan THIS,
+        # not re-derive the shard's whole pair pipeline at output time
+        # (same lineage-truncation discipline as connected_components;
+        # like the labels it returns, the blocks live for the session).
+        affected = (
+            assign.join(touched, "node", "left_semi")
+            .select("cluster_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # consumed by the validation count AND the closure's edge build
+        sub = assign.join(affected, "cluster_id", "left_semi").persist()
+        try:
+            # every affected cluster must contain its own representative
+            # — otherwise the star under-connects and the closure
+            # silently splits (a truncated/filtered frame, not a valid
+            # prior state)
+            n_bad = (
+                sub.select(F.col("cluster_id").alias("node")).distinct()
+                .join(sub.select("node"), "node", "left_anti")
+                .count()
+            )
+            if n_bad:
+                raise ValueError(
+                    f"connected_components_against: {n_bad} cluster_id(s) "
+                    "in the prior assignment have no corresponding member "
+                    "row — the assignment is truncated or filtered, and "
+                    "merging against it would silently split clusters"
+                )
+            stars = sub.filter(F.col("node") != F.col("cluster_id")).select(
+                F.col("node").alias(id_a), F.col("cluster_id").alias(id_b)
+            )
+            merged = connected_components(
+                stars.unionByName(np_pinned),
+                id_a, id_b, max_iter=max_iter,
+            )
+        finally:
+            sub.unpersist()
+    finally:
+        np_pinned.unpersist()
+    untouched = assign.join(affected, "cluster_id", "left_anti")
+    return untouched.select("node", "cluster_id").unionByName(merged)
+
+
 def canonical_by_score(
     clusters: DataFrame,
     docs: DataFrame,

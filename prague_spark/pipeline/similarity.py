@@ -773,6 +773,75 @@ def write_ivfpq_index(
         )
 
 
+def append_ivfpq_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    cell_col: str = "cell",
+    code_col: str = "pq_code",
+) -> None:
+    """Grow a written :func:`write_ivfpq_index` layout with a NEW shard
+    of vectors using the index's own FROZEN constants: restore
+    centroids + codebooks from the model sidecar, encode the shard
+    (the same pure-codegen :func:`assign_ivfpq` pass as the original
+    build), and APPEND its rows into the cell-partitioned parquet.
+    Because the model is frozen, the grown index is EQUIVALENT to
+    rebuilding from (old corpus ∪ shard) with the same constants —
+    pinned bit-exactly in tests — at O(shard) cost: one assignment scan
+    plus an append of only the shard's files into their cell
+    directories. No retraining, no corpus rewrite, and partition-pruned
+    probes keep reading nprobe/n_cells of the GROWN corpus: the
+    per-crawl-snapshot shape of a production ANN index. The model
+    sidecar is untouched (underscore-prefixed, invisible to scans).
+
+    Appending shifts the data distribution away from the constants the
+    original sample trained — recall on the appended region degrades
+    gracefully (assignment stays exact for the frozen model) but a
+    corpus that has drifted far deserves a retrain + rewrite; that
+    trade is the caller's, this function only keeps the encode
+    consistent. The layout's columns are schema-validated first: the
+    shard keeps vectors iff the written index kept them — a silent
+    keep_vec mismatch would leave half the index un-rerankable."""
+    import os
+
+    spark = corpus.sparkSession
+    model_path = os.path.join(path, "_ivfpq_model")
+    try:
+        centroids, codebooks = load_ivfpq_model(spark, model_path)
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(
+            f"append_ivfpq_index: no readable model sidecar at "
+            f"{model_path!r} — appending with retrained constants would "
+            "make the old and new codes mutually un-decodable; was the "
+            "index written with save_model=True?"
+        ) from e
+    if codebooks is None:
+        raise ValueError(
+            f"append_ivfpq_index: the sidecar at {model_path!r} has no "
+            "codebooks (an IVF-only model) — it cannot encode PQ codes"
+        )
+    existing = {f.name for f in spark.read.parquet(path).schema.fields}
+    keep_vec = vec_col in existing
+    cols = [id_col, cell_col, code_col] + ([vec_col] if keep_vec else [])
+    if set(cols) != existing:
+        raise ValueError(
+            f"append_ivfpq_index: shard would write columns "
+            f"{sorted(cols)} but the written layout has "
+            f"{sorted(existing)} — id/cell/code column names must match "
+            "the original write_ivfpq_index call"
+        )
+    idx = assign_ivfpq(
+        corpus, vec_col, centroids, codebooks,
+        cell_col=cell_col, code_col=code_col,
+    )
+    idx.select(*cols).write.mode("append").partitionBy(cell_col).parquet(
+        path
+    )
+
+
 def save_ivfpq_model(spark, path: str, centroids, codebooks=None) -> None:
     """Persist the ANN index's DRIVER constants — coarse centroids and
     (optionally) PQ codebooks — as a small parquet, so a LATER session

@@ -1802,7 +1802,14 @@ def q_dedup_cc(spark, sf_dir):
     ``canonical_by_score`` keeps each cluster's best-QUALITY member
     (here score = text length, SQL-replicable; desc, doc_id asc
     tie-break) with its member count, hash-verified against DuckDB's
-    row_number window over the same recursive closure."""
+    row_number window over the same recursive closure.
+
+    Round-10 merged slice 'incm': the INCREMENTAL cluster merge —
+    ``connected_components_against`` folds the shard-touching pairs
+    (doc_id % 5 == 0, the same shard as dedup_minhash_lsh's 'inc'
+    slice) into a prior assignment built from the non-shard pairs; the
+    merged labels must coincide exactly with the one-shot closure the
+    oracle recomputes."""
     docs = load(spark, sf_dir, "documents")
     sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=_MH_N, shingle_n=1)
     pairs = dedup.minhash_lsh_candidates(sig, "doc_id", bands=2, rows_per_band=2)
@@ -1827,7 +1834,29 @@ def q_dedup_cc(spark, sf_dir):
         F.col("len_score").alias("v"),
         F.col("n_members").cast("bigint").alias("n"),
     )
-    return cc_rows.unionByName(canon_rows)
+    # round-10 'incm' slice: reach the SAME labels incrementally — a
+    # prior assignment over the non-shard pairs, then
+    # connected_components_against folds in the shard-touching pairs
+    # (the doc_id % 5 == 0 shard, matching the 'inc' slice of
+    # dedup_minhash_lsh); the oracle recomputes the one-shot closure
+    prior = dedup.connected_components(
+        pairs.filter((F.col("id_a") % 5 != 0) & (F.col("id_b") % 5 != 0)),
+        "id_a", "id_b",
+    )
+    merged = dedup.connected_components_against(
+        prior,
+        pairs.filter((F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0)),
+        "id_a", "id_b",
+    )
+    incm_rows = merged.select(
+        F.lit("incm").alias("part"),
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        (F.col("node") == F.col("cluster_id")).alias("flag"),
+        F.lit(0.0).alias("v"),
+        F.lit(0).cast("bigint").alias("n"),
+    )
+    return cc_rows.unionByName(canon_rows).unionByName(incm_rows)
 
 
 # shared banding + candidate-pair CTE block (2 bands x 2 rows over the
@@ -1905,6 +1934,15 @@ SQL_DEDUP_CC = (
     SELECT 'canon', CAST(node AS BIGINT), CAST(cluster_id AS BIGINT),
            TRUE, s, CAST(nm AS BIGINT)
     FROM ranked WHERE rk = 1
+    UNION ALL
+    -- round-10 'incm': the incremental cluster-merge contract — the
+    -- Spark side reaches these labels by folding the shard-touching
+    -- pairs into a PRIOR assignment (connected_components_against);
+    -- the oracle is the one-shot closure over everything, so the two
+    -- paths must coincide exactly
+    SELECT 'incm', CAST(node AS BIGINT), CAST(cluster_id AS BIGINT),
+           (node = cluster_id), 0.0, CAST(0 AS BIGINT)
+    FROM lbl
 """
 )
 
@@ -5572,7 +5610,12 @@ SQL_DOCS_SAMPLE = f"""
 # by the parity contract the oracle is the one-shot pair CTE with a
 # shard-membership WHERE); dedup_exact gains an 'xinc' slice (the NEW
 # incremental exact gate write_content_index + exact_dedup_against:
-# per-shard-doc canonical ids, index-wins-over-shard-min, never self).
+# per-shard-doc canonical ids, index-wins-over-shard-min, never self);
+# dedup_cc also gains an 'incm' slice (the NEW incremental cluster
+# merge connected_components_against: a prior assignment over the
+# non-shard pairs folded with the shard-touching pairs must land on
+# the one-shot closure's labels exactly, per the star-edge argument in
+# its docstring — the oracle is the same recursive-CTE closure).
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,

@@ -2237,3 +2237,166 @@ def test_embedding_cell_pairs_against_parity(emb, spark, tmp_path):
         include_shard_pairs=False,
     )
     assert_scale_shape(out, max_py_stages=0, max_shuffles=0)
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected components (cluster-state merge)
+# ---------------------------------------------------------------------------
+
+def test_cc_against_matches_one_shot_on_union(docs, spark):
+    """Folding a shard's candidate pairs into a prior assignment with
+    connected_components_against yields EXACTLY the one-shot closure
+    over (prior pairs ∪ shard pairs) — the incremental cluster
+    contract, on the real LSH pair distribution."""
+    sig = dedup.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=4, shingle_n=1
+    )
+    pairs = dedup.minhash_lsh_candidates(
+        sig, "doc_id", bands=2, rows_per_band=2
+    ).cache()
+    prior_pairs = pairs.filter(
+        (F.col("id_a") % 5 != 0) & (F.col("id_b") % 5 != 0)
+    )
+    shard_pairs = pairs.filter(
+        (F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0)
+    )
+    prior = dedup.connected_components(prior_pairs)
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in dedup.connected_components_against(
+            prior, shard_pairs
+        ).collect()
+    }
+    want = {
+        (r["node"], r["cluster_id"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == want and got
+    pairs.unpersist()
+
+
+def test_cc_against_sequential_snapshots(spark):
+    """The per-crawl-snapshot shape: fold THREE snapshots' pairs into a
+    rolling assignment one at a time; the final state equals the
+    one-shot closure on everything, untouched clusters pass through
+    with their labels intact, and brand-new components appear."""
+    def _pairs(rows):
+        return spark.createDataFrame(rows, "id_a bigint, id_b bigint")
+
+    snaps = [
+        _pairs([(1, 2), (3, 4), (10, 11)]),
+        _pairs([(2, 3)]),              # merges {1,2} with {3,4}
+        _pairs([(5, 6), (4, 5), (20, 21)]),  # grows to {1..6}; new {20,21}
+    ]
+    state = dedup.connected_components(snaps[0])
+    for s in snaps[1:]:
+        state = dedup.connected_components_against(state, s)
+    got = {(r["node"], r["cluster_id"]) for r in state.collect()}
+    want = {(n, 1) for n in range(1, 7)} | {(10, 10), (11, 10),
+                                            (20, 20), (21, 20)}
+    assert got == want
+    one_shot = {
+        (r["node"], r["cluster_id"])
+        for r in dedup.connected_components(
+            snaps[0].unionByName(snaps[1]).unionByName(snaps[2])
+        ).collect()
+    }
+    assert got == one_shot
+
+
+def test_cc_against_empty_prior_and_truncated_assignment(spark):
+    """An empty prior state degrades to plain connected_components; a
+    TRUNCATED assignment (a cluster whose representative row was
+    filtered away, e.g. canonical_by_score keepers) fails loud instead
+    of silently splitting clusters."""
+    import pytest as _pt
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a bigint, id_b bigint"
+    )
+    empty = spark.createDataFrame([], "node bigint, cluster_id bigint")
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in dedup.connected_components_against(empty, pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1)}
+    # missing schema fails loud
+    with _pt.raises(ValueError, match="lacks column"):
+        dedup.connected_components_against(
+            spark.createDataFrame([(1,)], "doc_id bigint"), pairs
+        )
+    # drop the representative row of cluster 1, then touch that cluster
+    prior = dedup.connected_components(pairs)
+    truncated = prior.filter(F.col("node") != F.col("cluster_id"))
+    with _pt.raises(ValueError, match="no corresponding member row"):
+        dedup.connected_components_against(
+            truncated, spark.createDataFrame([(3, 9)], "id_a bigint, id_b bigint")
+        )
+
+
+def test_ivfpq_index_append_matches_rebuild(emb, spark, tmp_path):
+    """append_ivfpq_index grows a written index with a new shard using
+    the FROZEN sidecar constants; the grown layout and every probe over
+    it are bit-identical to rebuilding from the union with the same
+    model. Guards fail loud: mismatched layout columns, a missing
+    sidecar, an IVF-only sidecar."""
+    vec = emb.withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    ).select("vec_id", "vec")
+    old = vec.filter(F.col("vec_id") % 4 != 0)
+    new = vec.filter(F.col("vec_id") % 4 == 0)
+    C, books = similarity.train_ivfpq(
+        old, "vec", n_centroids=4, n_subvectors=8, n_codes=16,
+        sample_rows=500,
+    )
+    path = str(tmp_path / "grow")
+    similarity.write_ivfpq_index(old, "vec_id", "vec", C, books, path)
+    similarity.append_ivfpq_index(new, "vec_id", "vec", path)
+    idx, C2, B2 = similarity.read_ivfpq_index(spark, path)
+    assert idx.count() == vec.count()
+
+    path2 = str(tmp_path / "rebuild")
+    similarity.write_ivfpq_index(vec, "vec_id", "vec", C, books, path2)
+    ref = spark.read.parquet(path2)
+    got = {(r["vec_id"], r["cell"], tuple(r["pq_code"])) for r in idx.collect()}
+    want = {(r["vec_id"], r["cell"], tuple(r["pq_code"])) for r in ref.collect()}
+    assert got == want
+
+    qdf = vec.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    a = {
+        (r["query_id"], r["vec_id"], r["score"], r["rank"])
+        for r in similarity.ivfpq_knn_join(
+            qdf, idx, C2, B2, k=3, nprobe=2
+        ).collect()
+    }
+    b = {
+        (r["query_id"], r["vec_id"], r["score"], r["rank"])
+        for r in similarity.ivfpq_knn_join(
+            qdf, ref, C, books, k=3, nprobe=2
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+    # layout-mismatch: different id column name in the shard
+    with pytest.raises(ValueError, match="column names must match"):
+        similarity.append_ivfpq_index(
+            new.withColumnRenamed("vec_id", "other_id"), "other_id", "vec",
+            path,
+        )
+    # no sidecar: appending with retrained constants would corrupt
+    path3 = str(tmp_path / "nosidecar")
+    similarity.write_ivfpq_index(
+        old, "vec_id", "vec", C, books, path3, save_model=False
+    )
+    with pytest.raises(ValueError, match="model sidecar"):
+        similarity.append_ivfpq_index(new, "vec_id", "vec", path3)
+    # IVF-only sidecar cannot encode PQ codes
+    import os
+
+    similarity.save_ivfpq_model(
+        spark, os.path.join(path3, "_ivfpq_model"), C
+    )
+    with pytest.raises(ValueError, match="cannot encode"):
+        similarity.append_ivfpq_index(new, "vec_id", "vec", path3)
