@@ -89,6 +89,7 @@ def exact_dedup_against(
     id_col: str,
     text_col: str,
     include_shard_dups: bool = True,
+    unique_index: bool = False,
 ) -> DataFrame:
     """Incremental :func:`exact_dedup`: flag every document of a new
     shard whose exact content already exists — in a PRE-BUILT
@@ -101,11 +102,20 @@ def exact_dedup_against(
     append them to the index, move to the next snapshot.
 
     Plan: one hash join against the index + one per-hash window over
-    the SHARD — O(shard), no corpus re-aggregation. With
-    ``include_shard_dups=False`` the window drops too and the gate is a
-    pure stream-static join, directly runnable on a STREAMING shard
-    (with it, gate per micro-batch in foreachBatch, the
-    :func:`minhash_candidates_against` recipe)."""
+    the SHARD — O(shard), no corpus re-aggregation. The duplicate-
+    index-row collapse (an O(shard output) aggregation) exists only for
+    UNIONED/APPENDED indexes, where one hash can reach the probe twice;
+    ``unique_index=True`` drops it when the index is a single
+    :func:`write_content_index` build (one row per hash by
+    construction — the caller vouches, the bare-frame precedent of
+    :func:`minhash_candidates_against`). With ``unique_index=True`` AND
+    ``include_shard_dups=False`` the gate is a bare stream-static join
+    + projection: directly runnable on a STREAMING shard in append mode
+    (pinned in tests). Any other combination aggregates or windows over
+    the shard, so gate a STREAM per micro-batch in ``foreachBatch``
+    (the :func:`minhash_candidates_against` recipe; within-shard
+    duplicates are then micro-batch-local — union gated keepers into
+    the index between snapshots to catch cross-batch repeats)."""
     from pyspark.sql import Window
 
     keyed = df.select(
@@ -113,11 +123,12 @@ def exact_dedup_against(
     )
     idx = index.select("content_md5", F.col("canonical_id").alias("_idx_id"))
     hit = keyed.join(idx, "content_md5", "left")
-    # collapse duplicate index rows for one hash (unioned/appended
-    # indexes) — O(shard output), deterministic min
-    hit = hit.groupBy(id_col, "content_md5").agg(
-        F.min("_idx_id").alias("_idx_id")
-    )
+    if not unique_index:
+        # collapse duplicate index rows for one hash (unioned/appended
+        # indexes) — O(shard output), deterministic min
+        hit = hit.groupBy(id_col, "content_md5").agg(
+            F.min("_idx_id").alias("_idx_id")
+        )
     # a doc re-gated against an index that already contains it must not
     # come out "duplicate of itself" — it IS the canonical
     idx_hit = F.when(F.col("_idx_id") != F.col(id_col), F.col("_idx_id"))

@@ -2400,3 +2400,33 @@ def test_ivfpq_index_append_matches_rebuild(emb, spark, tmp_path):
     )
     with pytest.raises(ValueError, match="cannot encode"):
         similarity.append_ivfpq_index(new, "vec_id", "vec", path3)
+
+
+def test_exact_dedup_against_unique_index_drops_collapse(docs, spark, tmp_path):
+    """unique_index=True (a single write_content_index build) yields
+    identical output to the default collapse path — with one fewer
+    shuffle — and the cross-only+unique form is a bare join+projection
+    (0 shuffles: the append-mode streamable shape)."""
+    from prague_spark.plan_audit import audit
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "xidx_u")
+    dedup.write_content_index(corpus, path, "doc_id", "text")
+    idx = spark.read.parquet(path)
+    for shard_dups in (True, False):
+        want = {
+            (r["doc_id"], r["dup_of"])
+            for r in dedup.exact_dedup_against(
+                shard, idx, "doc_id", "text", include_shard_dups=shard_dups
+            ).collect()
+        }
+        got_df = dedup.exact_dedup_against(
+            shard, idx, "doc_id", "text",
+            include_shard_dups=shard_dups, unique_index=True,
+        )
+        got = {(r["doc_id"], r["dup_of"]) for r in got_df.collect()}
+        assert got == want and got
+        if not shard_dups:
+            a = audit(got_df)
+            assert a.shuffles == 0 and a.py_stages == 0

@@ -1241,3 +1241,121 @@ def test_streaming_minhash_gate_matches_batch(spark, sf_dir, tmp_path):
     assert len(batches) > 1          # parity held ACROSS micro-batches
     assert got == expected
     idx.unpersist()
+
+
+def test_streaming_exact_gate_bare_join_append_mode(spark, sf_dir, tmp_path):
+    """The exact-tier gate runs DIRECTLY on a streaming shard in append
+    mode when it is a bare stream-static join
+    (include_shard_dups=False + unique_index=True against one
+    write_content_index build) — no foreachBatch — and emits exactly
+    the batch gate's rows across micro-batches."""
+    from prague_spark.pipeline import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    # plant an exact copy of a corpus doc so the stream provably HITS
+    # the index (the sf0.001 split has no natural cross-split dups)
+    max_id = int(docs.agg(F.max("doc_id")).first()[0])
+    planted = corpus.orderBy("doc_id").limit(1).select(
+        F.lit(max_id + 1).cast("bigint").alias("doc_id"), "text"
+    )
+    shard = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "text"
+    ).unionByName(planted)
+    idx_p = str(tmp_path / "xidx_stream")
+    sh_p = str(tmp_path / "xshard_docs")
+    dedup.write_content_index(corpus, idx_p, "doc_id", "text")
+    idx = spark.read.parquet(idx_p)
+    shard.select("doc_id", "text").repartition(2).write.parquet(sh_p)
+    expected = {
+        (r["doc_id"], r["content_md5"], r["dup_of"])
+        for r in dedup.exact_dedup_against(
+            shard, idx, "doc_id", "text",
+            include_shard_dups=False, unique_index=True,
+        ).collect()
+    }
+    assert any(v is not None for _, _, v in expected)  # real index hits
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sh_p)
+    )
+    out = dedup.exact_dedup_against(
+        stream, idx, "doc_id", "text",
+        include_shard_dups=False, unique_index=True,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("xgate_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = {
+        (r["doc_id"], r["content_md5"], r["dup_of"])
+        for r in spark.sql("SELECT * FROM xgate_stream").collect()
+    }
+    assert got == expected
+
+
+def test_streaming_cluster_fold_matches_one_shot(spark, sf_dir, tmp_path):
+    """Rolling duplicate-cluster maintenance on a STREAM: each
+    micro-batch's incremental gate pairs fold into the assignment with
+    connected_components_against; after the stream drains, the state
+    equals the one-shot closure over every pair seen — micro-batch
+    boundaries cannot change the final clusters."""
+    from prague_spark.pipeline import dedup
+
+    kw = dict(num_hashes=4, shingle_n=1, seed=42, bands=2, rows_per_band=2)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    idx_p = str(tmp_path / "mh_idx_fold")
+    sh_p = str(tmp_path / "fold_shard_docs")
+    dedup.write_minhash_index(corpus, idx_p, "doc_id", "text", **kw)
+    idx = spark.read.parquet(idx_p).cache()
+    shard.select("doc_id", "text").repartition(3).write.parquet(sh_p)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sh_p)
+    )
+    state = {"assign": None}
+    seen_pairs = set()
+    n_batches = []
+
+    def sink(batch_df, epoch_id):
+        n_batches.append(epoch_id)
+        pairs = dedup.minhash_candidates_against(
+            batch_df, idx, "doc_id", "text", **kw
+        )
+        rows = [(r.id_a, r.id_b) for r in pairs.collect()]
+        seen_pairs.update(rows)
+        if not rows:
+            return
+        pair_df = spark.createDataFrame(rows, "id_a bigint, id_b bigint")
+        if state["assign"] is None:
+            state["assign"] = dedup.connected_components(pair_df)
+        else:
+            state["assign"] = dedup.connected_components_against(
+                state["assign"], pair_df
+            )
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    try:
+        assert q.awaitTermination(300)
+    finally:
+        q.stop()
+    assert len(n_batches) > 1 and seen_pairs
+    got = {
+        (r["node"], r["cluster_id"]) for r in state["assign"].collect()
+    }
+    want = {
+        (r["node"], r["cluster_id"])
+        for r in dedup.connected_components(
+            spark.createDataFrame(sorted(seen_pairs), "id_a bigint, id_b bigint")
+        ).collect()
+    }
+    assert got == want
+    idx.unpersist()
