@@ -108,7 +108,11 @@ def exact_dedup_against(
     ``unique_index=True`` drops it when the index is a single
     :func:`write_content_index` build (one row per hash by
     construction — the caller vouches, the bare-frame precedent of
-    :func:`minhash_candidates_against`). With ``unique_index=True`` AND
+    :func:`minhash_candidates_against`). One contract delta: the
+    collapse also deduplicated REPEATED INPUT ROWS (same id + same
+    text, e.g. a double-listed file), so with ``unique_index=True``
+    the gate is row-for-row 1:1 — a repeated input row emits repeated
+    (identical) output rows. With ``unique_index=True`` AND
     ``include_shard_dups=False`` the gate is a bare stream-static join
     + projection: directly runnable on a STREAMING shard in append mode
     (pinned in tests). Any other combination aggregates or windows over

@@ -2406,11 +2406,26 @@ def test_exact_dedup_against_unique_index_drops_collapse(docs, spark, tmp_path):
     """unique_index=True (a single write_content_index build) yields
     identical output to the default collapse path — with one fewer
     shuffle — and the cross-only+unique form is a bare join+projection
-    (0 shuffles: the append-mode streamable shape)."""
+    (0 shuffles: the append-mode streamable shape). Duplicates are
+    PLANTED (the %5 fixture split has none naturally): an index hit,
+    a re-gated doc that IS its own canonical, and a within-shard pair —
+    so the parity covers every dup_of branch, not just all-NULL rows."""
     from prague_spark.plan_audit import audit
 
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
-    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    max_id = int(docs.agg(F.max("doc_id")).first()[0])
+    src = corpus.orderBy("doc_id").limit(2).collect()
+    shard = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "text"
+    ).unionByName(spark.createDataFrame(
+        [
+            (max_id + 1, src[0]["text"]),        # index hit
+            (src[1]["doc_id"], src[1]["text"]),  # re-gated: own canonical
+            (max_id + 2, "xq unique pair"),      # within-shard pair...
+            (max_id + 3, "xq unique pair"),      # ...min wins
+        ],
+        "doc_id bigint, text string",
+    ))
     path = str(tmp_path / "xidx_u")
     dedup.write_content_index(corpus, path, "doc_id", "text")
     idx = spark.read.parquet(path)
@@ -2427,6 +2442,14 @@ def test_exact_dedup_against_unique_index_drops_collapse(docs, spark, tmp_path):
         )
         got = {(r["doc_id"], r["dup_of"]) for r in got_df.collect()}
         assert got == want and got
+        # the planted branches actually exercised, independent of parity
+        by_id = dict(got)
+        assert by_id[max_id + 1] == src[0]["doc_id"]   # index canonical
+        assert by_id[src[1]["doc_id"]] is None         # never self
+        if shard_dups:
+            assert by_id[max_id + 3] == max_id + 2     # within-shard min
+        else:
+            assert by_id[max_id + 3] is None           # cross-only form
         if not shard_dups:
             a = audit(got_df)
             assert a.shuffles == 0 and a.py_stages == 0

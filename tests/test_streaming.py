@@ -1290,6 +1290,13 @@ def test_streaming_exact_gate_bare_join_append_mode(spark, sf_dir, tmp_path):
     )
     try:
         assert q.awaitTermination(180)
+        # the parity must hold ACROSS micro-batches, so more than one
+        # non-empty batch must actually have run (repartition(2) +
+        # maxFilesPerTrigger=1 — pin it, don't assume it)
+        n_batches = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+        assert n_batches > 1, f"only {n_batches} non-empty micro-batch(es)"
     finally:
         q.stop()
     got = {
