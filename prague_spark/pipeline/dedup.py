@@ -83,6 +83,55 @@ def write_content_index(
     )
 
 
+def extend_content_index(
+    df: DataFrame,
+    in_path: str,
+    out_path: str,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Roll the exact-dedup index forward one snapshot: merge a new
+    shard's content hashes into an existing :func:`write_content_index`
+    parquet and write the UNION index — min canonical id and summed
+    ``n_copies`` per hash — to ``out_path``. EXACTLY equivalent to the
+    one-shot build on (old corpus ∪ shard), pinned in tests, at
+    O(index rows + shard) cost: the old index re-enters as slim
+    (hash, id, count) rows, so the corpus TEXT is never re-hashed —
+    the saving over re-running :func:`write_content_index` on the
+    union. ``out_path`` must be a new directory (Spark cannot
+    overwrite its own input mid-read; swap paths after the write —
+    fails loud on in-place). Unlike raw ``mode('append')`` of gated
+    keepers, this keeps ``n_copies`` exact for contents that RECUR in
+    the shard, and the output stays one-row-per-hash, so
+    ``exact_dedup_against(..., unique_index=True)`` stays valid."""
+    import os
+
+    if os.path.abspath(out_path) == os.path.abspath(in_path):
+        raise ValueError(
+            "extend_content_index: out_path must differ from in_path — "
+            "Spark cannot overwrite a parquet directory it is reading; "
+            "write to a sibling path and swap"
+        )
+    spark = df.sparkSession
+    old = spark.read.parquet(in_path).select(
+        "content_md5", "canonical_id", "n_copies"
+    )
+    add = df.select(
+        F.md5(F.col(text_col)).alias("content_md5"),
+        F.col(id_col).alias("canonical_id"),
+        F.lit(1).cast("long").alias("n_copies"),
+    )
+    (
+        old.unionByName(add)
+        .groupBy("content_md5")
+        .agg(
+            F.min("canonical_id").alias("canonical_id"),
+            F.sum("n_copies").alias("n_copies"),
+        )
+        .write.mode("overwrite").parquet(out_path)
+    )
+
+
 def exact_dedup_against(
     df: DataFrame,
     index: DataFrame,
@@ -488,6 +537,73 @@ def write_minhash_index(
         .write.mode("overwrite")
         .partitionBy("band")
         .parquet(path)
+    )
+
+
+def extend_minhash_index(
+    df: DataFrame,
+    in_path: str,
+    out_path: str,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 32,
+    shingle_n: int = 2,
+    seed: int = 42,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> None:
+    """Roll the LSH band-bucket index forward one snapshot: signature
+    the NEW shard only, union its band rows with the existing
+    :func:`write_minhash_index` parquet, RECOUNT ``bucket_n`` over the
+    union, and write to ``out_path`` — exactly the index
+    :func:`write_minhash_index` would build on (old corpus ∪ shard),
+    pinned in tests. This closes the documented union caveat: raw
+    unioning gates correctly but carries stale per-build bucket counts,
+    so the probe-time skew cap misjudges hot buckets; extending
+    recounts them while never re-tokenizing the corpus — the recount
+    shuffles O(index) slim (doc, band, key) rows, not O(corpus) text.
+    Parameters are validated against the carried index columns (fail
+    loud, distinct-checked). Pass only docs NOT already in the index
+    (the gate's keepers): re-adding a doc duplicates its band rows and
+    inflates its buckets. ``out_path`` must differ from ``in_path``
+    (Spark cannot overwrite its own input; swap after the write)."""
+    import os
+
+    if os.path.abspath(out_path) == os.path.abspath(in_path):
+        raise ValueError(
+            "extend_minhash_index: out_path must differ from in_path — "
+            "Spark cannot overwrite a parquet directory it is reading; "
+            "write to a sibling path and swap"
+        )
+    spark = df.sparkSession
+    index = spark.read.parquet(in_path)
+    _validate_minhash_index(
+        index,
+        dict(num_hashes=num_hashes, shingle_n=shingle_n, seed=seed,
+             bands=bands, rows_per_band=rows_per_band),
+    )
+    sig = minhash_signatures(
+        df, id_col, text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n, seed=seed,
+    )
+    rows = index.select("doc", "band", "key").unionByName(
+        lsh_band_keys(sig, id_col, bands=bands, rows_per_band=rows_per_band)
+    )
+    counts = rows.groupBy("band", "key").agg(F.count("*").alias("bucket_n"))
+    (
+        rows.join(counts, ["band", "key"])
+        .select(
+            "doc", "band", "key", "bucket_n",
+            F.lit(int(num_hashes)).alias("num_hashes"),
+            F.lit(int(shingle_n)).alias("shingle_n"),
+            F.lit(int(seed)).alias("seed"),
+            F.lit(int(bands)).alias("bands"),
+            F.lit(int(rows_per_band)).alias("rows_per_band"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(out_path)
     )
 
 
@@ -1535,10 +1651,93 @@ def write_span_index(
             F.col("_h").alias("gram_md5"), "n_occurrences",
             # the window size travels WITH the index: hashes of
             # different-length grams never match, so a k mismatch at
-            # read time would silently flag nothing
+            # read time would silently flag nothing. min_count travels
+            # too: extend_span_index must know whether sub-threshold
+            # counts were DISCARDED at build time (any min_count > 1
+            # makes the index unextendable — the lost counts can never
+            # be recovered, only rebuilt).
             F.lit(int(k)).alias("k"),
+            F.lit(int(min_count)).alias("min_count"),
         )
         .write.mode("overwrite").parquet(path)
+    )
+
+
+def extend_span_index(
+    df: DataFrame,
+    in_path: str,
+    out_path: str,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 20,
+) -> None:
+    """Roll the recurring-gram index forward one snapshot: count the
+    NEW shard's k-gram hashes, merge them into an existing
+    :func:`write_span_index` parquet (summed ``n_occurrences`` per
+    hash), and write to ``out_path`` — exactly the index a one-shot
+    build on (old corpus ∪ shard) with ``min_count=1`` produces,
+    pinned in tests, at O(index rows + shard tokens) cost: the corpus
+    text is never re-tokenized. Only a ``min_count=1`` index is
+    extendable — a thresholded build DISCARDED its sub-threshold
+    counts, so merging would undercount grams that cross the threshold
+    only across snapshots (a gram once in the corpus, once in the
+    shard); that fails loud here via the carried ``min_count`` column
+    (pre-round-10 indexes without it are treated as vouched-for
+    min_count=1). Threshold at PROBE time instead:
+    ``index.filter("n_occurrences >= t")`` before
+    :func:`duplicate_spans_against`. ``out_path`` must differ from
+    ``in_path`` (Spark cannot overwrite its own input)."""
+    import os
+
+    if os.path.abspath(out_path) == os.path.abspath(in_path):
+        raise ValueError(
+            "extend_span_index: out_path must differ from in_path — "
+            "Spark cannot overwrite a parquet directory it is reading; "
+            "write to a sibling path and swap"
+        )
+    spark = df.sparkSession
+    index = spark.read.parquet(in_path)
+    idx_ks = sorted(
+        int(r["k"]) for r in index.select("k").distinct().collect()
+        if r["k"] is not None
+    )
+    if len(idx_ks) > 1 or (idx_ks and idx_ks[0] != int(k)):
+        raise ValueError(
+            f"extend_span_index: index k={idx_ks} does not match the "
+            f"requested k={k} — md5 hashes of different-length grams "
+            "never match, so the merged counts would be meaningless"
+        )
+    if "min_count" in index.columns:
+        mcs = sorted(
+            int(r["min_count"])
+            for r in index.select("min_count").distinct().collect()
+            if r["min_count"] is not None
+        )
+        if mcs != [1]:
+            raise ValueError(
+                f"extend_span_index: index was built with min_count="
+                f"{mcs} — its sub-threshold gram counts were discarded "
+                "at build time and cannot be recovered by merging; "
+                "rebuild with write_span_index(min_count=1) to get an "
+                "extendable index"
+            )
+    add = (
+        _span_gram_positions(df, id_col, text_col, k)
+        .groupBy("_h")
+        .agg(F.count("*").alias("n_occurrences"))
+        .select(F.col("_h").alias("gram_md5"), "n_occurrences")
+    )
+    (
+        index.select("gram_md5", "n_occurrences").unionByName(add)
+        .groupBy("gram_md5")
+        .agg(F.sum("n_occurrences").cast("long").alias("n_occurrences"))
+        .select(
+            "gram_md5", "n_occurrences",
+            F.lit(int(k)).alias("k"),
+            F.lit(1).alias("min_count"),
+        )
+        .write.mode("overwrite").parquet(out_path)
     )
 
 

@@ -1720,7 +1720,7 @@ def test_duplicate_spans_against_index(docs, spark, tmp_path):
     path = str(tmp_path / "span_index")
     dedup.write_span_index(docs, path, "doc_id", "text", k=k)
     idx = spark.read.parquet(path)
-    assert idx.columns == ["gram_md5", "n_occurrences", "k"]
+    assert idx.columns == ["gram_md5", "n_occurrences", "k", "min_count"]
     # the carried k fails loud on a window-size mismatch (different-k
     # gram hashes never match, so the gate would silently flag nothing)
     with pytest.raises(ValueError, match="built with k=5"):
@@ -2453,3 +2453,61 @@ def test_exact_dedup_against_unique_index_drops_collapse(docs, spark, tmp_path):
         if not shard_dups:
             a = audit(got_df)
             assert a.shuffles == 0 and a.py_stages == 0
+
+
+def test_extend_indexes_match_one_shot_union(docs, spark, tmp_path):
+    """Rolling each dedup-tier index forward one snapshot with its
+    extend_* form lands on EXACTLY the index a one-shot build over
+    (old corpus ∪ shard) produces — content hashes (min canonical +
+    summed copies), LSH band rows (recounted bucket_n, closing the
+    stale-union caveat), and span gram counts (summed occurrences).
+    In-place writes and unextendable thresholded span indexes fail
+    loud."""
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    shard = docs.filter(F.col("doc_id") % 2 == 1)
+
+    # exact tier
+    p0, p1, pw = (str(tmp_path / n) for n in ("x0", "x1", "xw"))
+    dedup.write_content_index(old, p0, "doc_id", "text")
+    dedup.extend_content_index(shard, p0, p1, "doc_id", "text")
+    dedup.write_content_index(docs, pw, "doc_id", "text")
+    got = {tuple(r) for r in spark.read.parquet(p1).collect()}
+    want = {tuple(r) for r in spark.read.parquet(pw).collect()}
+    assert got == want and got
+
+    # near-dup tier (bucket_n recounted over the union)
+    m0, m1, mw = (str(tmp_path / n) for n in ("m0", "m1", "mw"))
+    dedup.write_minhash_index(old, m0, "doc_id", "text", **_MHI_KW)
+    dedup.extend_minhash_index(shard, m0, m1, "doc_id", "text", **_MHI_KW)
+    dedup.write_minhash_index(docs, mw, "doc_id", "text", **_MHI_KW)
+    cols = ["doc", "band", "key", "bucket_n", "num_hashes", "shingle_n",
+            "seed", "bands", "rows_per_band"]
+    got = {tuple(r) for r in spark.read.parquet(m1).select(*cols).collect()}
+    want = {tuple(r) for r in spark.read.parquet(mw).select(*cols).collect()}
+    assert got == want and got
+
+    # substring tier (min_count=1 required and carried)
+    s0, s1, sw = (str(tmp_path / n) for n in ("s0", "s1", "sw"))
+    dedup.write_span_index(old, s0, "doc_id", "text", k=5, min_count=1)
+    dedup.extend_span_index(shard, s0, s1, "doc_id", "text", k=5)
+    dedup.write_span_index(docs, sw, "doc_id", "text", k=5, min_count=1)
+    got = {tuple(r) for r in spark.read.parquet(s1).collect()}
+    want = {tuple(r) for r in spark.read.parquet(sw).collect()}
+    assert got == want and got
+
+    # guards
+    with pytest.raises(ValueError, match="must differ"):
+        dedup.extend_content_index(shard, p0, p0, "doc_id", "text")
+    kw_bad = dict(_MHI_KW)
+    kw_bad["seed"] = 7
+    with pytest.raises(ValueError, match="seed="):
+        dedup.extend_minhash_index(shard, m0, str(tmp_path / "mx"),
+                                   "doc_id", "text", **kw_bad)
+    st = str(tmp_path / "s_thresh")
+    dedup.write_span_index(old, st, "doc_id", "text", k=5, min_count=2)
+    with pytest.raises(ValueError, match="cannot be recovered"):
+        dedup.extend_span_index(shard, st, str(tmp_path / "sx"),
+                                "doc_id", "text", k=5)
+    with pytest.raises(ValueError, match="does not match the"):
+        dedup.extend_span_index(shard, s0, str(tmp_path / "sy"),
+                                "doc_id", "text", k=7)
