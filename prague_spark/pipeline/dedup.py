@@ -83,6 +83,22 @@ def write_content_index(
     )
 
 
+def _require_distinct_out(fn: str, in_path: str, out_path: str) -> None:
+    """Every ``extend_*`` roll-forward writes a NEW directory: Spark
+    cannot overwrite a parquet directory it is reading mid-job, and a
+    failed in-place attempt destroys the only copy of the index.
+    realpath, not abspath — a symlink alias of the input must not slip
+    past the guard."""
+    import os
+
+    if os.path.realpath(out_path) == os.path.realpath(in_path):
+        raise ValueError(
+            f"{fn}: out_path must differ from in_path — Spark cannot "
+            "overwrite a parquet directory it is reading; write to a "
+            "sibling path and swap"
+        )
+
+
 def extend_content_index(
     df: DataFrame,
     in_path: str,
@@ -104,14 +120,7 @@ def extend_content_index(
     keepers, this keeps ``n_copies`` exact for contents that RECUR in
     the shard, and the output stays one-row-per-hash, so
     ``exact_dedup_against(..., unique_index=True)`` stays valid."""
-    import os
-
-    if os.path.abspath(out_path) == os.path.abspath(in_path):
-        raise ValueError(
-            "extend_content_index: out_path must differ from in_path — "
-            "Spark cannot overwrite a parquet directory it is reading; "
-            "write to a sibling path and swap"
-        )
+    _require_distinct_out("extend_content_index", in_path, out_path)
     spark = df.sparkSession
     old = spark.read.parquet(in_path).select(
         "content_md5", "canonical_id", "n_copies"
@@ -564,17 +573,22 @@ def extend_minhash_index(
     recounts them while never re-tokenizing the corpus — the recount
     shuffles O(index) slim (doc, band, key) rows, not O(corpus) text.
     Parameters are validated against the carried index columns (fail
-    loud, distinct-checked). Pass only docs NOT already in the index
-    (the gate's keepers): re-adding a doc duplicates its band rows and
-    inflates its buckets. ``out_path`` must differ from ``in_path``
-    (Spark cannot overwrite its own input; swap after the write)."""
-    import os
-
-    if os.path.abspath(out_path) == os.path.abspath(in_path):
+    loud, distinct-checked), and so is doc overlap: extending with a
+    doc ALREADY in the index (anything but the gate's keepers) would
+    duplicate its band rows and inflate its buckets, so it raises
+    instead of silently corrupting the skew cap. ``out_path`` must
+    differ from ``in_path`` (Spark cannot overwrite its own input;
+    swap after the write)."""
+    _require_distinct_out("extend_minhash_index", in_path, out_path)
+    if bands * rows_per_band > num_hashes:
+        # same guard as the one-shot builder — reachable here when the
+        # index is a bare (doc, band, key) frame the param validator
+        # waves through
         raise ValueError(
-            "extend_minhash_index: out_path must differ from in_path — "
-            "Spark cannot overwrite a parquet directory it is reading; "
-            "write to a sibling path and swap"
+            f"extend_minhash_index: bands*rows_per_band = "
+            f"{bands * rows_per_band} exceeds num_hashes={num_hashes} — "
+            "bands past the signature would all key on md5('') (one "
+            "mega-bucket of everything)"
         )
     spark = df.sparkSession
     index = spark.read.parquet(in_path)
@@ -582,7 +596,23 @@ def extend_minhash_index(
         index,
         dict(num_hashes=num_hashes, shingle_n=shingle_n, seed=seed,
              bands=bands, rows_per_band=rows_per_band),
+        caller="extend_minhash_index",
     )
+    # fail loud on re-added docs instead of silently inflating their
+    # bucket counts (the probe-time skew cap would then drop legitimate
+    # buckets): one column-pruned semi-join count — O(index doc column),
+    # within the roll-forward's own O(index) rewrite budget
+    n_overlap = (
+        df.select(F.col(id_col).alias("doc")).distinct()
+        .join(index.select("doc"), "doc", "left_semi")
+        .count()
+    )
+    if n_overlap:
+        raise ValueError(
+            f"extend_minhash_index: {n_overlap} shard doc(s) are already "
+            "in the index — re-adding duplicates their band rows and "
+            "inflates bucket_n; extend with the gate's KEEPERS only"
+        )
     sig = minhash_signatures(
         df, id_col, text_col,
         num_hashes=num_hashes, shingle_n=shingle_n, seed=seed,
@@ -607,11 +637,15 @@ def extend_minhash_index(
     )
 
 
-def _validate_minhash_index(index: DataFrame, want: dict) -> None:
+def _validate_minhash_index(
+    index: DataFrame, want: dict, caller: str = "minhash_candidates_against"
+) -> None:
     """Fail loud when the index's carried parameters don't match the
     probe's — checked against the DISTINCT values (one arbitrary row
     would pass a mixed-parameter union nondeterministically; the
-    span-index lesson). One index-sized aggregation, cheap."""
+    span-index lesson). One index-sized aggregation, cheap. ``caller``
+    names the user-facing function in the error (this validator serves
+    both the gate and the roll-forward)."""
     present = [p for p in _MINHASH_INDEX_PARAMS if p in index.columns]
     if not present:
         return  # a bare (doc, band, key) frame: caller vouches
@@ -622,14 +656,14 @@ def _validate_minhash_index(index: DataFrame, want: dict) -> None:
         got = sorted(int(v) for v in vals[p])
         if len(got) > 1:
             raise ValueError(
-                f"minhash_candidates_against: index mixes {p}={got} (a "
+                f"{caller}: index mixes {p}={got} (a "
                 "union of differently-built indexes?) — band keys from "
                 "different signature configs never match, so part of "
                 "the gate would silently flag nothing"
             )
         if got and got[0] != int(want[p]):
             raise ValueError(
-                f"minhash_candidates_against: index was built with "
+                f"{caller}: index was built with "
                 f"{p}={got[0]} but {p}={want[p]} was requested — band "
                 "keys from different signature configs never match, so "
                 "the gate would silently flag nothing"
@@ -1683,37 +1717,32 @@ def extend_span_index(
     counts, so merging would undercount grams that cross the threshold
     only across snapshots (a gram once in the corpus, once in the
     shard); that fails loud here via the carried ``min_count`` column
-    (pre-round-10 indexes without it are treated as vouched-for
-    min_count=1). Threshold at PROBE time instead:
+    (legacy indexes carrying neither ``k`` nor ``min_count`` are
+    treated as caller-vouched, the module's bare-frame precedent).
+    Threshold at PROBE time instead:
     ``index.filter("n_occurrences >= t")`` before
     :func:`duplicate_spans_against`. ``out_path`` must differ from
     ``in_path`` (Spark cannot overwrite its own input)."""
-    import os
-
-    if os.path.abspath(out_path) == os.path.abspath(in_path):
-        raise ValueError(
-            "extend_span_index: out_path must differ from in_path — "
-            "Spark cannot overwrite a parquet directory it is reading; "
-            "write to a sibling path and swap"
-        )
+    _require_distinct_out("extend_span_index", in_path, out_path)
     spark = df.sparkSession
     index = spark.read.parquet(in_path)
-    idx_ks = sorted(
-        int(r["k"]) for r in index.select("k").distinct().collect()
-        if r["k"] is not None
-    )
-    if len(idx_ks) > 1 or (idx_ks and idx_ks[0] != int(k)):
-        raise ValueError(
-            f"extend_span_index: index k={idx_ks} does not match the "
-            f"requested k={k} — md5 hashes of different-length grams "
-            "never match, so the merged counts would be meaningless"
-        )
-    if "min_count" in index.columns:
-        mcs = sorted(
-            int(r["min_count"])
-            for r in index.select("min_count").distinct().collect()
-            if r["min_count"] is not None
-        )
+    # one combined distinct-value aggregation over whichever carried
+    # parameter columns exist (legacy indexes may lack either)
+    carried = [c for c in ("k", "min_count") if c in index.columns]
+    if carried:
+        vals = index.select(
+            *[F.collect_set(c).alias(c) for c in carried]
+        ).first()
+    if "k" in carried:
+        idx_ks = sorted(int(v) for v in vals["k"])
+        if len(idx_ks) > 1 or (idx_ks and idx_ks[0] != int(k)):
+            raise ValueError(
+                f"extend_span_index: index k={idx_ks} does not match the "
+                f"requested k={k} — md5 hashes of different-length grams "
+                "never match, so the merged counts would be meaningless"
+            )
+    if "min_count" in carried:
+        mcs = sorted(int(v) for v in vals["min_count"])
         if mcs != [1]:
             raise ValueError(
                 f"extend_span_index: index was built with min_count="

@@ -2500,9 +2500,19 @@ def test_extend_indexes_match_one_shot_union(docs, spark, tmp_path):
         dedup.extend_content_index(shard, p0, p0, "doc_id", "text")
     kw_bad = dict(_MHI_KW)
     kw_bad["seed"] = 7
-    with pytest.raises(ValueError, match="seed="):
+    with pytest.raises(ValueError, match="extend_minhash_index.*seed="):
         dedup.extend_minhash_index(shard, m0, str(tmp_path / "mx"),
                                    "doc_id", "text", **kw_bad)
+    # re-adding docs already in the index would inflate bucket_n: loud
+    with pytest.raises(ValueError, match="already"):
+        dedup.extend_minhash_index(old.limit(3), m0, str(tmp_path / "my"),
+                                   "doc_id", "text", **_MHI_KW)
+    # over-banded signature rejected like the one-shot builder
+    with pytest.raises(ValueError, match="exceeds num_hashes"):
+        dedup.extend_minhash_index(
+            shard, m0, str(tmp_path / "mz"), "doc_id", "text",
+            num_hashes=4, shingle_n=1, seed=42, bands=4, rows_per_band=2,
+        )
     st = str(tmp_path / "s_thresh")
     dedup.write_span_index(old, st, "doc_id", "text", k=5, min_count=2)
     with pytest.raises(ValueError, match="cannot be recovered"):
