@@ -439,3 +439,39 @@ def test_frozen_artifact_deployment_end_to_end(spark, sf_dir, tmp_path):
     }
     assert max_id + 4 in survivors
     assert not {max_id + 1, max_id + 2, max_id + 3, max_id + 5} & survivors
+
+    # cluster state folds forward: the shard's candidate pairs merge
+    # into a prior assignment built from the corpus's own pairs, and
+    # every planted exact copy lands in its original's cluster
+    corpus_pairs = dedup.minhash_candidates_against(
+        corpus, idx_m, "doc_id", "text", **MH
+    )
+    prior_cc = dedup.connected_components(corpus_pairs)
+    merged_cc = dedup.connected_components_against(prior_cc, pairs)
+    lbl = {r["node"]: r["cluster_id"] for r in merged_cc.collect()}
+    assert lbl[max_id + 1] == lbl[plant_src[0]["doc_id"]]
+    assert lbl[max_id + 2] == lbl[plant_src[1]["doc_id"]]
+    assert lbl[max_id + 4] == lbl[max_id + 5]
+
+    # roll the exact index forward with the shard's keepers, then
+    # re-gate the SAME shard against the extended index: every doc now
+    # resolves to an existing content (idempotent snapshot closure) —
+    # keepers re-gated come out as their own canonicals, never dups
+    keepers = shard2.join(
+        gate_x.filter(F.col("dup_of").isNull()).select("doc_id"),
+        "doc_id", "semi",
+    )
+    p_x2 = str(tmp_path / "content_index_v2")
+    dedup.extend_content_index(keepers, p_x, p_x2, "doc_id", "text")
+    regate = {
+        r["doc_id"]: r["dup_of"]
+        for r in dedup.exact_dedup_against(
+            shard2, spark.read.parquet(p_x2), "doc_id", "text",
+            include_shard_dups=False, unique_index=True,
+        ).collect()
+    }
+    for d, v in xg.items():
+        if v is None:
+            assert regate[d] is None          # canonical of its content
+        else:
+            assert regate[d] is not None      # still a known duplicate
