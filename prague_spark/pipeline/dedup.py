@@ -1031,22 +1031,57 @@ def _gen_cache(name: str) -> list:
     return caches.setdefault(name, [])
 
 
+def _pin_counts() -> dict:
+    """Thread-local refcounts keyed by semanticHash of pinned plans.
+    Spark uncaches BY PLAN, not by handle: two pins whose plans are
+    canonically equal (e.g. minhash_lsh_candidates' band frame and a
+    previous minhash_candidates_against call's, over the same inputs)
+    share ONE cache entry, so evicting the stale generation of one
+    registry would silently unpersist the other registry's LIVE pin
+    mid-query (observed: the dedup_minhash_lsh plan pin flipping under
+    full-suite order). Eviction therefore only unpersists when no
+    other live pin holds the same semantic hash."""
+    counts = getattr(_GEN_LOCAL, "pin_counts", None)
+    if counts is None:
+        counts = _GEN_LOCAL.pin_counts = {}
+    return counts
+
+
 def _evict_generation(cache: list) -> None:
     """Unpersist and drop every frame a previous call left pinned.
     Runs UNCONDITIONALLY at generator entry (a persist-free 100 TB run
     must not inherit a smoke-test call's pinned cache); tolerates
-    handles from a stopped/replaced SparkSession."""
+    handles from a stopped/replaced SparkSession. Entries whose plan a
+    LIVE pin still shares (see :func:`_pin_counts`) are dropped from
+    the registry without unpersisting — the shared cache entry is the
+    live pin's to free."""
+    counts = _pin_counts()
     while cache:
+        df, h = cache.pop()
+        if h is not None:
+            n = counts.get(h, 0) - 1
+            if n > 0:
+                counts[h] = n
+                continue  # another live pin shares this cache entry
+            counts.pop(h, None)
         try:
-            cache.pop().unpersist()
+            df.unpersist()
         except Exception:  # dead JVM context — nothing left to free
             pass
 
 
 def _pin(cache: list, df: DataFrame) -> DataFrame:
-    """persist() + track in the generator's one-generation registry."""
+    """persist() + track in the generator's one-generation registry
+    (refcounted by plan hash — see :func:`_pin_counts`)."""
     df = df.persist()
-    cache.append(df)
+    try:
+        h = df.semanticHash()
+    except Exception:  # analysis-stage oddity: fall back to unkeyed
+        h = None
+    if h is not None:
+        counts = _pin_counts()
+        counts[h] = counts.get(h, 0) + 1
+    cache.append((df, h))
     return df
 
 

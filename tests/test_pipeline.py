@@ -707,7 +707,8 @@ def test_embedding_cell_pairs_cache_discipline(emb, spark):
     # and the handle is releasable
     cache = _gen_cache("cell_pairs")
     while cache:
-        cache.pop().unpersist(blocking=True)
+        df, _h = cache.pop()
+        df.unpersist(blocking=True)
     assert not (live() - before)
 
 
@@ -1897,7 +1898,7 @@ def test_gen_caches_are_thread_local(docs, spark):
         small, "doc_id", "text", n=1, threshold=0.9, max_df=30
     ).count()
     mine = list(_gen_cache("jaccard"))
-    assert mine and all(df.is_cached for df in mine)
+    assert mine and all(df.is_cached for df, _h in mine)
 
     errs: list = []
 
@@ -1908,7 +1909,7 @@ def test_gen_caches_are_thread_local(docs, spark):
             ).count()
             # the worker's own registry is its own generation
             assert _gen_cache("jaccard") and all(
-                df.is_cached for df in _gen_cache("jaccard")
+                df.is_cached for df, _h in _gen_cache("jaccard")
             )
             _evict_generation(_gen_cache("jaccard"))
         except Exception as e:  # surface into the main thread
@@ -1919,7 +1920,7 @@ def test_gen_caches_are_thread_local(docs, spark):
     t.join(120)
     assert not errs, errs
     # main thread's generation survived the concurrent call
-    assert all(df.is_cached for df in mine)
+    assert all(df.is_cached for df, _h in mine)
     _evict_generation(_gen_cache("jaccard"))
 
 
@@ -2521,3 +2522,34 @@ def test_extend_indexes_match_one_shot_union(docs, spark, tmp_path):
     with pytest.raises(ValueError, match="does not match the"):
         dedup.extend_span_index(shard, s0, str(tmp_path / "sy"),
                                 "doc_id", "text", k=7)
+
+
+def test_cross_generator_eviction_keeps_shared_pins(docs, spark):
+    """Spark uncaches BY PLAN, not by handle: when two registries pin
+    canonically-equal frames (the gate's band rows and
+    minhash_lsh_candidates' over the same inputs), they share ONE cache
+    entry — evicting one registry's STALE generation must not unpersist
+    the other's LIVE pin. Before the refcount fix this flipped the
+    dedup_minhash_lsh plan pin under full-suite order (the pinned band
+    frame silently vanished from the audited plan)."""
+    from prague_spark.pipeline.dedup import _evict_generation, _gen_cache
+
+    kw = dict(num_hashes=4, shingle_n=1, seed=42, bands=2, rows_per_band=2)
+    small = docs.limit(50)
+    sig = dedup.minhash_signatures(
+        small, "doc_id", "text", num_hashes=4, shingle_n=1
+    )
+    bare_idx = dedup.lsh_band_keys(sig, "doc_id", bands=2, rows_per_band=2)
+    # generation 1 in the GATE registry: its pinned band frame is
+    # canonically equal to what minhash_lsh_candidates pins below
+    dedup.minhash_candidates_against(
+        small, bare_idx, "doc_id", "text", include_shard_pairs=False, **kw
+    ).count()
+    dedup.minhash_lsh_candidates(sig, "doc_id", bands=2, rows_per_band=2)
+    live = [df for df, _h in _gen_cache("minhash")]
+    assert live and all(df.is_cached for df in live)
+    # the gate's NEXT generation evicts its stale one — the shared
+    # entry belongs to the live minhash pin and must survive
+    _evict_generation(_gen_cache("minhash_gate"))
+    assert all(df.is_cached for df in live)
+    _evict_generation(_gen_cache("minhash"))
