@@ -1031,56 +1031,60 @@ def _gen_cache(name: str) -> list:
     return caches.setdefault(name, [])
 
 
-def _pin_counts() -> dict:
-    """Thread-local refcounts keyed by semanticHash of pinned plans.
-    Spark uncaches BY PLAN, not by handle: two pins whose plans are
-    canonically equal (e.g. minhash_lsh_candidates' band frame and a
-    previous minhash_candidates_against call's, over the same inputs)
-    share ONE cache entry, so evicting the stale generation of one
-    registry would silently unpersist the other registry's LIVE pin
-    mid-query (observed: the dedup_minhash_lsh plan pin flipping under
-    full-suite order). Eviction therefore only unpersists when no
-    other live pin holds the same semantic hash."""
-    counts = getattr(_GEN_LOCAL, "pin_counts", None)
-    if counts is None:
-        counts = _GEN_LOCAL.pin_counts = {}
-    return counts
+#: PROCESS-GLOBAL refcounts keyed by semanticHash of pinned plans.
+#: Spark uncaches BY PLAN, not by handle, and its cache manager is
+#: JVM-global: two pins whose plans are canonically equal (e.g.
+#: minhash_lsh_candidates' band frame and a minhash_candidates_against
+#: call's, over the same inputs) share ONE cache entry — from ANY
+#: thread. Evicting the stale generation of one registry would
+#: silently unpersist the other registry's LIVE pin mid-query
+#: (observed: the dedup_minhash_lsh plan pin flipping under full-suite
+#: order), so eviction only unpersists when no other live pin —
+#: whichever thread owns it — holds the same semantic hash. The
+#: REGISTRIES stay thread-local (generation ownership), the COUNTS are
+#: global to match the cache manager's scope. Known accepted edges:
+#: a 32-bit semanticHash collision between unrelated live pins skips
+#: one unpersist (a single frame stays pinned until session end —
+#: ~2^-32 per pair); a pin whose semanticHash call raised falls back
+#: to an identity key, so a plan-equal KEYED pin's eviction can still
+#: free it (semanticHash on an analyzed frame essentially never
+#: raises).
+_PIN_COUNTS: dict = {}
+_PIN_LOCK = threading.Lock()
 
 
-def _evict_generation(cache: list) -> None:
+def _evict_generation(cache: list, blocking: bool = False) -> None:
     """Unpersist and drop every frame a previous call left pinned.
     Runs UNCONDITIONALLY at generator entry (a persist-free 100 TB run
     must not inherit a smoke-test call's pinned cache); tolerates
     handles from a stopped/replaced SparkSession. Entries whose plan a
-    LIVE pin still shares (see :func:`_pin_counts`) are dropped from
-    the registry without unpersisting — the shared cache entry is the
+    LIVE pin still shares (see ``_PIN_COUNTS``) are dropped from the
+    registry without unpersisting — the shared cache entry is the
     live pin's to free."""
-    counts = _pin_counts()
     while cache:
         df, h = cache.pop()
-        if h is not None:
-            n = counts.get(h, 0) - 1
+        with _PIN_LOCK:
+            n = _PIN_COUNTS.get(h, 0) - 1
             if n > 0:
-                counts[h] = n
+                _PIN_COUNTS[h] = n
                 continue  # another live pin shares this cache entry
-            counts.pop(h, None)
+            _PIN_COUNTS.pop(h, None)
         try:
-            df.unpersist()
+            df.unpersist(blocking)
         except Exception:  # dead JVM context — nothing left to free
             pass
 
 
 def _pin(cache: list, df: DataFrame) -> DataFrame:
     """persist() + track in the generator's one-generation registry
-    (refcounted by plan hash — see :func:`_pin_counts`)."""
+    (refcounted globally by plan hash — see ``_PIN_COUNTS``)."""
     df = df.persist()
     try:
-        h = df.semanticHash()
-    except Exception:  # analysis-stage oddity: fall back to unkeyed
-        h = None
-    if h is not None:
-        counts = _pin_counts()
-        counts[h] = counts.get(h, 0) + 1
+        h = ("sh", df.semanticHash())
+    except Exception:  # analysis-stage oddity: identity key (unshared)
+        h = ("id", id(df))
+    with _PIN_LOCK:
+        _PIN_COUNTS[h] = _PIN_COUNTS.get(h, 0) + 1
     cache.append((df, h))
     return df
 

@@ -674,11 +674,11 @@ def test_embedding_cell_pairs_cache_discipline(emb, spark):
     most ONE generation alive — a per-shard curation loop frees each
     previous call's assignment cache instead of accumulating until
     eviction churn (the regression this pins)."""
-    from prague_spark.pipeline.dedup import _gen_cache
+    from prague_spark.pipeline.dedup import _evict_generation, _gen_cache
 
     sc = spark.sparkContext
+    _evict_generation(_gen_cache("cell_pairs"), blocking=True)
     spark.catalog.clearCache()
-    _gen_cache("cell_pairs").clear()
 
     def live():
         return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
@@ -704,11 +704,9 @@ def test_embedding_cell_pairs_cache_discipline(emb, spark):
             vec, "vec_id", "vec", C, threshold=0.3
         ).count()
         assert len(live() - before) <= 1
-    # and the handle is releasable
-    cache = _gen_cache("cell_pairs")
-    while cache:
-        df, _h = cache.pop()
-        df.unpersist(blocking=True)
+    # and the handles are releasable (through the refcounted evictor,
+    # never manual pops — those would strand the global counts)
+    _evict_generation(_gen_cache("cell_pairs"), blocking=True)
     assert not (live() - before)
 
 
@@ -1884,10 +1882,11 @@ def test_span_index_mixed_k_raises(span_docs, spark, tmp_path):
 
 def test_gen_caches_are_thread_local(docs, spark):
     """Two concurrent callers of the same pair generator must not evict
-    each other's live caches: the one-generation registry is per-thread.
-    A worker thread's call leaves the main thread's pinned frames
-    cached (before round 10 it unpersisted them, recomputing the
-    dominant scan at materialization time)."""
+    each other's live caches: the one-generation registry is per-thread
+    and the pin REFCOUNTS are process-global (Spark's cache manager is
+    JVM-global and plan-keyed, so the two threads' canonically-equal
+    pins share ONE cache entry — a thread-local count would let the
+    worker's eviction free the main thread's live data)."""
     import threading
 
     from prague_spark.pipeline.dedup import _evict_generation, _gen_cache
@@ -1897,8 +1896,12 @@ def test_gen_caches_are_thread_local(docs, spark):
     dedup.ngram_jaccard_pairs(
         small, "doc_id", "text", n=1, threshold=0.9, max_df=30
     ).count()
+    def _really_cached(df):
+        lvl = df.storageLevel  # JVM cache-manager state, not the flag
+        return lvl.useMemory or lvl.useDisk
+
     mine = list(_gen_cache("jaccard"))
-    assert mine and all(df.is_cached for df, _h in mine)
+    assert mine and all(_really_cached(df) for df, _h in mine)
 
     errs: list = []
 
@@ -1909,7 +1912,7 @@ def test_gen_caches_are_thread_local(docs, spark):
             ).count()
             # the worker's own registry is its own generation
             assert _gen_cache("jaccard") and all(
-                df.is_cached for df, _h in _gen_cache("jaccard")
+                _really_cached(df) for df, _h in _gen_cache("jaccard")
             )
             _evict_generation(_gen_cache("jaccard"))
         except Exception as e:  # surface into the main thread
@@ -1919,8 +1922,9 @@ def test_gen_caches_are_thread_local(docs, spark):
     t.start()
     t.join(120)
     assert not errs, errs
-    # main thread's generation survived the concurrent call
-    assert all(df.is_cached for df, _h in mine)
+    # main thread's generation survived the concurrent call — REAL
+    # cache state, not the client-side flag
+    assert all(_really_cached(df) for df, _h in mine)
     _evict_generation(_gen_cache("jaccard"))
 
 
@@ -2546,10 +2550,20 @@ def test_cross_generator_eviction_keeps_shared_pins(docs, spark):
         small, bare_idx, "doc_id", "text", include_shard_pairs=False, **kw
     ).count()
     dedup.minhash_lsh_candidates(sig, "doc_id", bands=2, rows_per_band=2)
+
+    def _really_cached(df):
+        # storageLevel queries the JVM cache manager; is_cached is a
+        # client-side flag that never flips when the shared entry is
+        # unpersisted through the OTHER handle
+        lvl = df.storageLevel
+        return lvl.useMemory or lvl.useDisk
+
     live = [df for df, _h in _gen_cache("minhash")]
-    assert live and all(df.is_cached for df in live)
+    assert live and all(_really_cached(df) for df in live)
     # the gate's NEXT generation evicts its stale one — the shared
     # entry belongs to the live minhash pin and must survive
     _evict_generation(_gen_cache("minhash_gate"))
-    assert all(df.is_cached for df in live)
+    assert all(_really_cached(df) for df in live)
+    # ... and once the live pin itself is evicted, the entry frees
     _evict_generation(_gen_cache("minhash"))
+    assert not any(_really_cached(df) for df in live)
