@@ -88,14 +88,28 @@ def _require_distinct_out(fn: str, in_path: str, out_path: str) -> None:
     cannot overwrite a parquet directory it is reading mid-job, and a
     failed in-place attempt destroys the only copy of the index.
     realpath, not abspath — a symlink alias of the input must not slip
-    past the guard."""
+    past the guard. NESTING is rejected in both directions, not just
+    equality: an out_path inside in_path writes a non-partition
+    subdirectory into the live index (breaking later file/partition
+    discovery of in_path), and an out_path that is an ANCESTOR of
+    in_path is worse — ``mode("overwrite")`` clears the target first,
+    deleting the input index before the job reads it."""
     import os
 
-    if os.path.realpath(out_path) == os.path.realpath(in_path):
+    rin = os.path.realpath(in_path)
+    rout = os.path.realpath(out_path)
+    try:
+        common = os.path.commonpath([rin, rout])
+    except ValueError:  # different drives (Windows): trivially disjoint
+        common = None
+    if rin == rout or common in (rin, rout):
         raise ValueError(
-            f"{fn}: out_path must differ from in_path — Spark cannot "
-            "overwrite a parquet directory it is reading; write to a "
-            "sibling path and swap"
+            f"{fn}: out_path must differ from (and not nest inside or "
+            "contain) in_path — Spark cannot overwrite a parquet "
+            "directory it is reading, a descendant write corrupts the "
+            "live index's directory discovery, and an ancestor "
+            "overwrite deletes the input; write to a sibling path and "
+            "swap"
         )
 
 
@@ -119,12 +133,35 @@ def extend_content_index(
     fails loud on in-place). Unlike raw ``mode('append')`` of gated
     keepers, this keeps ``n_copies`` exact for contents that RECUR in
     the shard, and the output stays one-row-per-hash, so
-    ``exact_dedup_against(..., unique_index=True)`` stays valid."""
+    ``exact_dedup_against(..., unique_index=True)`` stays valid.
+
+    Re-extending a doc ALREADY in the index is a caller error that
+    double-counts it in ``n_copies`` (and the gate's copy stats), so
+    shard ids are checked against the stored canonical ids and fail
+    loud — the :func:`extend_minhash_index` guard, one column-pruned
+    semi-join within the roll-forward's own O(index) budget. The check
+    is necessarily partial: only CANONICAL ids are stored, so
+    re-extending a non-keeper duplicate (an id the index never
+    recorded) is undetectable and silently overcounts its content's
+    ``n_copies`` — extend with the gate's KEEPERS only, which by
+    construction are ids the index has never seen."""
     _require_distinct_out("extend_content_index", in_path, out_path)
     spark = df.sparkSession
     old = spark.read.parquet(in_path).select(
         "content_md5", "canonical_id", "n_copies"
     )
+    n_overlap = (
+        df.select(F.col(id_col).alias("canonical_id")).distinct()
+        .join(old.select("canonical_id"), "canonical_id", "left_semi")
+        .count()
+    )
+    if n_overlap:
+        raise ValueError(
+            f"extend_content_index: {n_overlap} shard doc id(s) are "
+            "already canonical in the index — re-extending them "
+            "double-counts n_copies; extend with the gate's KEEPERS "
+            "only (new docs the index has never seen)"
+        )
     add = df.select(
         F.md5(F.col(text_col)).alias("content_md5"),
         F.col(id_col).alias("canonical_id"),
@@ -705,13 +742,17 @@ def minhash_candidates_against(
     ``max_bucket`` skew guard: index-side hot buckets are dropped via
     the PRECOMPUTED ``bucket_n`` column (a pushed predicate — no index
     aggregation here; absent on a bare index, then no index-side cap),
-    shard-side hot buckets by an O(shard) count, mirroring the one-shot
-    cap. Every step before the final distinct is stream-safe, but the
+    shard-side hot buckets by an O(shard) count folded into the
+    self-join (a broadcast left-anti, mirroring the one-shot cap).
+    Unlike the one-shot operator, dropped shard-side buckets are NOT
+    logged: logging would cost an eager extra job per gate call in the
+    per-crawl-snapshot hot path, so the gate stays fully lazy —
+    audit bucket sizes offline (the index carries ``bucket_n``; the
+    shard side is one groupBy away) if the cap's reach matters. Every
+    step before the final distinct is stream-safe, but the
     shard self-join is not a stream-stream join Structured Streaming
     runs stateless — gate a STREAM per micro-batch in ``foreachBatch``
     (each batch = one shard; exactness pinned in tests)."""
-    import logging
-
     if bands * rows_per_band > num_hashes:
         raise ValueError(
             f"minhash_candidates_against: bands*rows_per_band = "
@@ -756,18 +797,15 @@ def minhash_candidates_against(
         return cross.distinct()
     shard_banded = banded
     if max_bucket is not None:
-        hot = _pin(
-            _gen_cache("minhash_gate"),
+        # no eager count/log here (the one-shot's warning job would run
+        # once per gate call in the snapshot hot path) — the anti-join
+        # applies the cap lazily; `banded` is pinned above, so the count
+        # aggregation reads the cache, not a second signature pass
+        hot = (
             banded.groupBy("band", "key")
             .count()
-            .filter(F.col("count") > max_bucket),
+            .filter(F.col("count") > max_bucket)
         )
-        if hot.count():
-            logging.getLogger("prague_spark.dedup").warning(
-                "minhash_candidates_against: dropping shard-side LSH "
-                "buckets with > %d members before the self-join",
-                max_bucket,
-            )
         shard_banded = banded.join(
             F.broadcast(hot.select("band", "key")), ["band", "key"],
             "left_anti",
@@ -1063,27 +1101,38 @@ def _evict_generation(cache: list, blocking: bool = False) -> None:
     live pin's to free."""
     while cache:
         df, h = cache.pop()
+        # the unpersist stays INSIDE the lock: releasing between the
+        # count check and the unpersist would let a concurrent _pin of a
+        # plan-equal frame register a live pin whose shared JVM cache
+        # entry this eviction then frees — the same cross-registry flip
+        # the refcount exists to prevent, in a narrower window. _pin
+        # persists under the same lock, so the two can never interleave
+        # around one cache entry (and never nest: no deadlock).
         with _PIN_LOCK:
             n = _PIN_COUNTS.get(h, 0) - 1
             if n > 0:
                 _PIN_COUNTS[h] = n
                 continue  # another live pin shares this cache entry
             _PIN_COUNTS.pop(h, None)
-        try:
-            df.unpersist(blocking)
-        except Exception:  # dead JVM context — nothing left to free
-            pass
+            try:
+                df.unpersist(blocking)
+            except Exception:  # dead JVM context — nothing left to free
+                pass
 
 
 def _pin(cache: list, df: DataFrame) -> DataFrame:
     """persist() + track in the generator's one-generation registry
-    (refcounted globally by plan hash — see ``_PIN_COUNTS``)."""
-    df = df.persist()
+    (refcounted globally by plan hash — see ``_PIN_COUNTS``). The
+    persist() call itself happens under ``_PIN_LOCK`` so it serializes
+    against a concurrent eviction's count-check + unpersist of the same
+    plan: whichever order the lock grants, the surviving pin's entry is
+    live (persist marks lazily — holding the lock is cheap)."""
     try:
         h = ("sh", df.semanticHash())
     except Exception:  # analysis-stage oddity: identity key (unshared)
         h = ("id", id(df))
     with _PIN_LOCK:
+        df = df.persist()
         _PIN_COUNTS[h] = _PIN_COUNTS.get(h, 0) + 1
     cache.append((df, h))
     return df

@@ -823,7 +823,8 @@ def append_ivfpq_index(
             f"append_ivfpq_index: the sidecar at {model_path!r} has no "
             "codebooks (an IVF-only model) — it cannot encode PQ codes"
         )
-    existing = {f.name for f in spark.read.parquet(path).schema.fields}
+    written = spark.read.parquet(path).schema
+    existing = {f.name for f in written.fields}
     keep_vec = vec_col in existing
     cols = [id_col, cell_col, code_col] + ([vec_col] if keep_vec else [])
     if set(cols) != existing:
@@ -837,9 +838,31 @@ def append_ivfpq_index(
         corpus, vec_col, centroids, codebooks,
         cell_col=cell_col, code_col=code_col,
     )
-    idx.select(*cols).write.mode("append").partitionBy(cell_col).parquet(
-        path
+    out = idx.select(*cols)
+    # types too, not just names: appending e.g. a string-id shard into a
+    # long-id layout writes mixed-schema files that only fail (or
+    # silently coerce) at a later read of the index. The partition
+    # column is exempt — its values round-trip through directory names,
+    # so its read-back type is inference policy, not a layout property.
+    want_t = {f.name: f.dataType for f in written.fields}
+    got_t = {f.name: f.dataType for f in out.schema.fields}
+    mismatched = sorted(
+        n for n in want_t
+        if n != cell_col and got_t.get(n) != want_t[n]
     )
+    if mismatched:
+        detail = ", ".join(
+            f"{n}: index={want_t[n].simpleString()} "
+            f"shard={got_t[n].simpleString()}"
+            for n in mismatched
+        )
+        raise ValueError(
+            f"append_ivfpq_index: shard column type(s) differ from the "
+            f"written layout ({detail}) — appending would write "
+            "mixed-schema files that break or coerce at a later read; "
+            "cast the shard to the layout's types first"
+        )
+    out.write.mode("append").partitionBy(cell_col).parquet(path)
 
 
 def save_ivfpq_model(spark, path: str, centroids, codebooks=None) -> None:
@@ -1174,7 +1197,20 @@ def hyperplane_lsh_buckets(
 ) -> DataFrame:
     """Random-hyperplane signature for cosine LSH: bucket id packs the sign
     bits of ``n_planes`` fixed random projections. Vectors in the same
-    bucket are near-duplicate candidates (join key, no pairwise scan)."""
+    bucket are near-duplicate candidates (join key, no pairwise scan).
+
+    ``n_planes`` is capped at 62: the bucket id packs one sign bit per
+    plane as ``2**i`` into a SIGNED 64-bit long (bit 63 is the sign bit
+    and ``F.lit(2**63)`` fails analysis with an opaque overflow; 62 bits
+    of blocking is already astronomically finer than any useful bucket
+    granularity — band multiple independent signatures instead)."""
+    if not 1 <= n_planes <= 62:
+        raise ValueError(
+            f"hyperplane_lsh_buckets: n_planes={n_planes} must be in "
+            "1..62 — the bucket id packs one sign bit per plane into a "
+            "signed 64-bit long (use n_bands of smaller signatures for "
+            "more planes)"
+        )
     if dim is None:
         first = df.select(F.size(vec_col)).first()
         dim = int(first[0])

@@ -548,6 +548,19 @@ def test_hyperplane_lsh_buckets(emb):
     assert 1 < n_buckets <= 256
 
 
+def test_hyperplane_lsh_plane_count_guard(emb):
+    """The bucket id packs one sign bit per plane into a SIGNED long, so
+    n_planes > 62 must fail loud here — not as an opaque literal-overflow
+    analysis error (2**63) or a silent sign-bit collision (63)."""
+    for bad in (0, 63, 64):
+        with pytest.raises(ValueError, match="1..62"):
+            similarity.hyperplane_lsh_buckets(emb, "embedding", n_planes=bad)
+    # 62 is the documented ceiling and still constructs a valid plan
+    assert similarity.hyperplane_lsh_buckets(
+        emb.limit(3), "embedding", n_planes=62
+    ).count() == 3
+
+
 def test_multimodal_image_features(spark):
     from prague_spark.pipeline import multimodal as mm
 
@@ -2054,6 +2067,60 @@ def test_minhash_index_bucket_cap_and_plan(docs, spark, tmp_path):
     assert_scale_shape(out, max_py_stages=0, max_shuffles=3)
 
 
+def test_minhash_gate_construction_is_lazy(docs, spark, tmp_path):
+    """Building the gate frame runs exactly ONE eager job — the index
+    param validation's distinct-value check — and nothing else: the
+    shard-side skew cap is applied by a lazy anti-join, not an eager
+    count-and-warn (which used to cost one extra O(shard) job per gate
+    call in the per-crawl-snapshot hot path)."""
+    path = str(tmp_path / "mh_lazy")
+    dedup.write_minhash_index(docs, path, "doc_id", "text", **_MHI_KW)
+    idx = spark.read.parquet(path)
+    sc = spark.sparkContext
+
+    def _jobs_during(group, fn):
+        sc.setJobGroup(group, "gate laziness probe")
+        try:
+            fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    # the validator's own eager cost (its first() is >1 job under AQE:
+    # shuffle-map stage + result stage) — measured, not hard-coded
+    n_validate = _jobs_during(
+        "mh_gate_probe_validate",
+        lambda: dedup._validate_minhash_index(idx, dict(_MHI_KW)),
+    )
+    n_gate = _jobs_during(
+        "mh_gate_probe_full",
+        lambda: dedup.minhash_candidates_against(
+            docs, idx, "doc_id", "text", max_bucket=5000, **_MHI_KW
+        ),
+    )
+    assert n_gate == n_validate, (
+        f"gate construction ran {n_gate} jobs vs the validator's "
+        f"{n_validate} — something besides param validation is eager"
+    )
+    # a bare (doc, band, key) index has no params to validate: ZERO jobs
+    sig = dedup.minhash_signatures(
+        docs, "doc_id", "text",
+        num_hashes=_MHI_KW["num_hashes"], shingle_n=_MHI_KW["shingle_n"],
+    )
+    bare = dedup.lsh_band_keys(
+        sig, "doc_id", bands=_MHI_KW["bands"],
+        rows_per_band=_MHI_KW["rows_per_band"],
+    )
+    n_bare = _jobs_during(
+        "mh_gate_probe_bare",
+        lambda: dedup.minhash_candidates_against(
+            docs, bare, "doc_id", "text", max_bucket=5000, **_MHI_KW
+        ),
+    )
+    assert n_bare == 0
+
+
 # ---------------------------------------------------------------------------
 # ANN model-constant persistence (the index's driver artifacts)
 # ---------------------------------------------------------------------------
@@ -2390,6 +2457,13 @@ def test_ivfpq_index_append_matches_rebuild(emb, spark, tmp_path):
             new.withColumnRenamed("vec_id", "other_id"), "other_id", "vec",
             path,
         )
+    # same names but a different id TYPE: mixed-schema files would only
+    # fail (or coerce) at a later read of the index — loud at append
+    with pytest.raises(ValueError, match="type"):
+        similarity.append_ivfpq_index(
+            new.withColumn("vec_id", F.col("vec_id").cast("string")),
+            "vec_id", "vec", path,
+        )
     # no sidecar: appending with retrained constants would corrupt
     path3 = str(tmp_path / "nosidecar")
     similarity.write_ivfpq_index(
@@ -2503,6 +2577,23 @@ def test_extend_indexes_match_one_shot_union(docs, spark, tmp_path):
     # guards
     with pytest.raises(ValueError, match="must differ"):
         dedup.extend_content_index(shard, p0, p0, "doc_id", "text")
+    # nesting is as destructive as equality: a descendant write plants a
+    # non-partition subdir inside the live index (breaking its later
+    # discovery); an ancestor overwrite DELETES the input index first
+    with pytest.raises(ValueError, match="nest"):
+        dedup.extend_content_index(shard, p0, p0 + "/v2", "doc_id", "text")
+    with pytest.raises(ValueError, match="nest"):
+        dedup.extend_content_index(
+            shard, p0 + "/part", p0, "doc_id", "text"
+        )
+    # re-extending ids the index already holds as canonical would
+    # double-count n_copies — loud, like the minhash tier's guard
+    # (the whole old corpus necessarily contains canonical ids; a
+    # limit() sample might draw only non-canonical duplicates)
+    with pytest.raises(ValueError, match="already canonical"):
+        dedup.extend_content_index(
+            old, p0, str(tmp_path / "xo"), "doc_id", "text"
+        )
     kw_bad = dict(_MHI_KW)
     kw_bad["seed"] = 7
     with pytest.raises(ValueError, match="extend_minhash_index.*seed="):
