@@ -781,25 +781,113 @@ def main() -> None:
         out.count()
         return out
 
+    # the remaining incremental-tier entries, same contract: every index
+    # and the prior cluster assignment are built OUTSIDE the timed
+    # blocks (their cost amortizes over all future shards); each entry
+    # times exactly what one per-crawl-snapshot pass pays
+    _cx_idx_path = _tf.mkdtemp(prefix="prague_bench_cxidx_") + "/idx"
+    dedup.write_content_index(_mh_corpus, _cx_idx_path, "doc_id", "text")
+    _cx_idx = spark.read.parquet(_cx_idx_path)
+
+    @bench("dedup_exact_incremental")
+    def _():
+        # one hash join against the stored index + one per-hash shard
+        # window — the unique_index form a single-build index permits
+        out = dedup.exact_dedup_against(
+            _mh_shard, _cx_idx, "doc_id", "text", unique_index=True,
+        )
+        out.count()
+        return out
+
+    _sp_idx_path = _tf.mkdtemp(prefix="prague_bench_spidx_") + "/idx"
+    dedup.write_span_index(
+        _mh_corpus, _sp_idx_path, "doc_id", "text", k=5, min_count=1
+    )
+    _sp_idx = spark.read.parquet(_sp_idx_path)
+
+    @bench("dedup_spans_incremental")
+    def _():
+        # shard gram explode + semi-join against the stored recurring-
+        # gram set + the per-doc island windows — O(shard tokens)
+        out = dedup.duplicate_spans_against(
+            _mh_shard, _sp_idx, "doc_id", "text", k=5
+        )
+        out.count()
+        return out
+
+    # prior cluster state from the corpus's own candidate pairs; the
+    # shard's pair frame is materialized EAGERLY (localCheckpoint) so
+    # the timed fold measures the merge, not the generator it composes
+    # with (that generator has its own entry above)
+    _cc_prior = dedup.connected_components(
+        dedup.minhash_lsh_candidates(
+            dedup.minhash_signatures(_mh_corpus, "doc_id", "text",
+                                     num_hashes=32),
+            "doc_id", bands=8, rows_per_band=4,
+        )
+    )
+    _cc_new = dedup.minhash_candidates_against(
+        _mh_shard, _mh_idx, "doc_id", "text",
+        num_hashes=32, shingle_n=2, seed=42, bands=8, rows_per_band=4,
+    ).localCheckpoint(eager=True)
+
+    @bench("dedup_cc_incremental")
+    def _():
+        # star-fold over affected clusters only: O(new pairs +
+        # affected-cluster members) per iteration, never corpus edges
+        out = dedup.connected_components_against(_cc_prior, _cc_new)
+        out.count()
+        return out
+
+    _ext_n = [0]
+
+    @bench("dedup_extend_content_index")
+    def _():
+        # one roll-forward representative: merge the shard into the
+        # stored exact index (union + one hash agg + overlap guard) and
+        # write the successor index — fresh out dir per best-of-N run
+        _ext_n[0] += 1
+        dedup.extend_content_index(
+            _mh_shard, _cx_idx_path, f"{_cx_idx_path}_v{_ext_n[0]}",
+            "doc_id", "text",
+        )
+        # the written frame's logical plan, for the structural counters
+        # (the write itself returns nothing)
+        return dedup._content_index_rows(
+            _cx_idx.select("content_md5", "canonical_id", "n_copies"),
+            _mh_shard, "doc_id", "text",
+        )
+
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "prague_spark_headline_suite",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # structural counters per entry (shuffles / python
-                # stages from plan_audit): identical counters + moved
-                # wall time = host noise; moved counters = a real plan
-                # regression. Driver-side fit entries carry no counters.
-                "plans": plan_counters,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "prague_spark_headline_suite",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            # structural counters per entry (shuffles / python
+            # stages from plan_audit): identical counters + moved
+            # wall time = host noise; moved counters = a real plan
+            # regression. Driver-side fit entries carry no counters.
+            "plans": plan_counters,
+            "sf": sf,
+        }
     )
+    # durable record FIRST: the driver captures only a bounded output
+    # tail, and one long run's ~40 per-entry stderr lines have truncated
+    # the recorded JSON before (round 10 lost 32 of 42 timings) — the
+    # sibling file survives any pipe truncation and always matches the
+    # stdout line verbatim.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LAST.json"),
+        "w",
+    ) as fh:
+        fh.write(line + "\n")
+    sys.stderr.flush()
+    print(line, flush=True)
     spark.stop()
 
 

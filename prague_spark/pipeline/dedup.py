@@ -162,19 +162,29 @@ def extend_content_index(
             "double-counts n_copies; extend with the gate's KEEPERS "
             "only (new docs the index has never seen)"
         )
+    _content_index_rows(old, df, id_col, text_col).write.mode(
+        "overwrite"
+    ).parquet(out_path)
+
+
+def _content_index_rows(
+    old: DataFrame, df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The union-merge frame :func:`extend_content_index` writes —
+    exposed separately so bench/plan pins can audit the roll-forward's
+    plan (one union + one hash agg) without performing the write."""
     add = df.select(
         F.md5(F.col(text_col)).alias("content_md5"),
         F.col(id_col).alias("canonical_id"),
         F.lit(1).cast("long").alias("n_copies"),
     )
-    (
+    return (
         old.unionByName(add)
         .groupBy("content_md5")
         .agg(
             F.min("canonical_id").alias("canonical_id"),
             F.sum("n_copies").alias("n_copies"),
         )
-        .write.mode("overwrite").parquet(out_path)
     )
 
 
@@ -1599,6 +1609,75 @@ def connected_components_against(
         np_pinned.unpersist()
     untouched = assign.join(affected, "cluster_id", "left_anti")
     return untouched.select("node", "cluster_id").unionByName(merged)
+
+
+def write_assignment(assign: DataFrame, path: str) -> None:
+    """Persist a cluster assignment (:func:`connected_components` or
+    :func:`connected_components_against` output) as parquet — the
+    CLUSTER-STATE snapshot that completes the incremental dedup loop:
+    per crawl snapshot, fold the new shard's pairs into
+    :func:`read_assignment` of the previous snapshot's state, then
+    write the merged labels forward. One (node, cluster_id) column
+    pair, column-validated on write; the min-label invariant the fold
+    depends on is validated at READ time (:func:`read_assignment`),
+    where a truncated or hand-edited file would otherwise enter the
+    pipeline. Overwrites ``path`` (states are per-snapshot outputs, not
+    roll-forward indexes — there is no partial-append form to
+    protect)."""
+    for c in ("node", "cluster_id"):
+        if c not in assign.columns:
+            raise ValueError(
+                f"write_assignment: assignment lacks column {c!r} — "
+                "expected connected_components output (node, cluster_id)"
+            )
+    assign.select("node", "cluster_id").write.mode("overwrite").parquet(path)
+
+
+def read_assignment(
+    spark, path: str, validate: bool = True
+) -> DataFrame:
+    """Load a :func:`write_assignment` parquet for the next snapshot's
+    fold. ``validate`` (default ON) re-checks the two invariants
+    :func:`connected_components_against` silently depends on across the
+    disk boundary: every ``cluster_id`` appears as its own member row
+    (a representative missing — e.g. a truncated copy — would
+    under-connect the star and SPLIT clusters at the next fold), and no
+    node appears twice (a doubled write would duplicate every untouched
+    row of the fold's output). Two assignment-sized aggregations;
+    ``validate=False`` skips them when the state is huge and the caller
+    trusts the writer — the fold itself still validates the AFFECTED
+    clusters per batch."""
+    df = spark.read.parquet(path)
+    for c in ("node", "cluster_id"):
+        if c not in df.columns:
+            raise ValueError(
+                f"read_assignment: {path!r} lacks column {c!r} — not a "
+                "write_assignment parquet"
+            )
+    df = df.select("node", "cluster_id")
+    if validate:
+        n_bad = (
+            df.select(F.col("cluster_id").alias("node")).distinct()
+            .join(df.select("node"), "node", "left_anti")
+            .count()
+        )
+        if n_bad:
+            raise ValueError(
+                f"read_assignment: {n_bad} cluster_id(s) in {path!r} "
+                "have no corresponding member row — the state is "
+                "truncated or filtered; folding against it would "
+                "silently split clusters"
+            )
+        n_dup = (
+            df.groupBy("node").count().filter(F.col("count") > 1).count()
+        )
+        if n_dup:
+            raise ValueError(
+                f"read_assignment: {n_dup} node(s) in {path!r} appear "
+                "more than once — a doubled write? folding against it "
+                "would duplicate untouched rows"
+            )
+    return df
 
 
 def canonical_by_score(

@@ -220,6 +220,59 @@ def test_duplicate_spans_bench_shape(docs):
                        max_read_width=2)
 
 
+def test_incremental_gate_bench_shapes(docs, spark, tmp_path):
+    # bench's incremental-tier entries (round 11): every gate is
+    # O(shard) — the index side enters as a pruned scan (plus a pushed
+    # predicate where applicable), never a corpus re-aggregation, and
+    # the whole tier stays JVM-side. Measured at the bench configs:
+    # exact gate = 1 shuffle (per-hash shard window) + 1 broadcast;
+    # span gate = 1 shuffle (island windows share one sort) + 1
+    # broadcast; the roll-forward frame = 1 shuffle (the union hash
+    # agg); the CC fold's returned union = 2 shuffles over checkpointed
+    # label frames.
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+
+    p_x = str(tmp_path / "cx")
+    dedup.write_content_index(corpus, p_x, "doc_id", "text")
+    idx_x = spark.read.parquet(p_x)
+    gate_x = dedup.exact_dedup_against(
+        shard, idx_x, "doc_id", "text", unique_index=True
+    )
+    assert_scale_shape(gate_x, max_shuffles=2, max_py_stages=0,
+                       max_read_width=3)
+
+    p_s = str(tmp_path / "sx")
+    dedup.write_span_index(corpus, p_s, "doc_id", "text", k=5, min_count=1)
+    idx_s = spark.read.parquet(p_s)
+    gate_s = dedup.duplicate_spans_against(
+        shard, idx_s, "doc_id", "text", k=5
+    )
+    assert_scale_shape(gate_s, max_shuffles=2, max_py_stages=0,
+                       max_read_width=3)
+
+    ext = dedup._content_index_rows(idx_x, shard, "doc_id", "text")
+    assert_scale_shape(ext, max_shuffles=2, max_py_stages=0,
+                       max_read_width=3)
+
+    kw = dict(num_hashes=8, shingle_n=1, seed=42, bands=2, rows_per_band=2)
+    p_m = str(tmp_path / "mh")
+    dedup.write_minhash_index(corpus, p_m, "doc_id", "text", **kw)
+    idx_m = spark.read.parquet(p_m)
+    prior = dedup.connected_components(
+        dedup.minhash_lsh_candidates(
+            dedup.minhash_signatures(corpus, "doc_id", "text",
+                                     num_hashes=8, shingle_n=1),
+            "doc_id", bands=2, rows_per_band=2,
+        )
+    )
+    new = dedup.minhash_candidates_against(
+        shard, idx_m, "doc_id", "text", **kw
+    ).localCheckpoint(eager=True)
+    fold = dedup.connected_components_against(prior, new)
+    assert_scale_shape(fold, max_shuffles=3, max_py_stages=0)
+
+
 def test_dsir_bench_shapes(docs):
     # bench's dsir_select config: counts are one explode + ONE groupBy
     # each; the literal-fold scoring is a ZERO-shuffle codegen

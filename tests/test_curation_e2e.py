@@ -440,13 +440,18 @@ def test_frozen_artifact_deployment_end_to_end(spark, sf_dir, tmp_path):
     assert max_id + 4 in survivors
     assert not {max_id + 1, max_id + 2, max_id + 3, max_id + 5} & survivors
 
-    # cluster state folds forward: the shard's candidate pairs merge
-    # into a prior assignment built from the corpus's own pairs, and
-    # every planted exact copy lands in its original's cluster
+    # cluster state folds forward THROUGH DISK: the prior assignment is
+    # written as the snapshot's cluster-state artifact and re-loaded
+    # (validated) like every other artifact above, then the shard's
+    # candidate pairs merge into it, and every planted exact copy lands
+    # in its original's cluster
     corpus_pairs = dedup.minhash_candidates_against(
         corpus, idx_m, "doc_id", "text", **MH
     )
-    prior_cc = dedup.connected_components(corpus_pairs)
+    p_cc = str(tmp_path / "cluster_state")
+    dedup.write_assignment(dedup.connected_components(corpus_pairs), p_cc)
+    prior_cc = dedup.read_assignment(spark, p_cc)
+    assert str(tmp_path) in next(iter(_scan_paths(prior_cc)))
     merged_cc = dedup.connected_components_against(prior_cc, pairs)
     lbl = {r["node"]: r["cluster_id"] for r in merged_cc.collect()}
     assert lbl[max_id + 1] == lbl[plant_src[0]["doc_id"]]

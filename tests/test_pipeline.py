@@ -2406,6 +2406,56 @@ def test_cc_against_empty_prior_and_truncated_assignment(spark):
         )
 
 
+def test_assignment_write_read_roundtrip_and_guards(spark, tmp_path):
+    """Cluster state persists like every other incremental artifact:
+    write_assignment/read_assignment round-trip exactly, and the READ
+    validates the two invariants the next snapshot's fold silently
+    depends on — representative presence (a truncated state would split
+    clusters) and node uniqueness (a doubled write would duplicate
+    untouched fold rows)."""
+    import pytest as _pt
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a bigint, id_b bigint"
+    )
+    cc = dedup.connected_components(pairs)
+    path = str(tmp_path / "state")
+    dedup.write_assignment(cc, path)
+    back = dedup.read_assignment(spark, path)
+    assert {(r["node"], r["cluster_id"]) for r in back.collect()} == {
+        (r["node"], r["cluster_id"]) for r in cc.collect()
+    }
+    # ... and the loaded state folds exactly like the in-memory one
+    new_pairs = spark.createDataFrame([(3, 7)], "id_a bigint, id_b bigint")
+    lbl = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components_against(back, new_pairs).collect()
+    }
+    assert lbl == {1: 1, 2: 1, 3: 1, 7: 1, 9: 1}
+
+    with _pt.raises(ValueError, match="lacks column"):
+        dedup.write_assignment(pairs, str(tmp_path / "bad"))
+    # truncated state: representative rows dropped -> loud at read
+    p2 = str(tmp_path / "trunc")
+    cc.filter(F.col("node") != F.col("cluster_id")).select(
+        "node", "cluster_id"
+    ).write.parquet(p2)
+    with _pt.raises(ValueError, match="truncated or filtered"):
+        dedup.read_assignment(spark, p2)
+    # doubled write -> loud at read
+    p3 = str(tmp_path / "doubled")
+    cc.unionByName(cc).select("node", "cluster_id").write.parquet(p3)
+    with _pt.raises(ValueError, match="more than once"):
+        dedup.read_assignment(spark, p3)
+    # validate=False is the documented huge-state escape hatch
+    assert dedup.read_assignment(spark, p2, validate=False).count() > 0
+    # not an assignment parquet at all
+    p4 = str(tmp_path / "notstate")
+    pairs.write.parquet(p4)
+    with _pt.raises(ValueError, match="lacks column"):
+        dedup.read_assignment(spark, p4)
+
+
 def test_ivfpq_index_append_matches_rebuild(emb, spark, tmp_path):
     """append_ivfpq_index grows a written index with a new shard using
     the FROZEN sidecar constants; the grown layout and every probe over
