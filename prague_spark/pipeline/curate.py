@@ -1,0 +1,283 @@
+"""Config-driven corpus-curation recipe: build every frozen artifact
+once, then gate each new crawl shard from the artifact directory alone.
+
+This is the composed form of the per-operator incremental tier
+(``write_content_index`` / ``exact_dedup_against``,
+``write_minhash_index`` / ``minhash_candidates_against``,
+``write_span_index`` / ``duplicate_spans_against``, quantile cutoffs,
+the optional quality-filter model, and the cluster-state fold) — the
+shape ``tests/test_curation_e2e.py`` proves end to end, exposed as two
+calls a production pipeline schedules per snapshot:
+
+    cfg = CurationConfig(span_k=20, lang_col="lang")
+    build_curation_artifacts(corpus, "/idx/v1", "doc_id", "text", cfg)
+    ...
+    gates = gate_shard(shard, "/idx/v1", "doc_id", "text", cfg)
+    keepers = shard.join(
+        gates["exact"].filter("dup_of IS NULL").select("doc_id"),
+        "doc_id", "semi")
+
+Scale contract (inherited verbatim from the per-operator tier): the
+build pass is O(corpus) ONCE; every gate pass is O(shard) — one slim
+equi-join per tier against a stored index, zero corpus-wide
+aggregation, zero Python stages, and partition/pushed-predicate pruning
+where the index layout provides it. Signature parameters travel WITH
+the minhash/span indexes and are read back at gate time, so a config
+drift between build and gate fails loud in the underlying operators
+instead of silently flagging nothing.
+
+Greenfield beyond the reference surface (SURVEY.md §7.9): the reference
+engine has no curation layer; this module packages the pipeline a
+100 TB training-data run needs.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import dedup, text
+
+#: artifact subdirectory (inside the artifact dir) per tier
+ARTIFACTS = {
+    "exact": "content_index",
+    "minhash": "minhash_index",
+    "spans": "span_index",
+    "cutoffs": "cutoffs",
+    "quality_filter": "qfilter",
+    "cluster_state": "cluster_state",
+}
+
+#: tiers build_curation_artifacts can produce from (id, text[, lang])
+#: alone — "quality_filter" is gate-only (its model needs LABELED data:
+#: train with quality_model.train_quality_filter and save into
+#: <artifact_dir>/qfilter, and the gate picks it up)
+_BUILDABLE = ("exact", "minhash", "spans", "cutoffs")
+_GATEABLE = _BUILDABLE + ("quality_filter",)
+
+
+def _default_minhash() -> dict:
+    """Default MinHash/LSH banding config (32 hashes, 8x4 bands — the
+    operator defaults; a fresh dict per config so callers can mutate)."""
+    return dict(num_hashes=32, shingle_n=2, seed=42, bands=8,
+                rows_per_band=4)
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    """What to build / gate, and with which knobs.
+
+    ``tiers``: which gates run — any of ``exact`` (content-hash dedup),
+    ``minhash`` (near-dup candidate pairs), ``spans`` (exact-substring
+    duplicate spans), ``cutoffs`` (frozen quality-quantile buckets),
+    and — gate only — ``quality_filter`` (a trained model's keep
+    probability). ``cluster_state`` additionally persists/folds the
+    near-dup cluster assignment (requires the minhash tier).
+
+    ``minhash``: signature/banding params for the minhash tier (None =
+    operator defaults). Build writes them INTO the index; the gate
+    reads them back from the index, so a stale config object cannot
+    mis-gate — the params on disk win, and the underlying operator
+    validates them.
+
+    ``span_k`` / ``span_min_count``: substring-tier window and build
+    threshold (keep ``min_count=1`` for a roll-forward-extendable
+    index). ``quality_buckets`` / ``lang_col``: cutoff count and the
+    optional grouping column for per-language quantiles.
+    ``max_bucket``: the LSH skew cap applied at both build (one-shot
+    cluster state) and gate."""
+
+    tiers: tuple = _BUILDABLE
+    minhash: dict = field(default_factory=_default_minhash)
+    span_k: int = 20
+    span_min_count: int = 1
+    quality_buckets: int = 3
+    lang_col: str | None = None
+    max_bucket: int | None = 5000
+    cluster_state: bool = False
+
+    def _check(self, allowed, caller: str) -> None:
+        bad = [t for t in self.tiers if t not in allowed]
+        if bad:
+            raise ValueError(
+                f"{caller}: unknown or unsupported tier(s) {bad} — "
+                f"allowed here: {list(allowed)}"
+                + (
+                    " (quality_filter is gate-only: train with "
+                    "train_quality_filter and save_quality_filter into "
+                    "<artifact_dir>/qfilter)"
+                    if "quality_filter" in bad and allowed is _BUILDABLE
+                    else ""
+                )
+            )
+        if self.cluster_state and "minhash" not in self.tiers:
+            raise ValueError(
+                f"{caller}: cluster_state=True requires the minhash "
+                "tier (the cluster graph is the near-dup pair graph)"
+            )
+
+
+def _path(artifact_dir: str, tier: str) -> str:
+    return os.path.join(artifact_dir, ARTIFACTS[tier])
+
+
+def build_curation_artifacts(
+    corpus: DataFrame,
+    artifact_dir: str,
+    id_col: str,
+    text_col: str,
+    config: CurationConfig = CurationConfig(),
+) -> dict:
+    """Build every configured tier's frozen artifact from ``corpus``
+    into ``artifact_dir`` — the ONCE-per-reference-corpus pass whose
+    cost amortizes over all future :func:`gate_shard` calls. Returns
+    ``{tier: written_path}``.
+
+    Per tier: ``exact`` -> :func:`~.dedup.write_content_index` (one md5
+    hash-agg); ``minhash`` -> :func:`~.dedup.write_minhash_index` (one
+    signature agg + bucket counts, params carried on every row);
+    ``spans`` -> :func:`~.dedup.write_span_index` (one gram-hash agg);
+    ``cutoffs`` -> ``text.compute_cutoffs`` over ``text.quality_score``
+    (grouped by ``lang_col`` when set) written as parquet;
+    ``cluster_state`` -> one-shot near-dup pairs + connected components
+    + :func:`~.dedup.write_assignment`. Roll indexes forward between
+    snapshots with the ``extend_*`` operators and the state with
+    :func:`~.dedup.connected_components_against` +
+    :func:`~.dedup.write_assignment` (the :func:`gate_shard` output
+    hands you the merged labels)."""
+    cfg = config
+    cfg._check(_BUILDABLE, "build_curation_artifacts")
+    out: dict = {}
+    if "exact" in cfg.tiers:
+        p = _path(artifact_dir, "exact")
+        dedup.write_content_index(corpus, p, id_col, text_col)
+        out["exact"] = p
+    if "minhash" in cfg.tiers:
+        p = _path(artifact_dir, "minhash")
+        dedup.write_minhash_index(corpus, p, id_col, text_col,
+                                  **cfg.minhash)
+        out["minhash"] = p
+    if "spans" in cfg.tiers:
+        p = _path(artifact_dir, "spans")
+        dedup.write_span_index(
+            corpus, p, id_col, text_col,
+            k=cfg.span_k, min_count=cfg.span_min_count,
+        )
+        out["spans"] = p
+    if "cutoffs" in cfg.tiers:
+        p = _path(artifact_dir, "cutoffs")
+        by = [cfg.lang_col] if cfg.lang_col else None
+        text.compute_cutoffs(
+            text.quality_score(corpus, text_col), "q_score",
+            by=by, n_buckets=cfg.quality_buckets,
+        ).write.mode("overwrite").parquet(p)
+        out["cutoffs"] = p
+    if cfg.cluster_state:
+        p = _path(artifact_dir, "cluster_state")
+        mh = cfg.minhash
+        sig = dedup.minhash_signatures(
+            corpus, id_col, text_col,
+            num_hashes=mh["num_hashes"], shingle_n=mh["shingle_n"],
+            seed=mh["seed"],
+        )
+        pairs = dedup.minhash_lsh_candidates(
+            sig, id_col, bands=mh["bands"],
+            rows_per_band=mh["rows_per_band"], max_bucket=cfg.max_bucket,
+        )
+        dedup.write_assignment(dedup.connected_components(pairs), p)
+        out["cluster_state"] = p
+    return out
+
+
+def _require_artifact(artifact_dir: str, tier: str) -> str:
+    p = _path(artifact_dir, tier)
+    if not os.path.isdir(p):
+        raise ValueError(
+            f"gate_shard: tier {tier!r} requested but its artifact "
+            f"{p!r} does not exist — build it first "
+            "(build_curation_artifacts"
+            + (", or save_quality_filter for the qfilter tier)"
+               if tier == "quality_filter" else ")")
+        )
+    return p
+
+
+def gate_shard(
+    shard: DataFrame,
+    artifact_dir: str,
+    id_col: str,
+    text_col: str,
+    config: CurationConfig = CurationConfig(),
+) -> dict:
+    """Gate a NEW shard against the frozen artifacts only — the
+    per-crawl-snapshot pass. Returns ``{tier: DataFrame}``:
+
+    - ``exact``: one row per shard doc — ``(id, content_md5, dup_of)``,
+      ``dup_of`` NULL for keepers (the index's canonical wins over the
+      shard's min id). The module's own indexes are one-row-per-hash by
+      construction, so the gate runs the leaner ``unique_index`` form.
+    - ``minhash``: candidate near-dup pairs ``(id_a, id_b)`` touching
+      the shard (signature params read from the index itself — a
+      mismatched rebuild fails loud in the operator).
+    - ``spans``: ``(id, span_start, span_end, n_dup_grams)`` maximal
+      recurring-substring spans (window ``k`` read from the index).
+    - ``cutoffs``: the shard with ``q_score`` and ``q_bucket`` columns
+      (frozen quantiles applied — a zero-shuffle broadcast projection).
+    - ``quality_filter``: ``(id, q_prob)`` from the saved model.
+    - ``cluster_state``: the PRIOR assignment with the shard's pairs
+      folded in (write it forward with ``dedup.write_assignment`` to
+      complete the snapshot) — requires ``cluster_state=True``.
+
+    Every returned frame is lazy; each tier's plan touches the shard
+    plus its own artifact and nothing else (pinned plan-level in the
+    e2e test: zero corpus FileScans, zero Python stages)."""
+    cfg = config
+    cfg._check(_GATEABLE, "gate_shard")
+    spark = shard.sparkSession
+    out: dict = {}
+    if "exact" in cfg.tiers:
+        idx = spark.read.parquet(_require_artifact(artifact_dir, "exact"))
+        out["exact"] = dedup.exact_dedup_against(
+            shard, idx, id_col, text_col, unique_index=True,
+        )
+    if "minhash" in cfg.tiers:
+        idx = spark.read.parquet(_require_artifact(artifact_dir, "minhash"))
+        # the params ON the index are authoritative (build wrote them);
+        # reading them back means a drifted config object cannot
+        # mis-key the probe — and the operator still distinct-validates
+        prow = idx.select(*dedup._MINHASH_INDEX_PARAMS).first()
+        params = {p: int(prow[p]) for p in dedup._MINHASH_INDEX_PARAMS}
+        out["minhash"] = dedup.minhash_candidates_against(
+            shard, idx, id_col, text_col,
+            max_bucket=cfg.max_bucket, **params,
+        )
+    if "spans" in cfg.tiers:
+        idx = spark.read.parquet(_require_artifact(artifact_dir, "spans"))
+        k = int(idx.select("k").first()["k"])
+        out["spans"] = dedup.duplicate_spans_against(
+            shard, idx, id_col, text_col, k=k,
+        )
+    if "cutoffs" in cfg.tiers:
+        cuts = spark.read.parquet(_require_artifact(artifact_dir, "cutoffs"))
+        by = [cfg.lang_col] if cfg.lang_col else None
+        out["cutoffs"] = text.apply_cutoffs(
+            text.quality_score(shard, text_col), "q_score", cuts,
+            by=by, out="q_bucket",
+        )
+    if "quality_filter" in cfg.tiers:
+        from .quality_model import load_quality_filter, score_quality
+
+        qf = load_quality_filter(
+            spark, _require_artifact(artifact_dir, "quality_filter")
+        )
+        out["quality_filter"] = score_quality(shard, qf, id_col, text_col)
+    if cfg.cluster_state:
+        prior = dedup.read_assignment(
+            spark, _require_artifact(artifact_dir, "cluster_state")
+        )
+        out["cluster_state"] = dedup.connected_components_against(
+            prior, out["minhash"]
+        )
+    return out

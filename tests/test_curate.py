@@ -1,0 +1,144 @@
+"""The composed config-driven curation recipe (pipeline.curate): tier
+subsets build/gate independently, gate outputs are EXACTLY the wrapped
+per-operator calls' outputs, and every misconfiguration fails loud —
+the frozen-artifact e2e (test_curation_e2e) pins the full composition;
+these pin the API contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prague_spark.pipeline import dedup, text
+from prague_spark.pipeline.curate import (
+    ARTIFACTS, CurationConfig, build_curation_artifacts, gate_shard,
+)
+
+_MH = dict(num_hashes=8, shingle_n=1, seed=42, bands=2, rows_per_band=2)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_build_and_gate_match_direct_operators(docs, spark, tmp_path):
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    art = str(tmp_path / "art")
+    cfg = CurationConfig(
+        minhash=_MH, span_k=5, span_min_count=1,
+        quality_buckets=3, lang_col="lang", cluster_state=True,
+    )
+    paths = build_curation_artifacts(corpus, art, "doc_id", "text", cfg)
+    assert set(paths) == {"exact", "minhash", "spans", "cutoffs",
+                          "cluster_state"}
+    for tier, p in paths.items():
+        assert p.endswith(ARTIFACTS[tier])
+
+    gates = gate_shard(shard, art, "doc_id", "text", cfg)
+    assert set(gates) == set(paths)
+
+    # exact tier == the direct gate against the same artifact
+    got = {(r["doc_id"], r["dup_of"]) for r in gates["exact"].collect()}
+    want = {
+        (r["doc_id"], r["dup_of"])
+        for r in dedup.exact_dedup_against(
+            shard, spark.read.parquet(paths["exact"]), "doc_id", "text",
+            unique_index=True,
+        ).collect()
+    }
+    assert got == want and got
+
+    # minhash tier == the direct gate (params read back from the index)
+    got = {(r["id_a"], r["id_b"]) for r in gates["minhash"].collect()}
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidates_against(
+            shard, spark.read.parquet(paths["minhash"]), "doc_id",
+            "text", **_MH,
+        ).collect()
+    }
+    assert got == want
+
+    # spans tier == the direct gate at the index's carried k
+    got = {tuple(r) for r in gates["spans"].collect()}
+    want = {
+        tuple(r)
+        for r in dedup.duplicate_spans_against(
+            shard, spark.read.parquet(paths["spans"]), "doc_id", "text",
+            k=5,
+        ).collect()
+    }
+    assert got == want
+
+    # cutoffs tier: every shard doc bucketed against the FROZEN corpus
+    # quantiles, identical to the direct apply_cutoffs call
+    got = {r["doc_id"]: r["q_bucket"] for r in gates["cutoffs"].collect()}
+    want = {
+        r["doc_id"]: r["q_bucket"]
+        for r in text.apply_cutoffs(
+            text.quality_score(shard, "text"), "q_score",
+            spark.read.parquet(paths["cutoffs"]), by=["lang"],
+            out="q_bucket",
+        ).collect()
+    }
+    assert got == want and set(got.values()) <= {1, 2, 3}
+
+    # cluster state: the fold of the gate's own pairs into the stored
+    # prior — identical to the direct read_assignment + fold
+    got = {(r["node"], r["cluster_id"])
+           for r in gates["cluster_state"].collect()}
+    want = {
+        (r["node"], r["cluster_id"])
+        for r in dedup.connected_components_against(
+            dedup.read_assignment(spark, paths["cluster_state"]),
+            dedup.minhash_candidates_against(
+                shard, spark.read.parquet(paths["minhash"]), "doc_id",
+                "text", **_MH,
+            ),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_tier_subsets_and_guards(docs, tmp_path):
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).limit(100)
+    shard = docs.filter(F.col("doc_id") % 5 == 0).limit(50)
+    art = str(tmp_path / "art")
+
+    # a subset config builds and gates only what it names
+    cfg = CurationConfig(tiers=("exact",), minhash=_MH)
+    paths = build_curation_artifacts(corpus, art, "doc_id", "text", cfg)
+    assert set(paths) == {"exact"}
+    gates = gate_shard(shard, art, "doc_id", "text", cfg)
+    assert set(gates) == {"exact"}
+    assert gates["exact"].count() == 50
+
+    # gating a tier whose artifact was never built fails loud
+    with pytest.raises(ValueError, match="does not exist"):
+        gate_shard(shard, art, "doc_id", "text",
+                   CurationConfig(tiers=("spans",)))
+    with pytest.raises(ValueError, match="save_quality_filter"):
+        gate_shard(shard, art, "doc_id", "text",
+                   CurationConfig(tiers=("exact", "quality_filter")))
+
+    # unknown tiers and build-side quality_filter fail loud
+    with pytest.raises(ValueError, match="unknown or unsupported"):
+        build_curation_artifacts(corpus, art, "doc_id", "text",
+                                 CurationConfig(tiers=("exact", "bogus")))
+    with pytest.raises(ValueError, match="gate-only"):
+        build_curation_artifacts(
+            corpus, art, "doc_id", "text",
+            CurationConfig(tiers=("exact", "quality_filter")),
+        )
+    with pytest.raises(ValueError, match="unknown or unsupported"):
+        gate_shard(shard, art, "doc_id", "text",
+                   CurationConfig(tiers=("exact", "bogus")))
+
+    # cluster_state needs the near-dup graph
+    with pytest.raises(ValueError, match="requires the minhash"):
+        build_curation_artifacts(
+            corpus, art, "doc_id", "text",
+            CurationConfig(tiers=("exact",), cluster_state=True),
+        )

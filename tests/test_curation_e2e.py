@@ -258,9 +258,13 @@ def test_frozen_artifact_deployment_end_to_end(spark, sf_dir, tmp_path):
     """
     import duckdb
 
+    from dataclasses import replace
+
+    from prague_spark.pipeline.curate import (
+        CurationConfig, build_curation_artifacts, gate_shard,
+    )
     from prague_spark.pipeline.quality_model import (
-        load_quality_filter, save_quality_filter, score_quality,
-        train_quality_filter,
+        save_quality_filter, score_quality, train_quality_filter,
     )
     from prague_spark.plan_audit import assert_scale_shape
 
@@ -294,21 +298,22 @@ def test_frozen_artifact_deployment_end_to_end(spark, sf_dir, tmp_path):
     shard_path = str(tmp_path / "shard")
     shard.write.parquet(shard_path)
 
-    # ---- build phase: every artifact, from the corpus only ----------
+    # ---- build phase: every artifact, from the corpus only, through
+    # the composed config-driven recipe (the per-operator calls it wraps
+    # are pinned individually in test_pipeline) ----------
     MH = dict(num_hashes=16, shingle_n=1, seed=42, bands=4, rows_per_band=4)
-    p_x = str(tmp_path / "content_index")
-    p_m = str(tmp_path / "minhash_index")
-    p_s = str(tmp_path / "span_index")
-    p_c = str(tmp_path / "cutoffs")
-    p_q = str(tmp_path / "qfilter")
-    dedup.write_content_index(corpus, p_x, "doc_id", "text")
-    dedup.write_minhash_index(corpus, p_m, "doc_id", "text", **MH)
-    dedup.write_span_index(corpus, p_s, "doc_id", "text", k=5, min_count=1)
-    cuts_mem = text.compute_cutoffs(
-        text.quality_score(corpus, "text"), "q_score", by=["lang"],
-        n_buckets=3,
+    art = str(tmp_path / "artifacts")
+    cfg = CurationConfig(
+        tiers=("exact", "minhash", "spans", "cutoffs"),
+        minhash=MH, span_k=5, span_min_count=1,
+        quality_buckets=3, lang_col="lang", cluster_state=True,
     )
-    cuts_mem.write.parquet(p_c)
+    paths = build_curation_artifacts(corpus, art, "doc_id", "text", cfg)
+    assert set(paths) == {"exact", "minhash", "spans", "cutoffs",
+                          "cluster_state"}
+    p_x = paths["exact"]
+    p_q = art + "/qfilter"
+    cuts_mem = spark.read.parquet(paths["cutoffs"])
     labeled = corpus.select(
         "doc_id",
         F.when(F.col("doc_id") % 2 == 0, "good").otherwise("bad").alias("ql"),
@@ -343,24 +348,18 @@ def test_frozen_artifact_deployment_end_to_end(spark, sf_dir, tmp_path):
         .groupBy("text").agg(F.min("doc_id").alias("canon")).collect()
     }
 
-    # ---- deployment phase: loaded artifacts only ---------------------
+    # ---- deployment phase: loaded artifacts only, one gate call ------
     shard2 = spark.read.parquet(shard_path)
-    idx_x = spark.read.parquet(p_x)
-    idx_m = spark.read.parquet(p_m)
-    idx_s = spark.read.parquet(p_s)
-    cuts = spark.read.parquet(p_c)
-    qf2 = load_quality_filter(spark, p_q)
-
-    gate_x = dedup.exact_dedup_against(shard2, idx_x, "doc_id", "text")
-    pairs = dedup.minhash_candidates_against(
-        shard2, idx_m, "doc_id", "text", **MH
+    gates = gate_shard(
+        shard2, art, "doc_id", "text",
+        replace(cfg, tiers=cfg.tiers + ("quality_filter",)),
     )
-    spans = dedup.duplicate_spans_against(shard2, idx_s, "doc_id", "text", k=5)
-    bucketed = text.apply_cutoffs(
-        text.quality_score(shard2, "text"), "q_score", cuts,
-        by=["lang"], out="q_bucket",
-    )
-    scored = score_quality(shard2, qf2, "doc_id", "text")
+    gate_x = gates["exact"]
+    pairs = gates["minhash"]
+    spans = gates["spans"]
+    bucketed = gates["cutoffs"]
+    scored = gates["quality_filter"]
+    merged_cc = gates["cluster_state"]
 
     # plan-level zero-corpus-work proof: every scan of every gate reads
     # under tmp_path (an artifact or the shard), never the corpus file
@@ -440,19 +439,11 @@ def test_frozen_artifact_deployment_end_to_end(spark, sf_dir, tmp_path):
     assert max_id + 4 in survivors
     assert not {max_id + 1, max_id + 2, max_id + 3, max_id + 5} & survivors
 
-    # cluster state folds forward THROUGH DISK: the prior assignment is
-    # written as the snapshot's cluster-state artifact and re-loaded
-    # (validated) like every other artifact above, then the shard's
-    # candidate pairs merge into it, and every planted exact copy lands
-    # in its original's cluster
-    corpus_pairs = dedup.minhash_candidates_against(
-        corpus, idx_m, "doc_id", "text", **MH
-    )
-    p_cc = str(tmp_path / "cluster_state")
-    dedup.write_assignment(dedup.connected_components(corpus_pairs), p_cc)
-    prior_cc = dedup.read_assignment(spark, p_cc)
-    assert str(tmp_path) in next(iter(_scan_paths(prior_cc)))
-    merged_cc = dedup.connected_components_against(prior_cc, pairs)
+    # cluster state folded forward THROUGH DISK by the gate call: the
+    # prior assignment was written as the build's cluster-state
+    # artifact, re-loaded (validated) with the other artifacts, and the
+    # shard's candidate pairs merged in — every planted exact copy
+    # lands in its original's cluster
     lbl = {r["node"]: r["cluster_id"] for r in merged_cc.collect()}
     assert lbl[max_id + 1] == lbl[plant_src[0]["doc_id"]]
     assert lbl[max_id + 2] == lbl[plant_src[1]["doc_id"]]
