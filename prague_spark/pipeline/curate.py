@@ -191,6 +191,95 @@ def build_curation_artifacts(
     return out
 
 
+def extend_curation_artifacts(
+    keepers: DataFrame,
+    in_dir: str,
+    out_dir: str,
+    id_col: str,
+    text_col: str,
+    config: CurationConfig = CurationConfig(),
+    cluster_assignment: DataFrame | None = None,
+) -> dict:
+    """Roll a WHOLE artifact directory forward one snapshot: merge the
+    snapshot's ``keepers`` (the :func:`gate_shard` survivors — docs the
+    indexes have never seen; the per-tier guards fail loud otherwise)
+    into every extendable index and write a SELF-CONTAINED successor
+    directory — ``gate_shard(out_dir)`` serves the next snapshot with
+    no reference to ``in_dir``. Returns ``{tier: written_path}``.
+
+    Per tier: ``exact``/``minhash``/``spans`` roll forward with their
+    ``extend_*`` operators — O(index rows + keepers), the corpus text
+    is never re-read, each pinned bit-equal to a one-shot rebuild on
+    the union. ``cutoffs`` (and a ``qfilter`` model artifact, if one
+    exists in ``in_dir``) PASS THROUGH unchanged — quantile cutoffs and
+    trained filters are reference-corpus artifacts by design (the CCNet
+    discipline: frozen thresholds, not drifting ones); rebuild them
+    deliberately with :func:`build_curation_artifacts` when the
+    reference corpus itself is re-chosen. ``cluster_state`` writes the
+    caller-supplied merged assignment (:func:`gate_shard`'s
+    ``cluster_state`` output — the fold already happened during the
+    gate; re-deriving it here would re-run the pair generator).
+
+    ``out_dir`` must be a sibling, not ``in_dir`` or nested within it —
+    swap directories after the write (the ``extend_*`` convention,
+    enforced for the whole directory up front)."""
+    cfg = config
+    cfg._check(_BUILDABLE, "extend_curation_artifacts")
+    dedup._require_distinct_out("extend_curation_artifacts", in_dir, out_dir)
+    spark = keepers.sparkSession
+    if cfg.cluster_state and cluster_assignment is None:
+        raise ValueError(
+            "extend_curation_artifacts: cluster_state=True needs the "
+            "merged assignment (gate_shard's 'cluster_state' output) — "
+            "the fold happens at gate time; pass it via "
+            "cluster_assignment"
+        )
+    out: dict = {}
+    if "exact" in cfg.tiers:
+        p_in = _require_artifact(in_dir, "exact")
+        p_out = _path(out_dir, "exact")
+        dedup.extend_content_index(keepers, p_in, p_out, id_col, text_col)
+        out["exact"] = p_out
+    if "minhash" in cfg.tiers:
+        p_in = _require_artifact(in_dir, "minhash")
+        p_out = _path(out_dir, "minhash")
+        prow = spark.read.parquet(p_in).select(
+            *dedup._MINHASH_INDEX_PARAMS
+        ).first()
+        params = {p: int(prow[p]) for p in dedup._MINHASH_INDEX_PARAMS}
+        dedup.extend_minhash_index(
+            keepers, p_in, p_out, id_col, text_col, **params
+        )
+        out["minhash"] = p_out
+    if "spans" in cfg.tiers:
+        p_in = _require_artifact(in_dir, "spans")
+        p_out = _path(out_dir, "spans")
+        k = int(spark.read.parquet(p_in).select("k").first()["k"])
+        dedup.extend_span_index(keepers, p_in, p_out, id_col, text_col, k=k)
+        out["spans"] = p_out
+    if "cutoffs" in cfg.tiers:
+        p_in = _require_artifact(in_dir, "cutoffs")
+        p_out = _path(out_dir, "cutoffs")
+        # frozen passthrough via the Spark IO path (works wherever the
+        # artifacts live; doubles round-trip parquet exactly)
+        spark.read.parquet(p_in).write.mode("overwrite").parquet(p_out)
+        out["cutoffs"] = p_out
+    q_in = _path(in_dir, "quality_filter")
+    if os.path.isdir(q_in):
+        from .quality_model import load_quality_filter, save_quality_filter
+
+        save_quality_filter(
+            spark, load_quality_filter(spark, q_in),
+            _path(out_dir, "quality_filter"),
+        )
+        out["quality_filter"] = _path(out_dir, "quality_filter")
+    if cfg.cluster_state:
+        p_out = _path(out_dir, "cluster_state")
+        dedup.write_assignment(cluster_assignment, p_out)
+        out["cluster_state"] = p_out
+    return out
+
+
 def _require_artifact(artifact_dir: str, tier: str) -> str:
     p = _path(artifact_dir, tier)
     if not os.path.isdir(p):

@@ -102,6 +102,112 @@ def test_build_and_gate_match_direct_operators(docs, spark, tmp_path):
     assert got == want
 
 
+def test_extend_curation_artifacts_snapshot_closure(docs, spark, tmp_path):
+    """The composed roll-forward: one call merges a snapshot's keepers
+    into every extendable index, passes the frozen artifacts through,
+    and writes the merged cluster state — the successor directory is
+    SELF-CONTAINED (gates the next shard with no reference to v1) and
+    its extendable tiers are bit-equal to a fresh build on the union."""
+    from prague_spark.pipeline.curate import extend_curation_artifacts
+
+    corpus = docs.filter(F.col("doc_id") % 5 == 1)
+    shard = docs.filter(F.col("doc_id") % 5 == 2)
+    shard2 = docs.filter(F.col("doc_id") % 5 == 3)
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    cfg = CurationConfig(
+        minhash=_MH, span_k=5, span_min_count=1,
+        quality_buckets=3, lang_col="lang", cluster_state=True,
+    )
+    build_curation_artifacts(corpus, v1, "doc_id", "text", cfg)
+    # a trained model artifact rides along (frozen passthrough)
+    from prague_spark.pipeline.quality_model import (
+        load_quality_filter, save_quality_filter, score_quality,
+        train_quality_filter,
+    )
+
+    labeled = corpus.select(
+        "doc_id", "text",
+        F.when(F.col("doc_id") % 2 == 0, "good").otherwise("bad").alias("ql"),
+    )
+    qf = train_quality_filter(
+        labeled, "doc_id", "text", "ql",
+        n_features=2**10, n_sigma=3, lambda_min_ratio=0.3,
+    )
+    save_quality_filter(spark, qf, v1 + "/qfilter")
+
+    gates = gate_shard(shard, v1, "doc_id", "text", cfg)
+    keepers = shard.join(
+        gates["exact"].filter(F.col("dup_of").isNull()).select("doc_id"),
+        "doc_id", "semi",
+    )
+    paths = extend_curation_artifacts(
+        keepers, v1, v2, "doc_id", "text", cfg,
+        cluster_assignment=gates["cluster_state"],
+    )
+    assert set(paths) == {"exact", "minhash", "spans", "cutoffs",
+                          "quality_filter", "cluster_state"}
+
+    # extendable tiers == a fresh one-shot build on (corpus ∪ keepers)
+    ref = str(tmp_path / "ref")
+    build_curation_artifacts(
+        corpus.select("doc_id", "text", "lang").unionByName(
+            keepers.select("doc_id", "text", "lang")
+        ),
+        ref, "doc_id", "text", cfg,
+    )
+    for tier in ("exact", "minhash", "spans"):
+        got = {tuple(r) for r in spark.read.parquet(paths[tier]).collect()}
+        want = {
+            tuple(r)
+            for r in spark.read.parquet(ref + "/" + ARTIFACTS[tier]).collect()
+        }
+        assert got == want and got, tier
+
+    # frozen tiers pass through content-identical (the cutoffs frame
+    # carries an array column — freeze it for set comparison)
+    def _key(r):
+        return tuple(tuple(v) if isinstance(v, list) else v for v in r)
+
+    got = {_key(r) for r in spark.read.parquet(paths["cutoffs"]).collect()}
+    want = {_key(r) for r in spark.read.parquet(v1 + "/cutoffs").collect()}
+    assert got == want
+    probe = shard2.limit(20)
+    qa = {r["doc_id"]: r["q_prob"] for r in score_quality(
+        probe, load_quality_filter(spark, v1 + "/qfilter"),
+        "doc_id", "text").collect()}
+    qb = {r["doc_id"]: r["q_prob"] for r in score_quality(
+        probe, load_quality_filter(spark, paths["quality_filter"]),
+        "doc_id", "text").collect()}
+    assert qa == qb
+
+    # cluster state written == the gate's merged labels, and v2 is
+    # self-contained: the NEXT shard gates against it alone
+    got = {tuple(r) for r in
+           dedup.read_assignment(spark, paths["cluster_state"]).collect()}
+    want = {tuple(r) for r in gates["cluster_state"]
+            .select("node", "cluster_id").collect()}
+    assert got == want
+    g2 = gate_shard(
+        shard2, v2, "doc_id", "text",
+        CurationConfig(
+            tiers=cfg.tiers + ("quality_filter",), minhash=_MH,
+            span_k=5, quality_buckets=3, lang_col="lang",
+            cluster_state=True,
+        ),
+    )
+    assert g2["exact"].count() == shard2.count()
+    assert g2["cluster_state"].count() > 0
+
+    # guards: in-place roll, missing merged assignment
+    with pytest.raises(ValueError, match="nest|must differ"):
+        extend_curation_artifacts(keepers, v1, v1, "doc_id", "text", cfg)
+    with pytest.raises(ValueError, match="cluster_assignment"):
+        extend_curation_artifacts(
+            keepers, v1, str(tmp_path / "v3"), "doc_id", "text", cfg
+        )
+
+
 def test_tier_subsets_and_guards(docs, tmp_path):
     corpus = docs.filter(F.col("doc_id") % 5 != 0).limit(100)
     shard = docs.filter(F.col("doc_id") % 5 == 0).limit(50)
