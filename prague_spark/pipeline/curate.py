@@ -191,6 +191,151 @@ def build_curation_artifacts(
     return out
 
 
+def select_keepers(
+    shard: DataFrame,
+    gates: dict,
+    id_col: str,
+    text_col: str,
+    *,
+    max_dup_token_frac: float | None = None,
+    min_quality_prob: float | None = None,
+    keep_buckets=None,
+) -> DataFrame:
+    """Apply the standard keep policy to a :func:`gate_shard` output
+    and return the SURVIVING shard rows (original columns intact):
+
+    - exact tier (always, when present): keep only content keepers
+      (``dup_of`` NULL — the canonical of genuinely new content);
+    - spans tier + ``max_dup_token_frac``: drop documents whose
+      duplicated-token fraction (``dedup.span_dup_stats`` over the
+      gate's spans) exceeds the budget;
+    - quality_filter tier + ``min_quality_prob``: drop documents the
+      trained gate scores below the threshold;
+    - cutoffs tier + ``keep_buckets``: keep only the listed frozen
+      quality buckets (e.g. ``(2, 3)`` for the top two terciles).
+
+    Near-dup pairs are deliberately NOT auto-applied: keeping one
+    member per cluster is a POLICY over cluster labels and a score
+    (``connected_components[_against]`` + ``canonical_by_score``), not
+    a per-document predicate — compose it explicitly.
+
+    Plan shape: one semi/anti join per active criterion, each against a
+    shard-sized id frame — O(shard), no corpus work, no Python stages
+    beyond what the gates themselves carry. Thresholds for tiers absent
+    from ``gates`` fail loud (a silently-skipped gate would inflate the
+    corpus)."""
+    from . import dedup as _dedup
+
+    out = shard
+    if "exact" in gates:
+        out = out.join(
+            gates["exact"].filter(F.col("dup_of").isNull())
+            .select(id_col),
+            id_col, "semi",
+        )
+    for knob, tier in ((max_dup_token_frac, "spans"),
+                       (min_quality_prob, "quality_filter"),
+                       (keep_buckets, "cutoffs")):
+        if knob is not None and tier not in gates:
+            raise ValueError(
+                f"select_keepers: a threshold for the {tier!r} tier was "
+                "given but gates has no such output — gate the shard "
+                "with that tier enabled first"
+            )
+    if max_dup_token_frac is not None:
+        frac = _dedup.span_dup_stats(
+            shard.select(id_col, text_col), gates["spans"], id_col,
+            text_col,
+        )
+        out = out.join(
+            frac.filter(F.col("dup_token_frac") <= max_dup_token_frac)
+            .select(id_col),
+            id_col, "semi",
+        )
+    if min_quality_prob is not None:
+        out = out.join(
+            gates["quality_filter"]
+            .filter(F.col("q_prob") >= min_quality_prob).select(id_col),
+            id_col, "semi",
+        )
+    if keep_buckets is not None:
+        out = out.join(
+            gates["cutoffs"]
+            .filter(F.col("q_bucket").isin(list(keep_buckets)))
+            .select(id_col),
+            id_col, "semi",
+        )
+    return out
+
+
+def streaming_gate_sink(
+    artifact_dir: str,
+    id_col: str,
+    text_col: str,
+    on_batch,
+    config: CurationConfig = CurationConfig(),
+):
+    """The composed gate's STREAMING twin: build a ``foreachBatch``
+    function that treats every micro-batch as one shard, gates it with
+    :func:`gate_shard` against the frozen artifacts, and hands the
+    per-tier outputs to ``on_batch(gates, batch_df, epoch_id)`` —
+
+        fn = streaming_gate_sink("idx/v1", "doc_id", "text", my_sink,
+                                 cfg)
+        q = stream.writeStream.foreachBatch(fn) \\
+                  .trigger(availableNow=True).start()
+
+    With ``config.cluster_state`` the assignment folds FORWARD ACROSS
+    BATCHES: the prior state loads once from the artifact directory
+    (or starts empty when the artifact is absent), each batch's
+    near-dup pairs merge in via ``connected_components_against``, the
+    merged labels ride to ``on_batch`` under ``"cluster_state"``, and
+    the latest labels stay on ``fn.state["assign"]`` — write them
+    forward with ``dedup.write_assignment`` when the stream drains.
+    Batch-boundary independence of the final labels is the fold
+    operator's pinned property (streaming tests).
+
+    Semantics inherited from the per-operator foreachBatch twins:
+    within-shard duplicate detection is micro-batch-local (a duplicate
+    SPLIT across batches is only caught once its first copy has been
+    rolled into the indexes between snapshots), and the per-batch work
+    is O(batch) against the stored indexes."""
+    cfg = config
+    cfg._check(_GATEABLE, "streaming_gate_sink")
+    # fold the state here, across batches — not per-call inside
+    # gate_shard, which would re-load the PRIOR artifact every batch
+    # and lose earlier batches' merges
+    from dataclasses import replace as _replace
+
+    batch_cfg = (
+        _replace(cfg, cluster_state=False) if cfg.cluster_state else cfg
+    )
+    state: dict = {"assign": None}
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        gates = gate_shard(batch_df, artifact_dir, id_col, text_col,
+                           batch_cfg)
+        if cfg.cluster_state:
+            if state["assign"] is None:
+                p = _path(artifact_dir, "cluster_state")
+                if os.path.isdir(p):
+                    state["assign"] = dedup.read_assignment(
+                        batch_df.sparkSession, p
+                    )
+            pairs = gates["minhash"]
+            if state["assign"] is None:
+                state["assign"] = dedup.connected_components(pairs)
+            else:
+                state["assign"] = dedup.connected_components_against(
+                    state["assign"], pairs
+                )
+            gates["cluster_state"] = state["assign"]
+        on_batch(gates, batch_df, epoch_id)
+
+    fn.state = state
+    return fn
+
+
 def extend_curation_artifacts(
     keepers: DataFrame,
     in_dir: str,

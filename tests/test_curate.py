@@ -208,6 +208,71 @@ def test_extend_curation_artifacts_snapshot_closure(docs, spark, tmp_path):
         )
 
 
+def test_select_keepers_policy(docs, spark, tmp_path):
+    """select_keepers composes the per-tier keep predicates exactly as
+    the manual semi-joins would — and refuses a threshold for a tier
+    the gates dict doesn't carry (a silently-skipped gate would inflate
+    the corpus)."""
+    from prague_spark.pipeline.curate import select_keepers
+    from prague_spark.pipeline.quality_model import (
+        save_quality_filter, train_quality_filter,
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    art = str(tmp_path / "art")
+    cfg = CurationConfig(
+        minhash=_MH, span_k=5, span_min_count=1,
+        quality_buckets=3, lang_col="lang",
+    )
+    build_curation_artifacts(corpus, art, "doc_id", "text", cfg)
+    labeled = corpus.select(
+        "doc_id", "text",
+        F.when(F.col("doc_id") % 2 == 0, "good").otherwise("bad").alias("ql"),
+    )
+    qf = train_quality_filter(
+        labeled, "doc_id", "text", "ql",
+        n_features=2**10, n_sigma=3, lambda_min_ratio=0.3,
+    )
+    save_quality_filter(spark, qf, art + "/qfilter")
+    gcfg = CurationConfig(
+        tiers=cfg.tiers + ("quality_filter",), minhash=_MH, span_k=5,
+        quality_buckets=3, lang_col="lang",
+    )
+    gates = gate_shard(shard, art, "doc_id", "text", gcfg)
+
+    kept = select_keepers(
+        shard, gates, "doc_id", "text",
+        max_dup_token_frac=0.5, min_quality_prob=0.3,
+        keep_buckets=(2, 3),
+    )
+    got = {r["doc_id"] for r in kept.collect()}
+
+    exact_ok = {r["doc_id"] for r in gates["exact"]
+                .filter(F.col("dup_of").isNull()).collect()}
+    frac = dedup.span_dup_stats(
+        shard.select("doc_id", "text"), gates["spans"], "doc_id", "text"
+    )
+    span_ok = {r["doc_id"] for r in frac
+               .filter(F.col("dup_token_frac") <= 0.5).collect()}
+    q_ok = {r["doc_id"] for r in gates["quality_filter"]
+            .filter(F.col("q_prob") >= 0.3).collect()}
+    b_ok = {r["doc_id"] for r in gates["cutoffs"]
+            .filter(F.col("q_bucket").isin(2, 3)).collect()}
+    assert got == exact_ok & span_ok & q_ok & b_ok
+    # kept rows keep the shard's original columns
+    assert set(kept.columns) == set(shard.columns)
+
+    # thresholds only: no knob -> exact tier alone
+    assert {r["doc_id"] for r in select_keepers(
+        shard, gates, "doc_id", "text").collect()} == exact_ok
+    # a knob for a tier the gates don't carry fails loud
+    slim = {k: v for k, v in gates.items() if k != "quality_filter"}
+    with pytest.raises(ValueError, match="quality_filter"):
+        select_keepers(shard, slim, "doc_id", "text",
+                       min_quality_prob=0.3)
+
+
 def test_tier_subsets_and_guards(docs, tmp_path):
     corpus = docs.filter(F.col("doc_id") % 5 != 0).limit(100)
     shard = docs.filter(F.col("doc_id") % 5 == 0).limit(50)

@@ -1366,3 +1366,85 @@ def test_streaming_cluster_fold_matches_one_shot(spark, sf_dir, tmp_path):
     }
     assert got == want
     idx.unpersist()
+
+
+def test_streaming_composed_gate_sink(spark, sf_dir, tmp_path):
+    """curate.streaming_gate_sink: the composed gate's foreachBatch twin
+    gates every micro-batch against the frozen artifact directory and
+    folds the cluster state forward across batches — starting FROM the
+    persisted cluster-state artifact, ending at exactly the labels a
+    single fold of all seen pairs into that prior produces (micro-batch
+    boundaries cannot move the final state)."""
+    from prague_spark.pipeline import dedup
+    from prague_spark.pipeline.curate import (
+        CurationConfig, build_curation_artifacts, streaming_gate_sink,
+    )
+
+    kw = dict(num_hashes=4, shingle_n=1, seed=42, bands=2, rows_per_band=2)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    art = str(tmp_path / "art")
+    cfg = CurationConfig(
+        minhash=kw, span_k=5, span_min_count=1,
+        quality_buckets=3, lang_col="lang", cluster_state=True,
+    )
+    build_curation_artifacts(corpus, art, "doc_id", "text", cfg)
+
+    sdir = str(tmp_path / "stream_shard")
+    shard.select("doc_id", "text", "lang").repartition(3).write.parquet(sdir)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    seen_pairs = set()
+    batch_keys = []
+    keeper_union = set()
+
+    def on_batch(gates, batch_df, epoch_id):
+        batch_keys.append(sorted(gates))
+        seen_pairs.update(
+            (r.id_a, r.id_b) for r in gates["minhash"].collect()
+        )
+        keeper_union.update(
+            r["doc_id"]
+            for r in gates["exact"].filter(F.col("dup_of").isNull()).collect()
+        )
+
+    fn = streaming_gate_sink(art, "doc_id", "text", on_batch, cfg)
+    q = stream.writeStream.foreachBatch(fn).trigger(availableNow=True).start()
+    try:
+        assert q.awaitTermination(300)
+    finally:
+        q.stop()
+    assert len(batch_keys) > 1 and seen_pairs
+    assert all(
+        k == ["cluster_state", "cutoffs", "exact", "minhash", "spans"]
+        for k in batch_keys
+    )
+    # batch-local exact keepers can only over-keep relative to the
+    # whole-shard gate (within-shard dups split across batches), never
+    # under-keep — and every whole-shard keeper survives some batch
+    whole = {
+        r["doc_id"]
+        for r in dedup.exact_dedup_against(
+            shard, spark.read.parquet(f"{art}/content_index"),
+            "doc_id", "text", unique_index=True,
+        ).filter(F.col("dup_of").isNull()).collect()
+    }
+    assert whole <= keeper_union
+
+    # final state == one fold of ALL seen pairs into the prior artifact
+    got = {(r["node"], r["cluster_id"])
+           for r in fn.state["assign"].collect()}
+    prior = dedup.read_assignment(spark, f"{art}/cluster_state")
+    want = {
+        (r["node"], r["cluster_id"])
+        for r in dedup.connected_components_against(
+            prior,
+            spark.createDataFrame(sorted(seen_pairs),
+                                  "id_a bigint, id_b bigint"),
+        ).collect()
+    }
+    assert got == want
