@@ -388,19 +388,20 @@ def extend_curation_artifacts(
     if "minhash" in cfg.tiers:
         p_in = _require_artifact(in_dir, "minhash")
         p_out = _path(out_dir, "minhash")
-        prow = spark.read.parquet(p_in).select(
-            *dedup._MINHASH_INDEX_PARAMS
-        ).first()
-        params = {p: int(prow[p]) for p in dedup._MINHASH_INDEX_PARAMS}
         dedup.extend_minhash_index(
-            keepers, p_in, p_out, id_col, text_col, **params
+            keepers, p_in, p_out, id_col, text_col,
+            **_carried_params(spark.read.parquet(p_in),
+                              dedup._MINHASH_INDEX_PARAMS, cfg.minhash),
         )
         out["minhash"] = p_out
     if "spans" in cfg.tiers:
         p_in = _require_artifact(in_dir, "spans")
         p_out = _path(out_dir, "spans")
-        k = int(spark.read.parquet(p_in).select("k").first()["k"])
-        dedup.extend_span_index(keepers, p_in, p_out, id_col, text_col, k=k)
+        dedup.extend_span_index(
+            keepers, p_in, p_out, id_col, text_col,
+            **_carried_params(spark.read.parquet(p_in), ("k",),
+                              {"k": cfg.span_k}),
+        )
         out["spans"] = p_out
     if "cutoffs" in cfg.tiers:
         p_in = _require_artifact(in_dir, "cutoffs")
@@ -425,6 +426,22 @@ def extend_curation_artifacts(
     return out
 
 
+def _carried_params(idx: DataFrame, names, fallback: dict) -> dict:
+    """Read the parameters an index carries on every row — the
+    AUTHORITATIVE values (the build wrote them), so a drifted config
+    object cannot mis-key a probe; the underlying operators still
+    distinct-validate. A legitimately EMPTY index (an empty reference
+    corpus; a span build whose threshold left no recurring grams) has
+    no row to read — fall back to the config's values, under which an
+    empty index gates correctly (no cross hits; shard-internal
+    detection unaffected) instead of surfacing an opaque NoneType
+    error."""
+    row = idx.select(*names).first()
+    if row is None:
+        return dict(fallback)
+    return {p: int(row[p]) for p in names}
+
+
 def _require_artifact(artifact_dir: str, tier: str) -> str:
     p = _path(artifact_dir, tier)
     if not os.path.isdir(p):
@@ -436,6 +453,28 @@ def _require_artifact(artifact_dir: str, tier: str) -> str:
                if tier == "quality_filter" else ")")
         )
     return p
+
+
+def _read_artifact(spark, artifact_dir: str, tier: str) -> DataFrame:
+    """Read a tier's index parquet, converting the one known-opaque
+    failure into guidance: a PARTITIONED index written from an empty
+    corpus holds no data files at all (partitionBy writes nothing, not
+    even schema), so the read dies with UNABLE_TO_INFER_SCHEMA —
+    translate that to 'bootstrap by building after the first
+    snapshot'."""
+    p = _require_artifact(artifact_dir, tier)
+    try:
+        return spark.read.parquet(p)
+    except Exception as e:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        raise ValueError(
+            f"gate_shard: the {tier!r} artifact at {p!r} holds no "
+            "readable data files — it was built from an EMPTY corpus "
+            "(a partitioned index writes nothing at all then); "
+            "bootstrap a new pipeline by building the artifacts AFTER "
+            "the first snapshot, then gate from the second onward"
+        ) from e
 
 
 def gate_shard(
@@ -472,26 +511,23 @@ def gate_shard(
     spark = shard.sparkSession
     out: dict = {}
     if "exact" in cfg.tiers:
-        idx = spark.read.parquet(_require_artifact(artifact_dir, "exact"))
+        idx = _read_artifact(spark, artifact_dir, "exact")
         out["exact"] = dedup.exact_dedup_against(
             shard, idx, id_col, text_col, unique_index=True,
         )
     if "minhash" in cfg.tiers:
-        idx = spark.read.parquet(_require_artifact(artifact_dir, "minhash"))
-        # the params ON the index are authoritative (build wrote them);
-        # reading them back means a drifted config object cannot
-        # mis-key the probe — and the operator still distinct-validates
-        prow = idx.select(*dedup._MINHASH_INDEX_PARAMS).first()
-        params = {p: int(prow[p]) for p in dedup._MINHASH_INDEX_PARAMS}
+        idx = _read_artifact(spark, artifact_dir, "minhash")
         out["minhash"] = dedup.minhash_candidates_against(
             shard, idx, id_col, text_col,
-            max_bucket=cfg.max_bucket, **params,
+            max_bucket=cfg.max_bucket,
+            **_carried_params(idx, dedup._MINHASH_INDEX_PARAMS,
+                              cfg.minhash),
         )
     if "spans" in cfg.tiers:
-        idx = spark.read.parquet(_require_artifact(artifact_dir, "spans"))
-        k = int(idx.select("k").first()["k"])
+        idx = _read_artifact(spark, artifact_dir, "spans")
         out["spans"] = dedup.duplicate_spans_against(
-            shard, idx, id_col, text_col, k=k,
+            shard, idx, id_col, text_col,
+            **_carried_params(idx, ("k",), {"k": cfg.span_k}),
         )
     if "cutoffs" in cfg.tiers:
         cuts = spark.read.parquet(_require_artifact(artifact_dir, "cutoffs"))

@@ -313,3 +313,37 @@ def test_tier_subsets_and_guards(docs, tmp_path):
             corpus, art, "doc_id", "text",
             CurationConfig(tiers=("exact",), cluster_state=True),
         )
+
+
+def test_gate_against_empty_indexes(docs, tmp_path):
+    """Empty-corpus builds at the two degenerate edges: a ROW-empty but
+    readable index (exact/span tiers keep their schema) gates with the
+    config-param fallback — no cross hits, shard-internal detection
+    intact — while the PARTITIONED minhash index writes no files at all
+    when empty and the gate translates the opaque schema-inference
+    failure into bootstrap guidance."""
+    empty = docs.filter(F.lit(False))
+    shard = docs.filter(F.col("doc_id") % 5 == 0).limit(40)
+    art = str(tmp_path / "art")
+    cfg = CurationConfig(
+        tiers=("exact", "minhash", "spans"), minhash=_MH,
+        span_k=5, span_min_count=1,
+    )
+    build_curation_artifacts(empty, art, "doc_id", "text", cfg)
+    gates = gate_shard(
+        shard, art, "doc_id", "text",
+        CurationConfig(tiers=("exact", "spans"), minhash=_MH, span_k=5),
+    )
+    ex = gates["exact"].collect()
+    shard_ids = {r["doc_id"] for r in shard.select("doc_id").collect()}
+    assert len(ex) == 40
+    # nothing can be a dup of the (empty) index — only of the shard
+    assert all(
+        r["dup_of"] is None or r["dup_of"] in shard_ids for r in ex
+    )
+    assert gates["spans"].count() == 0
+    # the empty partitioned minhash index cannot even be read — loud,
+    # with the bootstrap recipe in the message
+    with pytest.raises(ValueError, match="EMPTY corpus"):
+        gate_shard(shard, art, "doc_id", "text",
+                   CurationConfig(tiers=("minhash",), minhash=_MH))
