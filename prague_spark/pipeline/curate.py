@@ -46,15 +46,20 @@ ARTIFACTS = {
     "minhash": "minhash_index",
     "spans": "span_index",
     "cutoffs": "cutoffs",
+    "embedding": "ivf_index",
     "quality_filter": "qfilter",
     "cluster_state": "cluster_state",
 }
 
-#: tiers build_curation_artifacts can produce from (id, text[, lang])
-#: alone — "quality_filter" is gate-only (its model needs LABELED data:
-#: train with quality_model.train_quality_filter and save into
-#: <artifact_dir>/qfilter, and the gate picks it up)
-_BUILDABLE = ("exact", "minhash", "spans", "cutoffs")
+#: the tiers a text-only corpus gets by default
+DEFAULT_TIERS = ("exact", "minhash", "spans", "cutoffs")
+
+#: tiers build_curation_artifacts can produce — "embedding" (SemDeDup
+#: cell pairs over a written IVF layout) additionally needs
+#: ``config.vec_col``; "quality_filter" is gate-only (its model needs
+#: LABELED data: train with quality_model.train_quality_filter and save
+#: into <artifact_dir>/qfilter, and the gate picks it up)
+_BUILDABLE = DEFAULT_TIERS + ("embedding",)
 _GATEABLE = _BUILDABLE + ("quality_filter",)
 
 
@@ -89,7 +94,7 @@ class CurationConfig:
     ``max_bucket``: the LSH skew cap applied at both build (one-shot
     cluster state) and gate."""
 
-    tiers: tuple = _BUILDABLE
+    tiers: tuple = DEFAULT_TIERS
     minhash: dict = field(default_factory=_default_minhash)
     span_k: int = 20
     span_min_count: int = 1
@@ -97,6 +102,9 @@ class CurationConfig:
     lang_col: str | None = None
     max_bucket: int | None = 5000
     cluster_state: bool = False
+    vec_col: str | None = None
+    embed_centroids: int = 16
+    embed_threshold: float = 0.9
 
     def _check(self, allowed, caller: str) -> None:
         bad = [t for t in self.tiers if t not in allowed]
@@ -116,6 +124,11 @@ class CurationConfig:
             raise ValueError(
                 f"{caller}: cluster_state=True requires the minhash "
                 "tier (the cluster graph is the near-dup pair graph)"
+            )
+        if "embedding" in self.tiers and not self.vec_col:
+            raise ValueError(
+                f"{caller}: the embedding tier needs config.vec_col — "
+                "the array<double> column the SemDeDup pass clusters on"
             )
 
 
@@ -174,6 +187,20 @@ def build_curation_artifacts(
             by=by, n_buckets=cfg.quality_buckets,
         ).write.mode("overwrite").parquet(p)
         out["cutoffs"] = p
+    if "embedding" in cfg.tiers:
+        from . import similarity
+
+        p = _path(artifact_dir, "embedding")
+        C = similarity.train_ivf_centroids(
+            corpus, cfg.vec_col, n_centroids=cfg.embed_centroids
+        )
+        # (id, vec) only: the gate joins vectors back by cell; the
+        # centroids ride the model sidecar so the gate's assignment can
+        # never drift from the build's
+        similarity.write_ivf_index(
+            corpus.select(id_col, cfg.vec_col), cfg.vec_col, C, p
+        )
+        out["embedding"] = p
     if cfg.cluster_state:
         p = _path(artifact_dir, "cluster_state")
         mh = cfg.minhash
@@ -403,6 +430,32 @@ def extend_curation_artifacts(
                               {"k": cfg.span_k}),
         )
         out["spans"] = p_out
+    if "embedding" in cfg.tiers:
+        from . import similarity
+
+        p_in = _require_artifact(in_dir, "embedding")
+        p_out = _path(out_dir, "embedding")
+        C, _books = similarity.load_ivfpq_model(
+            spark, os.path.join(p_in, "_ivfpq_model")
+        )
+        # frozen-centroid union rewrite (the successor-directory form
+        # of similarity.append_ivf_index, which grows IN PLACE): the
+        # old rows keep their assigned cells, only the keepers pay the
+        # assignment — bit-equal to a same-centroid rebuild on the
+        # union, O(index rows + keepers) like the other extends
+        add = similarity.assign_ivf_cells(
+            keepers.select(id_col, cfg.vec_col), cfg.vec_col, C,
+            out="cell",
+        )
+        (
+            spark.read.parquet(p_in).select(id_col, cfg.vec_col, "cell")
+            .unionByName(add.select(id_col, cfg.vec_col, "cell"))
+            .write.mode("overwrite").partitionBy("cell").parquet(p_out)
+        )
+        similarity.save_ivfpq_model(
+            spark, os.path.join(p_out, "_ivfpq_model"), C, None
+        )
+        out["embedding"] = p_out
     if "cutoffs" in cfg.tiers:
         p_in = _require_artifact(in_dir, "cutoffs")
         p_out = _path(out_dir, "cutoffs")
@@ -535,6 +588,18 @@ def gate_shard(
         out["cutoffs"] = text.apply_cutoffs(
             text.quality_score(shard, text_col), "q_score", cuts,
             by=by, out="q_bucket",
+        )
+    if "embedding" in cfg.tiers:
+        from . import similarity
+
+        p = _require_artifact(artifact_dir, "embedding")
+        idx = _read_artifact(spark, artifact_dir, "embedding")
+        C, _books = similarity.load_ivfpq_model(
+            spark, os.path.join(p, "_ivfpq_model")
+        )
+        out["embedding"] = dedup.embedding_cell_pairs_against(
+            shard, idx, C, id_col, cfg.vec_col,
+            threshold=cfg.embed_threshold,
         )
     if "quality_filter" in cfg.tiers:
         from .quality_model import load_quality_filter, score_quality

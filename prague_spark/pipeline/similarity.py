@@ -349,6 +349,84 @@ def read_ivf_index(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def append_ivf_index(
+    corpus: DataFrame,
+    vec_col: str,
+    path: str,
+    cell_col: str = "cell",
+) -> None:
+    """Grow a written :func:`write_ivf_index` layout with a NEW shard
+    using the index's own FROZEN centroids (the model sidecar): the
+    one-level analogue of :func:`append_ivfpq_index`, and the
+    roll-forward of the SemDeDup embedding tier — assign the shard's
+    cells with the stored constants (pure codegen, no shuffle) and
+    append only its files into their cell directories. Because the
+    centroids are frozen, the grown layout is EQUIVALENT to rebuilding
+    from the union with the same constants (pinned in tests) at
+    O(shard) cost, and partition-pruned probes/gates keep reading only
+    matching cells of the grown corpus.
+
+    Guards mirror :func:`append_ivfpq_index`: a missing sidecar fails
+    loud (appending with retrained centroids would split identical
+    vectors across incompatible cell spaces); a PQ sidecar means the
+    layout is an IVF-PQ index — use :func:`append_ivfpq_index`; column
+    names AND types must match the written layout (the partition
+    column exempt: directory-name encoded). Distribution drift of an
+    append-only corpus degrades cell balance gracefully — retrain +
+    rebuild deliberately, as with the two-level index."""
+    import os
+
+    spark = corpus.sparkSession
+    model_path = os.path.join(path, "_ivfpq_model")
+    try:
+        centroids, codebooks = load_ivfpq_model(spark, model_path)
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(
+            f"append_ivf_index: no readable model sidecar at "
+            f"{model_path!r} — appending with retrained centroids would "
+            "make old and new cell assignments incompatible; was the "
+            "index written with save_model=True?"
+        ) from e
+    if codebooks is not None:
+        raise ValueError(
+            f"append_ivf_index: the sidecar at {model_path!r} carries "
+            "PQ codebooks — this is an IVF-PQ layout; grow it with "
+            "append_ivfpq_index"
+        )
+    written = spark.read.parquet(path).schema
+    existing = {f.name for f in written.fields}
+    want_cols = set(corpus.columns) | {cell_col}
+    if want_cols != existing:
+        raise ValueError(
+            f"append_ivf_index: shard would write columns "
+            f"{sorted(want_cols)} but the written layout has "
+            f"{sorted(existing)} — project the shard to the layout's "
+            "columns first"
+        )
+    out = assign_ivf_cells(corpus, vec_col, centroids, out=cell_col)
+    want_t = {f.name: f.dataType for f in written.fields}
+    got_t = {f.name: f.dataType for f in out.schema.fields}
+    mismatched = sorted(
+        n for n in want_t
+        if n != cell_col and got_t.get(n) != want_t[n]
+    )
+    if mismatched:
+        detail = ", ".join(
+            f"{n}: index={want_t[n].simpleString()} "
+            f"shard={got_t[n].simpleString()}"
+            for n in mismatched
+        )
+        raise ValueError(
+            f"append_ivf_index: shard column type(s) differ from the "
+            f"written layout ({detail}) — appending would write "
+            "mixed-schema files; cast the shard to the layout's types "
+            "first"
+        )
+    out.write.mode("append").partitionBy(cell_col).parquet(path)
+
+
 # ---------------------------------------------------------------------------
 # PQ: product quantization + asymmetric-distance (ADC) search
 # ---------------------------------------------------------------------------

@@ -347,3 +347,86 @@ def test_gate_against_empty_indexes(docs, tmp_path):
     with pytest.raises(ValueError, match="EMPTY corpus"):
         gate_shard(shard, art, "doc_id", "text",
                    CurationConfig(tiers=("minhash",), minhash=_MH))
+
+
+def test_embedding_tier_build_gate_extend(spark, sf_dir, tmp_path):
+    """The SemDeDup embedding tier through the composed recipe: build
+    writes the cell-partitioned IVF layout + centroid sidecar; the gate
+    flags shard-vs-corpus semantic near-dups with the SIDECAR's
+    centroids (exact parity with the direct operator); the roll-forward
+    re-assigns only the keepers under the frozen centroids and lands
+    bit-equal to a same-centroid rebuild on the union."""
+    from prague_spark.pipeline import similarity
+    from prague_spark.pipeline.curate import extend_curation_artifacts
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("vec", F.transform("embedding", lambda x: x.cast("double")))
+        .select("vec_id", "vec")
+    )
+    corpus = emb.filter(F.col("vec_id") % 3 == 0)
+    base_shard = emb.filter(F.col("vec_id") % 3 == 1)
+    max_id = int(emb.agg(F.max("vec_id")).first()[0])
+    # plant exact vector copies (cosine 1.0 — deterministic pairs in
+    # the copied vectors' own cells, whatever the trained centroids)
+    plants = corpus.orderBy("vec_id").limit(2).select(
+        (F.col("vec_id") + max_id + 1).alias("vec_id"), "vec"
+    )
+    shard = base_shard.unionByName(plants)
+
+    v1 = str(tmp_path / "v1")
+    cfg = CurationConfig(
+        tiers=("embedding",), vec_col="vec",
+        embed_centroids=8, embed_threshold=0.95,
+    )
+    paths = build_curation_artifacts(corpus, v1, "vec_id", "vec", cfg)
+    assert set(paths) == {"embedding"}
+
+    gates = gate_shard(shard, v1, "vec_id", "vec", cfg)
+    pairs = {(r["id_a"], r["id_b"]) for r in gates["embedding"].collect()}
+    for r in corpus.orderBy("vec_id").limit(2).collect():
+        assert (r["vec_id"], r["vec_id"] + max_id + 1) in pairs
+    # parity with the direct operator under the sidecar's constants
+    import os
+
+    C, _ = similarity.load_ivfpq_model(
+        spark, os.path.join(paths["embedding"], "_ivfpq_model")
+    )
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cell_pairs_against(
+            shard, spark.read.parquet(paths["embedding"]), C,
+            "vec_id", "vec", threshold=0.95,
+        ).collect()
+    }
+    assert pairs == want
+
+    # roll forward with the un-planted keepers; the successor layout is
+    # bit-equal to a same-centroid rebuild on the union
+    v2 = str(tmp_path / "v2")
+    p2 = extend_curation_artifacts(
+        base_shard, v1, v2, "vec_id", "vec", cfg
+    )
+    ref = str(tmp_path / "ref_ivf")
+    similarity.write_ivf_index(
+        corpus.unionByName(base_shard), "vec", C, ref
+    )
+    got = {
+        (r["vec_id"], r["cell"], tuple(r["vec"]))
+        for r in spark.read.parquet(p2["embedding"]).collect()
+    }
+    want = {
+        (r["vec_id"], r["cell"], tuple(r["vec"]))
+        for r in spark.read.parquet(ref).collect()
+    }
+    assert got == want and got
+    # ... and v2 gates the next shard by itself
+    nxt = emb.filter(F.col("vec_id") % 3 == 2)
+    assert gate_shard(nxt, v2, "vec_id", "vec", cfg)["embedding"] is not None
+
+    # config guard: the tier without a vec_col fails loud
+    with pytest.raises(ValueError, match="vec_col"):
+        build_curation_artifacts(
+            corpus, v1, "vec_id", "vec",
+            CurationConfig(tiers=("embedding",)),
+        )

@@ -2406,6 +2406,58 @@ def test_cc_against_empty_prior_and_truncated_assignment(spark):
         )
 
 
+def test_ivf_index_append_matches_rebuild(emb, spark, tmp_path):
+    """append_ivf_index (the one-level analogue of append_ivfpq_index):
+    growing a written IVF layout with the sidecar's frozen centroids is
+    bit-equal to rebuilding the union with the same centroids; guards
+    fail loud — missing sidecar, a PQ sidecar (wrong operator), column
+    name and column TYPE mismatches."""
+    vec = emb.withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    ).select("vec_id", "vec")
+    old = vec.filter(F.col("vec_id") % 3 != 0)
+    new = vec.filter(F.col("vec_id") % 3 == 0)
+    C = similarity.train_ivf_centroids(old, "vec", n_centroids=4, iters=5)
+    path = str(tmp_path / "grow_ivf")
+    similarity.write_ivf_index(old, "vec", C, path)
+    similarity.append_ivf_index(new, "vec", path)
+    ref_path = str(tmp_path / "rebuild_ivf")
+    similarity.write_ivf_index(vec, "vec", C, ref_path)
+    got = {
+        (r["vec_id"], r["cell"], tuple(r["vec"]))
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        (r["vec_id"], r["cell"], tuple(r["vec"]))
+        for r in spark.read.parquet(ref_path).collect()
+    }
+    assert got == want and got
+
+    with pytest.raises(ValueError, match="project the shard"):
+        similarity.append_ivf_index(
+            new.withColumnRenamed("vec_id", "other"), "vec", path
+        )
+    with pytest.raises(ValueError, match="type"):
+        similarity.append_ivf_index(
+            new.withColumn("vec_id", F.col("vec_id").cast("string")),
+            "vec", path,
+        )
+    p2 = str(tmp_path / "nosidecar_ivf")
+    similarity.write_ivf_index(old, "vec", C, p2, save_model=False)
+    with pytest.raises(ValueError, match="model sidecar"):
+        similarity.append_ivf_index(new, "vec", p2)
+    import os as _os
+
+    _, books = None, similarity.train_pq_codebooks(
+        old, "vec", n_subvectors=8, n_codes=16, sample_rows=300
+    )
+    similarity.save_ivfpq_model(
+        spark, _os.path.join(p2, "_ivfpq_model"), C, books
+    )
+    with pytest.raises(ValueError, match="append_ivfpq_index"):
+        similarity.append_ivf_index(new, "vec", p2)
+
+
 def test_assignment_write_read_roundtrip_and_guards(spark, tmp_path):
     """Cluster state persists like every other incremental artifact:
     write_assignment/read_assignment round-trip exactly, and the READ
