@@ -92,7 +92,11 @@ class CurationConfig:
     index). ``quality_buckets`` / ``lang_col``: cutoff count and the
     optional grouping column for per-language quantiles.
     ``max_bucket``: the LSH skew cap applied at both build (one-shot
-    cluster state) and gate."""
+    cluster state) and gate. ``validate_state``: re-check the loaded
+    cluster state's invariants at gate time (two state-sized
+    aggregations — read_assignment's contract); turn off for a huge
+    accumulated state whose writer is trusted (the fold still
+    validates the AFFECTED clusters per batch)."""
 
     tiers: tuple = DEFAULT_TIERS
     minhash: dict = field(default_factory=_default_minhash)
@@ -105,6 +109,7 @@ class CurationConfig:
     vec_col: str | None = None
     embed_centroids: int = 16
     embed_threshold: float = 0.9
+    validate_state: bool = True
 
     def _check(self, allowed, caller: str) -> None:
         bad = [t for t in self.tiers if t not in allowed]
@@ -251,8 +256,6 @@ def select_keepers(
     beyond what the gates themselves carry. Thresholds for tiers absent
     from ``gates`` fail loud (a silently-skipped gate would inflate the
     corpus)."""
-    from . import dedup as _dedup
-
     out = shard
     if "exact" in gates:
         out = out.join(
@@ -270,7 +273,7 @@ def select_keepers(
                 "with that tier enabled first"
             )
     if max_dup_token_frac is not None:
-        frac = _dedup.span_dup_stats(
+        frac = dedup.span_dup_stats(
             shard.select(id_col, text_col), gates["spans"], id_col,
             text_col,
         )
@@ -320,7 +323,16 @@ def streaming_gate_sink(
     the latest labels stay on ``fn.state["assign"]`` — write them
     forward with ``dedup.write_assignment`` when the stream drains.
     Batch-boundary independence of the final labels is the fold
-    operator's pinned property (streaming tests).
+    operator's pinned property (streaming tests). The folded state is
+    eagerly ``localCheckpoint``-ed once per batch and the superseded
+    generation's blocks are freed, so the per-batch cost stays
+    O(batch + affected clusters) and executor storage holds ONE state
+    generation — without the truncation, batch N's fold would re-walk
+    N nested join layers (O(N^2) total) and every generation's blocks
+    would live to session end. The id-diff block attribution assumes
+    no OTHER thread persists RDDs concurrently (the
+    ``connected_components`` caveat); one stream's batches run
+    serially, which satisfies it.
 
     Semantics inherited from the per-operator foreachBatch twins:
     within-shard duplicate detection is micro-batch-local (a duplicate
@@ -337,25 +349,34 @@ def streaming_gate_sink(
     batch_cfg = (
         _replace(cfg, cluster_state=False) if cfg.cluster_state else cfg
     )
-    state: dict = {"assign": None}
+    state: dict = {"assign": None, "_ckpt_ids": set()}
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         gates = gate_shard(batch_df, artifact_dir, id_col, text_col,
                            batch_cfg)
         if cfg.cluster_state:
+            spark = batch_df.sparkSession
+            sc = spark.sparkContext
             if state["assign"] is None:
                 p = _path(artifact_dir, "cluster_state")
-                if os.path.isdir(p):
+                if _artifact_exists(spark, p):
                     state["assign"] = dedup.read_assignment(
-                        batch_df.sparkSession, p
+                        spark, p, validate=cfg.validate_state
                     )
             pairs = gates["minhash"]
+            before = dedup._persistent_rdd_ids(sc)
             if state["assign"] is None:
-                state["assign"] = dedup.connected_components(pairs)
+                folded = dedup.connected_components(pairs)
             else:
-                state["assign"] = dedup.connected_components_against(
+                folded = dedup.connected_components_against(
                     state["assign"], pairs
                 )
+            mid = dedup._persistent_rdd_ids(sc)
+            new_state, new_ids = dedup._eager_checkpoint_tracked(folded)
+            # the fold's internal label generations and the PREVIOUS
+            # batch's state are both superseded by the fresh checkpoint
+            dedup._free_rdd_ids(sc, (mid - before) | state["_ckpt_ids"])
+            state["assign"], state["_ckpt_ids"] = new_state, new_ids
             gates["cluster_state"] = state["assign"]
         on_batch(gates, batch_df, epoch_id)
 
@@ -408,12 +429,14 @@ def extend_curation_artifacts(
         )
     out: dict = {}
     if "exact" in cfg.tiers:
-        p_in = _require_artifact(in_dir, "exact")
+        p_in = _require_artifact(spark, in_dir, "exact",
+                                 "extend_curation_artifacts")
         p_out = _path(out_dir, "exact")
         dedup.extend_content_index(keepers, p_in, p_out, id_col, text_col)
         out["exact"] = p_out
     if "minhash" in cfg.tiers:
-        p_in = _require_artifact(in_dir, "minhash")
+        p_in = _require_artifact(spark, in_dir, "minhash",
+                                 "extend_curation_artifacts")
         p_out = _path(out_dir, "minhash")
         dedup.extend_minhash_index(
             keepers, p_in, p_out, id_col, text_col,
@@ -422,7 +445,8 @@ def extend_curation_artifacts(
         )
         out["minhash"] = p_out
     if "spans" in cfg.tiers:
-        p_in = _require_artifact(in_dir, "spans")
+        p_in = _require_artifact(spark, in_dir, "spans",
+                                 "extend_curation_artifacts")
         p_out = _path(out_dir, "spans")
         dedup.extend_span_index(
             keepers, p_in, p_out, id_col, text_col,
@@ -433,11 +457,28 @@ def extend_curation_artifacts(
     if "embedding" in cfg.tiers:
         from . import similarity
 
-        p_in = _require_artifact(in_dir, "embedding")
+        p_in = _require_artifact(spark, in_dir, "embedding",
+                                 "extend_curation_artifacts")
         p_out = _path(out_dir, "embedding")
         C, _books = similarity.load_ivfpq_model(
             spark, os.path.join(p_in, "_ivfpq_model")
         )
+        old_idx = spark.read.parquet(p_in)
+        # the exact/minhash/span tiers' overlap discipline: re-extending
+        # an id already in the layout would silently duplicate its
+        # index row (and double every pair the gate emits for it) —
+        # one column-pruned semi-join count, within the rewrite budget
+        n_overlap = (
+            keepers.select(id_col).distinct()
+            .join(old_idx.select(id_col), id_col, "left_semi")
+            .count()
+        )
+        if n_overlap:
+            raise ValueError(
+                f"extend_curation_artifacts: {n_overlap} keeper id(s) "
+                "are already in the embedding index — re-extending "
+                "duplicates their rows; extend with NEW docs only"
+            )
         # frozen-centroid union rewrite (the successor-directory form
         # of similarity.append_ivf_index, which grows IN PLACE): the
         # old rows keep their assigned cells, only the keepers pay the
@@ -448,7 +489,7 @@ def extend_curation_artifacts(
             out="cell",
         )
         (
-            spark.read.parquet(p_in).select(id_col, cfg.vec_col, "cell")
+            old_idx.select(id_col, cfg.vec_col, "cell")
             .unionByName(add.select(id_col, cfg.vec_col, "cell"))
             .write.mode("overwrite").partitionBy("cell").parquet(p_out)
         )
@@ -457,14 +498,15 @@ def extend_curation_artifacts(
         )
         out["embedding"] = p_out
     if "cutoffs" in cfg.tiers:
-        p_in = _require_artifact(in_dir, "cutoffs")
+        p_in = _require_artifact(spark, in_dir, "cutoffs",
+                                 "extend_curation_artifacts")
         p_out = _path(out_dir, "cutoffs")
         # frozen passthrough via the Spark IO path (works wherever the
         # artifacts live; doubles round-trip parquet exactly)
         spark.read.parquet(p_in).write.mode("overwrite").parquet(p_out)
         out["cutoffs"] = p_out
     q_in = _path(in_dir, "quality_filter")
-    if os.path.isdir(q_in):
+    if _artifact_exists(spark, q_in):
         from .quality_model import load_quality_filter, save_quality_filter
 
         save_quality_filter(
@@ -495,11 +537,25 @@ def _carried_params(idx: DataFrame, names, fallback: dict) -> dict:
     return {p: int(row[p]) for p in names}
 
 
-def _require_artifact(artifact_dir: str, tier: str) -> str:
+def _artifact_exists(spark, p: str) -> bool:
+    """Existence check through the Hadoop FileSystem API, not
+    driver-local ``os.path`` — the artifacts live wherever Spark can
+    read them (HDFS, S3A, ...), and an ``os.path.isdir`` probe is
+    always False for a remote URI, which would silently skip a prior
+    cluster state or falsely report artifacts missing."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(p)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _require_artifact(
+    spark, artifact_dir: str, tier: str, caller: str = "gate_shard"
+) -> str:
     p = _path(artifact_dir, tier)
-    if not os.path.isdir(p):
+    if not _artifact_exists(spark, p):
         raise ValueError(
-            f"gate_shard: tier {tier!r} requested but its artifact "
+            f"{caller}: tier {tier!r} requested but its artifact "
             f"{p!r} does not exist — build it first "
             "(build_curation_artifacts"
             + (", or save_quality_filter for the qfilter tier)"
@@ -508,21 +564,23 @@ def _require_artifact(artifact_dir: str, tier: str) -> str:
     return p
 
 
-def _read_artifact(spark, artifact_dir: str, tier: str) -> DataFrame:
+def _read_artifact(
+    spark, artifact_dir: str, tier: str, caller: str = "gate_shard"
+) -> DataFrame:
     """Read a tier's index parquet, converting the one known-opaque
     failure into guidance: a PARTITIONED index written from an empty
     corpus holds no data files at all (partitionBy writes nothing, not
     even schema), so the read dies with UNABLE_TO_INFER_SCHEMA —
     translate that to 'bootstrap by building after the first
     snapshot'."""
-    p = _require_artifact(artifact_dir, tier)
+    p = _require_artifact(spark, artifact_dir, tier, caller)
     try:
         return spark.read.parquet(p)
     except Exception as e:
         if "UNABLE_TO_INFER_SCHEMA" not in str(e):
             raise
         raise ValueError(
-            f"gate_shard: the {tier!r} artifact at {p!r} holds no "
+            f"{caller}: the {tier!r} artifact at {p!r} holds no "
             "readable data files — it was built from an EMPTY corpus "
             "(a partitioned index writes nothing at all then); "
             "bootstrap a new pipeline by building the artifacts AFTER "
@@ -550,15 +608,22 @@ def gate_shard(
     - ``spans``: ``(id, span_start, span_end, n_dup_grams)`` maximal
       recurring-substring spans (window ``k`` read from the index).
     - ``cutoffs``: the shard with ``q_score`` and ``q_bucket`` columns
-      (frozen quantiles applied — a zero-shuffle broadcast projection).
+      (frozen quantiles applied — a zero-shuffle broadcast projection;
+      the artifact's OWN grouping columns are authoritative, so a
+      ``lang_col`` drift between build and gate cannot silently bucket
+      against the wrong group's thresholds).
     - ``quality_filter``: ``(id, q_prob)`` from the saved model.
     - ``cluster_state``: the PRIOR assignment with the shard's pairs
       folded in (write it forward with ``dedup.write_assignment`` to
       complete the snapshot) — requires ``cluster_state=True``.
 
-    Every returned frame is lazy; each tier's plan touches the shard
-    plus its own artifact and nothing else (pinned plan-level in the
-    e2e test: zero corpus FileScans, zero Python stages)."""
+    Every tier's plan touches the shard plus its own artifact and
+    nothing else (pinned plan-level in the e2e test: zero corpus
+    FileScans, zero Python stages). The per-tier frames are lazy
+    except ``cluster_state``, whose fold (and, with
+    ``config.validate_state``, the loaded state's invariant re-check —
+    two state-sized aggregations, off-switchable for huge trusted
+    states) runs eagerly at call time."""
     cfg = config
     cfg._check(_GATEABLE, "gate_shard")
     spark = shard.sparkSession
@@ -583,8 +648,22 @@ def gate_shard(
             **_carried_params(idx, ("k",), {"k": cfg.span_k}),
         )
     if "cutoffs" in cfg.tiers:
-        cuts = spark.read.parquet(_require_artifact(artifact_dir, "cutoffs"))
-        by = [cfg.lang_col] if cfg.lang_col else None
+        cuts = _read_artifact(spark, artifact_dir, "cutoffs")
+        # the artifact's grouping columns are AUTHORITATIVE (everything
+        # but the cutoffs column IS the build's `by` — compute_cutoffs'
+        # schema contract), the same discipline as the carried minhash
+        # params: a config whose lang_col drifted from the build would
+        # otherwise silently bucket every doc against one arbitrary
+        # group's thresholds (global path) or die unresolved
+        by = [c for c in cuts.columns if c != "cutoffs"] or None
+        missing = [c for c in (by or []) if c not in shard.columns]
+        if missing:
+            raise ValueError(
+                f"gate_shard: the cutoffs artifact is grouped by "
+                f"{by} but the shard lacks column(s) {missing} — the "
+                "artifact was built with a different lang_col than "
+                "this shard carries"
+            )
         out["cutoffs"] = text.apply_cutoffs(
             text.quality_score(shard, text_col), "q_score", cuts,
             by=by, out="q_bucket",
@@ -592,7 +671,7 @@ def gate_shard(
     if "embedding" in cfg.tiers:
         from . import similarity
 
-        p = _require_artifact(artifact_dir, "embedding")
+        p = _require_artifact(spark, artifact_dir, "embedding")
         idx = _read_artifact(spark, artifact_dir, "embedding")
         C, _books = similarity.load_ivfpq_model(
             spark, os.path.join(p, "_ivfpq_model")
@@ -605,12 +684,14 @@ def gate_shard(
         from .quality_model import load_quality_filter, score_quality
 
         qf = load_quality_filter(
-            spark, _require_artifact(artifact_dir, "quality_filter")
+            spark, _require_artifact(spark, artifact_dir, "quality_filter")
         )
         out["quality_filter"] = score_quality(shard, qf, id_col, text_col)
     if cfg.cluster_state:
         prior = dedup.read_assignment(
-            spark, _require_artifact(artifact_dir, "cluster_state")
+            spark,
+            _require_artifact(spark, artifact_dir, "cluster_state"),
+            validate=cfg.validate_state,
         )
         out["cluster_state"] = dedup.connected_components_against(
             prior, out["minhash"]

@@ -1315,6 +1315,37 @@ def embedding_cell_pairs_against(
     return cross.unionByName(within)
 
 
+def _persistent_rdd_ids(sc) -> set:
+    """Ids of every RDD the JVM currently tracks as persistent."""
+    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _eager_checkpoint_tracked(df: DataFrame):
+    """``localCheckpoint(eager=True)`` plus the persistent-RDD ids the
+    call created, so a superseded generation can be FREED later
+    (``DataFrame.unpersist()`` is a no-op on a checkpointed frame — its
+    blocks belong to the internal RDD, not the cache manager). Id-diff
+    attribution assumes no concurrent thread persists RDDs in the same
+    SparkContext during the (synchronous, eager) call — a foreign id
+    landing in the window would be freed with this generation;
+    serialize against other cached work. Shared by the CC iteration
+    loop and the streaming cluster-state fold."""
+    sc = df.sparkSession.sparkContext
+    before = _persistent_rdd_ids(sc)
+    out = df.localCheckpoint(eager=True)
+    return out, _persistent_rdd_ids(sc) - before
+
+
+def _free_rdd_ids(sc, ids) -> None:
+    """Unpersist tracked checkpoint blocks through the JVM RDD handles
+    (see :func:`_eager_checkpoint_tracked`)."""
+    jmap = sc._jsc.getPersistentRDDs()
+    for i in ids:
+        rdd = jmap.get(i)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -1352,32 +1383,18 @@ def connected_components(
     #
     # DataFrame.unpersist() is a NO-OP on a checkpointed frame (its blocks
     # belong to the internal RDD, not the cache manager), so superseded
-    # generations are freed through the JVM RDD handle: each _ckpt call
-    # records the persistent-RDD ids it created, and _free unpersists
-    # them once the next generation has materialized. Without this a deep
-    # graph holds every generation in executor storage simultaneously.
+    # generations are freed through the JVM RDD handle: each checkpoint
+    # records the persistent-RDD ids it created, and _free_rdd_ids
+    # unpersists them once the next generation has materialized. Without
+    # this a deep graph holds every generation in executor storage
+    # simultaneously.
     sc = pairs.sparkSession.sparkContext
 
-    def _live_ids():
-        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
-
     def _ckpt(df):
-        # id-diff attribution assumes no concurrent thread persists RDDs
-        # in the same SparkContext during the (synchronous, eager)
-        # checkpoint call — a foreign id landing in the window would be
-        # freed with this generation. Acceptable for a batch operator;
-        # callers running CC concurrently with other cached work should
-        # serialize it.
-        before = _live_ids()
-        out = df.localCheckpoint(eager=True)
-        return out, _live_ids() - before
+        return _eager_checkpoint_tracked(df)
 
     def _free(ids):
-        jmap = sc._jsc.getPersistentRDDs()
-        for i in ids:
-            rdd = jmap.get(i)
-            if rdd is not None:
-                rdd.unpersist(False)
+        _free_rdd_ids(sc, ids)
 
     labels, labels_ids = _ckpt(
         edges.select(F.col("src").alias("node"))

@@ -430,3 +430,96 @@ def test_embedding_tier_build_gate_extend(spark, sf_dir, tmp_path):
             corpus, v1, "vec_id", "vec",
             CurationConfig(tiers=("embedding",)),
         )
+
+
+def test_cutoffs_grouping_is_artifact_authoritative(docs, spark, tmp_path):
+    """The cutoffs artifact's own grouping columns drive the gate (the
+    carried-minhash-params discipline): a config whose lang_col drifted
+    to None still buckets per-language correctly, and a shard missing
+    the artifact's grouping column fails loud instead of dying with an
+    unresolved-column error."""
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    art = str(tmp_path / "art")
+    built = CurationConfig(tiers=("cutoffs",), lang_col="lang",
+                           quality_buckets=3)
+    build_curation_artifacts(corpus, art, "doc_id", "text", built)
+
+    # gate with a DRIFTED config (lang_col=None): artifact wins
+    drifted = CurationConfig(tiers=("cutoffs",))
+    got = {
+        r["doc_id"]: r["q_bucket"]
+        for r in gate_shard(shard, art, "doc_id", "text", drifted)
+        ["cutoffs"].collect()
+    }
+    want = {
+        r["doc_id"]: r["q_bucket"]
+        for r in text.apply_cutoffs(
+            text.quality_score(shard, "text"), "q_score",
+            spark.read.parquet(art + "/cutoffs"), by=["lang"],
+            out="q_bucket",
+        ).collect()
+    }
+    assert got == want and set(got.values()) <= {1, 2, 3}
+
+    # shard lacking the artifact's grouping column: guided error
+    with pytest.raises(ValueError, match="shard lacks column"):
+        gate_shard(
+            shard.drop("lang"), art, "doc_id", "text", drifted
+        )["cutoffs"]
+
+
+def test_embedding_extend_overlap_guard(spark, sf_dir, tmp_path):
+    """Re-extending ids already in the embedding layout would silently
+    duplicate index rows (and double the gate's pairs for them) — the
+    roll-forward fails loud, like every other tier."""
+    from prague_spark.pipeline.curate import extend_curation_artifacts
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("vec", F.transform("embedding", lambda x: x.cast("double")))
+        .select("vec_id", "vec")
+    )
+    corpus = emb.filter(F.col("vec_id") % 3 == 0)
+    cfg = CurationConfig(tiers=("embedding",), vec_col="vec",
+                         embed_centroids=4)
+    v1 = str(tmp_path / "v1")
+    build_curation_artifacts(corpus, v1, "vec_id", "vec", cfg)
+    with pytest.raises(ValueError, match="already in the embedding"):
+        extend_curation_artifacts(
+            corpus.limit(30), v1, str(tmp_path / "v2"), "vec_id", "vec",
+            cfg,
+        )
+
+
+def test_streaming_sink_state_generations_freed(docs, spark, tmp_path):
+    """The streaming fold's state is checkpointed once per batch and the
+    SUPERSEDED generation's blocks are freed — without this, a long
+    stream accumulates every generation in executor storage and batch
+    N's fold re-walks N nested layers. The sink fn is a plain function,
+    so drive it directly with two static 'batches'."""
+    from prague_spark.pipeline.curate import streaming_gate_sink
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    art = str(tmp_path / "art")
+    cfg = CurationConfig(
+        tiers=("exact", "minhash"), minhash=_MH, cluster_state=True,
+    )
+    build_curation_artifacts(corpus, art, "doc_id", "text", cfg)
+    fn = streaming_gate_sink(art, "doc_id", "text",
+                             lambda g, b, e: None, cfg)
+    sc = spark.sparkContext
+    b1 = shard.filter(F.col("doc_id") % 2 == 0)
+    b2 = shard.filter(F.col("doc_id") % 2 == 1)
+    fn(b1, 0)
+    gen1 = set(fn.state["_ckpt_ids"])
+    assert gen1 and gen1 <= dedup._persistent_rdd_ids(sc)
+    n1 = fn.state["assign"].count()
+    fn(b2, 1)
+    gen2 = set(fn.state["_ckpt_ids"])
+    live = dedup._persistent_rdd_ids(sc)
+    assert gen2 and gen2 <= live
+    assert not (gen1 & live), "superseded state generation not freed"
+    # the surviving state is the full fold (usable after the free)
+    assert fn.state["assign"].count() >= n1
