@@ -373,7 +373,15 @@ def append_ivf_index(
     names AND types must match the written layout (the partition
     column exempt: directory-name encoded). Distribution drift of an
     append-only corpus degrades cell balance gracefully — retrain +
-    rebuild deliberately, as with the two-level index."""
+    rebuild deliberately, as with the two-level index.
+
+    NOTE: ids are NOT overlap-checked against the layout (that would
+    cost an index-wide scan per append — the in-place form's whole
+    point is O(shard)); re-appending an id silently duplicates its row,
+    which doubles its pairs in a SemDeDup gate and its k-NN hits.
+    Append gate-keepers only, or use
+    ``curate.extend_curation_artifacts``, whose successor-directory
+    rewrite pays the scan anyway and so DOES fail loud on overlap."""
     import os
 
     spark = corpus.sparkSession
