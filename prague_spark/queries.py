@@ -1041,7 +1041,38 @@ def q_dedup_exact(spark, sf_dir):
         F.lit(-1).cast("bigint").alias("b"),
         F.lit(-1).cast("bigint").alias("c"),
     )
-    return base.unionByName(spans).unionByName(sfrac).unionByName(xinc)
+    # round-11 'keep' slice: the COMPOSED keep policy
+    # (curate.select_keepers) over real exact + span gates — keepers
+    # are each content's canonical (the whole corpus gated against a
+    # content index of itself: re-gated canonicals keep, duplicates
+    # flag) whose duplicated-token fraction stays within 0.5. This
+    # pins the policy's semi-join composition itself, not just the
+    # tier outputs it consumes.
+    from .pipeline.curate import select_keepers
+
+    kidx_path = tempfile.mkdtemp(prefix="prague_keep_") + "/idx"
+    dedup.write_content_index(docs, kidx_path, "doc_id", "text")
+    keep = select_keepers(
+        docs,
+        {
+            "exact": dedup.exact_dedup_against(
+                docs, spark.read.parquet(kidx_path), "doc_id", "text",
+                unique_index=True,
+            ),
+            "spans": span_frame,
+        },
+        "doc_id", "text", max_dup_token_frac=0.5,
+    ).select(
+        F.lit("keep").alias("slice"),
+        "doc_id",
+        F.lit(-1).cast("bigint").alias("a"),
+        F.lit(-1).cast("bigint").alias("b"),
+        F.lit(-1).cast("bigint").alias("c"),
+    )
+    return (
+        base.unionByName(spans).unionByName(sfrac)
+        .unionByName(xinc).unionByName(keep)
+    )
 
 
 SQL_DEDUP_EXACT = f"""
@@ -1105,6 +1136,21 @@ SQL_DEDUP_EXACT = f"""
                WHERE doc_id % 4 != 0 GROUP BY 1) x ON x.h = s.h
     JOIN (SELECT md5(text) AS h, min(doc_id) AS mn FROM documents
           WHERE doc_id % 4 = 0 GROUP BY 1) m ON m.h = s.h
+    UNION ALL
+    -- round-11 'keep': the composed keep policy — exact canonical
+    -- (min doc_id of the content) AND duplicated-token fraction
+    -- <= 0.5, compared integer-exactly as 2*covered <= n_tokens
+    -- (docs with no spans cover 0; token-less docs keep)
+    SELECT 'keep' AS slice, d.doc_id,
+           (-1)::BIGINT AS a, (-1)::BIGINT AS b, (-1)::BIGINT AS c
+    FROM documents d
+    JOIN (SELECT md5(text) AS h, min(doc_id) AS mn
+          FROM documents GROUP BY 1) km
+      ON md5(d.text) = km.h AND d.doc_id = km.mn
+    JOIN toks ON toks.doc_id = d.doc_id
+    LEFT JOIN (SELECT doc_id, sum(b - a + 1)::BIGINT AS cv
+               FROM sp GROUP BY doc_id) kcov ON kcov.doc_id = d.doc_id
+    WHERE 2 * coalesce(kcov.cv, 0) <= len(toks.t)
 """
 
 
@@ -5616,6 +5662,14 @@ SQL_DOCS_SAMPLE = f"""
 # non-shard pairs folded with the shard-touching pairs must land on
 # the one-shot closure's labels exactly, per the star-edge argument in
 # its docstring — the oracle is the same recursive-CTE closure).
+#
+# Round-11 merge (still exactly 50): dedup_exact gains a 'keep' slice —
+# the COMPOSED keep policy curate.select_keepers over real exact +
+# span gates (keepers = each content's canonical whose duplicated-
+# token fraction is <= 0.5), re-derived in SQL as the min-id-per-md5
+# join filtered by the integer-exact 2*covered <= n_tokens condition
+# over the shared sp/toks CTEs. Pins the policy's semi-join
+# composition, not just the tier outputs it consumes.
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,
