@@ -839,6 +839,30 @@ def main() -> None:
         out.count()
         return out
 
+    # the COMPOSED per-snapshot gate (pipeline.curate.gate_shard): all
+    # four text tiers against one frozen artifact directory — what a
+    # production pipeline actually schedules. Artifacts built once
+    # outside the block; the entry times one full shard pass including
+    # the per-tier param reads and validations.
+    from prague_spark.pipeline.curate import (
+        CurationConfig as _CC,
+        build_curation_artifacts as _bca,
+        gate_shard as _gs,
+    )
+
+    _cur_dir = _tf.mkdtemp(prefix="prague_bench_curate_") + "/idx"
+    _cur_cfg = _CC(span_k=5, lang_col="lang")
+    _bca(_mh_corpus, _cur_dir, "doc_id", "text", _cur_cfg)
+
+    @bench("curate_gate_shard")
+    def _():
+        gates = _gs(_mh_shard, _cur_dir, "doc_id", "text", _cur_cfg)
+        for g in gates.values():
+            g.count()
+        # audit the near-dup tier's plan — the composed pass's dominant
+        # member; the other tiers' shapes are pinned per-tier
+        return gates["minhash"]
+
     _ext_n = [0]
 
     @bench("dedup_extend_content_index")

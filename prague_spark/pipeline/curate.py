@@ -4,18 +4,23 @@ once, then gate each new crawl shard from the artifact directory alone.
 This is the composed form of the per-operator incremental tier
 (``write_content_index`` / ``exact_dedup_against``,
 ``write_minhash_index`` / ``minhash_candidates_against``,
-``write_span_index`` / ``duplicate_spans_against``, quantile cutoffs,
-the optional quality-filter model, and the cluster-state fold) — the
-shape ``tests/test_curation_e2e.py`` proves end to end, exposed as two
-calls a production pipeline schedules per snapshot:
+``write_span_index`` / ``duplicate_spans_against``, the SemDeDup IVF
+layout / ``embedding_cell_pairs_against``, quantile cutoffs, the
+optional quality-filter model, and the cluster-state fold) — the shape
+``tests/test_curation_e2e.py`` proves end to end, exposed as the calls
+a production pipeline schedules per snapshot:
 
     cfg = CurationConfig(span_k=20, lang_col="lang")
     build_curation_artifacts(corpus, "/idx/v1", "doc_id", "text", cfg)
     ...
     gates = gate_shard(shard, "/idx/v1", "doc_id", "text", cfg)
-    keepers = shard.join(
-        gates["exact"].filter("dup_of IS NULL").select("doc_id"),
-        "doc_id", "semi")
+    keepers = select_keepers(shard, gates, "doc_id", "text",
+                             max_dup_token_frac=0.5)
+    extend_curation_artifacts(keepers, "/idx/v1", "/idx/v2",
+                              "doc_id", "text", cfg)
+
+plus :func:`streaming_gate_sink`, the ``foreachBatch`` twin for
+gating a live stream with rolling cluster state.
 
 Scale contract (inherited verbatim from the per-operator tier): the
 build pass is O(corpus) ONCE; every gate pass is O(shard) — one slim
