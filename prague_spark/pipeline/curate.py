@@ -369,6 +369,17 @@ def streaming_gate_sink(
                         spark, p, validate=cfg.validate_state
                     )
             pairs = gates["minhash"]
+            # materialize the minhash gate's pinned band frame BEFORE
+            # opening the id-diff window: the pin persists lazily, so
+            # its cached RDD would otherwise first register mid-fold
+            # (the fold is the first action on `pairs`), land in
+            # (mid - before), and be freed as if it were a superseded
+            # fold generation — every later consumer of
+            # gates["minhash"] in on_batch would then recompute the
+            # full shard signature pass, and the pin registry would
+            # hold an already-freed handle. The gate ran on THIS
+            # thread, so its thread-local registry is ours to touch.
+            dedup._materialize_generation(dedup._gen_cache("minhash_gate"))
             before = dedup._persistent_rdd_ids(sc)
             if state["assign"] is None:
                 folded = dedup.connected_components(pairs)

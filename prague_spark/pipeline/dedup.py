@@ -1148,6 +1148,21 @@ def _pin(cache: list, df: DataFrame) -> DataFrame:
     return df
 
 
+def _materialize_generation(cache: list) -> None:
+    """Force each of a generator registry's pinned frames to populate
+    its cache NOW (one count per pin). persist() marks lazily, so a
+    pin's cached RDD only registers in the JVM's persistent-RDD map at
+    first materialization — a caller about to open an id-diff tracking
+    window (:func:`_eager_checkpoint_tracked` / :func:`_free_rdd_ids`,
+    e.g. the streaming gate sink's cluster-state fold) must materialize
+    the pins FIRST, or the pin's id lands inside the window and gets
+    freed as if it were a superseded fold generation — every later
+    consumer then recomputes the pinned pass and the registry holds an
+    already-freed handle."""
+    for df, _h in cache:
+        df.count()
+
+
 def embedding_cell_pairs(
     df: DataFrame,
     id_col: str,

@@ -354,6 +354,7 @@ def append_ivf_index(
     vec_col: str,
     path: str,
     cell_col: str = "cell",
+    check_overlap: bool | str = False,
 ) -> None:
     """Grow a written :func:`write_ivf_index` layout with a NEW shard
     using the index's own FROZEN centroids (the model sidecar): the
@@ -375,13 +376,18 @@ def append_ivf_index(
     append-only corpus degrades cell balance gracefully — retrain +
     rebuild deliberately, as with the two-level index.
 
-    NOTE: ids are NOT overlap-checked against the layout (that would
-    cost an index-wide scan per append — the in-place form's whole
-    point is O(shard)); re-appending an id silently duplicates its row,
-    which doubles its pairs in a SemDeDup gate and its k-NN hits.
-    Append gate-keepers only, or use
+    NOTE: ids are NOT overlap-checked against the layout by default
+    (that would cost an index-wide scan per append — the in-place
+    form's whole point is O(shard)); re-appending an id silently
+    duplicates its row, which doubles its pairs in a SemDeDup gate and
+    its k-NN hits. Append gate-keepers only, or use
     ``curate.extend_curation_artifacts``, whose successor-directory
-    rewrite pays the scan anyway and so DOES fail loud on overlap."""
+    rewrite pays the scan anyway and so DOES fail loud on overlap.
+    Callers who can afford one column-pruned semi-join per append can
+    opt in with ``check_overlap``: pass the id column's name (or
+    ``True`` when the layout's only non-vector data column is the id —
+    the canonical ``(id, vec)`` shape) and a shard carrying any id
+    already in the layout raises instead of silently duplicating."""
     import os
 
     spark = corpus.sparkSession
@@ -432,6 +438,40 @@ def append_ivf_index(
             "mixed-schema files; cast the shard to the layout's types "
             "first"
         )
+    if check_overlap:
+        if check_overlap is True:
+            candidates = sorted(existing - {cell_col, vec_col})
+            if len(candidates) != 1:
+                raise ValueError(
+                    "append_ivf_index: check_overlap=True cannot infer "
+                    f"the id column — the layout's non-vector data "
+                    f"columns are {candidates}; pass the id column's "
+                    "name as check_overlap instead"
+                )
+            id_col = candidates[0]
+        else:
+            id_col = check_overlap
+            if id_col not in existing:
+                raise ValueError(
+                    f"append_ivf_index: check_overlap column "
+                    f"{id_col!r} is not in the written layout "
+                    f"({sorted(existing)})"
+                )
+        # the extend_curation_artifacts overlap discipline, opt-in:
+        # one column-pruned semi-join count over the layout's id column
+        n_overlap = (
+            corpus.select(F.col(id_col)).distinct()
+            .join(spark.read.parquet(path).select(id_col), id_col,
+                  "left_semi")
+            .count()
+        )
+        if n_overlap:
+            raise ValueError(
+                f"append_ivf_index: {n_overlap} shard id(s) are already "
+                "in the layout — re-appending duplicates their rows "
+                "(doubling their SemDeDup pairs and k-NN hits); append "
+                "NEW docs only"
+            )
     out.write.mode("append").partitionBy(cell_col).parquet(path)
 
 
@@ -1285,17 +1325,19 @@ def hyperplane_lsh_buckets(
     bits of ``n_planes`` fixed random projections. Vectors in the same
     bucket are near-duplicate candidates (join key, no pairwise scan).
 
-    ``n_planes`` is capped at 62: the bucket id packs one sign bit per
-    plane as ``2**i`` into a SIGNED 64-bit long (bit 63 is the sign bit
-    and ``F.lit(2**63)`` fails analysis with an opaque overflow; 62 bits
-    of blocking is already astronomically finer than any useful bucket
-    granularity — band multiple independent signatures instead)."""
-    if not 1 <= n_planes <= 62:
+    ``n_planes`` is capped at 63: the bucket id packs one sign bit per
+    plane as ``2**i`` into a SIGNED 64-bit long, so planes 1..63 use
+    bits 0..62 and sum to at most ``2**63 - 1`` (Long.MaxValue); a 64th
+    plane would need ``F.lit(2**63)``, which fails analysis with an
+    opaque overflow. 63 bits of blocking is already astronomically
+    finer than any useful bucket granularity — band multiple
+    independent signatures instead."""
+    if not 1 <= n_planes <= 63:
         raise ValueError(
             f"hyperplane_lsh_buckets: n_planes={n_planes} must be in "
-            "1..62 — the bucket id packs one sign bit per plane into a "
-            "signed 64-bit long (use n_bands of smaller signatures for "
-            "more planes)"
+            "1..63 — the bucket id packs one sign bit per plane into a "
+            "signed 64-bit long, whose 63 value bits fit planes 1..63 "
+            "(use n_bands of smaller signatures for more planes)"
         )
     if dim is None:
         first = df.select(F.size(vec_col)).first()

@@ -523,3 +523,41 @@ def test_streaming_sink_state_generations_freed(docs, spark, tmp_path):
     assert not (gen1 & live), "superseded state generation not freed"
     # the surviving state is the full fold (usable after the free)
     assert fn.state["assign"].count() >= n1
+
+
+def test_streaming_sink_fold_window_spares_gate_pin(docs, spark, tmp_path):
+    """The fold's id-diff free window must not swallow the minhash
+    gate's pinned band frame: the pin persists lazily, so without the
+    pre-window materialization its cached RDD registers mid-fold and
+    gets freed with the fold's internal generations — every later
+    consumer of gates['minhash'] in on_batch then recomputes the full
+    shard signature pass against an already-freed handle."""
+    from prague_spark.pipeline.curate import streaming_gate_sink
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    art = str(tmp_path / "art")
+    cfg = CurationConfig(
+        tiers=("exact", "minhash"), minhash=_MH, cluster_state=True,
+    )
+    build_curation_artifacts(corpus, art, "doc_id", "text", cfg)
+    captured: dict = {}
+    fn = streaming_gate_sink(art, "doc_id", "text",
+                             lambda g, b, e: captured.update(g), cfg)
+    sc = spark.sparkContext
+    for i, batch in enumerate((shard.filter(F.col("doc_id") % 2 == 0),
+                               shard.filter(F.col("doc_id") % 2 == 1))):
+        base = dedup._persistent_rdd_ids(sc)
+        fn(batch, i)
+        live = dedup._persistent_rdd_ids(sc)
+        # ids this batch ADDED and kept = the fresh state checkpoint
+        # plus the gate's pin — the pin must have survived the window
+        pin_ids = live - base - set(fn.state["_ckpt_ids"])
+        assert pin_ids, (
+            "the minhash gate's pinned band frame was freed by the "
+            "fold's id-diff window"
+        )
+        # a later consumer of the gate output hits the LIVE cache: the
+        # recount registers nothing new in the persistent-RDD map
+        captured["minhash"].count()
+        assert dedup._persistent_rdd_ids(sc) == live

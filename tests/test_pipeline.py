@@ -549,15 +549,17 @@ def test_hyperplane_lsh_buckets(emb):
 
 
 def test_hyperplane_lsh_plane_count_guard(emb):
-    """The bucket id packs one sign bit per plane into a SIGNED long, so
-    n_planes > 62 must fail loud here — not as an opaque literal-overflow
-    analysis error (2**63) or a silent sign-bit collision (63)."""
-    for bad in (0, 63, 64):
-        with pytest.raises(ValueError, match="1..62"):
+    """The bucket id packs one sign bit per plane into a SIGNED long
+    (63 value bits — planes 1..63 sum to at most Long.MaxValue), so
+    n_planes > 63 must fail loud here, not as an opaque literal-overflow
+    analysis error (plane 64 would need F.lit(2**63))."""
+    for bad in (0, 64, 65):
+        with pytest.raises(ValueError, match="1..63"):
             similarity.hyperplane_lsh_buckets(emb, "embedding", n_planes=bad)
-    # 62 is the documented ceiling and still constructs a valid plan
+    # 63 is the documented ceiling and still constructs a valid plan
+    # (its top bit is 2**62 — the last value bit of a signed long)
     assert similarity.hyperplane_lsh_buckets(
-        emb.limit(3), "embedding", n_planes=62
+        emb.limit(3), "embedding", n_planes=63
     ).count() == 3
 
 
@@ -2456,6 +2458,45 @@ def test_ivf_index_append_matches_rebuild(emb, spark, tmp_path):
     )
     with pytest.raises(ValueError, match="append_ivfpq_index"):
         similarity.append_ivf_index(new, "vec", p2)
+
+
+def test_ivf_index_append_check_overlap(emb, spark, tmp_path):
+    """The opt-in overlap guard on append_ivf_index: a planted re-append
+    fails loud (one semi-join, the extend_curation_artifacts wording);
+    default behavior — the documented O(shard) no-check trade — is
+    unchanged, and True infers the id column only when the layout's
+    (id, vec) shape makes that unambiguous."""
+    vec = emb.withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    ).select("vec_id", "vec")
+    old = vec.filter(F.col("vec_id") % 3 != 0)
+    new = vec.filter(F.col("vec_id") % 3 == 0)
+    C = similarity.train_ivf_centroids(old, "vec", n_centroids=4, iters=5)
+    path = str(tmp_path / "guard_ivf")
+    similarity.write_ivf_index(old, "vec", C, path)
+    # fresh ids pass with the guard on (both spellings)
+    similarity.append_ivf_index(new, "vec", path, check_overlap=True)
+    with pytest.raises(ValueError, match="already in the layout"):
+        similarity.append_ivf_index(new, "vec", path, check_overlap=True)
+    with pytest.raises(ValueError, match="already in the layout"):
+        similarity.append_ivf_index(new, "vec", path,
+                                    check_overlap="vec_id")
+    # a named column that isn't in the layout fails loud
+    with pytest.raises(ValueError, match="not in the written layout"):
+        similarity.append_ivf_index(new, "vec", path,
+                                    check_overlap="missing_col")
+    # the DEFAULT stays the documented no-check trade: a silent
+    # duplicate append still goes through
+    n_before = spark.read.parquet(path).count()
+    similarity.append_ivf_index(new, "vec", path)
+    assert spark.read.parquet(path).count() == n_before + new.count()
+    # True cannot infer the id column of a multi-data-column layout
+    wide = vec.withColumn("extra", F.lit(1))
+    pw = str(tmp_path / "guard_ivf_wide")
+    similarity.write_ivf_index(wide, "vec", C, pw)
+    with pytest.raises(ValueError, match="cannot infer"):
+        similarity.append_ivf_index(wide.limit(0), "vec", pw,
+                                    check_overlap=True)
 
 
 def test_assignment_write_read_roundtrip_and_guards(spark, tmp_path):
