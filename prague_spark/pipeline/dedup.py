@@ -660,6 +660,35 @@ def extend_minhash_index(
             "in the index — re-adding duplicates their band rows and "
             "inflates bucket_n; extend with the gate's KEEPERS only"
         )
+    (
+        _minhash_index_rows(
+            index, df, id_col, text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n, seed=seed,
+            bands=bands, rows_per_band=rows_per_band,
+        )
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(out_path)
+    )
+
+
+def _minhash_index_rows(
+    index: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int,
+    shingle_n: int,
+    seed: int,
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """The union-merge frame :func:`extend_minhash_index` writes —
+    shard signature agg, band-row union with the stored index, and the
+    ``bucket_n`` RECOUNT over the union — exposed separately (the
+    :func:`_content_index_rows` convention) so bench/plan pins can
+    audit the roll-forward's plan without performing the write."""
     sig = minhash_signatures(
         df, id_col, text_col,
         num_hashes=num_hashes, shingle_n=shingle_n, seed=seed,
@@ -668,19 +697,13 @@ def extend_minhash_index(
         lsh_band_keys(sig, id_col, bands=bands, rows_per_band=rows_per_band)
     )
     counts = rows.groupBy("band", "key").agg(F.count("*").alias("bucket_n"))
-    (
-        rows.join(counts, ["band", "key"])
-        .select(
-            "doc", "band", "key", "bucket_n",
-            F.lit(int(num_hashes)).alias("num_hashes"),
-            F.lit(int(shingle_n)).alias("shingle_n"),
-            F.lit(int(seed)).alias("seed"),
-            F.lit(int(bands)).alias("bands"),
-            F.lit(int(rows_per_band)).alias("rows_per_band"),
-        )
-        .write.mode("overwrite")
-        .partitionBy("band")
-        .parquet(out_path)
+    return rows.join(counts, ["band", "key"]).select(
+        "doc", "band", "key", "bucket_n",
+        F.lit(int(num_hashes)).alias("num_hashes"),
+        F.lit(int(shingle_n)).alias("shingle_n"),
+        F.lit(int(seed)).alias("seed"),
+        F.lit(int(bands)).alias("bands"),
+        F.lit(int(rows_per_band)).alias("rows_per_band"),
     )
 
 
@@ -1950,13 +1973,27 @@ def extend_span_index(
                 "rebuild with write_span_index(min_count=1) to get an "
                 "extendable index"
             )
+    (
+        _span_index_rows(index, df, id_col, text_col, k=k)
+        .write.mode("overwrite").parquet(out_path)
+    )
+
+
+def _span_index_rows(
+    index: DataFrame, df: DataFrame, id_col: str, text_col: str, *, k: int
+) -> DataFrame:
+    """The gram-count merge frame :func:`extend_span_index` writes —
+    shard k-gram hash counts unioned into the stored index and
+    re-summed per hash — exposed separately (the
+    :func:`_content_index_rows` convention) so bench/plan pins can
+    audit the roll-forward's plan without performing the write."""
     add = (
         _span_gram_positions(df, id_col, text_col, k)
         .groupBy("_h")
         .agg(F.count("*").alias("n_occurrences"))
         .select(F.col("_h").alias("gram_md5"), "n_occurrences")
     )
-    (
+    return (
         index.select("gram_md5", "n_occurrences").unionByName(add)
         .groupBy("gram_md5")
         .agg(F.sum("n_occurrences").cast("long").alias("n_occurrences"))
@@ -1965,7 +2002,6 @@ def extend_span_index(
             F.lit(int(k)).alias("k"),
             F.lit(1).alias("min_count"),
         )
-        .write.mode("overwrite").parquet(out_path)
     )
 
 

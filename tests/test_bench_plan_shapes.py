@@ -273,6 +273,69 @@ def test_incremental_gate_bench_shapes(docs, spark, tmp_path):
     assert_scale_shape(fold, max_shuffles=3, max_py_stages=0)
 
 
+def test_roll_forward_bench_shapes(docs, spark, tmp_path):
+    # bench's round-12 roll-forward entries: both extends stay
+    # O(index rows + shard) with zero Python stages. The minhash
+    # roll-forward = shard signature agg + band-row union + the
+    # bucket_n RECOUNT join (the skew cap's pushed predicate must stay
+    # exact over the union); the span roll-forward = shard gram agg +
+    # one union re-sum.
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+
+    kw = dict(num_hashes=8, shingle_n=1, seed=42, bands=2, rows_per_band=2)
+    p_m = str(tmp_path / "mh")
+    dedup.write_minhash_index(corpus, p_m, "doc_id", "text", **kw)
+    rows_m = dedup._minhash_index_rows(
+        spark.read.parquet(p_m), shard, "doc_id", "text", **kw
+    )
+    assert_scale_shape(rows_m, max_shuffles=5, max_py_stages=0,
+                       max_read_width=5)
+
+    p_s = str(tmp_path / "sp")
+    dedup.write_span_index(corpus, p_s, "doc_id", "text", k=5, min_count=1)
+    rows_s = dedup._span_index_rows(
+        spark.read.parquet(p_s), shard, "doc_id", "text", k=5
+    )
+    assert_scale_shape(rows_s, max_shuffles=2, max_py_stages=0,
+                       max_read_width=3)
+
+
+def test_embedding_curate_bench_shapes(emb, spark, tmp_path):
+    # bench's round-12 vector-tier entries: the composed embedding gate
+    # is frozen-centroid assignment (pure codegen) + a cell equi-join
+    # against the partitioned layout + exact cosine — no corpus-wide
+    # aggregation, zero Python stages; the append roll-forward's
+    # written frame is a ZERO-shuffle codegen projection.
+    from prague_spark.pipeline.curate import (
+        CurationConfig, build_curation_artifacts, gate_shard,
+    )
+
+    vec = emb.select("vec_id", "vec")
+    corpus = vec.filter(F.col("vec_id") % 5 != 0)
+    held = vec.filter(F.col("vec_id") % 5 == 0)
+    shard = held.unionByName(
+        held.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.expr("transform(vec, x -> x * 1.001d)").alias("vec"),
+        )
+    )
+    art = str(tmp_path / "art")
+    cfg = CurationConfig(tiers=("embedding",), vec_col="vec",
+                         embed_centroids=8)
+    build_curation_artifacts(corpus, art, "vec_id", "vec", cfg)
+    gate = gate_shard(shard, art, "vec_id", "vec", cfg)["embedding"]
+    assert_scale_shape(gate, max_shuffles=2, max_py_stages=0)
+
+    from prague_spark.pipeline import similarity
+
+    C = similarity.load_ivfpq_model(
+        spark, f"{art}/ivf_index/_ivfpq_model"
+    )[0]
+    asg = similarity.assign_ivf_cells(shard, "vec", C)
+    assert_scale_shape(asg, max_shuffles=0, max_py_stages=0)
+
+
 def test_dsir_bench_shapes(docs):
     # bench's dsir_select config: counts are one explode + ONE groupBy
     # each; the literal-fold scoring is a ZERO-shuffle codegen
