@@ -96,6 +96,12 @@ class CurationConfig:
     threshold (keep ``min_count=1`` for a roll-forward-extendable
     index). ``quality_buckets`` / ``lang_col``: cutoff count and the
     optional grouping column for per-language quantiles.
+    ``cutoffs_exact``: compute the frozen cutoffs with EXACT
+    interpolated percentiles instead of the ``percentile_approx``
+    sketch — the sketch is what survives a 100 TB reference corpus
+    (the default); exact is for deterministic verification and
+    small/medium reference corpora (``text.score_buckets``'s
+    ``exact`` knob, surfaced).
     ``max_bucket``: the LSH skew cap applied at both build (one-shot
     cluster state) and gate. ``validate_state``: re-check the loaded
     cluster state's invariants at gate time (two state-sized
@@ -109,6 +115,7 @@ class CurationConfig:
     span_min_count: int = 1
     quality_buckets: int = 3
     lang_col: str | None = None
+    cutoffs_exact: bool = False
     max_bucket: int | None = 5000
     cluster_state: bool = False
     vec_col: str | None = None
@@ -195,6 +202,7 @@ def build_curation_artifacts(
         text.compute_cutoffs(
             text.quality_score(corpus, text_col), "q_score",
             by=by, n_buckets=cfg.quality_buckets,
+            exact=cfg.cutoffs_exact,
         ).write.mode("overwrite").parquet(p)
         out["cutoffs"] = p
     if "embedding" in cfg.tiers:

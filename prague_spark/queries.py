@@ -5289,7 +5289,16 @@ def q_docs_sample_stratified(spark, sf_dir):
     integer-exact. A 'qbuck' slice pins text.score_buckets (CCNet-style
     per-language EXACT quantile terciles of n_chars — Spark's exact
     interpolated percentile bit-matches DuckDB quantile_cont, so the
-    bucket ids compare integer-exact; bucket rides epoch)."""
+    bucket ids compare integer-exact; bucket rides epoch).
+
+    Round-12 merge: a 'cgate' slice pins the COMPOSED gate's cutoffs
+    tier end to end — pipeline.curate.build_curation_artifacts freezes
+    per-lang exact quality_score terciles on the % 4 != 0 reference
+    corpus (cutoffs_exact=True), gate_shard buckets the % 4 == 0 shard
+    against the artifact's own grouping columns (the authoritative-
+    grouping discipline); the oracle re-derives the composite score
+    (same IEEE-double op order), corpus terciles, and strict->
+    bucketing from first principles. Bucket rides epoch."""
     from .pipeline.sample import (
         mix_corpus, shard_assign, split_assign, stratified_sample,
         zorder_key,
@@ -5357,9 +5366,39 @@ def q_docs_sample_stratified(spark, sf_dir):
         F.col("_qb").cast("int").alias("epoch"),
         F.lit(-1).alias("shard"), F.lit("").alias("order_key"),
     )
+    # round-12 'cgate' slice: the COMPOSED gate's cutoffs tier —
+    # build_curation_artifacts freezes per-lang EXACT quality-score
+    # terciles on the % 4 != 0 reference corpus, gate_shard buckets the
+    # % 4 == 0 shard against the ARTIFACT's own grouping columns (the
+    # authoritative-grouping discipline, now oracle-pinned end to end:
+    # quality_score composite -> frozen per-group cutoffs -> broadcast
+    # apply; bucket rides epoch). The oracle recomputes the composite
+    # score + corpus terciles + strict-> bucketing from first
+    # principles in SQL.
+    from .pipeline.curate import (
+        CurationConfig, build_curation_artifacts, gate_shard,
+    )
+
+    _cd, _cfresh = _scratch_dir("cgate", sf_dir)
+    _ccfg = CurationConfig(tiers=("cutoffs",), lang_col="lang",
+                           quality_buckets=3, cutoffs_exact=True)
+    if _cfresh:
+        build_curation_artifacts(
+            docs.filter(F.col("doc_id") % 4 != 0), _cd + "/art",
+            "doc_id", "text", _ccfg,
+        )
+    cg = gate_shard(
+        docs.filter(F.col("doc_id") % 4 == 0), _cd + "/art",
+        "doc_id", "text", _ccfg,
+    )["cutoffs"].select(
+        F.lit("cgate").alias("tag"), "doc_id", "lang", "source",
+        F.col("q_bucket").cast("int").alias("epoch"),
+        F.lit(-1).alias("shard"), F.lit("").alias("order_key"),
+    )
     return (
         samp.unionByName(sharded).unionByName(split).unionByName(zo)
         .unionByName(cnts).unionByName(wts).unionByName(qb)
+        .unionByName(cg)
     )
 
 
@@ -5530,10 +5569,44 @@ SQL_DOCS_SAMPLE = f"""
         FROM documents d
         JOIN qcut ON d.lang IS NOT DISTINCT FROM qcut.lang
     )
+    -- round-12 'cgate': the composed gate's cutoffs tier — the
+    -- quality_score composite re-derived term by term (same IEEE-double
+    -- op order as the Spark expression), per-lang exact terciles frozen
+    -- on the % 4 != 0 corpus, strict-> bucketing of the % 4 == 0 shard
+    , cgq AS (
+        SELECT doc_id, lang, source,
+               least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
+               + (1.0 - least((CASE WHEN n_chars > 0
+                     THEN (n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / n_chars
+                     ELSE 0.0 END) * 4.0, 1.0)) * 0.3
+               + (1.0 - least((CASE WHEN n_chars > 0
+                     THEN (n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / n_chars
+                     ELSE 0.0 END) * 4.0, 1.0)) * 0.2
+               + least((CASE WHEN len(toks) > 0
+                     THEN len(list_filter(toks, t -> t IN ({_STOP_SQL})))::DOUBLE / len(toks)
+                     ELSE 0.0 END) * 5.0, 1.0) * 0.1 AS q,
+               doc_id % 4 = 0 AS is_shard
+        FROM (
+            SELECT doc_id, lang, source, text, length(text) AS n_chars,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x != '') AS toks
+            FROM documents
+        )
+    ), cgcut AS (
+        SELECT lang, quantile_cont(q, [1.0/3, 2.0/3]) AS th
+        FROM cgq WHERE NOT is_shard GROUP BY lang
+    ), cgate AS (
+        SELECT 'cgate' AS tag, q.doc_id, q.lang, q.source,
+               (1 + len(list_filter(cgcut.th, t -> q.q > t)))::INTEGER
+                   AS epoch,
+               -1 AS shard, '' AS order_key
+        FROM cgq q JOIN cgcut ON q.lang IS NOT DISTINCT FROM cgcut.lang
+        WHERE q.is_shard
+    )
     SELECT * FROM samp UNION ALL SELECT * FROM sharded
     UNION ALL SELECT * FROM splitq UNION ALL SELECT * FROM zo
     UNION ALL SELECT * FROM dsirc UNION ALL SELECT * FROM dsirw
-    UNION ALL SELECT * FROM qbuck
+    UNION ALL SELECT * FROM qbuck UNION ALL SELECT * FROM cgate
 """
 
 
@@ -5714,6 +5787,15 @@ SQL_DOCS_SAMPLE = f"""
 # join filtered by the integer-exact 2*covered <= n_tokens condition
 # over the shared sp/toks CTEs. Pins the policy's semi-join
 # composition, not just the tier outputs it consumes.
+#
+# Round-12 merge (still exactly 50): docs_sample_stratified gains a
+# 'cgate' slice — the COMPOSED gate's cutoffs tier
+# (build_curation_artifacts with cutoffs_exact=True freezing per-lang
+# quality_score terciles on the % 4 != 0 corpus, gate_shard bucketing
+# the % 4 == 0 shard against the artifact's own grouping columns), the
+# oracle re-deriving composite score + terciles + strict-> bucketing
+# from first principles. The artifact-authoritative grouping fix
+# (31632cb) is now oracle-pinned, not just pytest-pinned.
 QUERIES = {
     # §2.2 preprocessing + §2.3 penalty machinery
     "p1_response": q_p1_response,
