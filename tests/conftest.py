@@ -8,6 +8,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    # fast/slow split: `pytest -m "not slow"` is the mid-round
+    # iteration loop (minutes); the FULL suite remains the gate before
+    # a commit milestone. Marked slow: the frozen-artifact e2e, the
+    # streaming twins, grid sweeps, and the 50-query oracle comparison
+    # (each correct-by-construction but wall-dominated).
+    config.addinivalue_line(
+        "markers", "slow: long-running (e2e / streaming / grid sweeps / "
+        "full oracle comparison); deselect with -m 'not slow'"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from prague_spark.session import get_spark

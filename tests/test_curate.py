@@ -561,3 +561,61 @@ def test_streaming_sink_fold_window_spares_gate_pin(docs, spark, tmp_path):
         # recount registers nothing new in the persistent-RDD map
         captured["minhash"].count()
         assert dedup._persistent_rdd_ids(sc) == live
+
+
+def test_readme_streaming_sink_quickstart(docs, spark, tmp_path):
+    """The README's streaming quickstart, run verbatim over a real
+    readStream: foreachBatch(streaming_gate_sink(...)), per-batch
+    keeper writes from the exact gate, and the write_assignment drain
+    of the folded cluster state — so the documented recipe can never
+    drift from the working one."""
+    from prague_spark.pipeline.curate import streaming_gate_sink
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    art = str(tmp_path / "idx_v1")
+    cfg = CurationConfig(
+        tiers=("exact", "minhash"), minhash=_MH, cluster_state=True,
+    )
+    build_curation_artifacts(corpus, art, "doc_id", "text", cfg)
+
+    src = str(tmp_path / "src")
+    shard.write.parquet(src)
+    stream = spark.readStream.schema(shard.schema).parquet(src)
+    keepers_out = str(tmp_path / "keepers")
+
+    # --- the README snippet, with paths substituted ---
+    def on_batch(gates, batch_df, epoch_id):
+        keepers = batch_df.join(
+            gates["exact"].filter("dup_of IS NULL").select("doc_id"),
+            "doc_id", "semi",
+        )
+        keepers.write.mode("append").parquet(keepers_out)
+
+    fn = streaming_gate_sink(art, "doc_id", "text", on_batch, cfg)
+    q = (stream.writeStream.foreachBatch(fn)
+         .option("checkpointLocation", str(tmp_path / "_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    state_out = str(tmp_path / "idx_v2" / "cluster_state")
+    if fn.state["assign"] is not None:
+        dedup.write_assignment(fn.state["assign"], state_out)
+    # --- end snippet ---
+
+    # keepers: exactly the batch-mode exact-gate keepers of the shard
+    want = shard.join(
+        dedup.exact_dedup_against(
+            shard,
+            spark.read.parquet(f"{art}/{ARTIFACTS['exact']}"),
+            "doc_id", "text", unique_index=True,
+        ).filter("dup_of IS NULL").select("doc_id"),
+        "doc_id", "semi",
+    )
+    got = spark.read.parquet(keepers_out)
+    assert got.count() == want.count()
+    assert got.join(want.select("doc_id"), "doc_id", "semi").count() \
+        == got.count()
+    # the drained state loads back through the validating reader
+    restored = dedup.read_assignment(spark, state_out, validate=True)
+    assert restored.count() == fn.state["assign"].count()
