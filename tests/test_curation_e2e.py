@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 from prague_spark.pipeline import dedup, text
 from prague_spark.pipeline.sample import mix_corpus, shard_assign, split_assign
 
+# slow: the full-recipe + frozen-artifact e2e runs minutes — deselect with -m 'not slow' for the
+# mid-round loop; the full suite gates commit milestones
+pytestmark = pytest.mark.slow
+
 
 def _run_pipe(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -9,6 +9,10 @@ import pytest
 import prague_spark as ps
 from prague_spark.ops.synth import random_problem
 
+# slow: dozens of full path fits across problem shapes — deselect with -m 'not slow' for the
+# mid-round loop; the full suite gates commit milestones
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize(
     "n,p,density,rho",

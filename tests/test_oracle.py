@@ -8,6 +8,10 @@ import pytest
 
 from prague_spark import queries as Q
 
+# slow: runs all 50 registry queries AND their DuckDB oracles — deselect with -m 'not slow' for the
+# mid-round loop; the full suite gates commit milestones
+pytestmark = pytest.mark.slow
+
 ORACLE_KEYS = sorted(Q.ORACLES)
 
 

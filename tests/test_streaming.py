@@ -8,6 +8,10 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
+# slow: every streaming twin drains a real query — deselect with -m 'not slow' for the
+# mid-round loop; the full suite gates commit milestones
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def events_stream_dir(spark, sf_dir):
