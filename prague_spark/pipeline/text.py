@@ -115,19 +115,32 @@ def lang_id(df: DataFrame, text_col: str, out: str = "lang_pred") -> DataFrame:
     """Marker-word language ID: count per-language marker hits in the
     token bag; argmax wins, 'und' (undetermined) when no marker hits.
 
-    Deterministic tie-break: language list order (en first)."""
+    Deterministic tie-break: language list order (en first) — the
+    1-based first-match of array_position, exactly the when-chain it
+    replaces (which re-inlined every hit count ~(n_langs+1) times into
+    greatest + each branch; the assign_ivf_cells expression-blowup
+    lesson, applied to the text projection)."""
     toks = tokens_expr(F.col(text_col))
     langs = list(LANG_MARKERS)
-    hit_cols = []
-    for lg in langs:
-        markers = [F.lit(m) for m in LANG_MARKERS[lg]]
-        hits = F.size(F.filter(toks, lambda w: w.isin(markers)))
-        hit_cols.append(hits)
-    best = F.greatest(*hit_cols)
-    chain = F.when(best <= 0, F.lit("und"))
-    for lg, hits in zip(langs, hit_cols):
-        chain = chain.when(hits == best, F.lit(lg))
-    return df.withColumn(out, chain)
+
+    def _hit(markers):
+        # a dedicated closure per language: a default-arg lambda would
+        # have two parameters and F.filter would take it for the
+        # (element, index) form
+        lits = [F.lit(m) for m in markers]
+        return F.size(F.filter(toks, lambda w: w.isin(lits)))
+
+    hits = F.array(*[_hit(LANG_MARKERS[lg]) for lg in langs])
+    best = F.array_max(hits)
+    names = F.array(*[F.lit(lg) for lg in langs])
+    return df.withColumn(
+        out,
+        F.when(best <= 0, F.lit("und")).otherwise(
+            F.element_at(
+                names, F.array_position(hits, best).cast("int")
+            )
+        ),
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str, out: str = "fingerprint") -> DataFrame:

@@ -1608,25 +1608,30 @@ def _text_stats_sql() -> str:
 
 
 def _langid_sql() -> str:
-    hits = []
-    for lg, markers in text.LANG_MARKERS.items():
-        mlist = ", ".join(f"'{m}'" for m in markers)
-        hits.append(f"len(list_filter(toks, t -> t IN ({mlist}))) AS hit_{lg}")
+    # lang_id's lean argmax, mirrored: one hits list, 1-based
+    # first-match position of the max (ties break to lang-list order on
+    # both engines), 'und' when no marker hits
     langs = list(text.LANG_MARKERS)
-    greatest = "greatest(" + ", ".join(f"hit_{lg}" for lg in langs) + ")"
-    chain = "CASE WHEN " + greatest + " <= 0 THEN 'und' "
-    for lg in langs:
-        chain += f"WHEN hit_{lg} = {greatest} THEN '{lg}' "
-    chain += "END"
+    hits = ", ".join(
+        "len(list_filter(toks, t -> t IN ("
+        + ", ".join(f"'{m}'" for m in text.LANG_MARKERS[lg])
+        + ")))"
+        for lg in langs
+    )
+    names = "[" + ", ".join(f"'{lg}'" for lg in langs) + "]"
     return f"""
         WITH base AS (
             SELECT doc_id,
                    list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
             FROM documents
         ), h AS (
-            SELECT doc_id, {", ".join(hits)} FROM base
+            SELECT doc_id, [{hits}] AS hits FROM base
         )
-        SELECT doc_id, {chain} AS lang_pred FROM h
+        SELECT doc_id,
+               CASE WHEN list_aggregate(hits, 'max') <= 0 THEN 'und'
+                    ELSE {names}[list_position(hits,
+                                 list_aggregate(hits, 'max'))]
+               END AS lang_pred FROM h
     """
 
 
