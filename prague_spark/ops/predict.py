@@ -75,29 +75,37 @@ def predict(
 
     # multinomial: m-1 linear predictors + implicit 0 for the last class
     lps = [linear_predictor_expr(model, path_idx, target=t) for t in range(m)]
-    lps_full = lps + [F.lit(0.0)]
     if type == "link":
         return df.withColumn(out, F.array(*lps))
-    # stabilized softmax over all classes
-    mx = F.greatest(*lps_full)
-    exps = [F.exp(e - mx) for e in lps_full]
-    denom = exps[0]
-    for e in exps[1:]:
-        denom = denom + e
-    probs = F.array(*[e / denom for e in exps])
+    # stabilized softmax, STAGED through temp columns so each p-wide
+    # linear predictor exists ONCE in the plan: the inlined form
+    # (greatest(*lps) + per-class exp(e - mx) + den re-inlined into
+    # every prob) duplicated each dot ~(m+1)^2 times — at 100 classes
+    # that is ~10^4 p-wide subtrees of driver analysis/codegen (the
+    # assign_ivf_cells expression-blowup lesson). Arithmetic and op
+    # order are unchanged (array_max == greatest; the fold's leading
+    # 0.0 + exp(...) is IEEE-exact), so values stay bit-identical.
+    tmp_l, tmp_e, tmp_d = "_lps_tmp", "_exps_tmp", "_den_tmp"
+    a = F.col(tmp_l)
+    ae = F.col(tmp_e)
+    out_df = (
+        df.withColumn(tmp_l, F.array(*lps, F.lit(0.0)))
+        .withColumn(tmp_e, F.transform(a, lambda e: F.exp(e - F.array_max(a))))
+        .withColumn(tmp_d, F.aggregate(ae, F.lit(0.0), lambda acc, v: acc + v))
+    )
+    probs = F.transform(ae, lambda e: e / F.col(tmp_d))
     if type == "response":
-        return df.withColumn(out, probs)
+        return out_df.withColumn(out, probs).drop(tmp_l, tmp_e, tmp_d)
     if type == "class":
         classes = model.class_names
         tmp = "_probs_tmp"
-        out_df = df.withColumn(tmp, probs)
+        out_df = out_df.withColumn(tmp, probs)
         pos = F.expr(f"array_position({tmp}, array_max({tmp}))")
-        col = F.lit(classes[0])
         chain = None
         for i, cls in enumerate(classes):
             cond = pos == F.lit(i + 1)
             chain = F.when(cond, F.lit(cls)) if chain is None else chain.when(cond, F.lit(cls))
-        return out_df.withColumn(out, chain).drop(tmp)
+        return out_df.withColumn(out, chain).drop(tmp, tmp_l, tmp_e, tmp_d)
     raise ValueError(f"type {type!r} not supported for multinomial")
 
 
