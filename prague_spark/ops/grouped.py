@@ -685,13 +685,18 @@ def _predict_grouped_multinomial(
         return joined.withColumn(
             out, F.when(has, F.array(*lps))
         ).drop(*drop_cols)
-    lps_full = lps + [F.lit(0.0)]
-    mx = F.greatest(*lps_full)
-    exps = [F.exp(e - mx) for e in lps_full]
-    denom = exps[0]
-    for e in exps[1:]:
-        denom = denom + e
-    probs = F.array(*[e / denom for e in exps])
+    # stabilized softmax STAGED through temp columns (ops.predict's
+    # form): each p-term linear predictor exists once in the plan
+    # instead of ~(m+1)^2 times; same op order, values bit-identical
+    tmp_l, tmp_e, tmp_d = f"_lps_{out}", f"_exps_{out}", f"_den_{out}"
+    a, ae = F.col(tmp_l), F.col(tmp_e)
+    joined = (
+        joined.withColumn(tmp_l, F.array(*lps, F.lit(0.0)))
+        .withColumn(tmp_e, F.transform(a, lambda e: F.exp(e - F.array_max(a))))
+        .withColumn(tmp_d, F.aggregate(ae, F.lit(0.0), lambda acc, v: acc + v))
+    )
+    drop_cols = drop_cols + [tmp_l, tmp_e, tmp_d]
+    probs = F.transform(ae, lambda e: e / F.col(tmp_d))
     if type == "response":
         return joined.withColumn(out, F.when(has, probs)).drop(*drop_cols)
     # class: argmax with first-match ties, like ops.predict
