@@ -346,6 +346,7 @@ def test_binomial_spark_fista_matches_incore(li):
     )
 
 
+@pytest.mark.slow  # full wide-p fit, minute-class
 def test_wide_p_hessian_guard_falls_back_to_fista(spark, monkeypatch):
     # Wide designs must NOT ship the (p_act*m)^2 prox-Newton Hessian
     # payload: past ~10^6 cells the fit falls back to FISTA with the
@@ -374,6 +375,7 @@ def test_wide_p_hessian_guard_falls_back_to_fista(spark, monkeypatch):
     assert np.all(np.isfinite(m.betas))
 
 
+@pytest.mark.slow  # full wide-p fit, minute-class
 def test_wide_p_gaussian_avoids_gram(spark):
     # gaussian past the Gram p-limit must not ship p^2 partials: it routes
     # to the distributed design and (past the Hessian cell guard) the

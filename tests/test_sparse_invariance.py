@@ -12,6 +12,10 @@ import prague_spark as ps
 from prague_spark.core.prox import sorted_l1_norm, sorted_l1_prox
 from prague_spark.ops.sparse import long_to_features, sparse_scales
 
+# slow: route-invariance sweeps run full wide-p solver fits across
+# families — deselect with -m 'not slow' for the mid-round loop
+pytestmark = pytest.mark.slow
+
 
 def test_sparse_long_format_fit_matches_dense(spark, lineitem):
     li = lineitem.limit(2000).select(
