@@ -382,17 +382,32 @@ def score_path_from_lp(
         else:  # multinomial
             classes = class_names
             m = n_targets
-            lps = [lp_fn(i, t) for t in range(m)]
-            lps_full = lps + [F.lit(0.0)]
-            mx = F.greatest(*lps_full)
-            es = [F.exp(e - mx) for e in lps_full]
-            den = es[0]
-            for e in es[1:]:
-                den = den + e
+            # stabilized softmax STAGED through per-path-point temp
+            # columns (ops.predict's form): inlined, every class term
+            # would re-carry every linear predictor — ~(m+1)^2 p-wide
+            # subtrees PER PATH POINT in the single scoring aggregation.
+            # Same op order (array_max == greatest; the fold's leading
+            # 0.0 + exp(..) is IEEE-exact), so scores are bit-identical.
+            tmp_l, tmp_e, tmp_d = f"_sc_lps_{i}", f"_sc_exps_{i}", f"_sc_den_{i}"
+            a, ae = F.col(tmp_l), F.col(tmp_e)
+            df = (
+                df.withColumn(
+                    tmp_l,
+                    F.array(*[lp_fn(i, t) for t in range(m)], F.lit(0.0)),
+                )
+                .withColumn(
+                    tmp_e,
+                    F.transform(a, lambda e: F.exp(e - F.array_max(a))),
+                )
+                .withColumn(
+                    tmp_d,
+                    F.aggregate(ae, F.lit(0.0), lambda acc, v: acc + v),
+                )
+            )
             per = {"mse": None, "mae": None, "deviance": None}
             for ci, cls in enumerate(classes):
                 yk = F.when(y.cast("string") == F.lit(cls), 1.0).otherwise(0.0)
-                pk = es[ci] / den
+                pk = F.element_at(ae, ci + 1) / F.col(tmp_d)
                 pkc = F.least(F.greatest(pk, F.lit(PROB_MIN)), F.lit(PROB_MAX))
                 terms = {
                     "mse": (yk - pk) ** 2,
