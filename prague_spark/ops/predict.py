@@ -85,7 +85,10 @@ def predict(
     # assign_ivf_cells expression-blowup lesson). Arithmetic and op
     # order are unchanged (array_max == greatest; the fold's leading
     # 0.0 + exp(...) is IEEE-exact), so values stay bit-identical.
-    tmp_l, tmp_e, tmp_d = "_lps_tmp", "_exps_tmp", "_den_tmp"
+    # out-suffixed temp names (grouped.py's convention): a user column
+    # that happens to be called "_lps_tmp" must not get clobbered and
+    # silently dropped
+    tmp_l, tmp_e, tmp_d = f"_lps_{out}", f"_exps_{out}", f"_den_{out}"
     a = F.col(tmp_l)
     ae = F.col(tmp_e)
     out_df = (
@@ -98,7 +101,7 @@ def predict(
         return out_df.withColumn(out, probs).drop(tmp_l, tmp_e, tmp_d)
     if type == "class":
         classes = model.class_names
-        tmp = "_probs_tmp"
+        tmp = f"_probs_{out}"
         out_df = out_df.withColumn(tmp, probs)
         pos = F.expr(f"array_position({tmp}, array_max({tmp}))")
         chain = None

@@ -1366,8 +1366,17 @@ def _eager_checkpoint_tracked(df: DataFrame):
     attribution assumes no concurrent thread persists RDDs in the same
     SparkContext during the (synchronous, eager) call — a foreign id
     landing in the window would be freed with this generation;
-    serialize against other cached work. Shared by the CC iteration
-    loop and the streaming cluster-state fold."""
+    serialize against other cached work. The same applies to the
+    calling thread's own LAZY pins: a :func:`_pin`-persisted frame
+    only registers its cached RDD at first materialization, so a pin
+    that feeds this checkpoint's input would register inside the
+    window and be freed with the generation — callers whose input
+    plans carry live pins must :func:`_materialize_generation` them
+    first (the streaming gate sink does; the batch fold is safe
+    because connected_components[_against] materialize their pair
+    input through an untracked persist first — pinned in
+    tests/test_curate.py). Shared by the CC iteration loop and the
+    streaming cluster-state fold."""
     sc = df.sparkSession.sparkContext
     before = _persistent_rdd_ids(sc)
     out = df.localCheckpoint(eager=True)

@@ -44,6 +44,7 @@ TABLES = [
 # time and leaks one orphan /tmp tree per call. Cached dirs are removed
 # at interpreter exit.
 _SCRATCH_DIRS: dict = {}
+_SCRATCH_BUILD_LOCKS: dict = {}
 _SCRATCH_LOCK = __import__("threading").Lock()
 
 
@@ -55,24 +56,41 @@ def _cleanup_scratch() -> None:
     _SCRATCH_DIRS.clear()
 
 
-def _scratch_dir(kind: str, sf_dir: str) -> tuple[str, bool]:
-    """Return ``(path, fresh)`` — a process-cached scratch directory for
-    ``kind``'s side artifact over ``sf_dir``'s tables. Write the
-    artifact only when ``fresh`` (the same sf_dir always yields the
-    same artifact, so a cached one is simply reused)."""
+def _scratch_artifact(kind: str, sf_dir: str, build) -> str:
+    """Process-cached scratch directory for ``kind``'s side artifact
+    over ``sf_dir``'s tables: on first call run ``build(dir)`` and cache
+    the directory ONLY after the build succeeds — a failed/interrupted
+    first write must not poison every later invocation with a
+    half-written (or missing) artifact, and a concurrent second caller
+    must wait for the build rather than read mid-write (per-key build
+    lock; the global lock guards only the dicts)."""
     import atexit
+    import shutil
     import tempfile
+    import threading
 
+    key = (kind, sf_dir)
     with _SCRATCH_LOCK:
-        key = (kind, sf_dir)
         d = _SCRATCH_DIRS.get(key)
         if d is not None:
-            return d, False
-        if not _SCRATCH_DIRS:
+            return d
+        if not _SCRATCH_BUILD_LOCKS:
             atexit.register(_cleanup_scratch)
+        bl = _SCRATCH_BUILD_LOCKS.setdefault(key, threading.Lock())
+    with bl:
+        with _SCRATCH_LOCK:
+            d = _SCRATCH_DIRS.get(key)
+        if d is not None:
+            return d
         d = tempfile.mkdtemp(prefix=f"prague_{kind}_")
-        _SCRATCH_DIRS[key] = d
-        return d, True
+        try:
+            build(d)
+        except BaseException:
+            shutil.rmtree(d, ignore_errors=True)
+            raise
+        with _SCRATCH_LOCK:
+            _SCRATCH_DIRS[key] = d
+        return d
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1063,13 +1081,13 @@ def q_dedup_exact(spark, sf_dir):
     # shard doc, a = canonical id (index wins over shard min; -1 =
     # keeper). Hash-verifies the whole write/gate path against SQL's
     # md5 semantics.
-    _xd, _xfresh = _scratch_dir("xinc", sf_dir)
-    cidx_path = _xd + "/idx"
-    if _xfresh:
-        dedup.write_content_index(
-            docs.filter(F.col("doc_id") % 4 != 0), cidx_path, "doc_id",
+    cidx_path = _scratch_artifact(
+        "xinc", sf_dir,
+        lambda d: dedup.write_content_index(
+            docs.filter(F.col("doc_id") % 4 != 0), d + "/idx", "doc_id",
             "text",
-        )
+        ),
+    ) + "/idx"
     xinc = dedup.exact_dedup_against(
         docs.filter(F.col("doc_id") % 4 == 0),
         spark.read.parquet(cidx_path), "doc_id", "text",
@@ -1089,10 +1107,11 @@ def q_dedup_exact(spark, sf_dir):
     # tier outputs it consumes.
     from .pipeline.curate import select_keepers
 
-    _kd, _kfresh = _scratch_dir("keep", sf_dir)
-    kidx_path = _kd + "/idx"
-    if _kfresh:
-        dedup.write_content_index(docs, kidx_path, "doc_id", "text")
+    kidx_path = _scratch_artifact(
+        "keep", sf_dir,
+        lambda d: dedup.write_content_index(docs, d + "/idx", "doc_id",
+                                            "text"),
+    ) + "/idx"
     keep = select_keepers(
         docs,
         {
@@ -1843,15 +1862,15 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         F.round("jaccard_est", 6).alias("v"),
     )
     # round-10 'inc' slice: the incremental write-index/gate path
-    _md, _mfresh = _scratch_dir("mh_inc", sf_dir)
-    idx_path = _md + "/idx"
-    if _mfresh:
-        dedup.write_minhash_index(
-            docs.filter(F.col("doc_id") % 5 != 0), idx_path, "doc_id",
+    idx_path = _scratch_artifact(
+        "mh_inc", sf_dir,
+        lambda d: dedup.write_minhash_index(
+            docs.filter(F.col("doc_id") % 5 != 0), d + "/idx", "doc_id",
             "text",
             num_hashes=_MH_N, shingle_n=1, seed=42, bands=2,
             rows_per_band=2,
-        )
+        ),
+    ) + "/idx"
     inc = dedup.minhash_candidates_against(
         docs.filter(F.col("doc_id") % 5 == 0),
         spark.read.parquet(idx_path), "doc_id", "text",
@@ -3779,8 +3798,9 @@ def q_model_sink(spark, sf_dir):
     )
     # the save runs on EVERY invocation (the roundtrip is the operator
     # under test — mode("overwrite") inside save makes reuse safe); only
-    # the directory is cached, so repeated runs stop leaking /tmp trees
-    path = _scratch_dir("model", sf_dir)[0] + "/m"
+    # the directory is cached (build = no-op), so repeated runs stop
+    # leaking /tmp trees
+    path = _scratch_artifact("model", sf_dir, lambda d: None) + "/m"
     model.save(spark, path)
     restored = SlopeModel.load(spark, path)
     return restored.coef_df(spark).select(
@@ -5370,14 +5390,15 @@ def q_docs_sample_stratified(spark, sf_dir):
         CurationConfig, build_curation_artifacts, gate_shard,
     )
 
-    _cd, _cfresh = _scratch_dir("cgate", sf_dir)
     _ccfg = CurationConfig(tiers=("cutoffs",), lang_col="lang",
                            quality_buckets=3, cutoffs_exact=True)
-    if _cfresh:
-        build_curation_artifacts(
-            docs.filter(F.col("doc_id") % 4 != 0), _cd + "/art",
+    _cd = _scratch_artifact(
+        "cgate", sf_dir,
+        lambda d: build_curation_artifacts(
+            docs.filter(F.col("doc_id") % 4 != 0), d + "/art",
             "doc_id", "text", _ccfg,
-        )
+        ),
+    )
     cg = gate_shard(
         docs.filter(F.col("doc_id") % 4 == 0), _cd + "/art",
         "doc_id", "text", _ccfg,
@@ -5587,11 +5608,14 @@ SQL_DOCS_SAMPLE = f"""
         SELECT lang, quantile_cont(q, [1.0/3, 2.0/3]) AS th
         FROM cgq WHERE NOT is_shard GROUP BY lang
     ), cgate AS (
+        -- LEFT join: apply_cutoffs routes a shard group ABSENT from
+        -- the reference corpus to a NULL bucket (never drops the row)
         SELECT 'cgate' AS tag, q.doc_id, q.lang, q.source,
                (1 + len(list_filter(cgcut.th, t -> q.q > t)))::INTEGER
                    AS epoch,
                -1 AS shard, '' AS order_key
-        FROM cgq q JOIN cgcut ON q.lang IS NOT DISTINCT FROM cgcut.lang
+        FROM cgq q
+        LEFT JOIN cgcut ON q.lang IS NOT DISTINCT FROM cgcut.lang
         WHERE q.is_shard
     )
     SELECT * FROM samp UNION ALL SELECT * FROM sharded

@@ -619,3 +619,42 @@ def test_readme_streaming_sink_quickstart(docs, spark, tmp_path):
     # the drained state loads back through the validating reader
     restored = dedup.read_assignment(spark, state_out, validate=True)
     assert restored.count() == fn.state["assign"].count()
+
+
+def test_batch_gate_cluster_fold_spares_gate_pin(docs, spark, tmp_path):
+    """The BATCH twin of the streaming pin property: gate_shard's eager
+    cluster fold internally checkpoints with id-diff tracking, and the
+    minhash gate's lazily-persisted band pin must SURVIVE it. Today
+    that holds by construction — connected_components_against persists
+    its pair input and first materializes it (pin included) in an
+    untracked action — but a refactor that moves the pairs' first
+    materialization inside a tracked window would silently free the
+    live pin (the streaming sink needed an explicit pre-window
+    materialization for exactly this); this test pins the property."""
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    art = str(tmp_path / "art")
+    cfg = CurationConfig(
+        tiers=("exact", "minhash"), minhash=_MH, cluster_state=True,
+    )
+    build_curation_artifacts(corpus, art, "doc_id", "text", cfg)
+    sc = spark.sparkContext
+    gates = gate_shard(shard, art, "doc_id", "text", cfg)
+    # later consumers of the gate output hit the LIVE pin and register
+    # nothing new in the persistent-RDD map
+    n1 = gates["minhash"].count()
+    live = dedup._persistent_rdd_ids(sc)
+    assert gates["minhash"].count() == n1
+    assert dedup._persistent_rdd_ids(sc) == live
+    # the discriminator: the pin must still OWN a persistent RDD — a
+    # deliberate eviction through the registry frees it, shrinking the
+    # persistent map. (A fold-window-freed pin leaves nothing to free:
+    # its buffers RDD is already level-NONE and recounts silently
+    # recompute without re-registering, which is why the recount
+    # assertions above cannot catch the bug alone.)
+    dedup._evict_generation(dedup._gen_cache("minhash_gate"))
+    freed = live - dedup._persistent_rdd_ids(sc)
+    assert freed, (
+        "the minhash gate's pinned band frame was already freed by the "
+        "cluster fold's internal checkpoint windows"
+    )
