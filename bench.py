@@ -870,6 +870,41 @@ def main() -> None:
         # member; the other tiers' shapes are pinned per-tier
         return gates["minhash"]
 
+    # the composed KEEP POLICY over the gate outputs (one semi-join per
+    # active criterion against shard-sized frames — what a production
+    # snapshot actually materializes); gates built once outside the
+    # block so the entry times the policy, not the gates it consumes
+    # (curate_gate_shard above times those)
+    from prague_spark.pipeline.curate import select_keepers as _sk
+
+    _cur_gates = _gs(_mh_shard, _cur_dir, "doc_id", "text", _cur_cfg)
+
+    @bench("curate_select_keepers")
+    def _():
+        out = _sk(_mh_shard, _cur_gates, "doc_id", "text",
+                  max_dup_token_frac=0.5)
+        out.count()
+        return out
+
+    # the composed SNAPSHOT CLOSURE: one call rolls every index forward
+    # with the gate's keepers and writes a self-contained successor
+    # directory (exact/minhash/spans extends + frozen-cutoff
+    # passthrough) — the per-tier roll-forward plans are pinned by the
+    # dedup_extend_* entries; this times the whole per-snapshot write
+    from prague_spark.pipeline.curate import (
+        extend_curation_artifacts as _eca,
+    )
+
+    _keep_docs = _sk(_mh_shard, _cur_gates, "doc_id", "text",
+                     max_dup_token_frac=0.5).localCheckpoint(eager=True)
+    _eca_n = [0]
+
+    @bench("curate_extend_artifacts")
+    def _():
+        _eca_n[0] += 1
+        _eca(_keep_docs, _cur_dir, f"{_cur_dir}_v{_eca_n[0]}",
+             "doc_id", "text", _cur_cfg)
+
     _ext_n = [0]
 
     @bench("dedup_extend_content_index")

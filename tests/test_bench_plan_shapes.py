@@ -301,6 +301,31 @@ def test_roll_forward_bench_shapes(docs, spark, tmp_path):
                        max_read_width=3)
 
 
+def test_select_keepers_bench_shape(docs, spark, tmp_path):
+    # bench's curate_select_keepers: the composed keep policy is one
+    # semi-join per active criterion over shard-sized frames (exact
+    # keepers + the span dup-fraction gate) — all-JVM, no corpus work
+    from prague_spark.pipeline.curate import (
+        CurationConfig, build_curation_artifacts, gate_shard,
+        select_keepers,
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    art = str(tmp_path / "art")
+    cfg = CurationConfig(
+        span_k=5, lang_col="lang",
+        minhash=dict(num_hashes=8, shingle_n=1, seed=42, bands=2,
+                     rows_per_band=2),
+    )
+    build_curation_artifacts(corpus, art, "doc_id", "text", cfg)
+    gates = gate_shard(shard, art, "doc_id", "text", cfg)
+    keep = select_keepers(shard, gates, "doc_id", "text",
+                          max_dup_token_frac=0.5)
+    assert_scale_shape(keep, max_shuffles=4, max_py_stages=0,
+                       max_read_width=5)
+
+
 def test_embedding_curate_bench_shapes(emb, spark, tmp_path):
     # bench's round-12 vector-tier entries: the composed embedding gate
     # is frozen-centroid assignment (pure codegen) + a cell equi-join
