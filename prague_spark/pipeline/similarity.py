@@ -203,7 +203,12 @@ def ivf_topk(
 ) -> DataFrame:
     """Probed ANN search: for each query only the ``nprobe`` closest cells
     are scanned (partition-pruned when the corpus is written partitioned by
-    cell). Returns the same schema as ``cosine_topk``."""
+    cell). Returns the same schema as ``cosine_topk``.
+
+    The plan unions one probed slice PER QUERY (literal plan growth in
+    ``len(queries)``) — right for a handful of ad-hoc queries against a
+    pruned layout; a large query SET belongs in :func:`ivf_knn_join`,
+    whose query side is ROWS (constant plan width in |Q|)."""
     Cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
     results = []
     for qid, qv in queries:
