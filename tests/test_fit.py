@@ -464,3 +464,36 @@ def test_score_path_auc_batched_matches_per_slice(li):
     )))
     y2np = (pdf["flag"] == c2).to_numpy().astype(float)
     assert abs(batched["auc"][-1] - _auc_numpy(y2np, prob)) < 1e-10
+
+
+def test_multinomial_predict_plan_stays_linear_in_classes(spark, lineitem):
+    """The staged softmax's scale contract: a MANY-class multinomial
+    predict stays a zero-shuffle all-JVM projection whose plan carries
+    each linear predictor ONCE (staged temp columns) — the inlined form
+    re-carried every p-wide dot ~(m+1)^2 times, which at m=40 is the
+    difference between ~40 and ~1700 wide subtrees of driver
+    analysis/codegen."""
+    import numpy as np
+
+    from prague_spark.model import SlopeModel
+    from prague_spark.plan_audit import assert_scale_shape
+
+    m, feats = 40, ["l_quantity", "l_discount", "l_tax"]
+    rng = np.random.default_rng(3)
+    betas = rng.normal(size=(1, len(feats) + 1, m))
+    model = SlopeModel(
+        family="multinomial", feature_names=feats, intercept=True,
+        betas=betas, sigma=np.array([1.0]), lam=np.array([0.1]),
+        null_deviance=1.0, deviances=np.array([1.0]),
+        deviance_ratios=np.array([0.0]), passes=np.array([1]),
+        active_sets=[], n_unique=np.array([m]),
+        class_names=[f"c{i}" for i in range(m + 1)], n_targets=m,
+    )
+    df = lineitem.limit(200)
+    for t in ("response", "class"):
+        out = ps.predict(df, model, type=t, out="p")
+        assert_scale_shape(out, max_shuffles=0, max_py_stages=0)
+        assert out.count() == 200
+    # sanity on the staged arithmetic at this width
+    row = ps.predict(df, model, type="response", out="p").select("p").first()
+    assert abs(sum(row["p"]) - 1.0) < 1e-9 and len(row["p"]) == m + 1
