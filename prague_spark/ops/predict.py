@@ -103,7 +103,10 @@ def predict(
         classes = model.class_names
         tmp = f"_probs_{out}"
         out_df = out_df.withColumn(tmp, probs)
-        pos = F.expr(f"array_position({tmp}, array_max({tmp}))")
+        # column API, not F.expr string interpolation: the temp name is
+        # out-suffixed, so an `out` that is not a bare SQL identifier
+        # (e.g. "pred-class") must still parse
+        pos = F.array_position(F.col(tmp), F.array_max(F.col(tmp)))
         chain = None
         for i, cls in enumerate(classes):
             cond = pos == F.lit(i + 1)

@@ -348,7 +348,15 @@ def score_path_from_lp(
     projection (:func:`score_path_spark`); the sparse path pre-joins per-
     row lp columns (``ops.sparse.score_path_sparse``). One aggregation
     covers every (path point x measure); auc adds ONE batched rank job for
-    all slices together (:func:`_auc_all_slices`)."""
+    all slices together (:func:`_auc_all_slices`).
+
+    Column namespace: the multinomial branch stages its softmax through
+    temp columns named ``_sc_lps_{i}`` / ``_sc_exps_{i}`` / ``_sc_den_{i}``
+    (one triple per path point). The ``_sc_*`` prefix is RESERVED the same
+    way the sparse layer reserves ``_lp_*`` — a user feature column with
+    one of those exact names would be clobbered by the staging withColumn
+    and every later ``lp_fn`` reference to it would resolve to the staged
+    array (analysis error)."""
     if n_path <= 0:
         # a fully truncated path (max_variables / dense-tail abandon can
         # leave zero points, e.g. a CV cell refit) would otherwise build an

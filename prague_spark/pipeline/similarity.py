@@ -165,10 +165,18 @@ def assign_ivf_cells(
 
     The argmax is ONE array of raw centroid dots probed with
     array_position(sims, array_max(sims)) — 1-based first match, so
-    ties break to the lowest cell id exactly like the when-chain this
-    replaces. Two deliberate leannesses, both argmax-invariant: the
+    ties break to the lowest cell id, matching the when-chain this
+    replaces UP TO ROUNDING: dropping the per-row norm division is
+    argmax-invariant in exact arithmetic, but in floats it can
+    create/remove knife-edge exact ties, so a vector that tied under
+    the old normalized sims may route to a different (equally-nearest)
+    cell now. Consequence: an IVF layout written with the pre-change
+    assignment should be REBUILT, not appended to, across this change —
+    fresh assignments of the same vector can disagree with the stored
+    cell on tie rows. Two deliberate leannesses: the
     per-row norm division is dropped (a positive per-row constant
-    cannot change which dot is largest), and the dot subtrees appear
+    cannot change which dot is largest, modulo the tie caveat above),
+    and the dot subtrees appear
     ~2x in the expression instead of ~(n+1)x (greatest + an n-branch
     when-chain re-inlined every sim) — at 100 TB the assignment is the
     hot codegen projection under every gate/append, and the old form's
@@ -200,6 +208,7 @@ def ivf_topk(
     k: int = 10,
     nprobe: int = 4,
     cell_col: str = "cell",
+    max_queries: int | None = 64,
 ) -> DataFrame:
     """Probed ANN search: for each query only the ``nprobe`` closest cells
     are scanned (partition-pruned when the corpus is written partitioned by
@@ -208,7 +217,24 @@ def ivf_topk(
     The plan unions one probed slice PER QUERY (literal plan growth in
     ``len(queries)``) — right for a handful of ad-hoc queries against a
     pruned layout; a large query SET belongs in :func:`ivf_knn_join`,
-    whose query side is ROWS (constant plan width in |Q|)."""
+    whose query side is ROWS (constant plan width in |Q|). That routing
+    is ENFORCED: more than ``max_queries`` queries (default 64) are
+    re-dispatched through :func:`ivf_knn_join` (same output schema and
+    tie-breaks; cosines may differ in the last float bits because the
+    query norm folds into the plan instead of NumPy) rather than
+    building a thousand-branch union plan. ``max_queries=None`` disables
+    the route for callers who explicitly want the literal form."""
+    if max_queries is not None and len(queries) > int(max_queries):
+        spark = corpus_with_cells.sparkSession
+        qdf = spark.createDataFrame(
+            [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+            "query_id bigint, qvec array<double>",
+        )
+        return ivf_knn_join(
+            qdf, corpus_with_cells, centroids, k=k, nprobe=nprobe,
+            query_id_col="query_id", corpus_id_col=id_col,
+            corpus_vec_col=vec_col, cell_col=cell_col,
+        )
     Cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
     results = []
     for qid, qv in queries:

@@ -46,6 +46,9 @@ TABLES = [
 _SCRATCH_DIRS: dict = {}
 _SCRATCH_BUILD_LOCKS: dict = {}
 _SCRATCH_LOCK = __import__("threading").Lock()
+# per-invocation model-sink subdir sequence (itertools.count is atomic
+# under the GIL) — see q_model_sink
+_MODEL_SINK_SEQ = __import__("itertools").count()
 
 
 def _cleanup_scratch() -> None:
@@ -3797,10 +3800,14 @@ def q_model_sink(spark, sf_dir):
         n_unique=np.array([0, 2, 3]),
     )
     # the save runs on EVERY invocation (the roundtrip is the operator
-    # under test — mode("overwrite") inside save makes reuse safe); only
-    # the directory is cached (build = no-op), so repeated runs stop
-    # leaking /tmp trees
-    path = _scratch_artifact("model", sf_dir, lambda d: None) + "/m"
+    # under test); only the ROOT directory is cached (build = no-op), so
+    # repeated runs stop leaking /tmp trees, while each invocation saves
+    # into its own numbered subdirectory — two concurrent invocations in
+    # one process must never overwrite a save another caller is mid-load
+    # on (the _scratch_artifact contract elsewhere is build-once/
+    # read-only; this is the one write-per-call user)
+    root = _scratch_artifact("model", sf_dir, lambda d: None)
+    path = f"{root}/m{next(_MODEL_SINK_SEQ)}"
     model.save(spark, path)
     restored = SlopeModel.load(spark, path)
     return restored.coef_df(spark).select(

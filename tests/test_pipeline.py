@@ -192,6 +192,46 @@ def test_ivf_knn_join(emb, spark):
     idx.unpersist()
 
 
+def test_ivf_topk_max_queries_routes_to_knn_join(emb):
+    """The docstring promise is enforced: above max_queries, ivf_topk
+    re-dispatches through ivf_knn_join instead of building one probed
+    union branch per query — the routed plan has NO per-query Union and
+    the results match the literal form per (query, rank)."""
+    vec = emb.withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    ).select("vec_id", "vec")
+    C = similarity.train_ivf_centroids(vec, "vec", n_centroids=8, iters=5)
+    idx = similarity.assign_ivf_cells(vec, "vec", C).cache()
+    qrows = vec.filter(F.col("vec_id") < 8).collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in qrows]
+
+    routed = similarity.ivf_topk(
+        idx, "vec_id", "vec", C, queries, k=5, nprobe=4, max_queries=4
+    )
+    literal = similarity.ivf_topk(
+        idx, "vec_id", "vec", C, queries, k=5, nprobe=4, max_queries=None
+    )
+    # routed = the row-sided join plan: zero Unions; literal = 7 of them
+    routed_plan = routed._jdf.queryExecution().optimizedPlan().toString()
+    literal_plan = literal._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in routed_plan
+    assert literal_plan.count("Union") >= 1
+
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in routed.collect()
+    }
+    exp = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in literal.collect()
+    }
+    assert set(got) == set(exp)
+    for key in exp:
+        assert got[key][0] == exp[key][0], key
+        assert got[key][1] == pytest.approx(exp[key][1], rel=1e-9), key
+    idx.unpersist()
+
+
 def test_pq_codes_and_adc_topk(emb, spark):
     """Product quantization (round 7): codebook shapes, code range, the
     zero-shuffle codegen plan of the assignment, ADC self-hit at rank 1,
