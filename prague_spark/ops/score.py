@@ -362,8 +362,42 @@ def score_path_from_lp(
         # leave zero points, e.g. a CV cell refit) would otherwise build an
         # aggregation with no expressions — an opaque analysis error
         return {m: [] for m in measures}
-    y = F.col(label)
     avg_measures = [m for m in measures if m != "auc"]
+    out: dict = {m: [0.0] * n_path for m in measures}
+    agg_df = score_path_agg_frame(
+        df, lp_fn, label, avg_measures, fam, class_names, n_path, n_targets
+    )
+    if agg_df is not None:
+        row = agg_df.first()
+        for meas in avg_measures:
+            out[meas] = [float(row[f"_{meas}_{i}"]) for i in range(n_path)]
+    if "auc" in measures:
+        y = F.col(label)
+        c1, c2 = class_names
+        y2 = F.when(y.cast("string") == F.lit(c2), 1.0).otherwise(0.0)
+        phs = [
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-lp_fn(i))) for i in range(n_path)
+        ]
+        out["auc"] = _auc_all_slices(df, phs, y2)
+    return out
+
+
+def score_path_agg_frame(
+    df: DataFrame,
+    lp_fn,
+    label: str,
+    avg_measures: list[str],
+    fam: str,
+    class_names,
+    n_path: int,
+    n_targets: int = 0,
+) -> "DataFrame | None":
+    """The ONE-row aggregation frame :func:`score_path_from_lp` collects
+    — exposed separately (the ``dedup._content_index_rows`` convention)
+    so plan pins can audit the staged-softmax scoring plan at wide m
+    without executing the scan. Returns None when no averaged measure
+    is requested (auc-only scoring has no agg frame)."""
+    y = F.col(label)
     aggs = []
     for i in range(n_path):
         if fam in ("gaussian", "poisson"):
@@ -431,20 +465,9 @@ def score_path_from_lp(
             }
         for meas in avg_measures:
             aggs.append(exprs[meas].alias(f"_{meas}_{i}"))
-
-    out: dict = {m: [0.0] * n_path for m in measures}
-    if aggs:
-        row = df.agg(*aggs).first()
-        for meas in avg_measures:
-            out[meas] = [float(row[f"_{meas}_{i}"]) for i in range(n_path)]
-    if "auc" in measures:
-        c1, c2 = class_names
-        y2 = F.when(y.cast("string") == F.lit(c2), 1.0).otherwise(0.0)
-        phs = [
-            F.lit(1.0) / (F.lit(1.0) + F.exp(-lp_fn(i))) for i in range(n_path)
-        ]
-        out["auc"] = _auc_all_slices(df, phs, y2)
-    return out
+    if not aggs:
+        return None
+    return df.agg(*aggs)
 
 
 # ---------------------------------------------------------------------------

@@ -361,6 +361,64 @@ def test_embedding_curate_bench_shapes(emb, spark, tmp_path):
     assert_scale_shape(asg, max_shuffles=0, max_py_stages=0)
 
 
+def test_curate_extend_artifacts_bench_shape(docs, spark, tmp_path):
+    # bench's curate_extend_artifacts plan counters (round 13): the
+    # composed snapshot closure's written frames — exact/minhash/spans
+    # rows builders over the stored indexes + keepers, plus the frozen
+    # cutoffs passthrough — hash-reduced to one column each and
+    # unioned. The union adds NO shuffle of its own, so the budget is
+    # the SUM of the per-tier roll-forward pins (2 + 3 + 1 + 0 at this
+    # config = 6); zero Python anywhere. A structural regression in any
+    # tier of the closure now fails here AND moves the bench counters.
+    from prague_spark.pipeline.curate import (
+        CurationConfig, _carried_params, _path, build_curation_artifacts,
+        gate_shard, select_keepers,
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    art = str(tmp_path / "art")
+    cfg = CurationConfig(
+        span_k=5, lang_col="lang",
+        minhash=dict(num_hashes=8, shingle_n=1, seed=42, bands=2,
+                     rows_per_band=2),
+    )
+    build_curation_artifacts(corpus, art, "doc_id", "text", cfg)
+    gates = gate_shard(shard, art, "doc_id", "text", cfg)
+    keep = select_keepers(
+        shard, gates, "doc_id", "text", max_dup_token_frac=0.5
+    ).localCheckpoint(eager=True)
+
+    ex_idx = spark.read.parquet(_path(art, "exact"))
+    mh_idx = spark.read.parquet(_path(art, "minhash"))
+    sp_idx = spark.read.parquet(_path(art, "spans"))
+    co_idx = spark.read.parquet(_path(art, "cutoffs"))
+    frames = {
+        "exact": dedup._content_index_rows(
+            ex_idx.select("content_md5", "canonical_id", "n_copies"),
+            keep, "doc_id", "text",
+        ),
+        "minhash": dedup._minhash_index_rows(
+            mh_idx, keep, "doc_id", "text",
+            **_carried_params(mh_idx, dedup._MINHASH_INDEX_PARAMS,
+                              cfg.minhash),
+        ),
+        "spans": dedup._span_index_rows(
+            sp_idx, keep, "doc_id", "text",
+            **_carried_params(sp_idx, ("k",), {"k": cfg.span_k}),
+        ),
+        "cutoffs": co_idx,
+    }
+    out = None
+    for tier, fdf in frames.items():
+        slim = fdf.select(
+            F.lit(tier).alias("tier"),
+            F.hash(*[F.col(c) for c in fdf.columns]).alias("h"),
+        )
+        out = slim if out is None else out.unionByName(slim)
+    assert_scale_shape(out, max_shuffles=6, max_py_stages=0)
+
+
 def test_dsir_bench_shapes(docs):
     # bench's dsir_select config: counts are one explode + ONE groupBy
     # each; the literal-fold scoring is a ZERO-shuffle codegen

@@ -497,3 +497,54 @@ def test_multinomial_predict_plan_stays_linear_in_classes(spark, lineitem):
     # sanity on the staged arithmetic at this width
     row = ps.predict(df, model, type="response", out="p").select("p").first()
     assert abs(sum(row["p"]) - 1.0) < 1e-9 and len(row["p"]) == m + 1
+
+
+def test_multinomial_path_score_plan_stays_linear_in_classes(spark, lineitem):
+    """The staged softmax's scale contract for PATH SCORING (the twin of
+    the predict pin above, round-13 verdict ask): score_path_from_lp's
+    aggregation frame at m=40 stays a single-shuffle all-JVM plan, and
+    its optimized-plan SIZE grows linearly in m — the inlined form's
+    ~(m+1)^2 duplication would show up as a ~16x size jump from m=10 to
+    m=40 where the staged form stays ~4x."""
+    import numpy as np
+
+    from prague_spark.model import SlopeModel
+    from prague_spark.ops.predict import linear_predictor_expr
+    from prague_spark.ops.score import score_path_agg_frame
+    from prague_spark.plan_audit import assert_scale_shape
+
+    feats = ["l_quantity", "l_discount", "l_tax"]
+    df = lineitem.limit(200)
+    rng = np.random.default_rng(7)
+
+    def agg_frame(m):
+        betas = rng.normal(size=(2, len(feats) + 1, m))
+        model = SlopeModel(
+            family="multinomial", feature_names=feats, intercept=True,
+            betas=betas, sigma=np.array([1.0, 0.5]),
+            lam=np.array([0.2, 0.1]), null_deviance=1.0,
+            deviances=np.array([1.0, 1.0]),
+            deviance_ratios=np.array([0.0, 0.0]), passes=np.array([1, 1]),
+            active_sets=[], n_unique=np.array([m, m]),
+            class_names=[f"c{i}" for i in range(m + 1)], n_targets=m,
+        )
+
+        def lp_fn(i, t=0):
+            return linear_predictor_expr(model, i, target=t)
+
+        return score_path_agg_frame(
+            df, lp_fn, "l_returnflag", ["mse", "mae", "deviance"],
+            "multinomial", model.class_names, model.n_path, m,
+        )
+
+    wide = agg_frame(40)
+    assert_scale_shape(wide, max_shuffles=1, max_py_stages=0)
+    narrow = agg_frame(10)
+    w = len(wide._jdf.queryExecution().optimizedPlan().toString())
+    n = len(narrow._jdf.queryExecution().optimizedPlan().toString())
+    assert w / n < 8.0, (w, n)
+    # the frame analyzes AND executes at this width; every cell finite
+    row = wide.first()
+    vals = [row[f"_{meas}_{i}"] for meas in ("mse", "mae", "deviance")
+            for i in range(2)]
+    assert all(np.isfinite(v) for v in vals), vals
