@@ -548,3 +548,43 @@ def test_multinomial_path_score_plan_stays_linear_in_classes(spark, lineitem):
     vals = [row[f"_{meas}_{i}"] for meas in ("mse", "mae", "deviance")
             for i in range(2)]
     assert all(np.isfinite(v) for v in vals), vals
+
+
+def test_readme_glm_quickstart(spark, lineitem):
+    """The README's GLM quickstart, run verbatim (paths substituted) —
+    the documented first-user recipe can never drift from the working
+    one (the streaming-sink quickstart convention,
+    test_curate.test_readme_streaming_sink_quickstart)."""
+    import numpy as np
+
+    li = lineitem
+    # --- the README snippet ---
+    model = ps.fit(
+        li, ["l_quantity", "l_discount", "l_tax"], "l_extendedprice",
+        "gaussian", n_sigma=20,
+    )
+    head = model.path_summary()[:3]
+    scored = ps.predict(li, model, type="response", out="yhat")
+    mse = ps.score(li, model, "l_extendedprice", "mse")
+    cv = ps.cv_fit(li, ["l_quantity", "l_discount"], "l_extendedprice",
+                   "gaussian", n_folds=3, n_sigma=10)
+    opt = cv.optima[0]
+    # --- end snippet ---
+    assert len(head) == 3
+    assert {"path_idx", "sigma", "deviance_ratio", "n_nonzero"} <= set(head[0])
+    assert scored.filter(F.col("yhat").isNull()).count() == 0
+    assert np.isfinite(mse) and mse > 0
+    assert np.isfinite(opt["mean"]) and np.isfinite(opt["sigma"])
+
+    # the README's "binomial is the same shape" claim
+    lif = li.withColumn(
+        "flag", F.when(F.col("l_returnflag") == "R", "ret").otherwise("ok")
+    )
+    mb = ps.fit(lif, ["l_quantity", "l_discount"], "flag", "binomial",
+                n_sigma=4)
+    cls = ps.predict(lif, mb, type="class", out="pred")
+    assert set(
+        r["pred"] for r in cls.select("pred").distinct().collect()
+    ) <= {"ret", "ok"}
+    auc = ps.score(lif, mb, "flag", "auc")
+    assert 0.0 <= auc <= 1.0
