@@ -478,22 +478,35 @@ def test_multinomial_predict_plan_stays_linear_in_classes(spark, lineitem):
     from prague_spark.model import SlopeModel
     from prague_spark.plan_audit import assert_scale_shape
 
-    m, feats = 40, ["l_quantity", "l_discount", "l_tax"]
+    feats = ["l_quantity", "l_discount", "l_tax"]
     rng = np.random.default_rng(3)
-    betas = rng.normal(size=(1, len(feats) + 1, m))
-    model = SlopeModel(
-        family="multinomial", feature_names=feats, intercept=True,
-        betas=betas, sigma=np.array([1.0]), lam=np.array([0.1]),
-        null_deviance=1.0, deviances=np.array([1.0]),
-        deviance_ratios=np.array([0.0]), passes=np.array([1]),
-        active_sets=[], n_unique=np.array([m]),
-        class_names=[f"c{i}" for i in range(m + 1)], n_targets=m,
-    )
+
+    def make_model(m):
+        betas = rng.normal(size=(1, len(feats) + 1, m))
+        return SlopeModel(
+            family="multinomial", feature_names=feats, intercept=True,
+            betas=betas, sigma=np.array([1.0]), lam=np.array([0.1]),
+            null_deviance=1.0, deviances=np.array([1.0]),
+            deviance_ratios=np.array([0.0]), passes=np.array([1]),
+            active_sets=[], n_unique=np.array([m]),
+            class_names=[f"c{i}" for i in range(m + 1)], n_targets=m,
+        )
+
+    m = 40
+    model = make_model(m)
     df = lineitem.limit(200)
     for t in ("response", "class"):
         out = ps.predict(df, model, type=t, out="p")
         assert_scale_shape(out, max_shuffles=0, max_py_stages=0)
         assert out.count() == 200
+    # plan-SIZE linearity (the round-13 contract shared with the path-
+    # and grouped-scoring pins below/in test_grouped): m=40 vs m=10 is
+    # ~4x for the staged form, ~16x for the inlined (m+1)^2 one
+    wide = ps.predict(df, model, type="response", out="p")
+    narrow = ps.predict(df, make_model(10), type="response", out="p")
+    w = len(wide._jdf.queryExecution().optimizedPlan().toString())
+    n = len(narrow._jdf.queryExecution().optimizedPlan().toString())
+    assert w / n < 8.0, (w, n)
     # sanity on the staged arithmetic at this width
     row = ps.predict(df, model, type="response", out="p").select("p").first()
     assert abs(sum(row["p"]) - 1.0) < 1e-9 and len(row["p"]) == m + 1
