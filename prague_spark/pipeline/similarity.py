@@ -95,7 +95,12 @@ def cosine_topk(
 
     ``queries``: (query_id, vector) pairs, broadcast as literal expressions
     — the plan is a single corpus scan + per-query aggregation-free rank.
-    Returns (query_id, id, cosine, rank <= k)."""
+    Returns (query_id, id, cosine, rank <= k).
+
+    Plan width grows linearly in |Q| (one literal vector + dot per
+    query); this is the EXACT small-query-set oracle — a large query
+    set wants an index: :func:`ivf_knn_join` / :func:`ivfpq_knn_join`
+    take queries as ROWS with constant plan width."""
     vec = F.col(vec_col)
     per_query = []
     for qid, qv in queries:
@@ -699,6 +704,7 @@ def pq_adc_topk(
     k: int = 10,
     rerank_vec_col: str | None = None,
     shortlist: int = 50,
+    max_queries: int | None = 64,
 ) -> DataFrame:
     """Asymmetric-distance top-k: per query, a lookup table
     lut[m][j] = q_m . c_{m,j} is computed driver-side (M x K floats) and
@@ -710,7 +716,23 @@ def pq_adc_topk(
     cosine over the shortlist (the standard two-stage PQ search: the
     compressed index prunes, full vectors re-rank). Returns
     (query_id, id, score, rank): score is the ADC approximation, or the
-    exact cosine when re-ranking."""
+    exact cosine when re-ranking.
+
+    Each query adds its own M*K literals to the plan (linear growth in
+    |Q|), so more than ``max_queries`` queries (default 64) FAIL LOUD —
+    flat PQ has no row-sided twin; for a large query set, add a coarse
+    level (:func:`train_ivfpq` + :func:`assign_ivfpq`) and call
+    :func:`ivfpq_knn_join`, whose query side is ROWS. Batch smaller
+    sets, or pass ``max_queries=None`` to accept the plan cost."""
+    if max_queries is not None and len(queries) > int(max_queries):
+        raise ValueError(
+            f"pq_adc_topk: {len(queries)} queries > max_queries="
+            f"{max_queries} — each query adds an M*K-literal lookup "
+            "table to the plan. Batch the queries, or build an IVF-PQ "
+            "index (train_ivfpq/assign_ivfpq) and use ivfpq_knn_join "
+            "(row-sided queries, constant plan width), or pass "
+            "max_queries=None to accept the plan cost."
+        )
     M, K, dsub = codebooks.shape
     code = F.col(code_col)
     per_query = []
@@ -839,6 +861,7 @@ def ivfpq_topk(
     code_col: str = "pq_code",
     rerank_vec_col: str | None = None,
     shortlist: int = 50,
+    max_queries: int | None = 64,
 ) -> DataFrame:
     """Probed compressed search over an assign_ivfpq index: per query,
     only the ``nprobe`` nearest cells are scanned (partition pruning on a
@@ -846,7 +869,27 @@ def ivfpq_topk(
     float vector — score = q.centroid[cell] (a literal lookup) + the
     residual ADC sum (M element_at lookups), approximating the cosine
     q.v_hat. With ``rerank_vec_col``, an exact cosine re-rank of the
-    ADC ``shortlist`` finishes the standard two-stage search."""
+    ADC ``shortlist`` finishes the standard two-stage search.
+
+    Each query adds its OWN M*K-literal lookup table to the plan, so a
+    large query set belongs in :func:`ivfpq_knn_join` (query side =
+    ROWS, constant plan width in |Q|, same scoring per its candidates'
+    docstring). Enforced like :func:`ivf_topk`'s guard: more than
+    ``max_queries`` queries (default 64) re-dispatch through
+    :func:`ivfpq_knn_join` (same output schema and tie-breaks);
+    ``max_queries=None`` keeps the literal form."""
+    if max_queries is not None and len(queries) > int(max_queries):
+        spark = corpus_idx.sparkSession
+        qdf = spark.createDataFrame(
+            [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+            "query_id bigint, qvec array<double>",
+        )
+        return ivfpq_knn_join(
+            qdf, corpus_idx, centroids, codebooks, k=k, nprobe=nprobe,
+            query_id_col="query_id", corpus_id_col=id_col,
+            cell_col=cell_col, code_col=code_col,
+            rerank_vec_col=rerank_vec_col, shortlist=shortlist,
+        )
     M, K, dsub = codebooks.shape
     Cn = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12

@@ -232,6 +232,51 @@ def test_ivf_topk_max_queries_routes_to_knn_join(emb):
     idx.unpersist()
 
 
+def test_ivfpq_topk_max_queries_routes_and_pq_raises(emb):
+    """ivf_topk's round-13 guard, applied to the compressed forms:
+    above max_queries ivfpq_topk re-dispatches through ivfpq_knn_join
+    (same schema; per-(query, rank) parity), while pq_adc_topk — which
+    has no row-sided twin — fails loud with the routing advice."""
+    vec = emb.withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    ).select("vec_id", "vec")
+    C, books = similarity.train_ivfpq(
+        vec, "vec", n_centroids=8, n_subvectors=8, n_codes=16,
+        sample_rows=2000,
+    )
+    idx = similarity.assign_ivfpq(vec, "vec", C, books).cache()
+    qrows = vec.filter(F.col("vec_id") < 8).collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["vec"]]) for r in qrows]
+
+    routed = similarity.ivfpq_topk(
+        idx, "vec_id", C, books, queries, k=5, nprobe=4,
+        rerank_vec_col="vec", max_queries=4,
+    )
+    literal = similarity.ivfpq_topk(
+        idx, "vec_id", C, books, queries, k=5, nprobe=4,
+        rerank_vec_col="vec", max_queries=None,
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+        for r in routed.collect()
+    }
+    exp = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+        for r in literal.collect()
+    }
+    assert set(got) == set(exp)
+    for key in exp:
+        assert got[key][0] == exp[key][0], key
+        assert got[key][1] == pytest.approx(exp[key][1], rel=1e-9), key
+
+    coded = similarity.assign_pq_codes(vec, "vec", books)
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.pq_adc_topk(
+            coded, "vec_id", "pq_code", books, queries, k=5, max_queries=4
+        )
+    idx.unpersist()
+
+
 def test_pq_codes_and_adc_topk(emb, spark):
     """Product quantization (round 7): codebook shapes, code range, the
     zero-shuffle codegen plan of the assignment, ADC self-hit at rank 1,
