@@ -47,11 +47,26 @@ def ngrams_expr(toks: Column, n: int) -> Column:
     index 0..max(len-n, 0); documents shorter than n tokens emit a
     single partial gram. DuckDB mirror:
     list_transform(range(1, greatest(len(toks)-n, 0)+2),
-                   i -> array_to_string(toks[i:i+n-1], ' '))."""
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+                   i -> array_to_string(toks[i:i+n-1], ' ')).
+
+    ``toks`` is let-bound through a single-element ``transform`` before
+    the per-window lambda sees it: a lambda body embeds its free
+    expressions VERBATIM, so the naive form re-evaluates the whole
+    token tree (regexp split + filter of the raw text, when the caller
+    passes ``tokens_expr(...)``) once per window — ~n_tokens× redundant
+    work per row that whole-stage codegen cannot CSE away, and a
+    measured 20-60s/task interpreter-mode cliff before the JIT
+    compiles the generated code (round-13 dedup_spans regression). The
+    wrapper costs one 1-element array per row; inside the lambda the
+    tokens are a bound variable, evaluated once. No optimizer rule
+    inlines through a lambda application, so the binding is durable."""
+    def grams(t: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+        )
+
+    return F.get(F.transform(F.array(toks), grams), 0)
 
 
 def token_count(df: DataFrame, text_col: str, out: str = "n_tokens") -> DataFrame:

@@ -54,6 +54,36 @@ def test_lang_id_runs(docs):
     assert langs <= set(text.LANG_MARKERS) | {"und"}
 
 
+def test_ngrams_expr_evaluates_token_tree_once(docs):
+    # ngrams_expr let-binds its token array through a 1-element
+    # transform so the per-window lambda sees a bound variable, not the
+    # verbatim regexp-split tree (round 13): the naive form re-splits
+    # the raw text once per window — ~n_tokens x redundant work per row
+    # and a 20-60s/task interpreter-mode cliff before the JIT kicks in
+    # (the dedup_spans bench regression). Pin: the tokenization appears
+    # exactly ONCE in the optimized plan; a second occurrence means the
+    # binding was dropped (or an optimizer rule learned to inline
+    # through lambda applications and the form needs rethinking).
+    expr = text.ngrams_expr(text.tokens_expr(F.col("text")), 3)
+    plan = (
+        docs.select(expr.alias("g"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(lower") == 1, plan
+    # the binding is purely structural: values are the plain sliding
+    # window (verified here against a hand-rolled row)
+    row = docs.select(
+        text.tokens_expr(F.col("text")).alias("t"), expr.alias("g")
+    ).first()
+    toks = row["t"]
+    expected = [
+        " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 3, 0) + 1)
+    ]
+    assert row["g"] == expected
+
+
 def test_ngram_jaccard_self_similarity(spark):
     df = spark.createDataFrame(
         [
