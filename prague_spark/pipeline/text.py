@@ -652,15 +652,22 @@ def chunk_text(
     stride = size - overlap
     toks = tokens_expr(F.col(text_col))
     n = F.size(toks)
-    # chunk starts 0, stride, 2*stride, ... while start < n
-    n_chunks = F.floor((n - 1) / stride) + 1
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
-        lambda i: F.struct(
-            i.cast("int").alias("chunk_id"),
-            F.slice(toks, i * stride + 1, size).alias("_w"),
-        ),
-    )
+
+    # token array let-bound before the per-chunk lambda (the ngrams_expr
+    # convention): the naive form re-tokenizes the raw text once per
+    # chunk — ~n_tokens/stride x redundant splits per row, which bites
+    # exactly on the long documents chunking exists for
+    def chunks_of(t: Column) -> Column:
+        n_chunks = F.floor((F.size(t) - 1) / stride) + 1
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.slice(t, i * stride + 1, size).alias("_w"),
+            ),
+        )
+
+    chunks = F.get(F.transform(F.array(toks), chunks_of), 0)
     return (
         df.select(F.col(id_col), chunks.alias("_c"), n.alias("_n"))
         .filter(F.col("_n") > 0)
