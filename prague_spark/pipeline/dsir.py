@@ -61,15 +61,23 @@ def dsir_grams_expr(text_col):
     list_transform(range(1, len(toks)), i ->
     array_to_string(toks[i:i+1], ' ')) ELSE [] END). NULL text is an
     EMPTY gram set (not NULL), so both scoring methods agree that such
-    a document weighs exactly 0."""
+    a document weighs exactly 0.
+
+    The token array is let-bound before the unigram+bigram assembly
+    (the ngrams_expr convention): inlined, its three references would
+    each re-tokenize the raw text."""
+
+    def _feats(tk):
+        return F.concat(
+            tk,
+            F.when(F.size(tk) >= 2, ngrams_expr(tk, 2))
+            .otherwise(F.array().cast("array<string>")),
+        )
+
     toks = F.coalesce(
         tokens_expr(F.col(text_col)), F.array().cast("array<string>")
     )
-    return F.concat(
-        toks,
-        F.when(F.size(toks) >= 2, ngrams_expr(toks, 2))
-        .otherwise(F.array().cast("array<string>")),
-    )
+    return F.get(F.transform(F.array(toks), _feats), 0)
 
 
 def dsir_bucket_expr(gram, n_buckets: int):

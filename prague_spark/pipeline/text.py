@@ -72,7 +72,6 @@ def ngrams_expr(toks: Column, n: int) -> Column:
 def token_count(df: DataFrame, text_col: str, out: str = "n_tokens") -> DataFrame:
     """Whitespace token count plus a BPE-ish regex token count."""
     toks = tokens_expr(F.col(text_col))
-    bpe = F.filter(F.split(F.col(text_col), rf"({BPE_REGEX})|\s+"), lambda t: t != "")
     # regexp-extract-all is the robust way to count regex tokens
     bpe_count = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), 0))
     return df.withColumn(out, F.size(toks)).withColumn(out + "_bpe", bpe_count)
@@ -80,10 +79,18 @@ def token_count(df: DataFrame, text_col: str, out: str = "n_tokens") -> DataFram
 
 def quality_score(df: DataFrame, text_col: str, prefix: str = "q_") -> DataFrame:
     """Heuristic quality features: length, word stats, punctuation /
-    digit / uppercase / stopword ratios, and a composite [0, 1] score."""
+    digit / uppercase / stopword ratios, and a composite [0, 1] score.
+
+    The token array is staged as a (dropped) temp column
+    ``{prefix}_toks`` so the six derived features reference ONE
+    tokenization per row instead of each re-embedding the regexp-split
+    tree (the lambda/expression-hygiene rule — see ngrams_expr); the
+    name is reserved while the projection builds."""
     t = F.col(text_col)
     n_chars = F.length(t)
-    toks = tokens_expr(t)
+    tmp_toks = prefix + "_toks"
+    df = df.withColumn(tmp_toks, tokens_expr(t))
+    toks = F.col(tmp_toks)
     n_words = F.size(toks)
     n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
     n_digit = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
@@ -123,7 +130,7 @@ def quality_score(df: DataFrame, text_col: str, prefix: str = "q_") -> DataFrame
         + (1.0 - F.least(F.col(prefix + "digit_ratio") * 4.0, F.lit(1.0))) * 0.2
         + F.least(F.col(prefix + "stopword_ratio") * 5.0, F.lit(1.0)) * 0.1
     )
-    return df.withColumn(prefix + "score", score)
+    return df.withColumn(prefix + "score", score).drop(tmp_toks)
 
 
 def lang_id(df: DataFrame, text_col: str, out: str = "lang_pred") -> DataFrame:
@@ -135,26 +142,35 @@ def lang_id(df: DataFrame, text_col: str, out: str = "lang_pred") -> DataFrame:
     replaces (which re-inlined every hit count ~(n_langs+1) times into
     greatest + each branch; the assign_ivf_cells expression-blowup
     lesson, applied to the text projection)."""
-    toks = tokens_expr(F.col(text_col))
     langs = list(LANG_MARKERS)
+    names = F.array(*[F.lit(lg) for lg in langs])
 
-    def _hit(markers):
+    def _hit(tk, markers):
         # a dedicated closure per language: a default-arg lambda would
         # have two parameters and F.filter would take it for the
         # (element, index) form
         lits = [F.lit(m) for m in markers]
-        return F.size(F.filter(toks, lambda w: w.isin(lits)))
+        return F.size(F.filter(tk, lambda w: w.isin(lits)))
 
-    hits = F.array(*[_hit(LANG_MARKERS[lg]) for lg in langs])
-    best = F.array_max(hits)
-    names = F.array(*[F.lit(lg) for lg in langs])
+    # two let-bindings (the ngrams_expr convention): the tokenization is
+    # bound before the per-language hit counts (else each of the
+    # n_langs counts re-splits the text), and the hit ARRAY is bound
+    # before the argmax (else the n_langs-filter tree is embedded once
+    # in array_max and again in array_position)
+    def _pick(tk):
+        hits = F.array(*[_hit(tk, LANG_MARKERS[lg]) for lg in langs])
+
+        def _choose(h):
+            best = F.array_max(h)
+            return F.when(best <= 0, F.lit("und")).otherwise(
+                F.element_at(names, F.array_position(h, best).cast("int"))
+            )
+
+        return F.get(F.transform(F.array(hits), _choose), 0)
+
     return df.withColumn(
         out,
-        F.when(best <= 0, F.lit("und")).otherwise(
-            F.element_at(
-                names, F.array_position(hits, best).cast("int")
-            )
-        ),
+        F.get(F.transform(F.array(tokens_expr(F.col(text_col))), _pick), 0),
     )
 
 
@@ -284,13 +300,21 @@ def repetition_ratio(
     """Internal-repetition quality signal: the duplicated word-n-gram
     fraction (1 - distinct/total n-grams) — the Gopher-style repetition
     filter used to drop boilerplate/spam documents from training data.
-    Pure array expressions over one tokenization, no shuffle."""
+    Pure array expressions over one tokenization, no shuffle. The gram
+    array is let-bound before the ratio arithmetic (the ngrams_expr
+    convention) — inlined, the three references would each rebuild the
+    full n-gram window."""
+
+    def _ratio(g):
+        total = F.size(g)
+        return F.when(
+            total > 0, F.lit(1.0) - F.size(F.array_distinct(g)) / total
+        ).otherwise(F.lit(0.0))
+
     grams = ngrams_expr(tokens_expr(F.col(text_col)), n)
-    total = F.size(grams)
-    ratio = F.when(
-        total > 0, F.lit(1.0) - F.size(F.array_distinct(grams)) / total
-    ).otherwise(F.lit(0.0))
-    return df.withColumn(out, ratio)
+    return df.withColumn(
+        out, F.get(F.transform(F.array(grams), _ratio), 0)
+    )
 
 
 #: the Gopher-rule "must contain 2 of these" stop list (function words a
@@ -321,7 +345,16 @@ def gopher_quality_flags(
     composes with :func:`repetition_ratio` / :func:`quality_score` in
     the same scan. Thresholds are the published defaults; pass corpus-
     appropriate ones for short-document fixtures."""
-    toks = tokens_expr(F.col(text_col))
+    # the token array and the 2-gram window are staged as (dropped) temp
+    # columns: the five rules reference them ~12x / 3x respectively, and
+    # a lambda/when tree embeds its free expressions verbatim (the
+    # expression-hygiene rule — see ngrams_expr), so inlining would
+    # re-tokenize per reference and rebuild the full 2-gram window three
+    # times per row
+    tmp_toks, tmp_g2 = prefix + "_toks", prefix + "_g2"
+    df = df.withColumn(tmp_toks, tokens_expr(F.col(text_col)))
+    toks = F.col(tmp_toks)
+    df = df.withColumn(tmp_g2, ngrams_expr(toks, 2))
     n_words = F.size(toks)
     # mean length of the words themselves (not chars/words of the raw
     # text - whitespace and punctuation-only tokens are already gone)
@@ -335,7 +368,7 @@ def gopher_quality_flags(
     alpha_ratio = F.when(
         n_words > 0, n_alpha_words.cast("double") / n_words
     ).otherwise(F.lit(0.0))
-    g2 = ngrams_expr(toks, 2)
+    g2 = F.col(tmp_g2)
     rep2 = F.when(
         F.size(g2) > 0,
         F.lit(1.0) - F.size(F.array_distinct(g2)) / F.size(g2),
@@ -362,7 +395,7 @@ def gopher_quality_flags(
         & F.col(p + "rep_ok")
         & F.col(p + "stop_ok")
     )
-    return df.withColumn(p + "keep", keep)
+    return df.withColumn(p + "keep", keep).drop(tmp_toks, tmp_g2)
 
 
 #: host part of a URL: optional scheme, then everything up to the first
