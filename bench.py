@@ -91,6 +91,23 @@ def _scaling_checkpoint(spark) -> "dict | None":
         cur_cfg = CurationConfig(span_k=5, lang_col="lang")
         build_curation_artifacts(corpus, f"{base}/cur", "doc_id", "text",
                                  cur_cfg)
+        # the vector (SemDeDup) tier, same geometry as the main entry:
+        # near-dup-planted shard against a frozen-centroid IVF layout
+        # built untimed over the corpus split
+        emb_corpus = emb.filter(F.col("vec_id") % 5 != 0)
+        emb_held = emb.filter(F.col("vec_id") % 5 == 0)
+        emb_shard = emb_held.unionByName(
+            emb_held.select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"),
+                F.expr("transform(vec, x -> x * 1.001d)").alias("vec"),
+            )
+        )
+        emb_cfg = CurationConfig(
+            tiers=("embedding",), vec_col="vec", embed_centroids=8
+        )
+        build_curation_artifacts(
+            emb_corpus, f"{base}/embidx", "vec_id", "vec", emb_cfg
+        )
         C, books = similarity.train_ivfpq(
             emb, "vec", n_centroids=8, n_subvectors=8, n_codes=16,
             sample_rows=2000,
@@ -125,6 +142,9 @@ def _scaling_checkpoint(spark) -> "dict | None":
                 qdf, idx.select("vec_id", "cell", "pq_code"), C, books,
                 k=10, nprobe=2, rerank_codes=True, shortlist=50,
             ).count(),
+            "curate_gate_shard_embedding": lambda: gate_shard(
+                emb_shard, f"{base}/embidx", "vec_id", "vec", emb_cfg
+            )["embedding"].count(),
         }
 
     def wall(fn) -> float:

@@ -197,11 +197,20 @@ def assign_ivf_cells(
     cents = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
+    # the sims array is let-bound (single-element-transform form) before
+    # the argmax: array_position + array_max are two references, and an
+    # inlined sims would embed the K-dot tree twice in the plan
     sims = F.transform(cents, lambda cv: _dot(vec, cv))
-    return corpus.withColumn(
-        out,
-        (F.array_position(sims, F.array_max(sims)) - F.lit(1)).cast("int"),
+    argmax = F.get(
+        F.transform(
+            F.array(sims),
+            lambda sm: (
+                F.array_position(sm, F.array_max(sm)) - F.lit(1)
+            ).cast("int"),
+        ),
+        0,
     )
+    return corpus.withColumn(out, argmax)
 
 
 def ivf_topk(
@@ -644,8 +653,18 @@ def assign_pq_codes(
             ]
         )
         scores = F.transform(cents, lambda s: _dot(block, s["v"]) - s["hn"])
+        # let-bind scores before the argmax (see assign_ivf_cells): an
+        # inlined scores would embed the K-dot subvector tree twice
         codes.append(
-            (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+            F.get(
+                F.transform(
+                    F.array(scores),
+                    lambda sc: (
+                        F.array_position(sc, F.array_max(sc)) - 1
+                    ).cast("int"),
+                ),
+                0,
+            )
         )
     return df.withColumn(out, F.array(*codes)).drop(nv)
 

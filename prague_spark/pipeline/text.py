@@ -193,8 +193,12 @@ def _winnow_stage(df: DataFrame, text_col: str, k: int, w: int) -> DataFrame:
     the next refers to it: Catalyst does NOT common-subexpression-
     eliminate inside higher-order-function lambdas, so inlining the
     k-gram hashes into the window-minimum transform would recompute the
-    whole hash array once per window — O(len^2) md5 calls per row."""
-    txt = F.lower(F.col(text_col))
+    whole hash array once per window — O(len^2) md5 calls per row. The
+    lowered text itself is staged as ``_wtxt`` for the same reason:
+    inlined, every gram element would re-run lower() over the whole
+    string (O(len^2) character copies per row)."""
+    stage = df.withColumn("_wtxt", F.lower(F.col(text_col)))
+    txt = F.col("_wtxt")
     n_grams = F.greatest(F.length(txt) - k + 1, F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), n_grams),
@@ -202,7 +206,7 @@ def _winnow_stage(df: DataFrame, text_col: str, k: int, w: int) -> DataFrame:
             F.substring(F.md5(txt.substr(i, F.lit(k))), 1, 8), 16, 10
         ).cast("long"),
     )
-    stage = df.withColumn("_wgrams", grams)
+    stage = stage.withColumn("_wgrams", grams)
     minima = F.transform(
         F.sequence(
             F.lit(1), F.greatest(F.size(F.col("_wgrams")) - w + 1, F.lit(1))
@@ -263,7 +267,7 @@ def winnow_fingerprint(
             ),
         )
         .withColumn(out + "_size", F.size(F.col("_wset")).cast("bigint"))
-        .drop("_wgrams", "_wmin", "_wset")
+        .drop("_wtxt", "_wgrams", "_wmin", "_wset")
     )
 
 

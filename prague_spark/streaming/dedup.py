@@ -47,22 +47,33 @@ def minhash_signature_expr(
     no aggregation): h_i = min over distinct tokens of
     (a_i * md5_32(token) + b_i) mod (2^31 - 1). Identical numbers to the
     batch ``pipeline.dedup.minhash_signatures`` (same hash family, same
-    md5-derived token ints), but usable in any streaming projection."""
+    md5-derived token ints), but usable in any streaming projection.
+
+    The md5-token-int array is let-bound (single-element-transform
+    form, the expression-hygiene rule — see text.ngrams_expr) before
+    the per-lane min-hash arithmetic: inlined, each of the
+    ``num_hashes`` lanes would re-tokenize and re-md5 the whole
+    document, a num_hashes-fold amplification of the row's only
+    expensive work."""
     a, b = _minhash_params(num_hashes, seed)
+
+    def _lanes(xv):
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        xv,
+                        lambda x: (F.lit(int(a[i])) * x + F.lit(int(b[i])))
+                        % F.lit(MERSENNE),
+                    )
+                ).cast("long")
+                for i in range(num_hashes)
+            ]
+        )
+
     toks = F.array_distinct(tokens_expr(text))
     xs = F.transform(toks, _token_int_expr)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    xs,
-                    lambda x: (F.lit(int(a[i])) * x + F.lit(int(b[i])))
-                    % F.lit(MERSENNE),
-                )
-            ).cast("long")
-            for i in range(num_hashes)
-        ]
-    )
+    return F.get(F.transform(F.array(xs), _lanes), 0)
 
 
 def minhash_signatures_stream(
