@@ -792,6 +792,45 @@ def fit_sparse(
                 bytes=rid_sorted.nbytes + Y_loc.nbytes, limit=limit,
             )
 
+    # BULK in-core promotion (optimization round 13): when the WHOLE
+    # universe-restricted triplet set fits the same budget that prices the
+    # per-column fetches (the setup pass's nnz counts make the payload
+    # knowable in advance), fetch it ONCE — one Arrow collect — and keep a
+    # flat (row_pos, col, val) copy driver-side. Every later strong-rule /
+    # KKT full gradient then computes driver-side (O(nnz) NumPy, see
+    # _full_gradient) instead of issuing a join + groupBy job per path
+    # point, so the per-path-point cluster cost collapses from ~3 scans to
+    # ~0 while the distributed fallbacks (and every budget above) stay
+    # intact for designs past the limit. This is the glmnet in-core regime
+    # the architecture already targets for SUBSET solves, extended to the
+    # gradient: at cluster scale a design over the budget is untouched.
+    incore_flat = None
+    if incore is not None:
+        total_nnz = int(col_nnz[1:].sum())
+        # price: per-column cache views (16 B/nnz) + the flat col/row/val
+        # arrays for the X^T g scatter (20 B/nnz)
+        if 0 < total_nnz * 36 <= incore["limit"] - incore["bytes"]:
+            bulk = (
+                trip.join(ydf.select(row_col), row_col, "leftsemi")
+                .select(col_col, row_col, val_col)
+                .toPandas()  # Arrow transfer; priced above
+            )
+            design.scans += 1
+            cc = bulk[col_col].to_numpy(dtype=np.int64)
+            rr = bulk[row_col].to_numpy()
+            vv = bulk[val_col].to_numpy(dtype=np.float64)
+            order = np.argsort(cc, kind="stable")
+            cc, rr, vv = cc[order], rr[order], vv[order]
+            # row universe membership is guaranteed by the leftsemi join,
+            # so the searchsorted positions are exact
+            rpos = np.searchsorted(incore["row_ids"], rr).astype(np.intp)
+            bounds = np.searchsorted(cc, np.arange(n_cols + 1))
+            for c in range(n_cols):
+                lo, hi = int(bounds[c]), int(bounds[c + 1])
+                incore["cols"][c] = (rpos[lo:hi], vv[lo:hi])
+            incore["bytes"] += rpos.nbytes + vv.nbytes + cc.nbytes
+            incore_flat = (rpos, cc, vv)
+
     def _incore_fetch(cols_needed) -> bool:
         """Ensure the given feature columns (0-based) are cached driver-
         side; fetches the missing ones as ONE broadcast-pruned collect.
@@ -891,7 +930,32 @@ def fit_sparse(
         (lp from the cached sparse columns) and shipped as a broadcast n-row
         frame, so the distributed part is ONE map-side-combined
         join + groupBy(col) — no lp shuffle join, roughly 3x cheaper than
-        the generic SparseLongDesign.full_gradient job at wide p."""
+        the generic SparseLongDesign.full_gradient job at wide p.
+
+        With the bulk in-core promotion (incore_flat) the whole gradient
+        is driver-side NumPy — lp from the cached columns, pseudo-gradient,
+        then ONE bincount scatter over the flat (row_pos, col, val) copy —
+        and the path loop issues ZERO distributed jobs per path point."""
+        if incore_flat is not None:
+            B = np.asarray(beta, dtype=np.float64).reshape(n_cols + 1, m)
+            nz = np.flatnonzero(np.any(B[1:] != 0, axis=1))
+            lp = np.tile(icol * B[0], (n, 1))
+            for c in nz:
+                pos, vv = incore["cols"][int(c)]
+                # summing accumulate — duplicate-triplet parity with the
+                # distributed groupBy route (see _incore_design)
+                np.add.at(lp, pos, vv[:, np.newaxis] * B[1 + c])
+            g = fam_obj.pseudo_gradient(incore["Y"], lp)
+            if g.ndim == 1:
+                g = g[:, np.newaxis]
+            rpos, ccol, vflat = incore_flat
+            grad = np.zeros((n_cols + 1, m))
+            grad[0] = icol * g.sum(axis=0)
+            for t in range(m):
+                grad[1:, t] = np.bincount(
+                    ccol, weights=vflat * g[rpos, t], minlength=n_cols
+                )
+            return grad
         if incore is not None:
             B = np.asarray(beta, dtype=np.float64).reshape(n_cols + 1, m)
             nz = np.flatnonzero(np.any(B[1:] != 0, axis=1))

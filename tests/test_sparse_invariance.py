@@ -376,6 +376,43 @@ def test_random_sparse_problem_multinomial_branch(spark):
     assert mean_lp["c0"] > mean_lp["c2"] > mean_lp["c1"]
 
 
+def test_sparse_bulk_incore_gradient_zero_scans_per_point(spark):
+    """The round-13 bulk in-core promotion: when the whole triplet set
+    fits the in-core budget, the strong-rule / KKT full gradients run
+    driver-side and the fit issues only the fixed setup jobs — scans
+    stay CONSTANT in the path length. A budget just under the bulk
+    threshold must fall back to the per-column-fetch route with
+    identical betas (the gradient is the same numbers, differently
+    summed)."""
+    from prague_spark.ops.sparse import fit_sparse
+    from prague_spark.ops.synth import random_sparse_problem
+
+    trip, ydf, _ = random_sparse_problem(
+        spark, n=500, p=120, nnz_per_row=8, seed=3
+    )
+    trip, ydf = trip.cache(), ydf.cache()
+    kw = dict(n_cols=120, n_sigma=6, lambda_min_ratio=0.2, gram_limit=8)
+    m_bulk = fit_sparse(trip, ydf, "y", "gaussian", **kw)
+    # y payload (500*32 = 16 KB) fits, but nnz*36 = 144 KB does not ->
+    # per-column fetches + the one-job gradient, same solver routes
+    m_cols = fit_sparse(
+        trip, ydf, "y", "gaussian", incore_limit=100_000, **kw
+    )
+    assert m_bulk.diagnostics["incore_subset_fits"]
+    assert m_cols.diagnostics["incore_subset_fits"]
+    # bulk: count-independent setup scans only (setup agg + head + y +
+    # bulk fetch = 4); the per-column route pays >= 1 gradient job per
+    # path point on top
+    assert m_bulk.diagnostics["sparse_scans"] <= 4
+    assert (
+        m_cols.diagnostics["sparse_scans"]
+        >= m_bulk.diagnostics["sparse_scans"] + m_bulk.n_path - 1
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_bulk.betas), np.asarray(m_cols.betas), atol=1e-7
+    )
+
+
 @pytest.mark.parametrize("family", ["gaussian", "binomial"])
 def test_sparse_incore_subset_route_matches_distributed(spark, family):
     # the in-core subset solve (screen -> fetch active columns -> driver
