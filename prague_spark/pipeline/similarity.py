@@ -37,6 +37,28 @@ def _lit_vec(xs) -> "F.Column":
     ).cast("array<double>")
 
 
+def _lit_mat(rows) -> "F.Column":
+    """A literal double MATRIX (array<array<double>>) as ONE folded
+    Literal via ``from_json``.
+
+    The nested ``F.array(*[F.array(*[F.lit(x) ...]) ...])`` form costs
+    one py4j round-trip per scalar to BUILD and an analyzer/optimizer
+    walk over K*dim AST nodes on EVERY action — measured ~1 s of
+    driver time per action for an 8x64 centroid table, ~3 s for the
+    ivfpq probe/LUT trees, paid again by every run because each
+    rebuilt DataFrame re-plans. ``from_json`` of one string literal
+    builds in O(1) py4j calls and ConstantFolding collapses it to a
+    single array Literal before codegen, so both the per-action
+    planning cost and the plan size stop scaling with the model
+    dimensions. Values round-trip bit-exactly (shortest-repr JSON
+    doubles); finite values only — JSON has no NaN/Inf, and every
+    centroid/codebook table here is finite by construction."""
+    import json
+
+    payload = json.dumps([[float(x) for x in r] for r in rows])
+    return F.from_json(F.lit(payload), "array<array<double>>")
+
+
 def _norm(a):
     return F.sqrt(_dot(a, a))
 
@@ -66,17 +88,13 @@ def _exact_rerank_scores(cand: DataFrame, id_col: str, vec_col: str,
     per-query literals: the looked-up array feeds the identical
     zip_with/aggregate fold and the norm is the same double literal."""
     qids = F.array(*[F.lit(int(qid)) for qid, _ in queries])
-    qvecs = F.map_from_arrays(
-        qids,
-        F.array(*[
-            F.array(*[F.lit(float(x)) for x in qv]) for _, qv in queries
-        ]),
-    )
+    # one folded literal per table (see _lit_mat/_lit_vec): the map
+    # values must not re-cost |Q| x dim AST nodes per action
+    qvecs = F.map_from_arrays(qids, _lit_mat([qv for _, qv in queries]))
     qnorms = F.map_from_arrays(
         qids,
-        F.array(*[
-            F.lit(max(float(np.linalg.norm(qv)), 1e-12)) for _, qv in queries
-        ]),
+        _lit_vec([max(float(np.linalg.norm(qv)), 1e-12)
+                  for _, qv in queries]),
     )
     score = _dot(F.col(vec_col), F.element_at(qvecs, F.col("query_id"))) / (
         _norm_safe(F.col(vec_col)) * F.element_at(qnorms, F.col("query_id"))
@@ -102,9 +120,12 @@ def cosine_topk(
     set wants an index: :func:`ivf_knn_join` / :func:`ivfpq_knn_join`
     take queries as ROWS with constant plan width."""
     vec = F.col(vec_col)
+    # the query vectors as ONE folded literal table (element_at per
+    # query) instead of |Q| x dim AST nodes re-analyzed per action
+    qmat = _lit_mat([qv for _, qv in queries])
     per_query = []
-    for qid, qv in queries:
-        qlit = F.array(*[F.lit(float(x)) for x in qv])
+    for qi, (qid, qv) in enumerate(queries):
+        qlit = F.element_at(qmat, qi + 1)
         per_query.append(
             F.struct(
                 F.lit(int(qid)).alias("query_id"),
@@ -194,9 +215,7 @@ def assign_ivf_cells(
     # fold expression exists once regardless of n_centroids (literals
     # are data, not per-centroid expression subtrees) — the plan stays
     # O(dim) in expression count even at embed_centroids=1024
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    cents = _lit_mat(centroids)
     # the sims array is let-bound (single-element-transform form) before
     # the argmax: array_position + array_max are two references, and an
     # inlined sims would embed the K-dot tree twice in the plan
@@ -288,21 +307,23 @@ def ivf_knn_candidates(
     # vector, so existing oracles are unchanged.
     qn = F.greatest(_norm(qv), F.lit(1e-12))
     C = np.asarray(centroids, dtype=np.float64)
-    entries = [
-        F.struct(
-            (
-                -(
-                    _dot(qv, F.array(*[F.lit(float(x)) for x in c]))
-                    / (qn * F.lit(float(np.linalg.norm(c))))
-                )
-            ).alias("negsim"),
-            F.lit(ci).alias("ci"),
-        )
-        for ci, c in enumerate(C)
-    ]
+    # ONE folded centroid/norm literal + an index-lambda transform
+    # (same dots, same divide — bit-identical scores) instead of K
+    # per-centroid literal trees rebuilt and re-analyzed per action
+    cmat = _lit_mat(C)
+    cnrm = _lit_vec([float(np.linalg.norm(c)) for c in C])
+    entries = F.transform(
+        cmat,
+        lambda c, i: F.struct(
+            (-(_dot(qv, c) / (qn * F.element_at(cnrm, i + 1)))).alias(
+                "negsim"
+            ),
+            i.alias("ci"),
+        ),
+    )
     # struct sort = (negsim asc, ci asc) = cosine desc with cell-id ties
     probe_cells = F.transform(
-        F.slice(F.array_sort(F.array(*entries)), 1, int(nprobe)),
+        F.slice(F.array_sort(entries), 1, int(nprobe)),
         lambda s: s["ci"],
     )
     qx = queries.select(
@@ -643,16 +664,11 @@ def assign_pq_codes(
     codes = []
     for m in range(M):
         block = F.slice(F.col(nv), m * dsub + 1, dsub)
-        cents = F.array(
-            *[
-                F.struct(
-                    F.array(*[F.lit(float(x)) for x in c]).alias("v"),
-                    F.lit(float(np.dot(c, c) / 2.0)).alias("hn"),
-                )
-                for c in codebooks[m]
-            ]
-        )
-        scores = F.transform(cents, lambda s: _dot(block, s["v"]) - s["hn"])
+        # folded literal codebook + half-norm tables (zip_with replaces
+        # the struct array — same K scores, bit-identical arithmetic)
+        cbm = _lit_mat(codebooks[m])
+        hnm = _lit_vec([float(np.dot(c, c) / 2.0) for c in codebooks[m]])
+        scores = F.zip_with(cbm, hnm, lambda cv, hn: _dot(block, cv) - hn)
         # let-bind scores before the argmax (see assign_ivf_cells): an
         # inlined scores would embed the K-dot subvector tree twice
         codes.append(
@@ -693,19 +709,14 @@ def reconstruct_pq(
     code = F.col(code_col)
     blocks = [
         F.element_at(
-            F.array(*[
-                F.array(*[F.lit(float(x)) for x in codebooks[m, j]])
-                for j in range(K)
-            ]),
+            _lit_mat(codebooks[m]),
             F.element_at(code, m + 1) + F.lit(1),
         )
         for m in range(M)
     ]
     recon = F.flatten(F.array(*blocks))
     if centroids is not None:
-        cents = F.array(*[
-            F.array(*[F.lit(float(x)) for x in c]) for c in centroids
-        ])
+        cents = _lit_mat(centroids)
         recon = F.zip_with(
             recon,
             F.element_at(cents, F.col(cell_col) + 1),
@@ -761,7 +772,7 @@ def pq_adc_topk(
         luts = [qn[m * dsub:(m + 1) * dsub] @ codebooks[m].T for m in range(M)]
         score = None
         for m in range(M):
-            lut = F.array(*[F.lit(float(x)) for x in luts[m]])
+            lut = _lit_vec(luts[m])
             term = F.element_at(lut, F.element_at(code, m + 1) + F.lit(1))
             score = term if score is None else score + term
         per_query.append(
@@ -852,9 +863,7 @@ def assign_ivfpq(
     of 8-byte codes instead of the full float corpus."""
     vec = F.col(vec_col)
     df = assign_ivf_cells(df, vec_col, centroids, out=cell_col)
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    cents = _lit_mat(centroids)
     nrm = _norm_safe(vec)
     resid = F.zip_with(
         F.transform(vec, lambda x: x / nrm),
@@ -923,12 +932,12 @@ def ivfpq_topk(
         q = np.asarray(qv, dtype=np.float64)
         qn = q / max(float(np.linalg.norm(q)), 1e-12)
         probes = np.argsort(-(Cn @ qn))[:nprobe].tolist()
-        celldot = F.array(*[F.lit(float(x)) for x in (centroids @ qn)])
+        celldot = _lit_vec(centroids @ qn)
         score = F.element_at(celldot, F.col(cell_col) + 1)
         for m in range(M):
             lut = qn[m * dsub:(m + 1) * dsub] @ codebooks[m].T
             term = F.element_at(
-                F.array(*[F.lit(float(x)) for x in lut]),
+                _lit_vec(lut),
                 F.element_at(code, m + 1) + F.lit(1),
             )
             score = score + term
@@ -1267,38 +1276,35 @@ def ivfpq_knn_candidates(
     qnv = F.col("_qnv")
     # probe ranking by cosine to the numpy-normalized centroid literals
     # (ivfpq_topk's argsort over Cn @ qn); celldot keeps the RAW-centroid
-    # dot its ADC score opens with (centroids @ qn)
-    entries = [
-        F.struct(
-            (-_dot(qnv, F.array(*[F.lit(float(x)) for x in cn]))).alias(
-                "negsim"
+    # dot its ADC score opens with (centroids @ qn). The centroid and
+    # codebook tables are ONE folded literal each (_lit_mat) with an
+    # index-lambda transform — same dots in the same order, but the plan
+    # no longer carries K*dim + M*K*dsub AST nodes re-analyzed per
+    # action (~3 s of driver time per run at the bench shapes).
+    cmat = _lit_mat(C)
+    cnmat = _lit_mat(Cn)
+    entries = F.transform(
+        cnmat,
+        lambda cn, i: F.struct(
+            (-_dot(qnv, cn)).alias("negsim"),
+            i.alias("ci"),
+            _dot(qnv, F.element_at(cmat, i + 1)).alias("celldot"),
+        ),
+    )
+    probes = F.slice(F.array_sort(entries), 1, int(nprobe))
+    # flat (M*K, dsub) codebook table, m-major like the flatten it
+    # replaces: lut[m*K + j] = q_m . codebook[m, j]
+    bmat = _lit_mat(books.reshape(M * K, dsub))
+    lut = F.transform(
+        bmat,
+        lambda cb, j: _dot(
+            F.slice(
+                qnv,
+                (j / F.lit(int(K))).cast("int") * F.lit(int(dsub)) + 1,
+                int(dsub),
             ),
-            F.lit(ci).alias("ci"),
-            _dot(qnv, F.array(*[F.lit(float(x)) for x in c])).alias(
-                "celldot"
-            ),
-        )
-        for ci, (c, cn) in enumerate(zip(C, Cn))
-    ]
-    probes = F.slice(F.array_sort(F.array(*entries)), 1, int(nprobe))
-    lut = F.flatten(
-        F.array(
-            *[
-                F.transform(
-                    F.array(
-                        *[
-                            F.array(*[F.lit(float(x)) for x in books[m, j]])
-                            for j in range(K)
-                        ]
-                    ),
-                    # the lambda runs NOW (F.transform builds the tree
-                    # inside this comprehension step), so closing over m
-                    # is safe — no late binding
-                    lambda cb: _dot(F.slice(qnv, m * dsub + 1, dsub), cb),
-                )
-                for m in range(M)
-            ]
-        )
+            cb,
+        ),
     )
     qx = (
         qx.withColumn("_lut", lut)
@@ -1454,12 +1460,21 @@ def hyperplane_lsh_buckets(
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
     vec = F.col(vec_col)
-    bucket = F.lit(0).cast("long")
-    for i, pl in enumerate(planes):
-        # split-literal plane (one constant-folded string literal, not a
-        # dim-child CreateArray): at the default 16x64 either form is
-        # cheap, but a large embedding dim must not pay ~8 s of driver
-        # analysis per plane — the assign_pq_codes lesson
-        proj = _dot(vec, _lit_vec(pl))
-        bucket = bucket + F.when(proj > 0, F.lit(int(2**i)).cast("long")).otherwise(F.lit(0).cast("long"))
+    # the whole plane table is ONE folded literal (_lit_mat) and the
+    # sign-bit pack is one index-lambda transform + integer-exact sum
+    # (shiftleft(1L, i) == 2**i), so the plan carries O(1) literal nodes
+    # instead of n_planes dot trees — the banded LSH caller builds many
+    # of these per query and was paying the analysis per band per action
+    terms = F.transform(
+        _lit_mat(planes),
+        lambda pl, i: F.when(
+            _dot(vec, pl) > 0,
+            # call_function: the F.shiftleft wrapper types numBits as a
+            # Python int and rejects the index column
+            F.call_function("shiftleft", F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    bucket = F.aggregate(
+        terms, F.lit(0).cast("long"), lambda acc, t: acc + t
+    )
     return df.withColumn(out, bucket)
