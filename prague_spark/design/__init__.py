@@ -158,6 +158,99 @@ class SparseLocalDesign:
         pg = self.family.pseudo_gradient(self.Y, self._lp(beta))
         return self._xt(pg if pg.ndim > 1 else pg[:, np.newaxis])
 
+    def hess_pair_volume(self) -> int:
+        """sum_r nnz_r^2 over the FEATURE entries — the size of the
+        within-row pair expansion :meth:`eval_hessian` scatters from
+        (the intercept row/column is handled analytically, so it never
+        enters the expansion)."""
+        if not hasattr(self, "_hpv"):
+            if len(self.rows) == 0:
+                self._hpv = 0
+            else:
+                counts = np.bincount(self.rows, minlength=self.n)
+                self._hpv = int((counts.astype(np.float64) ** 2).sum())
+        return self._hpv
+
+    def _hess_pairs(self):
+        """Cached within-row COO pair expansion (ci, cj, v_i*v_j, row):
+        X^T diag(w) X over the feature block is then ONE np.add.at
+        scatter per weight vector — O(sum_r nnz_r^2), never the dense
+        n*p_act product. All ordered pairs (both (a,b) and (b,a) plus
+        the diagonal) are emitted, so the scattered block is exactly
+        symmetric; duplicate (row, col) triplets expand into cross
+        pairs whose products sum to the densified (sum v)^2, matching
+        the dense route's np.add.at materialization."""
+        if not hasattr(self, "_pairs"):
+            if len(self.rows) == 0:
+                self._pairs = (
+                    np.empty(0, dtype=np.intp), np.empty(0, dtype=np.intp),
+                    np.empty(0), np.empty(0, dtype=np.intp),
+                )
+            else:
+                order = np.argsort(self.rows, kind="stable")
+                r = self.rows[order]
+                c = self.cols[order]
+                v = self.vals[order]
+                starts = np.flatnonzero(np.r_[True, r[1:] != r[:-1]])
+                counts = np.diff(np.r_[starts, len(r)])
+                k2 = counts * counts
+                P = int(k2.sum())
+                base = np.repeat(starts, k2)
+                cum = np.cumsum(k2) - k2
+                off = np.arange(P, dtype=np.intp) - np.repeat(cum, k2)
+                kk = np.repeat(counts, k2)
+                ia = base + off // kk
+                ib = base + off % kk
+                self._pairs = (c[ia], c[ib], v[ia] * v[ib], r[ia])
+        return self._pairs
+
+    def eval_hessian(self, beta):
+        """(primal, dual, gradient, Hessian) at beta — the prox-Newton
+        bundle (LocalDesign.eval_hessian's contract) computed from the
+        COO arrays: H block (k, l) = X^T diag(w_kl) X via the cached
+        pair expansion + analytic intercept row/column. Same values as
+        the dense ``_weighted_gram`` (summation order differs — the
+        solvers converge to their tolerances either way)."""
+        lp = self._lp(beta)
+        g = self.family.primal(self.Y, lp)
+        G = self.family.dual(self.Y, lp)
+        pg = self.family.pseudo_gradient(self.Y, lp)
+        grad = self._xt(pg if pg.ndim > 1 else pg[:, np.newaxis])
+        W = self.family.hessian_weights(self.Y, lp)
+        if W.ndim == 1:
+            W = W[:, np.newaxis]
+        ci, cj, vv, rr = self._hess_pairs()
+        p, m = self.p, self.m
+        multinomial = self.family.name == "multinomial"
+
+        def block(w):
+            blk = np.zeros((p, p))
+            if len(ci):
+                np.add.at(blk, (ci, cj), vv * w[rr])
+            blk[0, 0] = self.icol * self.icol * float(w.sum())
+            if len(self.rows):
+                edge = self.icol * np.bincount(
+                    self.cols - 1, weights=self.vals * w[self.rows],
+                    minlength=p - 1,
+                )
+            else:
+                edge = np.zeros(p - 1)
+            blk[0, 1:] = edge
+            blk[1:, 0] = edge
+            return blk
+
+        if not multinomial:
+            return g, G, grad, block(W[:, 0])
+        H = np.empty((p * m, p * m), dtype=np.float64)
+        for k in range(m):
+            for l in range(k, m):
+                w_kl = W[:, k] * ((1.0 if k == l else 0.0) - W[:, l])
+                blk = block(w_kl)
+                H[k * p:(k + 1) * p, l * p:(l + 1) * p] = blk
+                if l != k:
+                    H[l * p:(l + 1) * p, k * p:(k + 1) * p] = blk
+        return g, G, grad, H
+
     def power_eigmax(self, iters: int = 60, tol: float = 1e-4, seed: int = 0):
         """eigmax(X'X) by power iteration on the O(nnz) matvecs — ~iters
         cheap passes in-core buy a step size the trace bound can't give."""

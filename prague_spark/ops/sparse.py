@@ -1081,6 +1081,17 @@ def fit_sparse(
     route_counts = {"incore_dense": 0, "incore_sparse": 0, "distributed": 0}
 
     def _fit_at(design_sub, beta_init, lam_scaled, idx):
+        # design_sub may be a THUNK (the screening loop passes one): the
+        # column-pruned Spark design costs a createDataFrame + join to
+        # BUILD — py4j round-trips paid per repair iteration — and the
+        # in-core routes never touch it, so it is only materialized when
+        # a distributed fallback actually runs
+        def _sub():
+            nonlocal design_sub
+            if callable(design_sub):
+                design_sub = design_sub()
+            return design_sub
+
         if gram is not None:
             gd = gram if len(idx) == p_total else gram.subset(idx)
             w_eig, _ = gd.eigh()
@@ -1097,6 +1108,30 @@ def fit_sparse(
         # in-core subset solve: the whole fit is driver-side NumPy — zero
         # distributed jobs beyond the (cached) column fetch
         if incore is not None:
+            if family != "gaussian":
+                # iterative families: prefer prox-Newton directly on the
+                # SPARSE design when its Hessian pair expansion
+                # (sum_r nnz_r^2 scatter, see SparseLocalDesign.
+                # eval_hessian) is clearly cheaper than the dense
+                # (X*w)^T X product — at the wide-p bench shapes the
+                # dense IRLS Hessian was ~35% of the whole fit wall
+                # while the active columns are >99% zeros. The 40x
+                # factor prices np.add.at scatter against BLAS MACs;
+                # denser subsets keep the dense route below.
+                sld = _incore_sparse_design(idx)
+                hess_bytes = (len(idx) * m) ** 2 * 8
+                if (
+                    sld is not None
+                    and incore["bytes"] + hess_bytes <= incore["limit"]
+                    and sld.hess_pair_volume() * 40 <= n * len(idx)
+                ):
+                    route_counts["incore_sparse"] += 1
+                    return prox_newton(
+                        sld, beta_init, lam_scaled, n_unpenalized=1,
+                        max_passes=max_passes, tol_rel_gap=tol_rel_gap,
+                        tol_infeas=tol_infeas, tol_abs=tol_abs,
+                        tol_rel=tol_rel,
+                    )
             ld = _incore_design(idx)
             if ld is None:
                 # dense materialization over budget — try the SPARSE
@@ -1160,7 +1195,7 @@ def fit_sparse(
         route_counts["distributed"] += 1
         if (len(idx) * m) ** 2 <= hess_cell_guard and _pair_volume_ok():
             return prox_newton(
-                design_sub, beta_init, lam_scaled, n_unpenalized=1,
+                _sub(), beta_init, lam_scaled, n_unpenalized=1,
                 max_passes=max_passes, tol_rel_gap=tol_rel_gap,
                 tol_infeas=tol_infeas, tol_abs=tol_abs, tol_rel=tol_rel,
             )
@@ -1170,7 +1205,7 @@ def fit_sparse(
             factor = {"gaussian": 1.0, "binomial": 4.0, "multinomial": 2.0}[family]
             lr_sub = factor / tr if tr > 0 else None
         return fista(
-            design_sub, beta_init, lam_scaled, n_unpenalized=1,
+            _sub(), beta_init, lam_scaled, n_unpenalized=1,
             max_passes=max_passes, tol_rel_gap=tol_rel_gap,
             tol_infeas=tol_infeas, fixed_learning_rate=lr_sub,
         )
@@ -1220,13 +1255,23 @@ def fit_sparse(
                     beta = res.beta.reshape(p_total, m)
                     grad_cache = None  # no KKT gradient at this beta
                     break
-                design_sub = design.subset(active_set)
+                # the subset design is a thunk: the in-core routes never
+                # build it (see _fit_at), so its createDataFrame + join
+                # construction cost is only paid by distributed fallbacks
+                sub_holder: list = []
+
+                def _make_sub(idx_now=active_set):
+                    sub = design.subset(idx_now)
+                    sub_holder.append(sub)
+                    return sub
+
                 n_active_pen = (len(active_set) - 1) * m
                 res = _fit_at(
-                    design_sub, beta[active_set],
+                    _make_sub, beta[active_set],
                     lam[:n_active_pen] * sig[k], active_set,
                 )
-                design.scans += design_sub.scans
+                for sub in sub_holder:
+                    design.scans += sub.scans
                 beta = np.zeros((p_total, m))
                 beta[active_set] = res.beta.reshape(len(active_set), m)
 

@@ -413,6 +413,68 @@ def test_sparse_bulk_incore_gradient_zero_scans_per_point(spark):
     )
 
 
+@pytest.mark.parametrize("family", ["binomial", "multinomial"])
+def test_sparse_hessian_prox_newton_matches_dense_incore(spark, family):
+    """The round-13 sparse-Hessian route: iterative-family in-core
+    subset solves run prox-Newton directly on the COO design (pair-
+    expansion X^T W X, SparseLocalDesign.eval_hessian) when that is
+    clearly cheaper than densifying. Same algorithm, same tolerances —
+    betas must match the dense in-core route, and the sparse Hessian
+    must equal the dense _weighted_gram up to summation order."""
+    import numpy as np
+
+    from prague_spark.core.families import setup_family
+    from prague_spark.design import LocalDesign, SparseLocalDesign
+
+    rng = np.random.default_rng(23)
+    n, p = 300, 40
+    X = np.where(rng.random((n, p)) < 0.1, rng.normal(size=(n, p)), 0.0)
+    icol = 1.0 / np.sqrt(n)
+    Xf = np.hstack([np.full((n, 1), icol), X])
+    if family == "binomial":
+        yy = (X[:, 0] + rng.normal(scale=0.5, size=n) > 0).astype(float)
+        Y = yy
+        m = 1
+    else:
+        s0 = 2.0 * X[:, 0] + rng.normal(scale=0.5, size=n)
+        s1 = -2.0 * X[:, 1] + rng.normal(scale=0.5, size=n)
+        cls = np.where(s0 > np.maximum(s1, 0), 0, np.where(s1 > 0, 1, 2))
+        m = 2
+        Y = np.zeros((n, m))
+        for t in range(m):
+            Y[:, t] = (cls == t).astype(float)
+    fam = setup_family(family)
+    rows, cols = np.nonzero(X)
+    sld = SparseLocalDesign(rows, cols + 1, X[rows, cols], n, p + 1, Y,
+                            fam, icol=icol)
+    ld = LocalDesign(Xf, Y, fam)
+    beta = np.zeros((p + 1, max(m, 1)))
+    beta[1] = 0.3
+    g_s, G_s, grad_s, H_s = sld.eval_hessian(beta)
+    g_d, G_d, grad_d, H_d = ld.eval_hessian(beta)
+    assert abs(g_s - g_d) < 1e-10 and abs(G_s - G_d) < 1e-10
+    np.testing.assert_allclose(grad_s, grad_d, atol=1e-10)
+    np.testing.assert_allclose(H_s, H_d, atol=1e-10)
+
+    # end to end: the route fires on a wide sparse fit and matches the
+    # dense in-core route (sparse-Hessian disabled via a tiny Hessian
+    # budget is not expressible, so compare against incore_limit=0's
+    # distributed prox-Newton instead — same solver family)
+    from prague_spark.ops.sparse import fit_sparse
+    from prague_spark.ops.synth import random_sparse_problem
+
+    if family == "binomial":
+        trip, ydf, _ = random_sparse_problem(
+            spark, n=500, p=120, nnz_per_row=8, seed=3, family="binomial"
+        )
+        kw = dict(n_cols=120, n_sigma=4, lambda_min_ratio=0.3)
+        m1 = fit_sparse(trip, ydf, "y", "binomial", **kw)
+        assert m1.diagnostics["subset_fit_routes"]["incore_sparse"] > 0
+        assert m1.diagnostics["subset_fit_routes"]["distributed"] == 0
+        m2 = fit_sparse(trip, ydf, "y", "binomial", incore_limit=0, **kw)
+        np.testing.assert_allclose(m1.betas, m2.betas, atol=5e-4)
+
+
 @pytest.mark.parametrize("family", ["gaussian", "binomial"])
 def test_sparse_incore_subset_route_matches_distributed(spark, family):
     # the in-core subset solve (screen -> fetch active columns -> driver
