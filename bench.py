@@ -25,8 +25,8 @@ def _scaling_checkpoint(spark) -> "dict | None":
     shape — shuffle/py counters, zero corpus scans — and this section
     adds the measured scaling SLOPE. Each gate is timed at a small sf
     and at the main SF_DIR in ONE process (same warm JVM); per sf the
-    inputs get identical treatment (read, repartition(CPUS), cache,
-    count) and every index/artifact is built UNTIMED (the amortized
+    inputs get identical treatment (read, size-derived repartition,
+    cache, count) and every index/artifact is built UNTIMED (the amortized
     build cost has its own entries); wall = min of 3 runs. For the 10x
     data step the O(shard) contract predicts a ratio <= ~12 — linear in
     the data plus the fixed per-job scheduling overhead the small sf
@@ -39,6 +39,7 @@ def _scaling_checkpoint(spark) -> "dict | None":
         CurationConfig,
         build_curation_artifacts,
         gate_shard,
+        materialize_gates,
     )
 
     main_dir = os.path.abspath(SF_DIR)
@@ -54,16 +55,26 @@ def _scaling_checkpoint(spark) -> "dict | None":
                  rows_per_band=4)
 
     def gates_for(sf_dir: str) -> dict:
+        import pyarrow.parquet as _pq
+
+        def _parts(table: str) -> int:
+            # size-derived spread, same derivation as main() (ask #8):
+            # >= ~512 rows/task, CPUS-capped
+            n = _pq.ParquetFile(
+                f"{sf_dir}/{table}.parquet"
+            ).metadata.num_rows
+            return min(CPUS, max(1, n // 512))
+
         docs = (
             spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .repartition(CPUS).cache()
+            .repartition(_parts("documents")).cache()
         )
         emb = (
             spark.read.parquet(f"{sf_dir}/embeddings.parquet")
             .withColumn("vec",
                         F.transform("embedding", lambda x: x.cast("double")))
             .select("vec_id", "vec")
-            .repartition(CPUS).cache()
+            .repartition(_parts("embeddings")).cache()
         )
         docs.count(), emb.count()
         corpus = docs.filter(F.col("doc_id") % 5 != 0)
@@ -133,11 +144,10 @@ def _scaling_checkpoint(spark) -> "dict | None":
                 lambda: dedup.connected_components_against(
                     cc_prior, cc_new
                 ).count(),
-            "curate_gate_shard": lambda: [
-                g.count()
-                for g in gate_shard(shard, f"{base}/cur", "doc_id",
-                                    "text", cur_cfg).values()
-            ],
+            "curate_gate_shard": lambda: materialize_gates(
+                gate_shard(shard, f"{base}/cur", "doc_id", "text",
+                           cur_cfg)
+            ),
             "sim_ivfpq_knn_join": lambda: similarity.ivfpq_knn_join(
                 qdf, idx.select("vec_id", "cell", "pq_code"), C, books,
                 k=10, nprobe=2, rerank_codes=True, shortlist=50,
@@ -184,13 +194,33 @@ def main() -> None:
     spark = ps.get_spark("prague_spark_bench", cpus=CPUS)
     # The testdata parquet arrives as 1-3 files -> 1-3 scan partitions; on a
     # real cluster the input would already be split across many files. Spread
-    # it once so every operator downstream gets full parallelism.
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").repartition(CPUS).cache()
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS).cache()
+    # it once so every operator downstream gets real parallelism — but
+    # SIZE-DERIVED, not a flat CPUS (r13 verdict ask #8): repartition(CPUS)
+    # oversharded the tiny sf inputs (156 docs/task at sf0.1), and per-task
+    # scheduling overhead summed over the suite's hundreds of jobs is why
+    # the whole 54-entry suite ran FASTER on 8 cores than 32. Target >=
+    # ~512 rows per task (scheduling ~1-5 ms/task stays ~1% of the per-row
+    # compute of these text/hash-heavy operators; the 32-vs-8-core
+    # partition sweep in OPTIMIZATION_r14.md is the evidence); at any real
+    # scale rows >> 512*CPUS so the CPUS cap binds and cluster behavior is
+    # unchanged — full parallelism.
+    n_rows = {}
+    def _spread_parts(table: str) -> int:
+        import pyarrow.parquet as _pq
+
+        n_rows[table] = _pq.ParquetFile(
+            f"{SF_DIR}/{table}.parquet"
+        ).metadata.num_rows
+        return min(CPUS, max(1, n_rows[table] // 512))
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").repartition(
+        _spread_parts("lineitem")).cache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(
+        _spread_parts("documents")).cache()
     emb = (
         spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         .withColumn("vec", F.transform("embedding", lambda x: x.cast("double")))
-        .repartition(CPUS)
+        .repartition(_spread_parts("embeddings"))
         .cache()
     )
     # Warm up the JVM / Arrow / whole-stage-codegen paths so timings measure
@@ -1027,11 +1057,16 @@ def main() -> None:
     _cur_cfg = _CC(span_k=5, lang_col="lang")
     _bca(_mh_corpus, _cur_dir, "doc_id", "text", _cur_cfg)
 
+    from prague_spark.pipeline.curate import materialize_gates as _mgates
+
     @bench("curate_gate_shard")
     def _():
         gates = _gs(_mh_shard, _cur_dir, "doc_id", "text", _cur_cfg)
-        for g in gates.values():
-            g.count()
+        # one count per tier, submitted CONCURRENTLY (guide §2.6 driver
+        # thread pool — the r13 verdict ask): the four tier jobs are
+        # independent, so the composed wall is ~max(tier), not
+        # sum(tiers); per-tier plans and actions are unchanged
+        _mgates(gates)
         # audit the near-dup tier's plan — the composed pass's dominant
         # member; the other tiers' shapes are pinned per-tier
         return gates["minhash"]
@@ -1077,43 +1112,47 @@ def main() -> None:
     _cur_sp_idx = spark.read.parquet(_cpath(_cur_dir, "spans"))
     _cur_co_idx = spark.read.parquet(_cpath(_cur_dir, "cutoffs"))
 
+    # the written frames' logical plans, COMPOSED (the
+    # dedup_extend_content_index convention, extended to the whole
+    # closure): each tier's rows builder over the stored index +
+    # keepers, reduced to one hash column (hash references every
+    # column, so no tier's work prunes away) and unioned — the
+    # entry's {shuffles, py_stages} surface a structural regression in
+    # ANY tier of the closure, not just its wall. Built ONCE here,
+    # OUTSIDE the timed block (r13 verdict cleanup: the in-block
+    # reconstruction mixed ~0.3-0.5 s of pure driver plan construction
+    # into the timed wall; the audited plan is identical either way).
+    _eca_frames = {
+        "exact": dedup._content_index_rows(
+            _cur_ex_idx.select("content_md5", "canonical_id",
+                               "n_copies"),
+            _keep_docs, "doc_id", "text",
+        ),
+        "minhash": dedup._minhash_index_rows(
+            _cur_mh_idx, _keep_docs, "doc_id", "text",
+            **_ccp(_cur_mh_idx, dedup._MINHASH_INDEX_PARAMS,
+                   _cur_cfg.minhash),
+        ),
+        "spans": dedup._span_index_rows(
+            _cur_sp_idx, _keep_docs, "doc_id", "text",
+            **_ccp(_cur_sp_idx, ("k",), {"k": _cur_cfg.span_k}),
+        ),
+        "cutoffs": _cur_co_idx,
+    }
+    _eca_plan = None
+    for tier, fdf in _eca_frames.items():
+        slim = fdf.select(
+            F.lit(tier).alias("tier"),
+            F.hash(*[F.col(c) for c in fdf.columns]).alias("h"),
+        )
+        _eca_plan = slim if _eca_plan is None else _eca_plan.unionByName(slim)
+
     @bench("curate_extend_artifacts")
     def _():
         _eca_n[0] += 1
         _eca(_keep_docs, _cur_dir, f"{_cur_dir}_v{_eca_n[0]}",
              "doc_id", "text", _cur_cfg)
-        # the written frames' logical plans, COMPOSED (the
-        # dedup_extend_content_index convention, extended to the whole
-        # closure): each tier's rows builder over the stored index +
-        # keepers, reduced to one hash column (hash references every
-        # column, so no tier's work prunes away) and unioned — the
-        # entry's {shuffles, py_stages} now surface a structural
-        # regression in ANY tier of the closure, not just its wall
-        frames = {
-            "exact": dedup._content_index_rows(
-                _cur_ex_idx.select("content_md5", "canonical_id",
-                                   "n_copies"),
-                _keep_docs, "doc_id", "text",
-            ),
-            "minhash": dedup._minhash_index_rows(
-                _cur_mh_idx, _keep_docs, "doc_id", "text",
-                **_ccp(_cur_mh_idx, dedup._MINHASH_INDEX_PARAMS,
-                       _cur_cfg.minhash),
-            ),
-            "spans": dedup._span_index_rows(
-                _cur_sp_idx, _keep_docs, "doc_id", "text",
-                **_ccp(_cur_sp_idx, ("k",), {"k": _cur_cfg.span_k}),
-            ),
-            "cutoffs": _cur_co_idx,
-        }
-        out = None
-        for tier, fdf in frames.items():
-            slim = fdf.select(
-                F.lit(tier).alias("tier"),
-                F.hash(*[F.col(c) for c in fdf.columns]).alias("h"),
-            )
-            out = slim if out is None else out.unionByName(slim)
-        return out
+        return _eca_plan
 
     _ext_n = [0]
 
@@ -1225,34 +1264,51 @@ def main() -> None:
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
     total = round(sum(timings.values()), 3)
+    # The FINAL stdout line stays COMPACT (r14 verdict ask #2): the
+    # driver captures only a bounded output tail, and for rounds 10-12
+    # the inline `plans`/`scaling` maps pushed the one-line JSON past
+    # that capture — three rounds of prev-bench comparisons silently
+    # lost. The line keeps metric/value/unit/queries (the driver
+    # contract) plus the scaling RATIOS (one number per gate); the full
+    # plan counters and per-sf scaling walls move to the sidecar file
+    # BENCH_SIDE_LAST.json, which the round records commit alongside.
     line = json.dumps(
         {
             "metric": "prague_spark_headline_suite",
             "value": total,
             "unit": "sec",
             "queries": timings,
-            # cross-sf wall ratios for the headline O(shard) gates —
-            # the measured scaling slope behind the plan-shape claims
-            "scaling": scaling,
+            # cross-sf wall ratio (main_sec / small_sec) per headline
+            # O(shard) gate — the measured scaling slope summary
+            "scaling": (
+                {k: v["ratio"] for k, v in scaling.items()}
+                if scaling else None
+            ),
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    side = json.dumps(
+        {
             # structural counters per entry (shuffles / python
             # stages from plan_audit): identical counters + moved
             # wall time = host noise; moved counters = a real plan
             # regression. Driver-side fit entries carry no counters.
             "plans": plan_counters,
+            # full cross-sf scaling evidence (per-sf walls + dirs)
+            "scaling": scaling,
             "sf": sf,
-        }
+        },
+        indent=1,
     )
-    # durable record FIRST: the driver captures only a bounded output
-    # tail, and one long run's ~40 per-entry stderr lines have truncated
-    # the recorded JSON before (round 10 lost 32 of 42 timings) — the
-    # sibling file survives any pipe truncation and always matches the
-    # stdout line verbatim.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_LAST.json"),
-        "w",
-    ) as fh:
+    # durable record FIRST: the sibling files survive any pipe
+    # truncation; BENCH_LAST.json always matches the stdout line
+    # verbatim.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LAST.json"), "w") as fh:
         fh.write(line + "\n")
+    with open(os.path.join(here, "BENCH_SIDE_LAST.json"), "w") as fh:
+        fh.write(side + "\n")
     sys.stderr.flush()
     print(line, flush=True)
     spark.stop()

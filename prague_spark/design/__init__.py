@@ -251,6 +251,33 @@ class SparseLocalDesign:
                     H[l * p:(l + 1) * p, k * p:(k + 1) * p] = blk
         return g, G, grad, H
 
+    def gram(self) -> GramData:
+        """Gaussian sufficient statistics (X'X, X'y, y'y) computed from
+        the cached within-row pair expansion — the sparse analogue of
+        ``LocalDesign.gram()``: X'X is :meth:`eval_hessian`'s unit-weight
+        block (one ``np.add.at`` scatter over O(sum_r nnz_r^2) pairs +
+        the analytic intercept row/column), never the dense ``X.T @ X``
+        over the densified columns. Same values as the dense product up
+        to summation order; the caller prices the pair volume against
+        the dense FLOPs before routing here."""
+        ci, cj, vv, _rr = self._hess_pairs()
+        p = self.p
+        G = np.zeros((p, p))
+        if len(ci):
+            np.add.at(G, (ci, cj), vv)
+        G[0, 0] = self.icol * self.icol * float(self.n)
+        if len(self.rows):
+            edge = self.icol * np.bincount(
+                self.cols - 1, weights=self.vals, minlength=p - 1
+            )
+        else:
+            edge = np.zeros(p - 1)
+        G[0, 1:] = edge
+        G[1:, 0] = edge
+        xty = self._xt(self.Y).ravel()
+        yty = float(np.sum(self.Y ** 2))
+        return GramData(gram=G, xty=xty, yty=yty, n=self.n)
+
     def power_eigmax(self, iters: int = 60, tol: float = 1e-4, seed: int = 0):
         """eigmax(X'X) by power iteration on the O(nnz) matvecs — ~iters
         cheap passes in-core buy a step size the trace bound can't give."""

@@ -807,8 +807,11 @@ def fit_sparse(
     incore_flat = None
     if incore is not None:
         total_nnz = int(col_nnz[1:].sum())
-        # price: per-column cache views (16 B/nnz) + the flat col/row/val
-        # arrays for the X^T g scatter (20 B/nnz)
+        # price: 24 B/nnz PERSISTED (the flat rpos/vv/cc arrays below —
+        # the per-column cache entries are zero-copy views of rpos/vv,
+        # so they add nothing) + 12 B/nnz headroom for the fetch's
+        # transients (the Arrow table and the argsort scratch); only the
+        # 24 B/nnz that survives is charged to incore["bytes"]
         if 0 < total_nnz * 36 <= incore["limit"] - incore["bytes"]:
             bulk = (
                 trip.join(ydf.select(row_col), row_col, "leftsemi")
@@ -1108,6 +1111,7 @@ def fit_sparse(
         # in-core subset solve: the whole fit is driver-side NumPy — zero
         # distributed jobs beyond the (cached) column fetch
         if incore is not None:
+            sld = None
             if family != "gaussian":
                 # iterative families: prefer prox-Newton directly on the
                 # SPARSE design when its Hessian pair expansion
@@ -1117,12 +1121,18 @@ def fit_sparse(
                 # dense IRLS Hessian was ~35% of the whole fit wall
                 # while the active columns are >99% zeros. The 40x
                 # factor prices np.add.at scatter against BLAS MACs;
-                # denser subsets keep the dense route below.
+                # denser subsets keep the dense route below. The
+                # admission charges the Hessian square AND the cached
+                # pair expansion itself (~32 B/pair — four parallel
+                # arrays) against the in-core budget: at shapes where
+                # n*p_act is large but nnz is small the expansion, not
+                # the Hessian, is the dominant allocation.
                 sld = _incore_sparse_design(idx)
                 hess_bytes = (len(idx) * m) ** 2 * 8
                 if (
                     sld is not None
-                    and incore["bytes"] + hess_bytes <= incore["limit"]
+                    and incore["bytes"] + hess_bytes
+                    + 32 * sld.hess_pair_volume() <= incore["limit"]
                     and sld.hess_pair_volume() * 40 <= n * len(idx)
                 ):
                     route_counts["incore_sparse"] += 1
@@ -1132,16 +1142,56 @@ def fit_sparse(
                         tol_infeas=tol_infeas, tol_abs=tol_abs,
                         tol_rel=tol_rel,
                     )
+            else:
+                # gaussian (optimization round 14): the exact-quadratic
+                # subset ADMM only needs the Gram sufficient statistics,
+                # and SparseLocalDesign.gram() builds them from the
+                # cached pair expansion — one O(sum_r nnz_r^2) scatter —
+                # skipping the (n x p_act) dense materialization AND its
+                # O(n p_act^2) BLAS product. Same 40x scatter-vs-BLAS
+                # price factor and the same budget charges (Gram square
+                # + 32 B/pair expansion) as the iterative-family route;
+                # denser or pair-heavy subsets keep the dense route
+                # below, and len(idx) <= n keeps from_xy's Woodbury
+                # regime out of scope (a wider-than-n subset would have
+                # picked the kernel factorization, which the pair
+                # expansion does not build).
+                sld = _incore_sparse_design(idx)
+                gram_bytes = len(idx) * len(idx) * 8
+                if (
+                    sld is not None
+                    and len(idx) <= n
+                    and incore["bytes"] + gram_bytes
+                    + 32 * sld.hess_pair_volume() <= incore["limit"]
+                    and sld.hess_pair_volume() * 40 <= n * len(idx)
+                ):
+                    route_counts["incore_sparse"] += 1
+                    gd = sld.gram()
+                    w_eig, _ = gd.eigh()
+                    rho = admm_rho(
+                        float(w_eig.max()),
+                        float(lam_scaled.max()) if lam_scaled.size else 1.0,
+                    )
+                    res, z_s, u_s = admm_gaussian(
+                        gd, beta_init.ravel(), z[idx], u[idx], lam_scaled,
+                        rho, max_passes=max_passes, tol_abs=tol_abs,
+                        tol_rel=tol_rel,
+                    )
+                    z[idx] = z_s
+                    u[idx] = u_s
+                    return res
             ld = _incore_design(idx)
             if ld is None:
                 # dense materialization over budget — try the SPARSE
-                # in-core design (budget = active nnz, already fetched):
+                # in-core design (budget = active nnz, already fetched —
+                # reuse the one built for the admission checks above):
                 # fixed-step FISTA with a power-iteration eigmax, which is
                 # TIGHT where the distributed fallback's trace bound is
                 # hundreds of times loose at wide p. Poisson has no global
                 # Lipschitz bound; its backtracking probes are in-core
                 # primal evaluations, so they cost no scans either.
-                sld = _incore_sparse_design(idx)
+                if sld is None:
+                    sld = _incore_sparse_design(idx)
                 if sld is not None:
                     route_counts["incore_sparse"] += 1
                     lr_in = None

@@ -39,6 +39,7 @@ engine has no curation layer; this module packages the pipeline a
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
@@ -151,6 +152,51 @@ class CurationConfig:
 
 def _path(artifact_dir: str, tier: str) -> str:
     return os.path.join(artifact_dir, ARTIFACTS[tier])
+
+
+def _overlap_tier_jobs(jobs: list) -> dict:
+    """Run independent per-tier driver thunks from a small thread pool
+    (the guide's §2.6 overlap: Spark schedules concurrent jobs FIFO, so
+    a later tier's tasks back-fill executors idled by an earlier tier's
+    straggler tail — the composed wall approaches max(tier) instead of
+    sum(tiers), at identical cluster cost and identical per-tier plans).
+    ``jobs`` is ``[(tier, thunk)]``; returns ``{tier: result}`` in the
+    given tier order. Every thunk runs to completion; the first failure
+    IN TIER ORDER is re-raised (fail-loud is preserved — the only
+    semantic delta vs the sequential loop is that tiers after a failing
+    one may already have run, which for the extend writes means a
+    partial ``out_dir``, exactly what a mid-directory sequential crash
+    leaves too). 2-3 jobs in flight is enough to fill scheduling gaps;
+    more would just contend."""
+    if len(jobs) <= 1:
+        return {t: fn() for t, fn in jobs}
+    with ThreadPoolExecutor(max_workers=min(len(jobs), 3)) as pool:
+        futs = [(t, pool.submit(fn)) for t, fn in jobs]
+        out: dict = {}
+        first_err = None
+        for t, fut in futs:
+            try:
+                out[t] = fut.result()
+            except Exception as e:
+                if first_err is None:
+                    first_err = e
+        if first_err is not None:
+            raise first_err
+        return out
+
+
+def materialize_gates(gates: dict) -> dict:
+    """Materialize a :func:`gate_shard` output — one eager ``count()``
+    per tier frame, submitted CONCURRENTLY from a driver thread pool
+    (guide §2.6): the per-tier gate jobs touch disjoint artifacts and
+    are independent, so overlapping them makes the composed
+    per-snapshot wall ≈ max(tier) instead of sum(tiers). The action per
+    tier is exactly the one a sequential caller would run — per-tier
+    plans, shuffle counts and results are untouched. Returns
+    ``{tier: row_count}``."""
+    return _overlap_tier_jobs(
+        [(t, df.count) for t, df in gates.items()]
+    )
 
 
 def build_curation_artifacts(
@@ -451,38 +497,47 @@ def extend_curation_artifacts(
             "the fold happens at gate time; pass it via "
             "cluster_assignment"
         )
-    out: dict = {}
-    if "exact" in cfg.tiers:
-        p_in = _require_artifact(spark, in_dir, "exact",
-                                 "extend_curation_artifacts")
+    # every input artifact is checked BEFORE any tier writes (a missing
+    # artifact now fails with a pristine out_dir instead of after some
+    # tiers have already been written); the per-tier roll-forwards are
+    # then independent jobs over disjoint paths, submitted from a small
+    # thread pool so the composed snapshot write costs ≈ max(tier)
+    # instead of sum(tiers) (guide §2.6 — see _overlap_tier_jobs).
+    p_ins = {
+        t: _require_artifact(spark, in_dir, t, "extend_curation_artifacts")
+        for t in ("exact", "minhash", "spans", "embedding", "cutoffs")
+        if t in cfg.tiers
+    }
+
+    def _do_exact() -> str:
         p_out = _path(out_dir, "exact")
-        dedup.extend_content_index(keepers, p_in, p_out, id_col, text_col)
-        out["exact"] = p_out
-    if "minhash" in cfg.tiers:
-        p_in = _require_artifact(spark, in_dir, "minhash",
-                                 "extend_curation_artifacts")
+        dedup.extend_content_index(
+            keepers, p_ins["exact"], p_out, id_col, text_col
+        )
+        return p_out
+
+    def _do_minhash() -> str:
         p_out = _path(out_dir, "minhash")
         dedup.extend_minhash_index(
-            keepers, p_in, p_out, id_col, text_col,
-            **_carried_params(spark.read.parquet(p_in),
+            keepers, p_ins["minhash"], p_out, id_col, text_col,
+            **_carried_params(spark.read.parquet(p_ins["minhash"]),
                               dedup._MINHASH_INDEX_PARAMS, cfg.minhash),
         )
-        out["minhash"] = p_out
-    if "spans" in cfg.tiers:
-        p_in = _require_artifact(spark, in_dir, "spans",
-                                 "extend_curation_artifacts")
+        return p_out
+
+    def _do_spans() -> str:
         p_out = _path(out_dir, "spans")
         dedup.extend_span_index(
-            keepers, p_in, p_out, id_col, text_col,
-            **_carried_params(spark.read.parquet(p_in), ("k",),
+            keepers, p_ins["spans"], p_out, id_col, text_col,
+            **_carried_params(spark.read.parquet(p_ins["spans"]), ("k",),
                               {"k": cfg.span_k}),
         )
-        out["spans"] = p_out
-    if "embedding" in cfg.tiers:
+        return p_out
+
+    def _do_embedding() -> str:
         from . import similarity
 
-        p_in = _require_artifact(spark, in_dir, "embedding",
-                                 "extend_curation_artifacts")
+        p_in = p_ins["embedding"]
         p_out = _path(out_dir, "embedding")
         C, _books = similarity.load_ivfpq_model(
             spark, os.path.join(p_in, "_ivfpq_model")
@@ -520,29 +575,44 @@ def extend_curation_artifacts(
         similarity.save_ivfpq_model(
             spark, os.path.join(p_out, "_ivfpq_model"), C, None
         )
-        out["embedding"] = p_out
-    if "cutoffs" in cfg.tiers:
-        p_in = _require_artifact(spark, in_dir, "cutoffs",
-                                 "extend_curation_artifacts")
+        return p_out
+
+    def _do_cutoffs() -> str:
         p_out = _path(out_dir, "cutoffs")
         # frozen passthrough via the Spark IO path (works wherever the
         # artifacts live; doubles round-trip parquet exactly)
-        spark.read.parquet(p_in).write.mode("overwrite").parquet(p_out)
-        out["cutoffs"] = p_out
-    q_in = _path(in_dir, "quality_filter")
-    if _artifact_exists(spark, q_in):
+        spark.read.parquet(p_ins["cutoffs"]).write.mode(
+            "overwrite"
+        ).parquet(p_out)
+        return p_out
+
+    def _do_quality_filter() -> str:
         from .quality_model import load_quality_filter, save_quality_filter
 
         save_quality_filter(
-            spark, load_quality_filter(spark, q_in),
+            spark, load_quality_filter(spark, _path(in_dir, "quality_filter")),
             _path(out_dir, "quality_filter"),
         )
-        out["quality_filter"] = _path(out_dir, "quality_filter")
-    if cfg.cluster_state:
+        return _path(out_dir, "quality_filter")
+
+    def _do_cluster_state() -> str:
         p_out = _path(out_dir, "cluster_state")
         dedup.write_assignment(cluster_assignment, p_out)
-        out["cluster_state"] = p_out
-    return out
+        return p_out
+
+    jobs = []
+    for tier, fn in (
+        ("exact", _do_exact), ("minhash", _do_minhash),
+        ("spans", _do_spans), ("embedding", _do_embedding),
+        ("cutoffs", _do_cutoffs),
+    ):
+        if tier in cfg.tiers:
+            jobs.append((tier, fn))
+    if _artifact_exists(spark, _path(in_dir, "quality_filter")):
+        jobs.append(("quality_filter", _do_quality_filter))
+    if cfg.cluster_state:
+        jobs.append(("cluster_state", _do_cluster_state))
+    return _overlap_tier_jobs(jobs)
 
 
 def _carried_params(idx: DataFrame, names, fallback: dict) -> dict:

@@ -43,6 +43,9 @@ class PlanAudit:
     cartesians: int        # CartesianProduct occurrences
     widest_read: int       # max column count across parquet ReadSchemas
     scans: int             # FileScan/BatchScan leaves
+    py_row_stages: int = 0  # row-pickled BatchEvalPython stages ONLY —
+    # the form guide §4 forbids at scale; Arrow-batched stages
+    # (MapInArrow/ArrowEvalPython) count in py_stages but not here
 
 
 def audit(df: DataFrame) -> PlanAudit:
@@ -77,6 +80,7 @@ def audit(df: DataFrame) -> PlanAudit:
         cartesians=plan.count("CartesianProduct"),
         widest_read=widest,
         scans=plan.count("FileScan") + plan.count("BatchScan"),
+        py_row_stages=plan.count("BatchEvalPython"),
     )
 
 
@@ -87,6 +91,7 @@ def assert_scale_shape(
     max_read_width: int | None = None,
     forbid_nested_loop: bool = True,
     forbid_cartesian: bool = True,
+    max_py_row_stages: int | None = None,
 ) -> PlanAudit:
     """Raise ``AssertionError`` (with the offending counts) when the plan
     violates the declared scale budget; returns the audit otherwise.
@@ -99,6 +104,10 @@ def assert_scale_shape(
         problems.append(f"shuffles {a.shuffles} > {max_shuffles}")
     if max_py_stages is not None and a.py_stages > max_py_stages:
         problems.append(f"py_stages {a.py_stages} > {max_py_stages}")
+    if max_py_row_stages is not None and a.py_row_stages > max_py_row_stages:
+        problems.append(
+            f"py_row_stages {a.py_row_stages} > {max_py_row_stages}"
+        )
     if max_read_width is not None and a.widest_read > max_read_width:
         problems.append(f"widest_read {a.widest_read} > {max_read_width}")
     if forbid_nested_loop and a.nested_loops:

@@ -71,8 +71,17 @@ def test_banded_lsh_bench_shape(emb):
     out = dedup.embedding_cosine_pairs(
         both, "vec_id", "vec", threshold=0.7, n_planes=8, n_bands=8
     )
-    assert_scale_shape(out, max_shuffles=5, max_py_stages=0,
-                       max_read_width=3)
+    # r14: the band signatures and exact verify are MapInArrow batches
+    # (guide §4 — bit-identical outputs, ~4x the per-row HOF throughput
+    # at 10x+ scale; see plans/r14). The pin now forbids only the
+    # row-pickled BatchEvalPython form. There are exactly TWO Arrow
+    # passes at runtime (one signature pass — pinned/cached — and one
+    # verify pass); the string-level py_stages counter reads higher
+    # because the cached signature subtree prints its lineage once per
+    # consuming branch (the documented plan-TEXT double counting).
+    a = assert_scale_shape(out, max_shuffles=5, max_py_row_stages=0,
+                           max_read_width=3)
+    assert a.py_stages > 0  # the Arrow route is actually engaged
 
 
 def test_pq_topk_bench_shape(emb, queries3):
@@ -291,6 +300,18 @@ def test_roll_forward_bench_shapes(docs, spark, tmp_path):
     )
     assert_scale_shape(rows_m, max_shuffles=5, max_py_stages=0,
                        max_read_width=5)
+    # the r14 INCREMENTAL count route (auto past
+    # MINHASH_INCREMENTAL_BYTES): its only aggregations are the shard
+    # delta and the O(touched) distinct; the string-level shuffle
+    # counter reads higher because the pinned shard/delta subtrees
+    # print their lineage once per consuming branch (the documented
+    # plan-TEXT double counting) — pin the scale-relevant parts instead:
+    # zero Python stages, and the stored-index scans stay column-pruned
+    rows_i = dedup._minhash_index_rows(
+        spark.read.parquet(p_m), shard, "doc_id", "text",
+        incremental=True, **kw
+    )
+    assert_scale_shape(rows_i, max_py_stages=0, max_read_width=5)
 
     p_s = str(tmp_path / "sp")
     dedup.write_span_index(corpus, p_s, "doc_id", "text", k=5, min_count=1)

@@ -906,6 +906,25 @@ def test_connected_components_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_two_hop_fold_accelerates_chains(spark):
+    """The r14 two-hop fold (pointer jumping through the previous
+    generation's labels): propagation distance per iteration roughly
+    doubles, so a diameter-32 chain converges within ~log2(32)+2
+    iterations — the one-hop loop would need ~32 and EXCEED max_iter=10
+    (raising) — while the converged labels stay exactly the component
+    minima."""
+    from prague_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 132)], "id_a long, id_b long"
+    )
+    got = {
+        int(r["node"]): int(r["cluster_id"])
+        for r in connected_components(pairs, max_iter=10).collect()
+    }
+    assert got == {i: 100 for i in range(100, 133)}
+
+
 def test_repetition_ratio(spark):
     from prague_spark.pipeline.text import repetition_ratio
 
@@ -2812,16 +2831,25 @@ def test_extend_indexes_match_one_shot_union(docs, spark, tmp_path):
     want = {tuple(r) for r in spark.read.parquet(pw).collect()}
     assert got == want and got
 
-    # near-dup tier (bucket_n recounted over the union)
-    m0, m1, mw = (str(tmp_path / n) for n in ("m0", "m1", "mw"))
+    # near-dup tier (bucket_n exact over the union), BOTH count routes:
+    # the union-wide recount (the small-index default) and the r14
+    # incremental roll-forward (forced here; auto past
+    # MINHASH_INCREMENTAL_BYTES) must land on the identical index
+    m0, m1, mw, mi = (str(tmp_path / n) for n in ("m0", "m1", "mw", "mi"))
     dedup.write_minhash_index(old, m0, "doc_id", "text", **_MHI_KW)
     dedup.extend_minhash_index(shard, m0, m1, "doc_id", "text", **_MHI_KW)
     dedup.write_minhash_index(docs, mw, "doc_id", "text", **_MHI_KW)
+    dedup.extend_minhash_index(shard, m0, mi, "doc_id", "text",
+                               incremental_counts=True, **_MHI_KW)
     cols = ["doc", "band", "key", "bucket_n", "num_hashes", "shingle_n",
             "seed", "bands", "rows_per_band"]
     got = {tuple(r) for r in spark.read.parquet(m1).select(*cols).collect()}
     want = {tuple(r) for r in spark.read.parquet(mw).select(*cols).collect()}
+    got_inc = {
+        tuple(r) for r in spark.read.parquet(mi).select(*cols).collect()
+    }
     assert got == want and got
+    assert got_inc == want
 
     # substring tier (min_count=1 required and carried)
     s0, s1, sw = (str(tmp_path / n) for n in ("s0", "s1", "sw"))

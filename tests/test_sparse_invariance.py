@@ -475,6 +475,53 @@ def test_sparse_hessian_prox_newton_matches_dense_incore(spark, family):
         np.testing.assert_allclose(m1.betas, m2.betas, atol=5e-4)
 
 
+def test_sparse_gram_pair_expansion_matches_dense_incore(spark):
+    """The r14 gaussian analogue of the r13 sparse Hessian: the in-core
+    gaussian subset ADMM needs only Gram sufficient statistics, and
+    SparseLocalDesign.gram() builds them from the cached pair expansion
+    — values must equal the dense GramData.from_xy product to float
+    rounding, and the wide gaussian fit routed through it must agree
+    with the distributed route to solver tolerance."""
+    import numpy as np
+
+    from prague_spark.core.families import setup_family
+    from prague_spark.design import LocalDesign, SparseLocalDesign
+
+    rng = np.random.default_rng(29)
+    n, p = 300, 40
+    X = np.where(rng.random((n, p)) < 0.1, rng.normal(size=(n, p)), 0.0)
+    icol = 1.0 / np.sqrt(n)
+    Xf = np.hstack([np.full((n, 1), icol), X])
+    y = X[:, 0] * 2.0 + rng.normal(scale=0.5, size=n)
+    fam = setup_family("gaussian")
+    rows, cols = np.nonzero(X)
+    sld = SparseLocalDesign(rows, cols + 1, X[rows, cols], n, p + 1, y,
+                            fam, icol=icol)
+    gd_s = sld.gram()
+    gd_d = LocalDesign(Xf, y, fam).gram()
+    np.testing.assert_allclose(gd_s.gram, gd_d.gram, atol=1e-10)
+    np.testing.assert_allclose(gd_s.xty, gd_d.xty, atol=1e-10)
+    assert abs(gd_s.yty - gd_d.yty) < 1e-8
+    assert gd_s.n == gd_d.n
+
+    # end to end: the route fires on a wide sparse gaussian fit
+    # (incore_sparse solves replace incore_dense; dense-route and
+    # distributed-route betas agree to solver tolerance)
+    from prague_spark.ops.sparse import fit_sparse
+    from prague_spark.ops.synth import random_sparse_problem
+
+    trip, ydf, _ = random_sparse_problem(
+        spark, n=500, p=120, nnz_per_row=8, seed=3
+    )
+    trip, ydf = trip.cache(), ydf.cache()
+    kw = dict(n_cols=120, n_sigma=4, lambda_min_ratio=0.3, gram_limit=8)
+    m1 = fit_sparse(trip, ydf, "y", "gaussian", **kw)
+    assert m1.diagnostics["subset_fit_routes"]["incore_sparse"] > 0
+    assert m1.diagnostics["subset_fit_routes"]["distributed"] == 0
+    m2 = fit_sparse(trip, ydf, "y", "gaussian", incore_limit=0, **kw)
+    np.testing.assert_allclose(m1.betas, m2.betas, atol=5e-4)
+
+
 @pytest.mark.parametrize("family", ["gaussian", "binomial"])
 def test_sparse_incore_subset_route_matches_distributed(spark, family):
     # the in-core subset solve (screen -> fetch active columns -> driver
