@@ -696,17 +696,22 @@ def extend_minhash_index(
         incremental_counts = (
             _dir_bytes(spark, in_path) >= MINHASH_INCREMENTAL_BYTES
         )
-    (
-        _minhash_index_rows(
-            index, df, id_col, text_col,
-            num_hashes=num_hashes, shingle_n=shingle_n, seed=seed,
-            bands=bands, rows_per_band=rows_per_band,
-            incremental=bool(incremental_counts),
+    try:
+        (
+            _minhash_index_rows(
+                index, df, id_col, text_col,
+                num_hashes=num_hashes, shingle_n=shingle_n, seed=seed,
+                bands=bands, rows_per_band=rows_per_band,
+                incremental=bool(incremental_counts), pinned=True,
+            )
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(out_path)
         )
-        .write.mode("overwrite")
-        .partitionBy("band")
-        .parquet(out_path)
-    )
+    finally:
+        # the write was the pins' only consumer — free them now (the
+        # refcounted eviction spares any plan-equal live gate pin)
+        _evict_generation(_gen_cache("minhash_extend"))
 
 
 def _minhash_index_rows(
@@ -721,6 +726,7 @@ def _minhash_index_rows(
     bands: int,
     rows_per_band: int,
     incremental: bool = False,
+    pinned: bool = False,
 ) -> DataFrame:
     """The union-merge frame :func:`extend_minhash_index` writes —
     shard signature agg, band-row union with the stored index, and the
@@ -776,20 +782,27 @@ def _minhash_index_rows(
         )
     # the shard band rows feed BOTH the delta aggregation and the
     # shard-side output (and the delta feeds three more branches), so
-    # pin them for one generation (the module's _pin discipline —
-    # LAZILY, so a plan-audit caller that never runs the frame never
-    # runs a job): without the pin the O(shard) signature pipeline
-    # would re-evaluate once per consuming branch
-    _evict_generation(_gen_cache("minhash_extend"))
-    shard_rows = _pin(_gen_cache("minhash_extend"), shard_rows)
+    # when the caller will EXECUTE the frame (``pinned`` — the writer
+    # sets it and evicts right after the write) pin them for one
+    # generation: without the pin the O(shard) signature pipeline
+    # would re-evaluate once per consuming branch. Audit-only callers
+    # (bench/test plan pins) leave ``pinned`` off: they never run a
+    # job, and an unmaterialized pin whose plan a LIVE gate pin
+    # happens to share would otherwise hold that shared cache entry's
+    # refcount up and block the gate's own eviction from freeing it.
+    if pinned:
+        _evict_generation(_gen_cache("minhash_extend"))
+        _hold = lambda fr: _pin(_gen_cache("minhash_extend"), fr)
+    else:
+        _hold = lambda fr: fr
+    shard_rows = _hold(shard_rows)
     # shard-side bucket delta (O(shard) aggregation — the only
     # aggregations in this frame are this and the O(touched) distinct
     # below; the index side never re-aggregates)
-    delta = _pin(
-        _gen_cache("minhash_extend"),
+    delta = _hold(
         shard_rows.groupBy("band", "key").agg(
             F.count("*").alias("_add_n")
-        ),
+        )
     )
     # stored counts of the buckets the shard touches only: the semi
     # join prunes the index map-side (broadcast for any sane delta),
@@ -799,14 +812,13 @@ def _minhash_index_rows(
         .join(delta.select("band", "key"), ["band", "key"], "left_semi")
         .distinct()
     )
-    new_n = _pin(
-        _gen_cache("minhash_extend"),
+    new_n = _hold(
         delta.join(touched_old, ["band", "key"], "left").select(
             "band", "key",
             (F.col("_add_n") + F.coalesce(F.col("bucket_n"), F.lit(0)))
             .alias("bucket_n"),
             F.col("_add_n"),
-        ),
+        )
     )
     old_side = index.join(
         new_n.select("band", "key", "_add_n"), ["band", "key"], "left"
