@@ -57,13 +57,13 @@ def _scaling_checkpoint(spark) -> "dict | None":
     def gates_for(sf_dir: str) -> dict:
         import pyarrow.parquet as _pq
 
-        def _parts(table: str) -> int:
-            # size-derived spread, same derivation as main() (ask #8):
-            # >= ~512 rows/task, CPUS-capped
+        def _parts(table: str, rows_per_task: int = 512) -> int:
+            # size-derived spread, same derivation (and per-input-class
+            # row targets) as main() — ask #8
             n = _pq.ParquetFile(
                 f"{sf_dir}/{table}.parquet"
             ).metadata.num_rows
-            return min(CPUS, max(1, n // 512))
+            return min(CPUS, max(1, n // rows_per_task))
 
         docs = (
             spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -74,7 +74,7 @@ def _scaling_checkpoint(spark) -> "dict | None":
             .withColumn("vec",
                         F.transform("embedding", lambda x: x.cast("double")))
             .select("vec_id", "vec")
-            .repartition(_parts("embeddings")).cache()
+            .repartition(_parts("embeddings", rows_per_task=64)).cache()
         )
         docs.count(), emb.count()
         corpus = docs.filter(F.col("doc_id") % 5 != 0)
@@ -203,15 +203,22 @@ def main() -> None:
     # compute of these text/hash-heavy operators; the 32-vs-8-core
     # partition sweep in OPTIMIZATION_r14.md is the evidence); at any real
     # scale rows >> 512*CPUS so the CPUS cap binds and cluster behavior is
-    # unchanged — full parallelism.
+    # unchanged — full parallelism. The per-task row target is
+    # per-input-class: the VECTOR tier gets 64 rows/task — each row is
+    # a K*dim-flop codegen projection, and it is the one tier the r13
+    # core-scaling block showed actually using 32 slots at sf0.1
+    # (sim_pq_topk 1.61, dedup_embedding_cells 1.43, sim_ivfpq_topk
+    # 1.29 c8/c32 ratios; a first 512-row cut measurably cost those
+    # entries 1.3-1.45x) — while the text/row inputs get 512 rows/task
+    # (their c8/c32 ratios sit at or below 1).
     n_rows = {}
-    def _spread_parts(table: str) -> int:
+    def _spread_parts(table: str, rows_per_task: int = 512) -> int:
         import pyarrow.parquet as _pq
 
         n_rows[table] = _pq.ParquetFile(
             f"{SF_DIR}/{table}.parquet"
         ).metadata.num_rows
-        return min(CPUS, max(1, n_rows[table] // 512))
+        return min(CPUS, max(1, n_rows[table] // rows_per_task))
 
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").repartition(
         _spread_parts("lineitem")).cache()
@@ -220,7 +227,7 @@ def main() -> None:
     emb = (
         spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         .withColumn("vec", F.transform("embedding", lambda x: x.cast("double")))
-        .repartition(_spread_parts("embeddings"))
+        .repartition(_spread_parts("embeddings", rows_per_task=64))
         .cache()
     )
     # Warm up the JVM / Arrow / whole-stage-codegen paths so timings measure
@@ -346,6 +353,10 @@ def main() -> None:
                     a = _audit(ret)
                     plan_counters[name] = {
                         "shuffles": a.shuffles, "py_stages": a.py_stages,
+                        # row-pickled BatchEvalPython stages only — must
+                        # stay 0 everywhere (Arrow stages are allowed in
+                        # the banded-LSH entry, r14)
+                        "py_row_stages": a.py_row_stages,
                     }
                 except Exception as e:  # never fail the bench on an audit
                     print(f"[bench] {name}: plan audit failed: {e}",
